@@ -1,0 +1,554 @@
+"""Database: a directory of immutable Parquet runs with LSM read semantics.
+
+Layout (mirrors the reference's directory-of-runs model,
+database_reader.rs:44-132 / file_format.md:92-99, re-expressed for Spark):
+
+    db_dir/
+      main/                 # txid-order 0 (rewritten only by major compaction)
+      tx.<016x-hex-nanos>/  # one Parquet run per committed transaction
+      tx.<016x>/DELETE_MARKER + deletes.parquet   # delete-marker transaction
+      .tmp-*/               # in-flight writes (ignored by readers)
+
+Transaction order is the lexical order of the run names — ``main`` sorts
+before every ``tx.*`` so it naturally takes the lowest precedence, and
+zero-padded hex commit-nanos make lexical order == commit order (the
+reference's ``tx.{nanos:016x}`` naming, create_tx.rs:229-262). On
+``(key, ts)`` collisions the lexically-last run wins ("last record
+wins", README.md:33-34).
+
+Scale notes (local[N] here, 1000 executors in production):
+
+- All data runs are read in ONE ``spark.read.parquet(*paths)`` scan; the
+  run name is recovered JVM-side from ``input_file_name()`` so the
+  last-writer-wins ordering key costs no Python round-trip and the scan
+  stays a single FileSourceScan with uniform split planning.
+- Runs are written ``repartitionByRange(key).sortWithinPartitions(key,
+  ts)`` so Parquet row-group min/max stats on ``key``/``ts`` are tight;
+  Catalyst's predicate pushdown then prunes files and row groups — the
+  declarative replacement for the reference's binary-searched sparse
+  segment index (segment_reader.rs:173-234).
+- LWW dedup is a hash aggregation (``max_by``) keyed on ``(key, ts)``,
+  which gets map-side partial aggregation; when the database has a
+  single data run (the common post-compaction state) the dedup stage is
+  skipped entirely.
+- Delete markers are tiny (one row per delete call); they are applied as
+  an inlined literal predicate (pure codegen, no join, no shuffle), with
+  a broadcast anti-join fallback above a threshold.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from sonnerie_spark import rowformat
+from sonnerie_spark.plans.keyfilter import analyze_wildcard, prefix_upper_bound
+
+RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("ts", T.LongType(), False),  # ns since epoch (NOT TimestampType)
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("v_long", T.ArrayType(T.LongType()), True),
+        T.StructField("v_double", T.ArrayType(T.DoubleType()), True),
+        T.StructField("v_str", T.ArrayType(T.StringType()), True),
+        T.StructField("v_bin", T.ArrayType(T.BinaryType()), True),
+    ]
+)
+
+DELETE_SCHEMA = T.StructType(
+    [
+        T.StructField("first_key", T.StringType(), False),
+        T.StructField("last_key", T.StringType(), False),  # '' = unbounded
+        T.StructField("after_ns", T.LongType(), False),
+        T.StructField("before_ns", T.LongType(), False),
+        T.StructField("wildcard", T.StringType(), False),
+    ]
+)
+
+_TX_NAME_RE = re.compile(r"^(main|tx\.[0-9a-f]{16})$")
+DELETE_SENTINEL = "DELETE_MARKER"
+# Above this many live delete markers, switch from an inlined literal
+# predicate to a broadcast anti-join.
+MAX_INLINE_DELETES = 64
+
+MIN_TS = 0
+MAX_TS = 2**63 - 1
+
+
+class CommitError(RuntimeError):
+    pass
+
+
+class DuplicateRecordError(CommitError):
+    """Duplicate (key, ts) within one transaction (write.rs:181-197 rule)."""
+
+
+@dataclass(frozen=True)
+class RunInfo:
+    name: str  # 'main' or 'tx.<016x>'
+    path: str
+    is_delete: bool
+
+
+class Database:
+    """Open a database directory; build declarative read plans over it."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        os.makedirs(self.path, exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+
+    def runs(self) -> list[RunInfo]:
+        """Enumerate committed runs in txid (lexical) order.
+
+        Skips in-flight ``.tmp-*`` dirs and warns-equivalent skips empty
+        dirs, like the reference's readdir (database_reader.rs:60-131).
+        """
+        out: list[RunInfo] = []
+        for name in sorted(os.listdir(self.path)):
+            if not _TX_NAME_RE.match(name):
+                continue
+            p = os.path.join(self.path, name)
+            if not os.path.isdir(p):
+                continue
+            is_delete = os.path.exists(os.path.join(p, DELETE_SENTINEL))
+            has_data = any(f.endswith(".parquet") for f in os.listdir(p)) or any(
+                f == "_SUCCESS" for f in os.listdir(p)
+            )
+            if not has_data:
+                continue
+            out.append(RunInfo(name, p, is_delete))
+        return out
+
+    def data_runs(self) -> list[RunInfo]:
+        return [r for r in self.runs() if not r.is_delete]
+
+    def delete_markers(self) -> list[dict]:
+        """Load delete markers (tiny) to the driver, tagged with txname."""
+        markers: list[dict] = []
+        for r in self.runs():
+            if not r.is_delete:
+                continue
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(os.path.join(r.path, "deletes.parquet"))
+            for row in tbl.to_pylist():
+                row["_txname"] = r.name
+                markers.append(row)
+        return markers
+
+    # -- read plan ---------------------------------------------------------
+
+    def read(
+        self,
+        *,
+        key: str | None = None,
+        wildcard: str | None = None,
+        after_key: str | None = None,
+        before_key: str | None = None,
+        after_ns: int | None = None,
+        before_ns: int | None = None,
+        include_txname: bool = False,
+    ) -> DataFrame:
+        """The merged, deduped, delete-filtered view of the database.
+
+        Equivalent of the reference's whole read path: per-run sorted
+        scans -> k-way merge with last-tx-wins dedup (merge.rs:48-181) ->
+        delete anti-filter (database_reader.rs:474-518) -> key/time
+        filters. Here it is one declarative plan: Catalyst prunes
+        files/row-groups from the pushed key/ts predicates, the dedup is
+        a partial-aggregating hash agg, and delete markers fold into a
+        codegen'd literal predicate.
+        """
+        runs = self.data_runs()
+        if not runs:
+            return self.spark.createDataFrame([], RECORD_SCHEMA)
+
+        df = self.spark.read.schema(RECORD_SCHEMA).parquet(*[r.path for r in runs])
+        # Recover the run (transaction) name from the file path, JVM-side.
+        # Lexical order of run names == commit order (zero-padded hex).
+        df = df.withColumn(
+            "_txname", F.regexp_extract(F.input_file_name(), r"/(main|tx\.[0-9a-f]{16})/", 1)
+        )
+
+        # Key predicates first: these push down to the Parquet scan.
+        df = self._apply_key_filter(df, key, wildcard, after_key, before_key)
+        if after_ns is not None:
+            df = df.filter(F.col("ts") >= F.lit(int(after_ns)))
+        if before_ns is not None:
+            df = df.filter(F.col("ts") < F.lit(int(before_ns)))
+
+        # Last-writer-wins across runs; skipped when only one run exists.
+        if len(runs) > 1:
+            df = _lww_dedup(df)
+
+        df = self._apply_delete_markers(df)
+        if not include_txname:
+            df = df.drop("_txname")
+        return df
+
+    def read_sorted(self, **kwargs) -> DataFrame:
+        """read() plus the reference's global (key, ts) output ordering."""
+        return self.read(**kwargs).orderBy("key", "ts")
+
+    def _apply_key_filter(self, df, key, wildcard, after_key, before_key):
+        if key is not None:
+            return df.filter(F.col("key") == F.lit(key))
+        if wildcard is not None:
+            kf = analyze_wildcard(wildcard)
+            if kf.exact is not None:
+                return df.filter(F.col("key") == F.lit(kf.exact))
+            if kf.prefix:
+                df = df.filter(F.col("key") >= F.lit(kf.prefix))
+                ub = prefix_upper_bound(kf.prefix)
+                if ub is not None:
+                    df = df.filter(F.col("key") < F.lit(ub))
+            if kf.needs_like:
+                df = df.filter(F.col("key").like(kf.pattern))
+            return df
+        if after_key is not None:
+            df = df.filter(F.col("key") >= F.lit(after_key))
+        if before_key is not None:
+            df = df.filter(F.col("key") < F.lit(before_key))
+        return df
+
+    def _apply_delete_markers(self, df: DataFrame) -> DataFrame:
+        markers = self.delete_markers()
+        if not markers:
+            return df
+        if len(markers) <= MAX_INLINE_DELETES:
+            # Inline as a literal predicate: no join, whole-stage codegen.
+            cond = F.lit(False)
+            for m in markers:
+                c = (
+                    (F.col("_txname") < F.lit(m["_txname"]))
+                    & (F.col("ts") >= F.lit(int(m["after_ns"])))
+                    & (F.col("ts") < F.lit(int(m["before_ns"])))
+                )
+                if m["first_key"]:
+                    c = c & (F.col("key") >= F.lit(m["first_key"]))
+                if m["last_key"]:
+                    c = c & (F.col("key") < F.lit(m["last_key"]))
+                if m["wildcard"] and m["wildcard"] != "%":
+                    c = c & F.col("key").like(m["wildcard"])
+                cond = cond | c
+            return df.filter(~cond)
+        # Fallback: broadcast anti-join on the non-equi delete condition.
+        deldf = self.spark.createDataFrame(
+            [
+                (
+                    m["_txname"],
+                    m["first_key"],
+                    m["last_key"],
+                    int(m["after_ns"]),
+                    int(m["before_ns"]),
+                    m["wildcard"] or "%",
+                )
+                for m in markers
+            ],
+            "d_txname string, d_first string, d_last string, d_after long, d_before long, d_wild string",
+        )
+        cond = (
+            (F.col("_txname") < F.col("d_txname"))
+            & (F.col("ts") >= F.col("d_after"))
+            & (F.col("ts") < F.col("d_before"))
+            & ((F.col("d_first") == "") | (F.col("key") >= F.col("d_first")))
+            & ((F.col("d_last") == "") | (F.col("key") < F.col("d_last")))
+            & F.col("key").like(F.col("d_wild"))
+        )
+        return df.join(F.broadcast(deldf), cond, "left_anti")
+
+    # -- write path --------------------------------------------------------
+
+    def create_tx(self) -> "Transaction":
+        return Transaction(self)
+
+    def commit_dataframe(self, df: DataFrame, *, check_duplicates: bool = True) -> str:
+        """Commit a DataFrame of records as one new run (sorted, atomic).
+
+        The shuffle-sort here replaces the reference's entire hand-built
+        sorted-run writer + 4-thread compression pipeline (write.rs) —
+        range partitioning keeps each key on one partition (the
+        reference's key-never-split guarantee, database_reader.rs:286-287)
+        and per-partition sorting makes Parquet stats tight.
+        """
+        df = df.select([F.col(f.name).cast(f.dataType) for f in RECORD_SCHEMA.fields])
+        if check_duplicates:
+            dup = df.groupBy("key", "ts").count().filter(F.col("count") > 1).take(1)
+            if dup:
+                r = dup[0]
+                raise DuplicateRecordError(
+                    f"duplicate (key, ts) within one transaction: ({r['key']!r}, {r['ts']})"
+                )
+        shuffle_parts = max(1, int(self.spark.conf.get("spark.sql.shuffle.partitions")))
+        out = df.repartitionByRange(shuffle_parts, "key").sortWithinPartitions("key", "ts")
+        return self._atomic_commit(lambda p: out.write.mode("overwrite").parquet(p))
+
+    def commit_rows(self, rows: list[dict]) -> str:
+        """Commit a driver-side row buffer as one run, without a Spark job.
+
+        The reference's CLI ``add`` path is likewise a single-threaded
+        writer (write.rs); for driver-resident batches a direct pyarrow
+        write of the (key, ts)-sorted buffer is strictly faster than
+        round-tripping through a 1-partition Spark job. The resulting run
+        is indistinguishable from a Spark-written one.
+        """
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = sorted(rows, key=lambda r: (r["key"], r["ts"]))
+        arrow_schema = pa.schema(
+            [
+                pa.field("key", pa.string(), False),
+                pa.field("ts", pa.int64(), False),
+                pa.field("fmt", pa.string(), False),
+                pa.field("v_long", pa.list_(pa.int64())),
+                pa.field("v_double", pa.list_(pa.float64())),
+                pa.field("v_str", pa.list_(pa.string())),
+                pa.field("v_bin", pa.list_(pa.binary())),
+            ]
+        )
+        tbl = pa.Table.from_pylist(rows, schema=arrow_schema)
+
+        def write(p):
+            os.makedirs(p, exist_ok=True)
+            pq.write_table(tbl, os.path.join(p, "part-00000.parquet"))
+
+        return self._atomic_commit(write)
+
+    def commit_deletes(self, markers: list[dict]) -> str:
+        """Commit a delete-marker transaction (create_tx.rs:115-174).
+
+        Instantaneous — no data rewrite; records are suppressed at read
+        and physically purged by major compaction (deletion-vector
+        pattern).
+        """
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = [
+            {
+                "first_key": m.get("first_key", ""),
+                "last_key": m.get("last_key", ""),
+                "after_ns": int(m.get("after_ns", MIN_TS)),
+                "before_ns": int(m.get("before_ns", MAX_TS)),
+                "wildcard": m.get("wildcard", "%"),
+            }
+            for m in markers
+        ]
+
+        def write(p):
+            os.makedirs(p, exist_ok=True)
+            tbl = pa.Table.from_pylist(rows)
+            pq.write_table(tbl, os.path.join(p, "deletes.parquet"))
+            open(os.path.join(p, DELETE_SENTINEL), "w").close()
+
+        return self._atomic_commit(write)
+
+    def _atomic_commit(self, write_fn) -> str:
+        """Write under .tmp-*, then atomically rename to tx.<016x-nanos>.
+
+        Mirrors the reference's tempfile + fsync + atomic-rename with
+        collision backoff (create_tx.rs:180-264). On a shared filesystem
+        this is the same commit protocol a minimal table format uses.
+        """
+        tmp = os.path.join(self.path, f".tmp-{os.getpid()}-{time.time_ns():x}")
+        write_fn(tmp)
+        while True:
+            txname = f"tx.{time.time_ns():016x}"
+            final = os.path.join(self.path, txname)
+            try:
+                os.rename(tmp, final)
+                return txname
+            except OSError:
+                if not os.path.exists(final):
+                    raise
+                time.sleep(0.000001)  # name collision: retry with fresh nanos
+
+    # -- compaction --------------------------------------------------------
+
+    def compact(self, *, major: bool = False, transform=None, max_runs: int = 1000) -> str | None:
+        """Merge runs into one (O15), optionally through a transform (O16).
+
+        minor: merges only ``tx.*`` runs (≤ ``max_runs``), keeps ``main``
+        and delete markers; result replaces the merged runs under the
+        newest compacted name.
+        major: merges everything incl. ``main``, applies + purges delete
+        markers, result becomes ``main``.
+        ``transform``: a ``DataFrame -> DataFrame`` callable applied to
+        the merged stream — the Spark-native gegnum (main.rs:429-477);
+        for subprocess parity see ``cli.gegnum_pipe``.
+        """
+        lock = os.path.join(self.path, ".compact")
+        lock_fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+        try:
+            import fcntl
+
+            fcntl.flock(lock_fd, fcntl.LOCK_EX)
+            return self._compact_locked(major=major, transform=transform, max_runs=max_runs)
+        finally:
+            os.close(lock_fd)
+
+    def _compact_locked(self, *, major, transform, max_runs):
+        all_runs = self.runs()
+        if major:
+            merged_runs = all_runs
+        else:
+            merged_runs = [r for r in all_runs if r.name != "main"][:max_runs]
+        data = [r for r in merged_runs if not r.is_delete]
+        dels = [r for r in merged_runs if r.is_delete]
+        if not data and not dels:
+            return None
+
+        # Build the merged view of exactly the runs being compacted.
+        sub = _SubsetView(self, data, dels if major else dels)
+        df = sub.read()
+        if transform is not None:
+            df = transform(df)
+
+        tmp = os.path.join(self.path, f".tmp-compact-{time.time_ns():x}")
+        (
+            df.select([F.col(f.name) for f in RECORD_SCHEMA.fields])
+            .repartitionByRange(
+                max(1, int(self.spark.conf.get("spark.sql.shuffle.partitions"))), "key"
+            )
+            .sortWithinPartitions("key", "ts")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+
+        if major:
+            target_name = "main"
+        else:
+            target_name = merged_runs[-1].name  # newest compacted name
+        # Swap: remove replaced runs, rename result into place
+        # (lib.rs:173-210 _purge_compacted_files semantics).
+        final = os.path.join(self.path, target_name)
+        purge = [r.path for r in merged_runs]
+        if major and os.path.exists(final) and final not in purge:
+            purge.append(final)
+        for p in purge:
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        # minor compaction keeps delete markers alive: re-target their
+        # names stay untouched because we only purged *merged* runs; for
+        # minor we purposely did NOT purge delete markers unless major.
+        os.rename(tmp, final)
+        return target_name
+
+
+class _SubsetView:
+    """Read plan over an explicit subset of runs (used by compaction)."""
+
+    def __init__(self, db: Database, data: list[RunInfo], dels: list[RunInfo]):
+        self.db = db
+        self.data = data
+        self.dels = dels
+
+    def read(self) -> DataFrame:
+        spark = self.db.spark
+        if not self.data:
+            return spark.createDataFrame([], RECORD_SCHEMA)
+        df = spark.read.schema(RECORD_SCHEMA).parquet(*[r.path for r in self.data])
+        df = df.withColumn(
+            "_txname", F.regexp_extract(F.input_file_name(), r"/(main|tx\.[0-9a-f]{16})/", 1)
+        )
+        if len(self.data) > 1:
+            df = _lww_dedup(df)
+        if self.dels:
+            names = {r.name for r in self.dels}
+            markers = [m for m in self.db.delete_markers() if m["_txname"] in names]
+            db2 = self.db
+            # reuse Database's predicate builder on the restricted set
+            saved = db2.delete_markers
+            try:
+                db2.delete_markers = lambda: markers  # type: ignore[assignment]
+                df = db2._apply_delete_markers(df)
+            finally:
+                db2.delete_markers = saved  # type: ignore[assignment]
+        return df.drop("_txname")
+
+
+def _lww_dedup(df: DataFrame) -> DataFrame:
+    """Last-writer-wins on (key, ts): keep the row from the newest run.
+
+    Hash aggregation with ``max_by`` — gets map-side partial aggregation
+    (unlike a window/sort), so the shuffle carries at most one row per
+    (key, ts) per input partition. Equivalent to the reference's k-way
+    heap merge with tx-index tie-break (merge.rs:17-26, 141-158).
+    """
+    payload = F.struct("fmt", "v_long", "v_double", "v_str", "v_bin")
+    return (
+        df.groupBy("key", "ts")
+        .agg(
+            F.max_by(payload, F.col("_txname")).alias("_p"),
+            F.max("_txname").alias("_txname"),
+        )
+        .select("key", "ts", "_p.fmt", "_p.v_long", "_p.v_double", "_p.v_str", "_p.v_bin", "_txname")
+    )
+
+
+class Transaction:
+    """Buffered record writer with the reference's per-tx invariants.
+
+    ``add_record`` enforces strictly-increasing timestamps per key and
+    (in strict mode) sorted key arrival, mirroring KeyOrderingViolation /
+    TimeOrderingViolation (write.rs:174-197). ``commit`` turns the
+    buffer into one sorted Parquet run atomically.
+    """
+
+    def __init__(self, db: Database, *, strict_order: bool = False):
+        self.db = db
+        self.strict_order = strict_order
+        self.rows: list[dict] = []
+        self._last_key: str | None = None
+        self._last_ts_per_key: dict[str, int] = {}
+        self._seen_keys: set[str] = set()
+
+    def add_record(self, key: str, ts: int, fmt: str, values: list) -> None:
+        rowformat.validate_format(fmt)
+        if self.strict_order:
+            if self._last_key is not None and key < self._last_key:
+                raise CommitError(f"key ordering violation: {key!r} after {self._last_key!r}")
+            if key != self._last_key and key in self._seen_keys:
+                raise CommitError(f"key ordering violation: {key!r} re-appears")
+        last_ts = self._last_ts_per_key.get(key)
+        if last_ts is not None and ts <= last_ts:
+            raise CommitError(
+                f"time ordering violation for key {key!r}: {ts} after {last_ts}"
+            )
+        self._last_ts_per_key[key] = ts
+        self._seen_keys.add(key)
+        self._last_key = key
+        v_long, v_double, v_str, v_bin = rowformat.values_to_columns(fmt, values)
+        self.rows.append(
+            {
+                "key": key,
+                "ts": ts,
+                "fmt": fmt,
+                "v_long": v_long,
+                "v_double": v_double,
+                "v_str": v_str,
+                "v_bin": v_bin,
+            }
+        )
+
+    def add_line(self, line: str, default_fmt: str | None = None) -> None:
+        rec = rowformat.parse_line(line, default_fmt)
+        self.add_record(rec.key, rec.ts, rec.fmt, rowformat.columns_to_values(
+            rec.fmt, rec.v_long, rec.v_double, rec.v_str, rec.v_bin
+        ))
+
+    def commit(self) -> str | None:
+        if not self.rows:
+            return None
+        # per-tx duplicate check already enforced incrementally
+        return self.db.commit_rows(self.rows)

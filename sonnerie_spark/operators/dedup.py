@@ -1,0 +1,242 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families, all built on the engine-portable md5 hash
+(:mod:`sonnerie_spark.functions.portable_hash`) so results are
+deterministic and verifiable against a SQL oracle:
+
+- exact:       hash-groupBy on a content digest (one shuffle).
+- n-gram Jaccard: shingle sets -> inverted index self-join -> exact
+  Jaccard. Quadratic within a shingle bucket; the honest baseline.
+- MinHash+LSH: signature -> bands -> bucket join. Near-linear; the
+  100 TB path: candidate pairs only ever meet inside an LSH band
+  bucket, so the shuffle key is (band, bucket-hash) and no global
+  pairwise join exists anywhere in the plan.
+- SimHash:     64-bit sign-aggregated token hashes; hamming-distance
+  candidate filter via bit_count(xor).
+- embedding near-dup: cosine over an embedding column (see
+  :mod:`sonnerie_spark.operators.similarity`).
+
+Everything is JVM-side Catalyst expressions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from sonnerie_spark.functions.portable_hash import phash, phash_salted
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a whitespace-tokenized text column."""
+    toks = F.split(F.trim(text), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+    )
+    return F.array_distinct(sh)
+
+
+def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
+    """Exact dedup: groups by content digest, keeps the min id per group.
+
+    One hash aggregation; partial aggregation map-side. Output: one row
+    per distinct content with ``keep_id`` and ``n_copies``.
+    """
+    return (
+        df.select(F.col(id_col).alias("id"), F.md5(F.col(content_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(F.min("id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs via an inverted shingle index.
+
+    Plan shape: explode shingles -> hash-join on shingle (pairs meet only
+    on shared shingles) -> count co-occurrences -> Jaccard filter.
+    At scale, prune hot shingles (document-frequency cap) before the
+    self-join; here the full exact computation is the oracle baseline.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    co = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    return (
+        co.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("overlap") / (F.col("na") + F.col("nb") - F.col("overlap")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over shingles of
+    h_i(shingle), h_i = salted portable hash.
+
+    Computed as array expressions over the shingle array — per-row, no
+    shuffle at all until the band bucketing.
+    """
+    # NOTE: one-arg lambdas only — pyspark treats a two-parameter lambda
+    # (incl. default args) as an (element, index) lambda.
+    def hash_i(i: int):
+        return lambda s: phash_salted(s, i)
+
+    sh = word_shingles(F.col(text_col), k)
+    sig = F.array(
+        *[F.array_min(F.transform(sh, hash_i(i))) for i in range(num_hashes)]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one band bucket.
+
+    The scale path: explode to (band, bucket) keys, self-join per
+    bucket, distinct pairs. Shuffle volume is #docs × #bands rows of a
+    few bytes; hot buckets are split by AQE skew handling.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, k=k, num_hashes=num_hashes)
+    n_bands = num_hashes // band_size
+    bands = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(F.col("sig"), b * band_size + j + 1)
+                                    for j in range(band_size)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 60) -> DataFrame:
+    """SimHash per document over whitespace tokens.
+
+    sig bit i = 1 iff sum over distinct tokens of (2*bit_i(h(token))-1)
+    > 0. Pure array expressions per row; the signature packs into one
+    long (60 bits).
+    """
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    hashes = F.transform(toks, lambda t: phash(t))
+
+    def bit_sum(i: int):
+        # two-arg (acc, h) is the aggregate merge shape; the bit index
+        # must come in via closure, not a default arg
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + (F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    bit_sums = [bit_sum(i) for i in range(bits)]
+    sig = None
+    for i, s in enumerate(bit_sums):
+        term = F.when(s > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, *, bits: int = 60, max_hamming: int = 8
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance.
+
+    Baseline implementation joins all pairs (fine at oracle scale); the
+    scale path blocks on signature chunks (pigeonhole: any pair within
+    hamming d shares at least one of d+1 chunks), turning the join into
+    an equi-join on (chunk_idx, chunk_value).
+    """
+    sigs = simhash(df, id_col, text_col, bits=bits)
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    chunks = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.shiftrightunsigned(F.col("simhash"), c * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("ch"),
+    ).select("id", "simhash", "ch.chunk_idx", "ch.chunk_val")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk` — brute-force exact top-k: probes are broadcast,
+  the scan over the corpus is embarrassingly parallel, ranking is a
+  per-probe top-k window. Exact baseline; O(probes × corpus).
+- :func:`lsh_sign_buckets` / :func:`lsh_ann_pairs` — random-hyperplane
+  LSH: deterministic ±1 hyperplanes derived from the portable hash, so
+  signatures are reproducible across engines. The 100 TB path: corpus
+  is bucketed once (write-time), probes only scan their own bucket.
+
+The dot products are ordered left-folds over array elements in Catalyst
+(`aggregate`/`zip_with`) — float64 arithmetic in deterministic order, so
+a SQL oracle computing the same ordered sum matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from sonnerie_spark.functions.portable_hash import phash_salted
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Ordered float64 dot product of two array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: for each probe, the k nearest
+    corpus vectors (excluding itself).
+
+    Plan: broadcast probes × corpus scan -> per-probe top-k window.
+    Ties broken by corpus id for full determinism.
+    """
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cand_vec"))
+    scored = (
+        c.join(F.broadcast(p), F.col("cand_id") != F.col("probe_id"))
+        .withColumn(
+            "cosine",
+            F.round(cosine(F.col("probe_vec"), F.col("cand_vec")), round_digits),
+        )
+        .select("probe_id", "cand_id", "cosine")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("probe_id", "cand_id", "cosine", "rank")
+    )
+
+
+def hyperplane_weights(dim: int, plane: int) -> Column:
+    """Deterministic ±1.0 hyperplane: w[d] = +1 if bit0(h(plane#d)) else -1."""
+    return F.array(
+        *[
+            F.when(
+                phash_salted(F.lit(str(d)), plane).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0))
+            for d in range(dim)
+        ]
+    )
+
+
+def lsh_sign_buckets(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 16,
+) -> DataFrame:
+    """Random-hyperplane signature: bit j = (v . w_j >= 0).
+
+    Packs into one long. Per-row computation only — at scale this is the
+    write-time bucketing pass; queries then touch a single bucket.
+    """
+    sig = None
+    for j in range(num_planes):
+        d = dot(F.col(vec_col), hyperplane_weights(dim, j))
+        term = F.when(d >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return df.select(F.col(id_col).alias("id"), sig.alias("bucket"))
+
+
+def lsh_ann_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 16,
+    min_cosine: float = 0.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """ANN candidate pairs: same sign-bucket, verified by exact cosine.
+
+    The join key is the packed signature — an equi-join, so Spark plans
+    a hash join keyed on the bucket; no pairwise cross product exists.
+    """
+    b = lsh_sign_buckets(df, id_col=id_col, vec_col=vec_col, dim=dim, num_planes=num_planes)
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    bv = b.join(v, "id")
+    a = bv.alias("a")
+    c = bv.alias("b")
+    return (
+        a.join(c, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn("cosine", F.round(cosine(F.col("a.vec"), F.col("b.vec")), round_digits))
+        .filter(F.col("cosine") >= min_cosine)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.bucket").alias("bucket"),
+            "cosine",
+        )
+    )

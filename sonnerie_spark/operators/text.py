@@ -1,0 +1,119 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language-ID (marker-word heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and rolling-hash document fingerprinting.
+All Catalyst expressions (split/regexp/aggregate) — no Python in the
+row path, so they run at scan speed and are verifiable against a SQL
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from sonnerie_spark.functions.portable_hash import phash
+
+# Small marker-word lists per language (public common stopwords).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "est"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不"),
+}
+
+EN_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+# BPE-ish token pattern: words, numbers, or single non-space symbols.
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace-token and regex-token counts + char count per doc."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(t)).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), 0)).alias("n_re_tokens"),
+        F.length(t).alias("n_chars"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality features + a composite score.
+
+    Features: word count, mean word length, stopword ratio, distinct
+    (type/token) ratio, punctuation ratio. The composite is a simple
+    bounded sum — deterministic, order-independent.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS)))
+    n_distinct = F.size(F.array_distinct(toks))
+    n_punct = F.size(F.regexp_extract_all(t, F.lit("[^A-Za-z0-9\\s]"), 0))
+    mean_wl = (F.length(t) - (n - 1)) / n  # total non-space chars / words
+    stop_ratio = n_stop / n
+    distinct_ratio = n_distinct / n
+    punct_ratio = n_punct / F.greatest(F.length(t), F.lit(1))
+    score = (
+        F.least(n / F.lit(100.0), F.lit(1.0)) * 0.25
+        + F.least(mean_wl / F.lit(8.0), F.lit(1.0)) * 0.25
+        + (F.lit(1.0) - F.least(stop_ratio * 2, F.lit(1.0))) * 0.25
+        + distinct_ratio * 0.25
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Marker-word language ID: argmax language by marker hit count.
+
+    Deterministic tie-break: argmax by (hits, lang code) — ties pick the
+    lexicographically greatest code. 'und' when nothing hits.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+
+    def hits(markers: tuple[str, ...]):
+        # one-arg lambda: a two-parameter lambda (incl. defaults) would
+        # be treated as pyspark's (element, index) form
+        return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+    scores = [
+        F.struct(hits(markers).alias("hits"), F.lit(lang).alias("lang"))
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("pred_lang"),
+        best["hits"].alias("marker_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str, *, k: int = 5, n_mins: int = 4) -> DataFrame:
+    """Document fingerprint: the ``n_mins`` smallest k-gram hashes.
+
+    A winnowing-style content signature: robust to small edits, cheap to
+    compare (array overlap). Per-row array expressions only.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    hashes = F.array_sort(F.transform(F.array_distinct(grams), lambda g: phash(g)))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.slice(hashes, 1, n_mins).alias("fingerprint"),
+    )

@@ -1,0 +1,229 @@
+"""Storage-layer tests: run commit, LWW merge, deletes, compaction.
+
+Fixture shapes follow FIXTURES.md (F1 single_u32, F7 heterogeneous,
+F8 lww_overlap, F9 delete semantics, F10 unsorted ingest).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sonnerie_spark.db import CommitError, Database, DuplicateRecordError
+
+NS_DAY = 86400 * 10**9
+T0 = 1577836800 * 10**9  # 2020-01-01
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    return Database(spark, str(tmp_path / "db"))
+
+
+def _fib_tx(db):
+    tx = db.create_tx()
+    fib = [1, 1, 2, 3, 5, 8]
+    for i, v in enumerate(fib):
+        tx.add_record("fibonacci", T0 + i * NS_DAY, "u", [v])
+    return tx
+
+
+def test_roundtrip_f1(db):
+    tx = _fib_tx(db)
+    tx.add_record("other", T0, "u", [99])
+    tx.commit()
+    rows = db.read_sorted(wildcard="fib%").collect()
+    assert [r.key for r in rows] == ["fibonacci"] * 6
+    assert [r.v_long[0] for r in rows] == [1, 1, 2, 3, 5, 8]
+    assert rows[0].ts == T0
+
+
+def test_exact_and_range_and_time_filters(db):
+    tx = db.create_tx()
+    for k in ["aa", "ab", "ba", "bb"]:
+        for i in range(3):
+            tx.add_record(k, T0 + i, "u", [i])
+    tx.commit()
+    assert db.read(key="ab").count() == 3
+    assert db.read(after_key="ab", before_key="bb").count() == 6  # ab, ba
+    assert db.read(wildcard="a%").count() == 6
+    assert db.read(after_ns=T0 + 1).count() == 8
+    assert db.read(before_ns=T0 + 1).count() == 4
+    assert db.read(key="ab", after_ns=T0 + 1, before_ns=T0 + 2).count() == 1
+
+
+def test_wildcard_with_suffix(db):
+    tx = db.create_tx()
+    for k in ["pre_a_suf", "pre_b_suf", "pre_c_x"]:
+        tx.add_record(k, T0, "u", [1])
+    tx.commit()
+    assert db.read(wildcard="pre%suf").count() == 2
+    assert db.read(wildcard="pre_c_x").count() == 1  # exact (no %)
+
+
+def test_time_order_violation(db):
+    tx = db.create_tx()
+    tx.add_record("k", T0 + 1, "u", [1])
+    with pytest.raises(CommitError):
+        tx.add_record("k", T0, "u", [2])
+    with pytest.raises(CommitError):
+        tx.add_record("k", T0 + 1, "u", [3])  # equal ts within tx = error
+
+
+def test_duplicate_check_dataframe(db, spark):
+    df = spark.createDataFrame(
+        [("k", 1, "u", [1], [], [], []), ("k", 1, "u", [2], [], [], [])],
+        "key string, ts long, fmt string, v_long array<long>, v_double array<double>, v_str array<string>, v_bin array<binary>",
+    )
+    with pytest.raises(DuplicateRecordError):
+        db.commit_dataframe(df)
+
+
+def test_lww_overlap_f8(db):
+    tx1 = db.create_tx()
+    tx1.add_record("a", 0, "U", [1])
+    tx1.add_record("c", 0, "U", [10])
+    tx1.commit()
+    tx2 = db.create_tx()
+    tx2.add_record("a", 0, "U", [2])  # same (key, ts) -> tx2 wins
+    tx2.add_record("b", 0, "U", [20])
+    tx2.commit()
+    rows = {r.key: r.v_long[0] for r in db.read().collect()}
+    assert rows == {"a": 2, "b": 20, "c": 10}
+    assert db.read().count() == 3
+
+
+def test_heterogeneous_formats_f7(db):
+    tx = db.create_tx()
+    tx.add_record("a", 1, "u", [42])
+    tx.add_record("a", 2, "u", [84])
+    tx.add_record("a", 3, "f", [32.5])
+    tx.add_record("a", 4, "s", ["Hello"])
+    tx.commit()
+    rows = db.read_sorted(key="a").collect()
+    assert [r.fmt for r in rows] == ["u", "u", "f", "s"]
+    assert rows[2].v_double[0] == 32.5
+    assert rows[3].v_str[0] == "Hello"
+
+
+def test_delete_markers_f9(db):
+    tx = db.create_tx()
+    for k in ["aa", "ab", "ba"]:
+        for i in range(4):
+            tx.add_record(k, T0 + i, "u", [i])
+    tx.commit()
+    # delete key range [aa, ba), time range [T0+1, T0+3)
+    db.commit_deletes(
+        [{"first_key": "aa", "last_key": "ba", "after_ns": T0 + 1, "before_ns": T0 + 3}]
+    )
+    rows = db.read_sorted().collect()
+    surviving = [(r.key, r.ts - T0) for r in rows]
+    assert surviving == [
+        ("aa", 0), ("aa", 3),
+        ("ab", 0), ("ab", 3),
+        ("ba", 0), ("ba", 1), ("ba", 2), ("ba", 3),
+    ]
+
+
+def test_delete_wildcard_and_txid_scoping(db):
+    tx = db.create_tx()
+    tx.add_record("xa", 0, "u", [1])
+    tx.add_record("ya", 0, "u", [2])
+    tx.commit()
+    db.commit_deletes([{"wildcard": "x%"}])  # deletes xa (earlier tx only)
+    # a later write of the same key survives the earlier delete
+    tx2 = db.create_tx()
+    tx2.add_record("xa", 0, "u", [3])
+    tx2.commit()
+    rows = {r.key: r.v_long[0] for r in db.read().collect()}
+    assert rows == {"xa": 3, "ya": 2}
+
+
+def test_delete_all(db):
+    tx = db.create_tx()
+    for i in range(10):
+        tx.add_record("k", i, "u", [i])
+    tx.commit()
+    db.commit_deletes([{}])  # unbounded everything
+    assert db.read().count() == 0
+
+
+def test_compact_major(db):
+    for batch in range(3):
+        tx = db.create_tx()
+        tx.add_record("k", batch, "u", [batch])
+        tx.add_record("k", 100 + batch, "u", [batch])
+        tx.commit()
+    db.commit_deletes([{"after_ns": 100, "before_ns": 200}])
+    before = sorted((r.ts, r.v_long[0]) for r in db.read().collect())
+    db.compact(major=True)
+    runs = db.runs()
+    assert [r.name for r in runs] == ["main"]
+    after = sorted((r.ts, r.v_long[0]) for r in db.read().collect())
+    assert after == before == [(0, 0), (1, 1), (2, 2)]
+
+
+def test_compact_minor_keeps_main_and_markers(db):
+    # seed main via major compact
+    tx = db.create_tx()
+    tx.add_record("base", 0, "u", [0])
+    tx.commit()
+    db.compact(major=True)
+    for batch in range(3):
+        tx = db.create_tx()
+        tx.add_record("k", batch, "u", [batch])
+        tx.commit()
+    before = sorted((r.key, r.ts) for r in db.read().collect())
+    db.compact(major=False)
+    names = [r.name for r in db.runs()]
+    assert names[0] == "main" and len(names) == 2
+    after = sorted((r.key, r.ts) for r in db.read().collect())
+    assert after == before
+
+
+def test_compact_transform_gegnum(db):
+    tx = db.create_tx()
+    tx.add_record("good", 0, "u", [1])
+    tx.add_record("bad", 0, "u", [2])
+    tx.commit()
+    db.compact(major=True, transform=lambda df: df.filter(~F.col("key").startswith("bad")))
+    assert [r.key for r in db.read().collect()] == ["good"]
+
+
+def test_unsorted_dataframe_ingest_f10(db, spark):
+    import random
+
+    rows = [("k%02d" % (i % 7), 1000 - i, "u", [i], [], [], []) for i in range(100)]
+    random.Random(42).shuffle(rows)
+    df = spark.createDataFrame(
+        rows,
+        "key string, ts long, fmt string, v_long array<long>, v_double array<double>, v_str array<string>, v_bin array<binary>",
+    )
+    db.commit_dataframe(df)
+    assert db.read().count() == 100
+    got = db.read_sorted(key="k00").collect()
+    assert [r.ts for r in got] == sorted(r.ts for r in got)
+
+
+def test_run_files_sorted_by_key(db, spark):
+    """Runs must be range-partitioned by key so parquet stats are tight."""
+    tx = db.create_tx()
+    for i in range(1000):
+        tx.add_record(f"key{i:04d}", 0, "u", [i])
+    tx.commit()
+    run = db.data_runs()[0]
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        os.path.join(run.path, f) for f in os.listdir(run.path) if f.endswith(".parquet")
+    )
+    ranges = []
+    for f in files:
+        t = pq.read_table(f, columns=["key"])
+        ks = t.column("key").to_pylist()
+        if ks:
+            assert ks == sorted(ks)  # sorted within file
+            ranges.append((ks[0], ks[-1]))
+    ranges.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi <= b_lo  # non-overlapping across files
