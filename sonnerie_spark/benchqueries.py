@@ -1,0 +1,1006 @@
+"""Driver-contract query registry: Spark builders + DuckDB oracle SQL.
+
+Every entry implements one operator from SURVEY.md §2 (sonnerie parity
+group, expressed over the ``events`` table as a key/timestamp series) or
+a north-star analytics / training-data operator, with an equivalent
+ANSI-SQL oracle for the driver's hash-match gate.
+
+Cross-engine determinism rules used throughout (see docstrings):
+- nanosecond timestamps: Spark reads TIMESTAMP(NANOS) as long ns
+  (`ts div 1000` = µs); DuckDB truncates ns->µs (`epoch_us(ts)`), so
+  µs values agree exactly.
+- monetary / 2-decimal doubles are aggregated as DECIMAL(18,2): integer
+  arithmetic, bit-exact in any summation order in both engines; final
+  values are cast back to double (same decimal -> same IEEE double).
+- float expressions that cannot be exact (cosines) are ordered
+  left-folds in both engines, rounded before ranking.
+- every top-k has a full deterministic ORDER BY + tie-break.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from sonnerie_spark.functions.portable_hash import (
+    phash,
+    phash_salted,
+    phash_salted_sql,
+    phash_sql,
+)
+from sonnerie_spark.operators import dedup, similarity, text as textops, timeseries
+from sonnerie_spark.sources.testdata import load
+
+
+@dataclass
+class QueryDef:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL; None -> rows-only check
+    group: str
+
+
+REGISTRY: list[QueryDef] = []
+
+
+def q(name: str, oracle: str | None, group: str):
+    def deco(fn):
+        REGISTRY.append(QueryDef(name, fn, oracle, group))
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# The sonnerie series view of the events table:
+#   key = event_type || '-' || lpad(user_id, 4, '0'), ts = ns since epoch.
+
+SERIES_SQL = """
+  SELECT event_type || '-' || lpad(cast(user_id as varchar), 4, '0') AS key,
+         epoch_us(ts) AS ts_us,
+         value,
+         event_id
+  FROM events
+"""
+
+
+def series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        F.concat_ws(
+            "-", F.col("event_type"), F.lpad(F.col("user_id").cast("string"), 4, "0")
+        ).alias("key"),
+        F.expr("ts div 1000").alias("ts_us"),
+        F.col("value"),
+        F.col("event_id"),
+    )
+
+
+DEC = "decimal(18,2)"
+
+
+def _dec(c):
+    return F.col(c).cast(DEC) if isinstance(c, str) else c.cast(DEC)
+
+
+# ===========================================================================
+# Group 1: sonnerie parity operators (SURVEY §2.1) over the series view
+# ===========================================================================
+
+
+@q(
+    "scan_all",
+    f"SELECT key, ts_us, value FROM ({SERIES_SQL})",
+    "parity",
+)
+def q_scan_all(spark, sf_dir):
+    """O1: full scan of the merged series (storage-order output)."""
+    return series(spark, sf_dir).select("key", "ts_us", "value")
+
+
+@q(
+    "key_lookup",
+    f"SELECT key, ts_us, value FROM ({SERIES_SQL}) WHERE key = 'click-0000'",
+    "parity",
+)
+def q_key_lookup(spark, sf_dir):
+    """O2: exact-key lookup (database_reader.rs:168-175 analogue)."""
+    return (
+        series(spark, sf_dir)
+        .filter(F.col("key") == "click-0000")
+        .select("key", "ts_us", "value")
+    )
+
+
+@q(
+    "key_range",
+    f"SELECT key, ts_us, value FROM ({SERIES_SQL}) WHERE key >= 'click-' AND key < 'error-'",
+    "parity",
+)
+def q_key_range(spark, sf_dir):
+    """O3: key-range scan with [after_key, before_key) bounds."""
+    return (
+        series(spark, sf_dir)
+        .filter((F.col("key") >= "click-") & (F.col("key") < "error-"))
+        .select("key", "ts_us", "value")
+    )
+
+
+@q(
+    "key_wildcard",
+    f"SELECT key, ts_us, value FROM ({SERIES_SQL}) WHERE key LIKE 'purchase%3'",
+    "parity",
+)
+def q_key_wildcard(spark, sf_dir):
+    """O4: wildcard filter with prefix + suffix (wildcard.rs semantics)."""
+    return (
+        series(spark, sf_dir)
+        .filter(F.col("key").like("purchase%3"))
+        .select("key", "ts_us", "value")
+    )
+
+
+# constant absolute time window: works at every scale factor
+T_A = "2024-01-10 00:00:00"
+T_B = "2024-01-20 00:00:00"
+T_A_US = 1704844800000000
+T_B_US = 1705708800000000
+
+
+@q(
+    "time_range",
+    f"SELECT key, ts_us, value FROM ({SERIES_SQL}) WHERE ts_us >= {T_A_US} AND ts_us < {T_B_US}",
+    "parity",
+)
+def q_time_range(spark, sf_dir):
+    """O7: [after-time, before-time) filter — pushed to parquet stats."""
+    return (
+        series(spark, sf_dir)
+        .filter((F.col("ts_us") >= T_A_US) & (F.col("ts_us") < T_B_US))
+        .select("key", "ts_us", "value")
+    )
+
+
+@q(
+    "project_columns",
+    f"SELECT key, value FROM ({SERIES_SQL}) WHERE key LIKE 'signup%'",
+    "parity",
+)
+def q_project_columns(spark, sf_dir):
+    """O8: column projection (Catalyst prunes the parquet read schema)."""
+    return series(spark, sf_dir).filter(F.col("key").like("signup%")).select("key", "value")
+
+
+@q(
+    "lww_merge",
+    f"""
+    SELECT key, ts_min,
+           count(*) AS n_versions,
+           arg_max(value, event_id) AS last_value,
+           max(event_id) AS last_txid
+    FROM (SELECT key, ts_us // 60000000 AS ts_min, value, event_id FROM ({SERIES_SQL}))
+    GROUP BY key, ts_min
+    """,
+    "parity",
+)
+def q_lww_merge(spark, sf_dir):
+    """O9: last-writer-wins merge. Events bucketed to minutes simulate
+    colliding (key, ts) across transactions; event_id is the commit
+    order. max_by = the k-way merge tie-break (merge.rs:17-26)."""
+    s = series(spark, sf_dir).withColumn("ts_min", F.expr("ts_us div 60000000"))
+    return s.groupBy("key", "ts_min").agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.max_by("value", "event_id").alias("last_value"),
+        F.max("event_id").alias("last_txid"),
+    )
+
+
+@q(
+    "delete_markers",
+    f"""
+    WITH s AS ({SERIES_SQL}),
+    dels(first_key, last_key, after_us, before_us, wildcard, del_txid) AS (VALUES
+      ('click-', 'click-0100', {T_A_US}, {T_B_US}, '%', 500),
+      ('', '', 1704412800000000, 9223372036854775807, '%-0003', 9223372036854775807)
+    )
+    SELECT key, ts_us, event_id FROM s
+    WHERE NOT EXISTS (
+      SELECT 1 FROM dels d
+      WHERE s.event_id < d.del_txid
+        AND (d.first_key = '' OR s.key >= d.first_key)
+        AND (d.last_key = '' OR s.key < d.last_key)
+        AND s.ts_us >= d.after_us AND s.ts_us < d.before_us
+        AND s.key LIKE d.wildcard
+    )
+    """,
+    "parity",
+)
+def q_delete_markers(spark, sf_dir):
+    """O10/O11: delete-marker anti-filter with txid scoping — records are
+    suppressed only when older than the marker (database_reader.rs:474-518).
+    Implemented as the engine does it: an inlined literal predicate."""
+    s = series(spark, sf_dir)
+    m1 = (
+        (F.col("event_id") < 500)
+        & (F.col("key") >= "click-")
+        & (F.col("key") < "click-0100")
+        & (F.col("ts_us") >= T_A_US)
+        & (F.col("ts_us") < T_B_US)
+    )
+    m2 = (F.col("ts_us") >= 1704412800000000) & F.col("key").like("%-0003")
+    return s.filter(~(m1 | m2)).select("key", "ts_us", "event_id")
+
+
+@q(
+    "by_key_stats",
+    f"""
+    SELECT key, count(*) AS n,
+           min(ts_us) AS first_ts, max(ts_us) AS last_ts,
+           cast(sum(cast(value as decimal(18,2))) as double) AS sum_value,
+           cast(sum(cast(value as decimal(18,2))) as double) / count(*) AS avg_value,
+           arg_min(value, ts_us) AS first_value,
+           arg_max(value, ts_us) AS last_value
+    FROM ({SERIES_SQL}) GROUP BY key
+    """,
+    "parity",
+)
+def q_by_key_stats(spark, sf_dir):
+    """O19: per-key (per-series) aggregation — the map-over-series
+    primitive. Decimal sums are order-independent => bit-exact."""
+    s = series(spark, sf_dir)
+    sum_dec = F.sum(_dec("value")).cast("double")
+    return s.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ts_us").alias("first_ts"),
+        F.max("ts_us").alias("last_ts"),
+        sum_dec.alias("sum_value"),
+        (sum_dec / F.count(F.lit(1))).alias("avg_value"),
+        F.min_by("value", "ts_us").alias("first_value"),
+        F.max_by("value", "ts_us").alias("last_value"),
+    )
+
+
+@q(
+    "format_lines",
+    f"""
+    SELECT key || chr(9) || strftime(make_timestamp(ts_us), '%Y-%m-%d %H:%M:%S')
+               || chr(9) || cast(cast(value as decimal(18,2)) as varchar) AS line
+    FROM ({SERIES_SQL}) WHERE key LIKE 'error%'
+    """,
+    "parity",
+)
+def q_format_lines(spark, sf_dir):
+    """O20: text-protocol formatted output (formatted.rs:108-198)."""
+    s = series(spark, sf_dir).filter(F.col("key").like("error%"))
+    line = F.concat_ws(
+        "\t",
+        F.col("key"),
+        F.date_format(F.timestamp_micros(F.col("ts_us")), "yyyy-MM-dd HH:mm:ss"),
+        _dec("value").cast("string"),
+    )
+    return s.select(line.alias("line"))
+
+
+# ===========================================================================
+# Group 2: north-star analytics (aggregations, joins, windows — SURVEY §2.2)
+# ===========================================================================
+
+
+@q(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+           cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_base_price,
+           cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) as double) AS sum_disc_price,
+           cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2))) * (1 + cast(l_tax as decimal(18,2)))) as double) AS sum_charge,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "analytics",
+)
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1-style pricing summary; decimal sums for exactness."""
+    li = load(spark, sf_dir, "lineitem")
+    disc = 1 - _dec("l_discount")
+    charge = _dec("l_extendedprice") * disc * (1 + _dec("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * disc).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "top_unshipped_orders",
+    """
+    SELECT l_orderkey,
+           cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) as double) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < timestamp '1998-03-15 00:00:00'
+      AND l_shipdate > timestamp '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    "analytics",
+)
+def q_top_unshipped_orders(spark, sf_dir):
+    """TPC-H Q3-style: 3-way join + agg + deterministic top-10.
+    Catalyst broadcasts the filtered customer dim automatically."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "region_revenue",
+    """
+    SELECT r_name, n_name,
+           cast(sum(cast(l_extendedprice as decimal(18,2)) * (1 - cast(l_discount as decimal(18,2)))) as double) AS revenue,
+           count(*) AS n_items
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY r_name, n_name
+    """,
+    "analytics",
+)
+def q_region_revenue(spark, sf_dir):
+    """5-way star join: dims are broadcast (region/nation/customer),
+    the single shuffle is the orders|x|lineitem equi-join + final agg."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    dims = F.broadcast(
+        r.join(n, F.col("n_regionkey") == F.col("r_regionkey")).join(
+            c, F.col("c_nationkey") == F.col("n_nationkey")
+        )
+    )
+    return (
+        o.join(dims, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@q(
+    "topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+    "analytics",
+)
+def q_topk_per_group(spark, sf_dir):
+    """Top-3 orders by price per priority class (window + row_number)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    )
+
+
+@q(
+    "moving_avg",
+    f"""
+    SELECT key, ts_us, value,
+           cast(sum(cast(value as decimal(18,2))) OVER w as double)
+             / count(*) OVER w AS mavg5
+    FROM ({SERIES_SQL})
+    WINDOW w AS (PARTITION BY key ORDER BY ts_us ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+    "analytics",
+)
+def q_moving_avg(spark, sf_dir):
+    """Per-series 5-row moving average (decimal sum => exact)."""
+    s = series(spark, sf_dir)
+    w = Window.partitionBy("key").orderBy("ts_us").rowsBetween(-4, 0)
+    return s.select(
+        "key",
+        "ts_us",
+        "value",
+        (F.sum(_dec("value")).over(w).cast("double") / F.count(F.lit(1)).over(w)).alias(
+            "mavg5"
+        ),
+    )
+
+
+@q(
+    "resample_1h",
+    f"""
+    SELECT key, (ts_us // 3600000000) * 3600000000 AS bucket_us,
+           count(*) AS n,
+           cast(sum(cast(value as decimal(18,2))) as double) AS sum_value,
+           min(value) AS min_value, max(value) AS max_value
+    FROM ({SERIES_SQL}) GROUP BY key, bucket_us
+    """,
+    "analytics",
+)
+def q_resample_1h(spark, sf_dir):
+    """O-resample: tumbling 1h downsample per series (hash agg, map-side
+    partials — the 100 TB-friendly shape)."""
+    s = series(spark, sf_dir).withColumn(
+        "bucket_us", F.expr("(ts_us div 3600000000) * 3600000000")
+    )
+    return s.groupBy("key", "bucket_us").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("value")).cast("double").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@q(
+    "sessionize",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+    flagged AS (
+      SELECT user_id, ts_us,
+             CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                  WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+                  ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    ),
+    sess AS (
+      SELECT user_id, ts_us,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           max(ts_us) - min(ts_us) AS duration_us
+    FROM sess GROUP BY user_id, session_id
+    """,
+    "analytics",
+)
+def q_sessionize(spark, sf_dir):
+    """Sessionization (30 min gap): lag + running sum, one shuffle."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us")
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(F.lag("ts_us").over(w).isNull(), 1)
+        .when(F.col("ts_us") - F.lag("ts_us").over(w) > 1_800_000_000, 1)
+        .otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )
+
+
+@q(
+    "asof_join",
+    """
+    WITH clicks AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
+                    FROM events WHERE event_type = 'click'),
+         views  AS (SELECT user_id, epoch_us(ts) AS ts_us, value
+                    FROM events WHERE event_type = 'view')
+    SELECT c.event_id, c.user_id, c.ts_us, v.value AS view_value, v.ts_us AS view_ts_us
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND v.ts_us <= c.ts_us
+    """,
+    "analytics",
+)
+def q_asof_join(spark, sf_dir):
+    """As-of join: latest prior 'view' for each 'click' per user.
+    Spark side uses the union+window formulation (operators.timeseries);
+    DuckDB side uses its native ASOF JOIN. (key, ts) pairs are unique in
+    the data, so both are deterministic."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.expr("ts div 1000").alias("ts_us"), "event_id"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.expr("ts div 1000").alias("ts_us"), F.col("value").alias("view_value")
+    )
+    out = timeseries.asof_join(
+        clicks,
+        views,
+        on="user_id",
+        left_ts="ts_us",
+        right_ts="ts_us",
+        right_cols=["view_value"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us", "view_value", F.col("asof_ts").alias("view_ts_us")
+    )
+
+
+@q(
+    "range_join_purchases",
+    """
+    WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events
+               WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, count(c.ts_us) AS clicks_before
+    FROM p LEFT JOIN c
+      ON p.user_id = c.user_id
+     AND c.ts_us >= p.ts_us - 3600000000 AND c.ts_us < p.ts_us
+    GROUP BY p.event_id, p.user_id
+    """,
+    "analytics",
+)
+def q_range_join_purchases(spark, sf_dir):
+    """Interval join: clicks within the hour before each purchase.
+    Equi-join on user_id carries the range predicate as a join filter —
+    at scale this is a partitioned hash join, not a cross product."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.expr("ts div 1000").alias("p_ts"), "event_id"
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_uid"), F.expr("ts div 1000").alias("c_ts")
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_uid"))
+        & (F.col("c_ts") >= F.col("p_ts") - 3_600_000_000)
+        & (F.col("c_ts") < F.col("p_ts")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id").agg(
+        F.count("c_ts").alias("clicks_before")
+    )
+
+
+@q(
+    "set_ops_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    "analytics",
+)
+def q_set_ops_users(spark, sf_dir):
+    """Set operation: users who clicked but never purchased."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.subtract(buys)  # EXCEPT (distinct) in both engines
+
+
+@q(
+    "rollup_daily",
+    """
+    SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) AS n,
+           cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+    FROM events
+    GROUP BY ROLLUP(event_type, day)
+    """,
+    "analytics",
+)
+def q_rollup_daily(spark, sf_dir):
+    """ROLLUP hierarchy totals (type, day) -> (type) -> ()."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd")
+    )
+    return ev.rollup("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("value")).cast("double").alias("sum_value"),
+    )
+
+
+@q(
+    "pivot_user_events",
+    """
+    SELECT user_id,
+           count_if(event_type = 'click') AS n_click,
+           count_if(event_type = 'view') AS n_view,
+           count_if(event_type = 'purchase') AS n_purchase,
+           count_if(event_type = 'signup') AS n_signup,
+           count_if(event_type = 'error') AS n_error
+    FROM events GROUP BY user_id
+    """,
+    "analytics",
+)
+def q_pivot_user_events(spark, sf_dir):
+    """Pivot event counts per user (conditional aggregation form)."""
+    ev = load(spark, sf_dir, "events")
+    aggs = [
+        F.count_if(F.col("event_type") == t).alias(f"n_{t}")
+        for t in ("click", "view", "purchase", "signup", "error")
+    ]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+@q(
+    "distinct_exact_vs_approx",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           count(DISTINCT props) AS exact_props
+    FROM events GROUP BY event_type
+    """,
+    "analytics",
+)
+def q_distinct_exact(spark, sf_dir):
+    """Exact distinct counts (the approx_count_distinct variant is not
+    oracle-comparable across engines; see bench for the approx path)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.countDistinct("props").alias("exact_props"),
+    )
+
+
+# ===========================================================================
+# Group 3: training-data pipeline operators (dedup / similarity / text /
+# multimodal) over documents + embeddings
+# ===========================================================================
+
+# Shared oracle SQL fragments. Shingles: k-word shingles of the space-
+# tokenized text; hashes: the portable md5-based 60-bit hash (see
+# functions/portable_hash.py) — identical values in both engines.
+
+_SHINGLES_SQL = """
+  SELECT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_distinct(list_transform(
+             range(1, greatest(len(toks) - {km1}, 1) + 1),
+             i -> array_to_string(toks[i:i+{km1}], ' ')))) AS shingle
+    FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+  )
+"""
+
+
+def shingles_sql(k: int = 3) -> str:
+    return _SHINGLES_SQL.format(km1=k - 1)
+
+
+@q(
+    "dedup_exact",
+    """
+    SELECT digest, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM (SELECT doc_id, md5(text) AS digest FROM documents)
+    GROUP BY digest
+    """,
+    "data",
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content digest (hash-groupBy, one shuffle)."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id", "text").select(
+        "digest", "keep_id", "n_copies"
+    )
+
+
+@q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS ({shingles_sql(3)}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    co AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS overlap
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(overlap / (sa.n + sb.n - overlap), 6) AS jaccard
+    FROM co JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+    WHERE overlap / (sa.n + sb.n - overlap) >= 0.22
+    """,
+    "data",
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs (inverted-index self-join)."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.22)
+
+
+def _minhash_oracle_sql(num_hashes: int = 16, band_size: int = 4, k: int = 3) -> str:
+    a_list = ",".join(str(a) for a, _ in dedup.minhash_params(num_hashes))
+    b_list = ",".join(str(b) for _, b in dedup.minhash_params(num_hashes))
+    return f"""
+    WITH sh AS ({shingles_sql(k)}),
+    base AS (
+      SELECT doc_id, {phash_sql("shingle")} % {dedup.MINHASH_BASE_MOD} AS h FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, i,
+             min(([{a_list}][i + 1] * h + [{b_list}][i + 1]) % {dedup.MINHASH_MOD}) AS minhash
+      FROM base CROSS JOIN range({num_hashes}) t(i)
+      GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // {band_size} AS band,
+             md5(string_agg(cast(minhash as varchar), ',' ORDER BY i)) AS bucket
+      FROM sig GROUP BY doc_id, band
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """
+
+
+@q("dedup_minhash_lsh", _minhash_oracle_sql(), "data")
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16)+LSH(4 bands of 4) candidate pairs — the near-linear
+    scale path for near-dup detection."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, band_size=4
+    ).select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+
+
+@q(
+    "dedup_simhash",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS tok
+      FROM documents
+    ),
+    th AS (SELECT doc_id, {phash_sql("tok")} AS h FROM tok),
+    bitsum AS (
+      SELECT doc_id, b,
+             sum(case when (h >> b) & 1 = 1 then 1 else -1 end) AS s
+      FROM th CROSS JOIN (SELECT unnest(range(60)) AS b)
+      GROUP BY doc_id, b
+    )
+    SELECT doc_id AS id,
+           sum(case when s > 0 then 1::bigint << b else 0 end) AS simhash
+    FROM bitsum GROUP BY doc_id
+    """,
+    "data",
+)
+def q_dedup_simhash(spark, sf_dir):
+    """60-bit SimHash signature per document."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text", bits=60)
+
+
+@q(
+    "text_token_stats",
+    f"""
+    SELECT doc_id AS id,
+           len(string_split(trim(text), ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '{textops.TOKEN_RE}')) AS n_re_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+    "data",
+)
+def q_text_token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish regex tokens."""
+    docs = load(spark, sf_dir, "documents")
+    return textops.token_stats(docs, "doc_id", "text")
+
+
+@q(
+    "text_quality",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             string_split(trim(text), ' ') AS toks,
+             length(text) AS nc,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS np
+      FROM documents
+    ), g AS (
+      SELECT doc_id, nc, np,
+             len(toks) AS n,
+             len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS n_stop,
+             len(list_distinct(toks)) AS n_distinct
+      FROM f
+    )
+    SELECT doc_id AS id, n AS n_words,
+           round((nc - (n - 1)) / n, 6) AS mean_word_len,
+           round(n_stop / n, 6) AS stopword_ratio,
+           round(n_distinct / n, 6) AS distinct_ratio,
+           round(np / greatest(nc, 1), 6) AS punct_ratio,
+           round(least(n / 100.0, 1.0) * 0.25
+                 + least(((nc - (n - 1)) / n) / 8.0, 1.0) * 0.25
+                 + (1.0 - least(n_stop / n * 2, 1.0)) * 0.25
+                 + n_distinct / n * 0.25, 6) AS quality_score
+    FROM g
+    """,
+    "data",
+)
+def q_text_quality(spark, sf_dir):
+    """Quality features: length/stopword/type-token/punctuation ratios."""
+    docs = load(spark, sf_dir, "documents")
+    return textops.quality_score(docs, "doc_id", "text")
+
+
+def _lang_scores_sql() -> str:
+    """One SELECT per language, unioned: (doc_id, lang, hits)."""
+    parts = []
+    for lang, markers in sorted(textops.LANG_MARKERS.items()):
+        inlist = ",".join(f"'{m}'" for m in markers)
+        parts.append(
+            f"SELECT doc_id, '{lang}' AS lang,"
+            f" len(list_filter(toks, t -> t IN ({inlist}))) AS hits FROM t"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@q(
+    "text_lang_id",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks FROM documents),
+    s AS ({_lang_scores_sql()}),
+    r AS (SELECT doc_id, lang, hits,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY hits DESC, lang DESC) AS rn
+          FROM s)
+    SELECT doc_id AS id,
+           CASE WHEN hits > 0 THEN lang ELSE 'und' END AS pred_lang,
+           hits AS marker_hits
+    FROM r WHERE rn = 1
+    """,
+    "data",
+)
+def q_text_lang_id(spark, sf_dir):
+    """Marker-word language ID with argmax-by-(hits, code) tie-break."""
+    docs = load(spark, sf_dir, "documents")
+    out = textops.lang_id(docs, "doc_id", "text")
+    return out.select("id", "pred_lang", F.col("marker_hits").cast("long"))
+
+
+@q(
+    "doc_fingerprint",
+    f"""
+    WITH sh AS ({shingles_sql(5)}),
+    h AS (SELECT doc_id, {phash_sql("shingle")} AS hv FROM sh)
+    SELECT doc_id AS id, (list_sort(list(hv)))[1:4] AS fingerprint
+    FROM h GROUP BY doc_id
+    """,
+    "data",
+)
+def q_doc_fingerprint(spark, sf_dir):
+    """Winnowing-style fingerprint: 4 smallest distinct 5-gram hashes."""
+    docs = load(spark, sf_dir, "documents")
+    return textops.fingerprint(docs, "doc_id", "text", k=5, n_mins=4)
+
+
+_DOT_SQL = (
+    "list_reduce(list_transform(list_zip({a}, {b}), s -> s[1] * s[2]),"
+    " (acc, x) -> acc + x)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = _DOT_SQL.format(a=a, b=b)
+    na = _DOT_SQL.format(a=a, b=a)
+    nb = _DOT_SQL.format(a=b, b=b)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+@q(
+    "embedding_topk",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    probes AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < 5),
+    scored AS (
+      SELECT probe_id, vec_id AS cand_id,
+             round({_cos_sql("pe", "e")}, 6) AS cosine
+      FROM probes JOIN v ON vec_id != probe_id
+    ),
+    ranked AS (
+      SELECT probe_id, cand_id, cosine,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, cand_id) AS rank
+      FROM scored
+    )
+    SELECT probe_id, cand_id, cosine, cast(rank as int) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+    "data",
+)
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for 5 probe vectors: broadcast probes ×
+    corpus scan, ordered float64 folds, round(6) before ranking."""
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return similarity.cosine_topk(emb, probes, k=5)
+
+
+@q(
+    "multimodal_meta",
+    """
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS digest
+    FROM documents
+    """,
+    "data",
+)
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-column plumbing: byte length + digest of an opaque binary
+    payload (deterministic stand-in for media bytes; decode path is the
+    mapInPandas stub in operators.multimodal, exercised in tests)."""
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    return media.select(
+        "media_id",
+        F.length(F.col("content")).alias("n_bytes"),
+        F.md5(F.col("content")).alias("digest"),
+    )
+
+
+# Non-SQL-expressible operators: declared without oracle (driver records
+# a rows-only check). These exercise the Python/Arrow boundary.
+
+
+@q("multimodal_decode_stub", None, "data")
+def q_multimodal_decode(spark, sf_dir):
+    """mapInPandas decode pipeline (stub decoder): media -> features."""
+    from sonnerie_spark.operators import multimodal
+
+    docs = load(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_column(docs, "text", "doc_id")
+    return multimodal.decode_features(media).select(
+        "media_id", "kind", "n_bytes", "digest", "width", "height"
+    )
+
+
+@q("ann_lsh_buckets", None, "data")
+def q_ann_lsh_buckets(spark, sf_dir):
+    """Sign-LSH bucketing of embeddings (16 hyperplanes). Bucket ids
+    depend on ordered float sums; declared rows-only to be safe, the
+    exact-cosine verification path is oracle-checked via embedding_topk."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.lsh_sign_buckets(emb, dim=64, num_planes=16)

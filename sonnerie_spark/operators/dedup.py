@@ -21,9 +21,28 @@ Everything is JVM-side Catalyst expressions — no Python UDFs.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, functions as F
 
-from sonnerie_spark.functions.portable_hash import phash, phash_salted
+from sonnerie_spark.functions.portable_hash import phash
+
+# MinHash mixing family: h_i(s) = (A_i * (phash(s) % 2^31) + B_i) % MOD.
+# One md5 per shingle; the per-function variation is cheap 64-bit affine
+# arithmetic (identical in Spark and the SQL oracle, overflow-free:
+# A < 2^28, base < 2^31 => product < 2^59; B < 2^60; sum < 2^61 < 2^63).
+MINHASH_MOD = (1 << 61) - 1
+MINHASH_BASE_MOD = 1 << 31
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (A_i, B_i) affine coefficients from md5."""
+    out = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"minhash-a#{i}".encode()).hexdigest()[:7], 16) | 1
+        b = int(hashlib.md5(f"minhash-b#{i}".encode()).hexdigest()[:15], 16)
+        out.append((a, b))
+    return out
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
@@ -90,19 +109,31 @@ def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, *, k: int = 3, num_hashes: int = 16
 ) -> DataFrame:
     """MinHash signature per document: sig[i] = min over shingles of
-    h_i(shingle), h_i = salted portable hash.
+    h_i(shingle) from the affine mixing family.
 
-    Computed as array expressions over the shingle array — per-row, no
-    shuffle at all until the band bucketing.
+    Single pass: the shingle array is hashed ONCE (one md5 per shingle),
+    then one ``aggregate`` folds all shingles into the 16-slot minimum
+    vector via ``zip_with`` against the literal coefficient array. No
+    shuffle, no repeated hashing, tiny expression tree.
     """
-    # NOTE: one-arg lambdas only — pyspark treats a two-parameter lambda
-    # (incl. default args) as an (element, index) lambda.
-    def hash_i(i: int):
-        return lambda s: phash_salted(s, i)
-
+    params = minhash_params(num_hashes)
+    ab = F.array(
+        *[
+            F.struct(
+                F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b")
+            )
+            for a, b in params
+        ]
+    )
     sh = word_shingles(F.col(text_col), k)
-    sig = F.array(
-        *[F.array_min(F.transform(sh, hash_i(i))) for i in range(num_hashes)]
+    bases = F.transform(sh, lambda s: phash(s) % F.lit(MINHASH_BASE_MOD))
+    init = F.array_repeat(F.lit(MINHASH_MOD).cast("long"), num_hashes)
+    sig = F.aggregate(
+        bases,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, ab, lambda m, p: F.least(m, (p["a"] * h + p["b"]) % F.lit(MINHASH_MOD))
+        ),
     )
     return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
@@ -164,26 +195,31 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 60) -> Dat
     """SimHash per document over whitespace tokens.
 
     sig bit i = 1 iff sum over distinct tokens of (2*bit_i(h(token))-1)
-    > 0. Pure array expressions per row; the signature packs into one
-    long (60 bits).
+    > 0. Single pass: each token is hashed once; one ``aggregate`` folds
+    the token hashes into the 60-slot bit-balance vector (``zip_with``
+    against a literal power-of-two array — ``h & 2^i`` replaces shifts,
+    which the pyspark API only takes as int literals), then a second
+    fold packs the signs into one long.
     """
+    pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
     toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
     hashes = F.transform(toks, lambda t: phash(t))
-
-    def bit_sum(i: int):
-        # two-arg (acc, h) is the aggregate merge shape; the bit index
-        # must come in via closure, not a default arg
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + (F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
-
-    bit_sums = [bit_sum(i) for i in range(bits)]
-    sig = None
-    for i, s in enumerate(bit_sums):
-        term = F.when(s > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig = term if sig is None else sig + term
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            pow2,
+            lambda a, p: a + F.when(h.bitwiseAND(p) > 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            counts, pow2, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
     return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
 
 

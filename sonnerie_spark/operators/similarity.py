@@ -15,9 +15,9 @@ a SQL oracle computing the same ordered sum matches bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+import hashlib
 
-from sonnerie_spark.functions.portable_hash import phash_salted
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -73,16 +73,17 @@ def cosine_topk(
 
 
 def hyperplane_weights(dim: int, plane: int) -> Column:
-    """Deterministic ±1.0 hyperplane: w[d] = +1 if bit0(h(plane#d)) else -1."""
-    return F.array(
-        *[
-            F.when(
-                phash_salted(F.lit(str(d)), plane).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0))
-            for d in range(dim)
-        ]
-    )
+    """Deterministic ±1.0 hyperplane: w[d] = +1 if bit0(md5(plane#d)) else -1.
+
+    The weights are constants, so they are computed driver-side (same
+    md5 scheme as :func:`portable_hash.phash`) and shipped as a literal
+    array — the per-row plan contains no hashing at all.
+    """
+    weights = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"{plane}#{d}".encode()).hexdigest()[:15], 16)
+        weights.append(F.lit(1.0 if h & 1 else -1.0))
+    return F.array(*weights)
 
 
 def lsh_sign_buckets(
