@@ -85,6 +85,17 @@ def _dec(c):
     return F.col(c).cast(DEC) if isinstance(c, str) else c.cast(DEC)
 
 
+def load_par(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Load + spread across cores. The driver's testdata parquet files
+    are single row groups, so the scan cannot split — without this, a
+    CPU-heavy per-row operator runs on ONE core. At production scale the
+    input has many splits and this repartition is a no-op cost-wise
+    (tiny tables here); results are identical either way."""
+    return load(spark, sf_dir, table).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 # ===========================================================================
 # Group 1: sonnerie parity operators (SURVEY §2.1) over the series view
 # ===========================================================================
@@ -719,7 +730,7 @@ def shingles_sql(k: int = 3) -> str:
 )
 def q_dedup_exact(spark, sf_dir):
     """Exact dedup by content digest (hash-groupBy, one shuffle)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_par(spark, sf_dir, "documents")
     return dedup.exact_dedup(docs, "doc_id", "text").select(
         "digest", "keep_id", "n_copies"
     )
@@ -745,7 +756,7 @@ def q_dedup_exact(spark, sf_dir):
 )
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard near-dup pairs (inverted-index self-join)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_par(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.22)
 
 
@@ -778,7 +789,7 @@ def _minhash_oracle_sql(num_hashes: int = 16, band_size: int = 4, k: int = 3) ->
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash(16)+LSH(4 bands of 4) candidate pairs — the near-linear
     scale path for near-dup detection."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_par(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", k=3, num_hashes=16, band_size=4
     ).select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
@@ -806,7 +817,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 )
 def q_dedup_simhash(spark, sf_dir):
     """60-bit SimHash signature per document."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_par(spark, sf_dir, "documents")
     return dedup.simhash(docs, "doc_id", "text", bits=60)
 
 
@@ -823,7 +834,7 @@ def q_dedup_simhash(spark, sf_dir):
 )
 def q_text_token_stats(spark, sf_dir):
     """Token counting: whitespace tokens + BPE-ish regex tokens."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_par(spark, sf_dir, "documents")
     return textops.token_stats(docs, "doc_id", "text")
 
 
@@ -858,7 +869,7 @@ def q_text_token_stats(spark, sf_dir):
 )
 def q_text_quality(spark, sf_dir):
     """Quality features: length/stopword/type-token/punctuation ratios."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_par(spark, sf_dir, "documents")
     return textops.quality_score(docs, "doc_id", "text")
 
 
@@ -892,7 +903,7 @@ def _lang_scores_sql() -> str:
 )
 def q_text_lang_id(spark, sf_dir):
     """Marker-word language ID with argmax-by-(hits, code) tie-break."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_par(spark, sf_dir, "documents")
     out = textops.lang_id(docs, "doc_id", "text")
     return out.select("id", "pred_lang", F.col("marker_hits").cast("long"))
 
@@ -909,7 +920,7 @@ def q_text_lang_id(spark, sf_dir):
 )
 def q_doc_fingerprint(spark, sf_dir):
     """Winnowing-style fingerprint: 4 smallest distinct 5-gram hashes."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_par(spark, sf_dir, "documents")
     return textops.fingerprint(docs, "doc_id", "text", k=5, n_mins=4)
 
 
@@ -950,7 +961,7 @@ def _cos_sql(a: str, b: str) -> str:
 def q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-5 for 5 probe vectors: broadcast probes ×
     corpus scan, ordered float64 folds, round(6) before ranking."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_par(spark, sf_dir, "embeddings")
     probes = emb.filter(F.col("vec_id") < 5)
     return similarity.cosine_topk(emb, probes, k=5)
 
@@ -990,7 +1001,7 @@ def q_multimodal_decode(spark, sf_dir):
     """mapInPandas decode pipeline (stub decoder): media -> features."""
     from sonnerie_spark.operators import multimodal
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_par(spark, sf_dir, "documents")
     media = multimodal.attach_binary_column(docs, "text", "doc_id")
     return multimodal.decode_features(media).select(
         "media_id", "kind", "n_bytes", "digest", "width", "height"
@@ -1002,5 +1013,5 @@ def q_ann_lsh_buckets(spark, sf_dir):
     """Sign-LSH bucketing of embeddings (16 hyperplanes). Bucket ids
     depend on ordered float sums; declared rows-only to be safe, the
     exact-cosine verification path is oracle-checked via embedding_topk."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_par(spark, sf_dir, "embeddings")
     return similarity.lsh_sign_buckets(emb, dim=64, num_planes=16)

@@ -1,0 +1,227 @@
+"""sonnerie-compatible CLI over the Spark engine.
+
+Subcommand surface mirrors the reference CLI (main.rs:13-141):
+
+- ``add DBDIR --format FMT``: read text-protocol lines from stdin,
+  commit as one transaction (main.rs:344-354; O12).
+- ``read DBDIR WILDCARD [filters] [output flags]``: merged, deduped,
+  delete-filtered, (key, ts)-ordered dump (main.rs:187-329; O1-O10, O20).
+- ``delete DBDIR WILDCARD [bounds]``: write a delete-marker transaction
+  (main.rs:36-61; O11), ``--time T`` = the point range [T, T+1ns)
+  (main.rs:173-176).
+- ``compact DBDIR [--major] [--gegnum CMD]``: merge runs, optionally
+  streaming every record as text through a shell command and re-ingesting
+  its output (main.rs:397-499; O15/O16).
+
+Scale notes: ``read`` streams partitions driver-side in order
+(toLocalIterator — one partition in memory at a time); ``--parallel``
+instead pipes each partition into its own subprocess on the executors
+(O18, main.rs:234-279), which is the distributed path. ``--gegnum``
+likewise pipes per-partition on the executors (rdd.pipe); partitions are
+key-range-sorted so each subprocess sees a contiguous sorted slice — at
+100 TB a single-process pipe would be the bottleneck, and the reference
+itself parallelizes exactly this way for reads (rayon.rs:12-93).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from sonnerie_spark import rowformat
+from sonnerie_spark.db import MAX_TS, MIN_TS, Database
+from sonnerie_spark.session import get_spark
+
+
+def _add_key_time_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--after-key", help="inclusive lower key bound")
+    p.add_argument("--before-key", help="exclusive upper key bound")
+    p.add_argument("--after-time", help="inclusive lower time bound (ISO or epoch-nanos)")
+    p.add_argument("--before-time", help="exclusive upper time bound (ISO or epoch-nanos)")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="sonnerie-spark")
+    ap.add_argument("-d", "--db-dir", required=True)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_add = sub.add_parser("add", help="ingest text-protocol lines from stdin")
+    p_add.add_argument("--format", dest="fmt", help="row format for all lines (omit = per-line fmt column)")
+    p_add.add_argument("--unsorted", action="store_true", help="accept unsorted input (external sort via Spark)")
+
+    p_read = sub.add_parser("read", help="query records")
+    p_read.add_argument("wildcard", nargs="?", default="%")
+    _add_key_time_flags(p_read)
+    p_read.add_argument("--columns", help="1-based column selection, e.g. 1,3,5-7")
+    p_read.add_argument("--print-format", action="store_true", help="include the format string column")
+    p_read.add_argument("--timestamp-format", default="%F %T")
+    p_read.add_argument("--timestamp-nanos", action="store_true")
+    p_read.add_argument("--timestamp-seconds", action="store_true")
+    p_read.add_argument("--parallel", metavar="CMD", help="pipe each partition through CMD on the executors")
+
+    p_del = sub.add_parser("delete", help="write a delete-marker transaction")
+    p_del.add_argument("wildcard", nargs="?", default="%")
+    _add_key_time_flags(p_del)
+    p_del.add_argument("--time", help="delete exactly this timestamp ([T, T+1ns))")
+
+    p_cmp = sub.add_parser("compact", help="merge transaction runs")
+    p_cmp.add_argument("--major", action="store_true")
+    p_cmp.add_argument("--gegnum", metavar="CMD", help="filter the merged stream through a shell command")
+
+    return ap
+
+
+def _ts_or(v: str | None, default: int) -> int:
+    return rowformat.parse_timestamp(v) if v is not None else default
+
+
+def _ts_style(args) -> str:
+    if args.timestamp_nanos:
+        return "nanos"
+    if args.timestamp_seconds:
+        return "seconds"
+    return args.timestamp_format
+
+
+def record_to_line(row, *, ts_style: str = "nanos", show_fmt: bool = True, columns=None) -> str:
+    """Format one engine row (union-typed columns) as a text-protocol line."""
+    values = rowformat.columns_to_values(
+        row.fmt, row.v_long, row.v_double, row.v_str, row.v_bin
+    )
+    return rowformat.print_record(
+        row.key, row.ts, row.fmt, values,
+        ts_style=ts_style, show_fmt=show_fmt, columns=columns,
+    )
+
+
+def cmd_add(db: Database, args) -> int:
+    if args.unsorted:
+        # serve-PUT semantics (sonnerie-serve.rs:114-186): accept unsorted
+        # lines, sort at commit. Duplicate (key, ts) within the batch is
+        # still an error (write.rs:181-197 rule).
+        rows = [
+            rowformat.parse_line(line, default_fmt=args.fmt).as_row()
+            for line in sys.stdin
+            if line.strip()
+        ]
+        seen = set()
+        for r in rows:
+            kt = (r["key"], r["ts"])
+            if kt in seen:
+                raise rowformat.FormatError(f"duplicate (key, ts) in batch: {kt}")
+            seen.add(kt)
+        if rows:
+            db.commit_rows(rows)
+        return 0
+    tx = db.create_tx()
+    for line in sys.stdin:
+        if line.strip():
+            tx.add_line(line, default_fmt=args.fmt)
+    tx.commit()
+    return 0
+
+
+def _read_df(db: Database, args):
+    return db.read_sorted(
+        wildcard=args.wildcard,
+        after_key=args.after_key,
+        before_key=args.before_key,
+        after_ns=_ts_or(args.after_time, None) if args.after_time else None,
+        before_ns=_ts_or(args.before_time, None) if args.before_time else None,
+    )
+
+
+def cmd_read(db: Database, args) -> int:
+    df = _read_df(db, args)
+    columns = rowformat.parse_columns_spec(args.columns) if args.columns else None
+    ts_style = _ts_style(args)
+    show_fmt = args.print_format
+
+    if args.parallel:
+        # O18: per-partition subprocess fan-out on the executors. Each
+        # worker formats its sorted slice and pipes it through CMD;
+        # subprocess stdout is returned (and printed here in order).
+        cmd = args.parallel
+        shell = os.environ.get("SHELL", "/bin/sh")
+
+        def fmt_partition(rows):
+            for row in rows:
+                yield record_to_line(row, ts_style=ts_style, show_fmt=show_fmt, columns=columns)
+
+        piped = df.rdd.mapPartitions(fmt_partition).pipe(cmd, env={"SHELL": shell})
+        for line in piped.toLocalIterator(prefetchPartitions=True):
+            sys.stdout.write(line + "\n")
+        return 0
+
+    for row in df.toLocalIterator(prefetchPartitions=True):
+        sys.stdout.write(record_to_line(row, ts_style=ts_style, show_fmt=show_fmt, columns=columns) + "\n")
+    return 0
+
+
+def cmd_delete(db: Database, args) -> int:
+    if args.time is not None:
+        t = rowformat.parse_timestamp(args.time)
+        after_ns, before_ns = t, t + 1  # [T, T+1ns) (main.rs:173-176)
+    else:
+        after_ns = _ts_or(args.after_time, MIN_TS)
+        before_ns = _ts_or(args.before_time, MAX_TS)
+    db.commit_deletes(
+        [
+            {
+                "first_key": args.after_key or "",
+                "last_key": args.before_key or "",
+                "after_ns": after_ns,
+                "before_ns": before_ns,
+                "wildcard": args.wildcard or "%",
+            }
+        ]
+    )
+    return 0
+
+
+def gegnum_transform(cmd: str):
+    """DataFrame transform piping records as text through a shell command.
+
+    The distributed gegnum (O16): each key-range partition's sorted
+    records are dumped in the text protocol (nanos timestamps, explicit
+    fmt) to CMD's stdin; CMD's stdout lines are parsed back into
+    records. Works for any filter/map/rename pipeline (README.md:190-216
+    examples: grep -v, sed).
+    """
+    from sonnerie_spark.db import RECORD_SCHEMA
+
+    def transform(df):
+        def encode(rows):
+            for row in rows:
+                yield record_to_line(row, ts_style="nanos", show_fmt=True)
+
+        piped = df.rdd.mapPartitions(encode).pipe(cmd)
+
+        def decode(lines):
+            for line in lines:
+                if line.strip():
+                    yield rowformat.parse_line(line).as_row()
+
+        return df.sparkSession.createDataFrame(piped.mapPartitions(decode), RECORD_SCHEMA)
+
+    return transform
+
+
+def cmd_compact(db: Database, args) -> int:
+    transform = gegnum_transform(args.gegnum) if args.gegnum else None
+    db.compact(major=args.major, transform=transform)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    spark = get_spark("sonnerie-cli")
+    db = Database(spark, args.db_dir)
+    return {"add": cmd_add, "read": cmd_read, "delete": cmd_delete, "compact": cmd_compact}[
+        args.cmd
+    ](db, args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -200,20 +200,23 @@ class Database:
         return self.read(**kwargs).orderBy("key", "ts")
 
     def _apply_key_filter(self, df, key, wildcard, after_key, before_key):
+        """Key predicates compose as an intersection — a wildcard and
+        explicit range bounds may both be present (the reference's CLI
+        combines them the same way, main.rs:306-328)."""
         if key is not None:
-            return df.filter(F.col("key") == F.lit(key))
+            df = df.filter(F.col("key") == F.lit(key))
         if wildcard is not None:
             kf = analyze_wildcard(wildcard)
             if kf.exact is not None:
-                return df.filter(F.col("key") == F.lit(kf.exact))
-            if kf.prefix:
-                df = df.filter(F.col("key") >= F.lit(kf.prefix))
-                ub = prefix_upper_bound(kf.prefix)
-                if ub is not None:
-                    df = df.filter(F.col("key") < F.lit(ub))
-            if kf.needs_like:
-                df = df.filter(F.col("key").like(kf.pattern))
-            return df
+                df = df.filter(F.col("key") == F.lit(kf.exact))
+            else:
+                if kf.prefix:
+                    df = df.filter(F.col("key") >= F.lit(kf.prefix))
+                    ub = prefix_upper_bound(kf.prefix)
+                    if ub is not None:
+                        df = df.filter(F.col("key") < F.lit(ub))
+                if kf.needs_like:
+                    df = df.filter(F.col("key").like(kf.pattern))
         if after_key is not None:
             df = df.filter(F.col("key") >= F.lit(after_key))
         if before_key is not None:

@@ -72,18 +72,16 @@ def cosine_topk(
     )
 
 
-def hyperplane_weights(dim: int, plane: int) -> Column:
-    """Deterministic ±1.0 hyperplane: w[d] = +1 if bit0(md5(plane#d)) else -1.
-
-    The weights are constants, so they are computed driver-side (same
-    md5 scheme as :func:`portable_hash.phash`) and shipped as a literal
-    array — the per-row plan contains no hashing at all.
-    """
-    weights = []
-    for d in range(dim):
-        h = int(hashlib.md5(f"{plane}#{d}".encode()).hexdigest()[:15], 16)
-        weights.append(F.lit(1.0 if h & 1 else -1.0))
-    return F.array(*weights)
+def hyperplane_matrix(dim: int, num_planes: int) -> list[list[float]]:
+    """Deterministic ±1.0 hyperplanes: w[j][d] = +1 if bit0(md5(j#d)) else -1
+    (same md5 scheme as :func:`portable_hash.phash`, computed driver-side)."""
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{j}#{d}".encode()).hexdigest()[:15], 16) & 1 else -1.0
+            for d in range(dim)
+        ]
+        for j in range(num_planes)
+    ]
 
 
 def lsh_sign_buckets(
@@ -94,17 +92,34 @@ def lsh_sign_buckets(
     dim: int = 64,
     num_planes: int = 16,
 ) -> DataFrame:
-    """Random-hyperplane signature: bit j = (v . w_j >= 0).
+    """Random-hyperplane signature: bit j = (v . w_j >= 0), packed into
+    one long. Per-row computation only — at scale this is the write-time
+    bucketing pass; queries then touch a single bucket.
 
-    Packs into one long. Per-row computation only — at scale this is the
-    write-time bucketing pass; queries then touch a single bucket.
+    The plane matrix travels as a broadcast one-row dimension, NOT as
+    plan literals: num_planes x dim literal doubles would explode the
+    generated code (at dim=1024 the plan itself becomes megabytes and
+    the method exceeds JIT limits); as data, the codegen is tiny and
+    independent of dim.
     """
-    sig = None
-    for j in range(num_planes):
-        d = dot(F.col(vec_col), hyperplane_weights(dim, j))
-        term = F.when(d >= 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig = term if sig is None else sig + term
-    return df.select(F.col(id_col).alias("id"), sig.alias("bucket"))
+    spark = df.sparkSession
+    planes = spark.createDataFrame(
+        [(hyperplane_matrix(dim, num_planes), [float(1 << j) for j in range(num_planes)])],
+        "planes array<array<double>>, pow2 array<double>",
+    )
+    v = F.col(vec_col)
+    sig = F.aggregate(
+        F.zip_with(
+            F.col("planes"),
+            F.col("pow2"),
+            lambda w, p: F.when(dot(v, w) >= 0, p).otherwise(F.lit(0.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    ).cast("long")
+    return df.crossJoin(F.broadcast(planes)).select(
+        F.col(id_col).alias("id"), sig.alias("bucket")
+    )
 
 
 def lsh_ann_pairs(

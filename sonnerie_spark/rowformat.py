@@ -132,12 +132,13 @@ def split_escaped(line: str) -> list[str]:
 # value parse / print per type char
 
 def _float_repr(v: float) -> str:
-    """17-significant-digit fixed-style float print (row_format.rs:291)."""
+    """Fixed-point, 17 fractional digits — Rust's ``{:.17}`` exactly
+    (row_format.rs:291, 321), so text dumps are byte-identical."""
     if math.isnan(v):
-        return "nan"
+        return "NaN"
     if math.isinf(v):
         return "inf" if v > 0 else "-inf"
-    return f"{v:.17}"
+    return f"{v:.17f}"
 
 
 def parse_value(ch: str, token: str):

@@ -1,0 +1,111 @@
+"""HTTP front-end: the reference's ``sonnerie-serve`` surface (O21).
+
+- ``GET /{key-or-wildcard}[?human]`` streams matching records as text
+  lines, (key, ts)-sorted; ``human`` switches nanosecond timestamps to
+  ``%F %T`` (sonnerie-serve.rs:206-300).
+- ``PUT /`` ingests text-protocol lines — **unsorted input is fine**
+  (the commit path shuffle-sorts; the reference external-sorts per
+  request, sonnerie-serve.rs:114-186) — and commits exactly ONE
+  transaction per request; readers see the data only after the atomic
+  commit (README.md:31-35).
+
+The reference keeps a 10-s-TTL cached ``DatabaseReader`` to amortize
+readdir+mmap (sonnerie-serve.rs:239-265). Our per-request cost is a
+directory listing + Catalyst planning (no mmap), so the analogous cache
+is the run listing; it is refreshed on TTL expiry or any local PUT.
+
+Threading: http.server's ThreadingHTTPServer drives Spark jobs from
+handler threads — Spark sessions are thread-safe for concurrent actions
+(scheduler pools share the local executor).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import unquote, urlparse
+
+from sonnerie_spark.db import Database
+from sonnerie_spark.rowformat import parse_line
+
+
+class _RunCache:
+    """TTL cache of the run listing (the serve reader-cache analogue)."""
+
+    def __init__(self, db: Database, ttl_s: float = 10.0):
+        self.db = db
+        self.ttl_s = ttl_s
+        self._lock = threading.Lock()
+        self._stamp = 0.0
+        self._runs = None
+
+    def runs(self):
+        with self._lock:
+            now = time.time()
+            if self._runs is None or now - self._stamp > self.ttl_s:
+                self._runs = self.db.runs()
+                self._stamp = now
+            return self._runs
+
+    def invalidate(self):
+        with self._lock:
+            self._runs = None
+
+
+def make_server(db: Database, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server; ``server_address[1]`` is the
+    bound port (use port=0 for an ephemeral one in tests)."""
+    cache = _RunCache(db)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def do_GET(self):
+            from sonnerie_spark.cli import record_to_line
+
+            url = urlparse(self.path)
+            pattern = unquote(url.path.lstrip("/")) or "%"
+            human = "human" in (url.query or "")
+            cache.runs()  # refresh TTL listing (parity bookkeeping)
+            try:
+                df = db.read_sorted(wildcard=pattern)
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; charset=utf-8")
+                self.end_headers()
+                ts_style = "%F %T" if human else "nanos"
+                for row in df.toLocalIterator(prefetchPartitions=True):
+                    line = record_to_line(row, ts_style=ts_style, show_fmt=False)
+                    self.wfile.write(line.encode() + b"\n")
+            except BrokenPipeError:
+                pass
+            except Exception as e:  # surface engine errors as 500 text
+                self.send_response(500)
+                self.end_headers()
+                self.wfile.write(str(e).encode())
+
+        def do_PUT(self):
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length).decode()
+            try:
+                rows = [
+                    parse_line(line).as_row()
+                    for line in body.splitlines()
+                    if line.strip()
+                ]
+                if rows:
+                    db.commit_rows(rows)
+                cache.invalidate()
+                self.send_response(204)
+                self.end_headers()
+            except Exception as e:
+                self.send_response(400)
+                self.end_headers()
+                self.wfile.write(str(e).encode())
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_forever(db: Database, host: str = "127.0.0.1", port: int = 8409) -> None:
+    make_server(db, host, port).serve_forever()

@@ -1,0 +1,107 @@
+"""Structured Streaming ingest: micro-batch == transaction.
+
+The reference's near-real-time path is ``sonnerie-serve``: each HTTP PUT
+external-sorts its (possibly unsorted) lines and commits ONE transaction;
+readers see data only after commit (sonnerie-serve.rs:98-204;
+README.md:31-35 isolation). The Spark-native equivalent is a streaming
+source feeding ``foreachBatch``:
+
+- each micro-batch is parsed, validated, and committed as one run via
+  ``Database.commit_dataframe`` — the shuffle-sort inside the commit IS
+  the external sort (shardio in the reference);
+- commit is atomic (tempdir + rename), so a concurrent batch reader
+  never sees a half-written run — identical isolation semantics;
+- exactly-once: the checkpoint tracks consumed offsets, and a replayed
+  batch overwrites nothing (each commit is a NEW run; LWW dedup makes
+  replays idempotent when (key, ts) collide).
+
+Watermarks / windowed aggregation over the record stream are standard
+Structured Streaming on top of the same parsed stream (see
+``windowed_counts``) — the reference has no stateful streaming operators
+(SURVEY §2.2 'Streaming'), so these are north-star extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from sonnerie_spark.db import RECORD_SCHEMA, Database
+
+
+def parse_lines(lines: DataFrame, *, default_fmt: str | None = None, value_col: str = "value") -> DataFrame:
+    """Parse text-protocol lines into record rows, distributed.
+
+    Runs the pure-Python protocol parser per partition (ingest is
+    parse-bound in the reference too: formatted.rs:20-106). Malformed
+    lines raise — matching the reference's hard parse errors.
+    """
+    from sonnerie_spark import rowformat
+
+    fmt = default_fmt
+
+    def decode(rows):
+        for row in rows:
+            line = row[value_col]
+            if line and line.strip():
+                yield rowformat.parse_line(line, default_fmt=fmt).as_row()
+
+    return lines.sparkSession.createDataFrame(
+        lines.rdd.mapPartitions(decode), RECORD_SCHEMA
+    )
+
+
+def stream_text_ingest(
+    spark: SparkSession,
+    db: Database,
+    input_dir: str,
+    *,
+    checkpoint_dir: str,
+    default_fmt: str | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """File-source streaming ingest: every discovered file's lines join
+    the next micro-batch; each micro-batch commits one transaction.
+
+    Returns the StreamingQuery (caller manages lifecycle/termination).
+    """
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    lines = reader.load(input_dir)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # batch_df is a static DataFrame: reuse the batch parse + the
+        # transactional commit path (sorted run, atomic rename).
+        rows = parse_lines(batch_df, default_fmt=default_fmt)
+        if rows.take(1):
+            db.commit_dataframe(rows, check_duplicates=False)
+
+    return (
+        lines.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def windowed_counts(
+    records: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming tumbling-window per-key rollup with late-data handling.
+
+    ``records`` is a (possibly streaming) DataFrame with ``key`` and
+    nanosecond ``ts``; the watermark bounds state for late arrivals —
+    the north-star replacement for 'late data is just a new transaction'
+    (SURVEY §2.2 Streaming).
+    """
+    with_time = records.withColumn(
+        "ts_utc", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    return (
+        with_time.withWatermark("ts_utc", watermark)
+        .groupBy(F.window("ts_utc", window).alias("win"), F.col("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("key", F.col("win.start").alias("window_start"), "n")
+    )

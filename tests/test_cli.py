@@ -1,0 +1,112 @@
+"""CLI parity tests — golden text-protocol round-trips mirroring the
+reference's test suite (tests.rs multicolumn/:284-335, multicolumn_select
+:337-388, multicolumn_string :406-458, homogenic_types :628-672,
+string_records :943-966, bytearray_records :968-996) and the delete /
+gegnum CLI flows (main.rs:36-61, 397-499).
+"""
+
+import io
+import sys
+
+import pytest
+
+from sonnerie_spark.cli import build_parser, cmd_add, cmd_compact, cmd_delete, cmd_read
+from sonnerie_spark.db import Database
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    return Database(spark, str(tmp_path / "db"))
+
+
+def run_cli(db, argv, stdin: str = "") -> str:
+    args = build_parser().parse_args(["-d", db.path] + argv)
+    handler = {"add": cmd_add, "read": cmd_read, "delete": cmd_delete, "compact": cmd_compact}
+    old_in, old_out = sys.stdin, sys.stdout
+    sys.stdin, sys.stdout = io.StringIO(stdin), io.StringIO()
+    try:
+        handler[args.cmd](db, args)
+        return sys.stdout.getvalue()
+    finally:
+        sys.stdin, sys.stdout = old_in, old_out
+
+
+def test_add_read_roundtrip_fixed_fmt(db):
+    lines = "\n".join(
+        f"fib 2010-01-0{i+1}T00:00:00 {v}" for i, v in enumerate([1, 1, 2, 3, 5, 8])
+    )
+    run_cli(db, ["add", "--format", "u"], stdin=lines + "\n")
+    out = run_cli(db, ["read", "fib%"])
+    assert out.splitlines() == [
+        f"fib\t2010-01-0{i+1} 00:00:00\t{v}" for i, v in enumerate([1, 1, 2, 3, 5, 8])
+    ]
+
+
+def test_multicolumn_roundtrip_and_select(db):
+    # per-line format column (heterogeneous): 'Ff', 'uu', 'su'
+    stdin = (
+        "a 1000000000 Ff 3.25 0.5\n"
+        "a 2000000000 uu 7 9\n"
+        "b 1000000000 su hello\\ world 4\n"
+    )
+    run_cli(db, ["add"], stdin=stdin)
+    out = run_cli(db, ["read", "%", "--print-format", "--timestamp-nanos"])
+    assert out.splitlines() == [
+        "a\t1000000000\tFf\t3.25000000000000000 0.50000000000000000",
+        "a\t2000000000\tuu\t7 9",
+        "b\t1000000000\tsu\thello\\ world 4",
+    ]
+    # --columns 2 selects the 2nd column only (1-based, main.rs:135-139)
+    out2 = run_cli(db, ["read", "a%", "--columns", "2", "--timestamp-seconds"])
+    assert out2.splitlines() == ["a\t1\t0.50000000000000000", "a\t2\t9"]
+
+
+def test_string_escape_and_base64_roundtrip(db):
+    stdin = "k 0 sB tab\\there AAEC\n"
+    run_cli(db, ["add"], stdin=stdin)
+    out = run_cli(db, ["read", "k", "--timestamp-nanos", "--print-format"])
+    assert out.splitlines() == ["k\t0\tsB\ttab\\there AAEC"]
+
+
+def test_unsorted_add(db):
+    stdin = "b 2000000000 2\nb 1000000000 1\na 1000000000 0\n"
+    run_cli(db, ["add", "--format", "u", "--unsorted"], stdin=stdin)
+    out = run_cli(db, ["read", "%", "--timestamp-seconds"])
+    assert out.splitlines() == ["a\t1\t0", "b\t1\t1", "b\t2\t2"]
+
+
+def test_key_and_time_bound_flags(db):
+    stdin = "".join(f"k{i} {i}000000000 {i}\n" for i in range(1, 6))
+    run_cli(db, ["add", "--format", "u"], stdin=stdin)
+    out = run_cli(
+        db,
+        ["read", "%", "--after-key", "k2", "--before-key", "k5",
+         "--after-time", "3000000000", "--timestamp-nanos"],
+    )
+    assert out.splitlines() == ["k3\t3000000000\t3", "k4\t4000000000\t4"]
+
+
+def test_delete_time_point(db):
+    stdin = "".join(f"k {i}000000000 {i}\n" for i in range(3))
+    run_cli(db, ["add", "--format", "u"], stdin=stdin)
+    run_cli(db, ["delete", "%", "--time", "1000000000"])  # [T, T+1ns)
+    out = run_cli(db, ["read", "%", "--timestamp-seconds"])
+    assert out.splitlines() == ["k\t0\t0", "k\t2\t2"]
+
+
+def test_compact_gegnum_subprocess(db):
+    stdin = "bad 1000000000 1\ngood 1000000000 2\n"
+    run_cli(db, ["add", "--format", "u"], stdin=stdin)
+    run_cli(db, ["compact", "--major", "--gegnum", "grep -v ^bad"])
+    out = run_cli(db, ["read", "%", "--timestamp-seconds"])
+    assert out.splitlines() == ["good\t1\t2"]
+    assert [r.name for r in db.runs()] == ["main"]
+
+
+def test_parallel_subprocess_read(db):
+    stdin = "".join(f"k{i:02d} 1000000000 {i}\n" for i in range(10))
+    run_cli(db, ["add", "--format", "u"], stdin=stdin)
+    out = run_cli(db, ["read", "%", "--parallel", "wc -l"])
+    # each partition pipes through its own `wc -l`; totals sum to 10
+    counts = [int(x) for x in out.split()]
+    assert sum(counts) == 10

@@ -1,0 +1,92 @@
+"""Streaming ingest (micro-batch == transaction) and HTTP serve tests
+(sonnerie-serve semantics: unsorted PUT, committed-only reads)."""
+
+import threading
+import urllib.request
+
+import pytest
+
+from sonnerie_spark.db import Database
+from sonnerie_spark.serve import make_server
+from sonnerie_spark.streaming.ingest import parse_lines, stream_text_ingest, windowed_counts
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    return Database(spark, str(tmp_path / "db"))
+
+
+def test_parse_lines_batch(spark, db):
+    lines = spark.createDataFrame([("k 1000 u 5",), ("k 2000 u 6",)], "value string")
+    rows = parse_lines(lines).collect()
+    assert [(r.key, r.ts, r.v_long[0]) for r in rows] == [("k", 1000, 5), ("k", 2000, 6)]
+
+
+def test_stream_ingest_commits_transactions(spark, db, tmp_path):
+    inp = tmp_path / "incoming"
+    inp.mkdir()
+    (inp / "batch1.txt").write_text("a 1000 u 1\nb 1000 u 2\n")
+    q = stream_text_ingest(
+        spark, db, str(inp), checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    try:
+        q.processAllAvailable()
+        assert db.read().count() == 2
+        # a second file becomes a second transaction; LWW applies
+        (inp / "batch2.txt").write_text("a 1000 u 9\nc 1000 u 3\n")
+        q.processAllAvailable()
+        rows = {r.key: r.v_long[0] for r in db.read().collect()}
+        assert rows == {"a": 9, "b": 2, "c": 3}
+        assert len(db.data_runs()) == 2
+    finally:
+        q.stop()
+
+
+def test_windowed_counts_batch_semantics(spark, db):
+    tx = db.create_tx()
+    h = 3600 * 10**9
+    for i, ts in enumerate([0, h // 2, h, 2 * h]):
+        tx.add_record("k", ts + i, "u", [i])
+    tx.commit()
+    out = windowed_counts(db.read(), window="1 hour")
+    got = {(r.key, r.window_start.isoformat()): r.n for r in out.collect()}
+    assert got == {
+        ("k", "1970-01-01T00:00:00"): 2,
+        ("k", "1970-01-01T01:00:00"): 1,
+        ("k", "1970-01-01T02:00:00"): 1,
+    }
+
+
+@pytest.fixture()
+def server(db):
+    srv = make_server(db)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _put(base, body: str):
+    req = urllib.request.Request(base + "/", data=body.encode(), method="PUT")
+    return urllib.request.urlopen(req)
+
+
+def test_serve_put_get_roundtrip(server, db):
+    # unsorted PUT is accepted and becomes one transaction
+    resp = _put(server, "b 2000 u 2\na 1000 u 1\n")
+    assert resp.status == 204
+    assert len(db.data_runs()) == 1
+    out = urllib.request.urlopen(server + "/%25").read().decode()
+    assert out.splitlines() == ["a\t1000\t1", "b\t2000\t2"]
+    # wildcard + human timestamps
+    out2 = urllib.request.urlopen(server + "/a%25?human").read().decode()
+    assert out2.splitlines() == ["a\t1970-01-01 00:00:00\t1"]
+
+
+def test_serve_put_parse_error_is_400(server, db):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _put(server, "not-a-valid-line\n")
+    assert ei.value.code == 400
+    assert db.read().count() == 0
