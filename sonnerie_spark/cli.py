@@ -69,6 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
     p_cmp.add_argument("--major", action="store_true")
     p_cmp.add_argument("--gegnum", metavar="CMD", help="filter the merged stream through a shell command")
 
+    p_dump = sub.add_parser("dump-run", help="debug: dump ONE run file, no merge/deletes (examples/get.rs)")
+    p_dump.add_argument("run", help="run name, e.g. main or tx.<016x>")
+    p_dump.add_argument("wildcard", nargs="?", default="%")
+
     return ap
 
 
@@ -214,13 +218,45 @@ def cmd_compact(db: Database, args) -> int:
     return 0
 
 
+def cmd_dump_run(db: Database, args) -> int:
+    """O23: dump one transaction run raw — no merge, no delete filtering
+    (the reference's examples/get.rs debugging tool)."""
+    from pyspark.sql import functions as F
+
+    from sonnerie_spark.db import RECORD_SCHEMA
+    from sonnerie_spark.plans.keyfilter import analyze_wildcard, prefix_upper_bound
+
+    run = next((r for r in db.data_runs() if r.name == args.run), None)
+    if run is None:
+        print(f"no such data run: {args.run}", file=sys.stderr)
+        return 1
+    df = db.spark.read.schema(RECORD_SCHEMA).parquet(run.path)
+    kf = analyze_wildcard(args.wildcard)
+    if kf.exact is not None:
+        df = df.filter(F.col("key") == kf.exact)
+    elif kf.prefix:
+        df = df.filter(F.col("key") >= kf.prefix)
+        ub = prefix_upper_bound(kf.prefix)
+        if ub is not None:
+            df = df.filter(F.col("key") < ub)
+    if kf.exact is None and kf.needs_like:
+        df = df.filter(F.col("key").like(kf.pattern))
+    for row in df.orderBy("key", "ts").toLocalIterator(prefetchPartitions=True):
+        sys.stdout.write(record_to_line(row, ts_style="nanos", show_fmt=True) + "\n")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     spark = get_spark("sonnerie-cli")
     db = Database(spark, args.db_dir)
-    return {"add": cmd_add, "read": cmd_read, "delete": cmd_delete, "compact": cmd_compact}[
-        args.cmd
-    ](db, args)
+    return {
+        "add": cmd_add,
+        "read": cmd_read,
+        "delete": cmd_delete,
+        "compact": cmd_compact,
+        "dump-run": cmd_dump_run,
+    }[args.cmd](db, args)
 
 
 if __name__ == "__main__":

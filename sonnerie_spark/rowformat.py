@@ -251,6 +251,25 @@ def columns_to_values(fmt: str, v_long, v_double, v_str, v_bin) -> list:
     return out
 
 
+def get_typed(fmt: str, v_long, v_double, v_str, v_bin, col: int, want: str):
+    """Typed column read with the lossless-widening rule (O22).
+
+    ``want`` is a format char; reading a stored ``u`` as ``U``/u64 is
+    allowed, the narrowing direction raises — mirroring the reference's
+    ``Record::get::<T>`` conversions (records.rs:75-81, 460-539), where
+    Spark's own casts would silently overflow instead.
+    """
+    if not (0 <= col < len(fmt)):
+        raise FormatError(f"column {col} out of range for format {fmt!r}")
+    stored = fmt[col]
+    if not widens_to(stored, want):
+        raise FormatError(f"cannot read stored {stored!r} as {want!r} (narrowing)")
+    v = columns_to_values(fmt, v_long, v_double, v_str, v_bin)[col]
+    if stored == "U" and isinstance(v, int) and v < 0:
+        return v + 2**64  # undo the signed-long bit reinterpretation
+    return v
+
+
 # ---------------------------------------------------------------------------
 # timestamps (main.rs:520-543 semantics: ISO-8601 datetime, date, or raw
 # integer nanoseconds)

@@ -110,3 +110,20 @@ def test_parallel_subprocess_read(db):
     # each partition pipes through its own `wc -l`; totals sum to 10
     counts = [int(x) for x in out.split()]
     assert sum(counts) == 10
+
+
+def test_dump_run_single_transaction(db):
+    run_cli(db, ["add", "--format", "u"], stdin="a 1000000000 1\n")
+    run_cli(db, ["add", "--format", "u"], stdin="b 2000000000 2\n")
+    runs = [r.name for r in db.data_runs()]
+    args = build_parser().parse_args(["-d", db.path, "dump-run", runs[0]])
+    from sonnerie_spark.cli import cmd_dump_run
+    old = sys.stdout
+    sys.stdout = io.StringIO()
+    try:
+        cmd_dump_run(db, args)
+        out = sys.stdout.getvalue()
+    finally:
+        sys.stdout = old
+    # only the first run's record, raw (no merge with the second tx)
+    assert out.splitlines() == ["a\t1000000000\tu\t1"]
