@@ -1,0 +1,91 @@
+"""Physical-plan assertions: the optimizations SURVEY §4 says must come
+from Catalyst/Parquet actually appear in the plans.
+
+These are the scale guarantees: a filter that is not in PushedFilters
+re-reads every row group at 100 TB; a star join that does not broadcast
+its dims shuffles the fact table five times.
+"""
+
+import pytest
+
+from sonnerie_spark.db import Database
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    db = Database(spark, str(tmp_path / "db"))
+    tx = db.create_tx()
+    for i in range(100):
+        tx.add_record(f"key{i:03d}", 1000 + i, "u", [i])
+    tx.commit()
+    return db
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_key_predicate_pushed_to_parquet(db):
+    df = db.read(key="key042")
+    plan = formatted_plan(df)
+    assert "PushedFilters" in plan
+    # the equality predicate must reach the scan, not sit in a Filter above it
+    assert "EqualTo(key,key042)" in plan.replace(" ", ""), plan
+
+
+def test_prefix_wildcard_becomes_pushed_range(db):
+    df = db.read(wildcard="key04%")
+    plan = formatted_plan(df)
+    squashed = plan.replace(" ", "")
+    assert "GreaterThanOrEqual(key,key04)" in squashed, plan
+    assert "LessThan(key,key05)" in squashed, plan
+
+
+def test_time_predicate_pushed_to_parquet(db):
+    df = db.read(after_ns=1050, before_ns=1060)
+    squashed = formatted_plan(df).replace(" ", "")
+    assert "GreaterThanOrEqual(ts,1050)" in squashed
+    assert "LessThan(ts,1060)" in squashed
+
+
+def test_projection_prunes_read_schema(db):
+    df = db.read(key="key001").select("key", "ts")
+    plan = formatted_plan(df)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "v_str" not in read_schema and "v_bin" not in read_schema, read_schema
+
+
+def test_single_run_skips_dedup_stage(db):
+    # one data run -> no (key, ts) aggregation in the plan at all
+    plan = formatted_plan(db.read())
+    assert "max_by" not in plan and "Aggregate" not in plan, plan
+
+
+def test_multi_run_dedup_is_partial_aggregation(db):
+    tx = db.create_tx()
+    tx.add_record("key000", 1000, "u", [999])
+    tx.commit()
+    plan = formatted_plan(db.read())
+    # map-side combine BEFORE the exchange (shuffle carries <=1 row per
+    # (key, ts) per input partition), and no sort-the-world window
+    # (a partial_* aggregate is by construction the map-side pass that
+    # runs before the Exchange in Spark's two-phase aggregation)
+    assert "partial_max_by" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    from sonnerie_spark.benchqueries import q_region_revenue
+
+    plan = plan_of(q_region_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_whole_stage_codegen_covers_scan_filter(db):
+    df = db.read(key="key042")
+    gen = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "codegen")
+    assert "Found 1 WholeStageCodegen subtrees" in gen or "WholeStageCodegen" in gen, gen
