@@ -992,6 +992,118 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
+@q(
+    "by_key_gaps",
+    f"""
+    WITH s AS (SELECT key, ts_us FROM ({SERIES_SQL})),
+    g AS (SELECT key, ts_us - lag(ts_us) OVER (PARTITION BY key ORDER BY ts_us) AS gap
+          FROM s)
+    SELECT key, count(*) AS n, coalesce(max(gap), 0) AS max_gap_us
+    FROM g GROUP BY key
+    """,
+    "parity",
+)
+def q_by_key_gaps(spark, sf_dir):
+    """O19 via grouped-map applyInPandas: per-series longest gap — a
+    whole-series pass in Python/Arrow, cross-checked against a SQL
+    window oracle. (key, ts) pairs are unique so both are deterministic."""
+    from sonnerie_spark.operators.bykey import apply_per_series
+
+    s = series(spark, sf_dir).select("key", F.col("ts_us"))
+
+    def gaps(pdf):
+        import pandas as pd
+
+        ts = pdf["ts_us"].to_numpy()
+        d = ts[1:] - ts[:-1]
+        return pd.DataFrame(
+            {
+                "key": [pdf["key"].iloc[0]],
+                "n": [len(ts)],
+                "max_gap_us": [int(d.max()) if len(d) else 0],
+            }
+        )
+
+    return apply_per_series(
+        s, gaps, "key string, n long, max_gap_us long", key_col="key", ts_col="ts_us"
+    )
+
+
+@q(
+    "simhash_near_pairs",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS tok
+      FROM documents
+    ),
+    th AS (SELECT doc_id, {phash_sql("tok")} AS h FROM tok),
+    bitsum AS (
+      SELECT doc_id, b,
+             sum(case when (h >> b) & 1 = 1 then 1 else -1 end) AS s
+      FROM th CROSS JOIN (SELECT unnest(range(60)) AS b)
+      GROUP BY doc_id, b
+    ),
+    sig AS (
+      SELECT doc_id, sum(case when s > 0 then 1::bigint << b else 0 end) AS simhash
+      FROM bitsum GROUP BY doc_id
+    ),
+    chunks AS (
+      SELECT doc_id, simhash, c AS chunk_idx,
+             (simhash >> (c * 6)) & 63 AS chunk_val
+      FROM sig CROSS JOIN (SELECT unnest(range(10)) AS c)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sig_a, b.simhash AS sig_b
+      FROM chunks a JOIN chunks b
+        ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(sig_a, sig_b)) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 9
+    """,
+    "data",
+)
+def q_simhash_near_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: pigeonhole chunk blocking (any pair within
+    hamming 9 shares one of 10 6-bit chunks) -> equi-join on
+    (chunk_idx, chunk_val) -> exact hamming verify. No global pairwise
+    join anywhere in the plan."""
+    docs = load_par(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, "doc_id", "text", bits=60, max_hamming=9)
+
+
+@q(
+    "embedding_neardup_pairs",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+               WHERE vec_id < 300),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({_cos_sql("a.e", "b.e")}, 6) AS cosine
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.2
+    """,
+    "data",
+)
+def q_embedding_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact baseline on a bounded slice
+    (the O(n^2) truth the LSH path approximates; ann_lsh_buckets +
+    lsh_ann_pairs is the scale variant)."""
+    emb = load_par(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    from sonnerie_spark.operators.similarity import cosine
+
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine(F.col("ea"), F.col("eb")), 6))
+        .filter(F.col("cosine") >= 0.2)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 # Non-SQL-expressible operators: declared without oracle (driver records
 # a rows-only check). These exercise the Python/Arrow boundary.
 

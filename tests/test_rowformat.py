@@ -45,10 +45,10 @@ def test_int_ranges():
 
 
 def test_float_print_precision():
-    # 17-significant-digit precision (row_format.rs:291, 321)
-    assert rf.print_value("F", 3.1415) == "3.1415000000000002"
-    assert rf.print_value("F", 1.0) == "1.0"
-    assert rf.print_value("f", float("nan")) == "nan"
+    # fixed-point 17 fractional digits, Rust {:.17} (row_format.rs:291, 321)
+    assert rf.print_value("F", 3.1415) == "3.14150000000000018"
+    assert rf.print_value("F", 1.0) == "1.00000000000000000"
+    assert rf.print_value("f", float("nan")) == "NaN"  # Rust Display for NaN
     assert rf.parse_value("F", "nan") != rf.parse_value("F", "nan")  # NaN != NaN
     assert math.isnan(rf.parse_value("f", "nan"))
 
