@@ -125,3 +125,39 @@ def test_heterogeneous_columns_roundtrip():
     for fmt, values in [("u", [42]), ("f", [32.5]), ("s", ["Hello"]), ("B", [b"x"])]:
         cols = rf.values_to_columns(fmt, values)
         assert rf.columns_to_values(fmt, *cols) == values
+
+
+# --- property tests (escape_string round-trip style, lib.rs:183-233) ---
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @given(st.text(max_size=50))
+    @settings(max_examples=200, deadline=None)
+    def test_escape_roundtrip_property(s):
+        assert rf.unescape(rf.escape(s)) == s
+
+    @given(st.lists(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), min_size=1, max_size=12), min_size=1, max_size=5))
+    @settings(max_examples=200, deadline=None)
+    def test_split_escaped_roundtrip_property(tokens):
+        line = " ".join(rf.escape(t) for t in tokens)
+        assert [rf.unescape(t) for t in rf.split_escaped(line)] == tokens
+
+    @given(st.integers(min_value=0, max_value=2**64 - 1))
+    @settings(max_examples=200, deadline=None)
+    def test_u64_reinterpret_roundtrip(v):
+        stored = rf.parse_value("U", str(v))
+        assert -(2**63) <= stored <= 2**63 - 1
+        assert rf.print_value("U", stored) == str(v)
+
+    @given(st.floats(allow_nan=False, allow_infinity=False, width=64))
+    @settings(max_examples=200, deadline=None)
+    def test_float_text_roundtrip(v):
+        # 17 fractional digits round-trips doubles in [1e-1, 1e17) exactly;
+        # the reference has the same bound (fixed-point print)
+        import math
+        if v != 0 and not (1e-1 <= abs(v) < 1e17):
+            return
+        assert float(rf.print_value("F", v)) == v
+except ImportError:  # pragma: no cover - hypothesis is in the image
+    pass

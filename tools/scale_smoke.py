@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Scale smoke: seeded big-database write + scan throughput.
+
+The Spark analogue of the reference's seeded big-database tests
+(tests.rs:53-84 make_big_database; 709-793 count anchors): generate N
+records distributed (no driver-side row list), commit as one run, then
+measure full-scan, key-lookup, and per-series aggregation times.
+
+Usage: python tools/scale_smoke.py [n_records] [db_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from sonnerie_spark.db import Database
+from sonnerie_spark.session import get_spark
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    db_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="scale_smoke_")
+    spark = get_spark("scale_smoke")
+
+    # deterministic synthetic series: 10k keys, n/10k records each
+    n_keys = 10_000
+    gen = (
+        spark.range(n)
+        .select(
+            F.concat(F.lit("key"), F.lpad((F.col("id") % n_keys).cast("string"), 6, "0")).alias("key"),
+            (F.col("id") / n_keys).cast("long").alias("ts"),
+            F.lit("u").alias("fmt"),
+            F.array(F.pmod(F.xxhash64("id"), F.lit(1000))).alias("v_long"),
+            F.lit(None).cast("array<double>").alias("v_double"),
+            F.lit(None).cast("array<string>").alias("v_str"),
+            F.lit(None).cast("array<binary>").alias("v_bin"),
+        )
+    )
+    db = Database(spark, db_dir)
+    t0 = time.time()
+    db.commit_dataframe(gen, check_duplicates=False)
+    t_write = time.time() - t0
+    print(f"write: {n} records in {t_write:.1f}s = {n/t_write/1e6:.2f} M rec/s")
+
+    t0 = time.time()
+    cnt = db.read().count()
+    t_scan = time.time() - t0
+    print(f"scan:  {cnt} records in {t_scan:.1f}s = {cnt/t_scan/1e6:.2f} M rec/s")
+    assert cnt == n
+
+    t0 = time.time()
+    one = db.read(key="key004242").count()
+    t_key = time.time() - t0
+    print(f"key lookup: {one} records in {t_key*1000:.0f}ms")
+
+    t0 = time.time()
+    agg = db.read().groupBy("key").agg(F.sum(F.element_at("v_long", 1))).count()
+    t_agg = time.time() - t0
+    print(f"per-key agg: {agg} series in {t_agg:.1f}s = {cnt/t_agg/1e6:.2f} M rec/s")
+
+    if len(sys.argv) <= 2:
+        shutil.rmtree(db_dir)
+
+
+if __name__ == "__main__":
+    main()
