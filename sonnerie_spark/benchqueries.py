@@ -1104,6 +1104,168 @@ def q_embedding_neardup_pairs(spark, sf_dir):
     )
 
 
+_IVF_ASSIGN_SQL = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+    scored AS (
+      SELECT v.vec_id, c.cid, round({_cos_sql("v.e", "c.ce")}, 6) AS cos
+      FROM v CROSS JOIN c
+    ),
+    r AS (SELECT vec_id, cid, cos,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cos DESC, cid ASC) AS rn
+          FROM scored)
+"""
+
+
+@q(
+    "ivf_assign",
+    f"""
+    {_IVF_ASSIGN_SQL}
+    SELECT vec_id AS id, cast(cid as int) AS centroid_id, cos AS centroid_cosine
+    FROM r WHERE rn = 1
+    """,
+    "data",
+)
+def q_ivf_assign(spark, sf_dir):
+    """IVF list assignment (write-time pass of the IVF ANN index): each
+    vector -> argmax-cosine centroid. Spark side is a per-row fold over
+    the broadcast centroid matrix — map-only, no shuffle; the oracle
+    ranks the same rounded cosines."""
+    emb = load_par(spark, sf_dir, "embeddings")
+    return similarity.ivf_assign(emb, num_centroids=8)
+
+
+@q(
+    "ivf_ann_topk",
+    f"""
+    {_IVF_ASSIGN_SQL},
+    assign AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+    pc AS (
+      SELECT vec_id AS probe_id, cid, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cid ASC) AS crank
+      FROM scored WHERE vec_id < 5
+    ),
+    probe_cents AS (SELECT probe_id, cid FROM pc WHERE crank <= 2),
+    cand AS (
+      SELECT p.probe_id, a.vec_id AS cand_id
+      FROM probe_cents p JOIN assign a ON a.cid = p.cid AND a.vec_id != p.probe_id
+    ),
+    exact AS (
+      SELECT c.probe_id, c.cand_id,
+             round({_cos_sql("pv.e", "cv.e")}, 6) AS cosine
+      FROM cand c JOIN v pv ON pv.vec_id = c.probe_id
+                  JOIN v cv ON cv.vec_id = c.cand_id
+    ),
+    ranked AS (
+      SELECT probe_id, cand_id, cosine,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, cand_id) AS rank
+      FROM exact
+    )
+    SELECT probe_id, cand_id, cosine, cast(rank as int) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+    "data",
+)
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF approximate top-5 (nprobe=2 of 8 lists) for 5 probes: the
+    query-time path of the IVF index — only ~nprobe/C of the corpus
+    reaches the exact-cosine ranking (vs the brute-force embedding_topk
+    baseline, whose recall this approximates)."""
+    emb = load_par(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(emb, probes, num_centroids=8, nprobe=2, k=5)
+
+
+@q(
+    "json_props_agg",
+    """
+    SELECT cast(json_extract_string(props, '$.k') as bigint) AS k,
+           count(*) AS n,
+           cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+    FROM events GROUP BY k
+    """,
+    "analytics",
+)
+def q_json_props_agg(spark, sf_dir):
+    """Semi-structured extraction: pull a field out of the JSON ``props``
+    column and aggregate by it (get_json_object stays JVM-side)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("long").alias("k"), "value"
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@q(
+    "quantiles_by_type",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75,
+           round(quantile_cont(value, 0.95), 6) AS p95
+    FROM events GROUP BY event_type
+    """,
+    "analytics",
+)
+def q_quantiles_by_type(spark, sf_dir):
+    """Exact linear-interpolated quantiles per group (Spark `percentile`
+    == DuckDB `quantile_cont`). The approx path at scale is
+    approx_percentile / t-digest; exact is the oracle-checkable truth."""
+    ev = load(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)]))
+    return ev.groupBy("event_type").agg(
+        F.round(F.element_at(pct, 1), 6).alias("p25"),
+        F.round(F.element_at(pct, 2), 6).alias("p50"),
+        F.round(F.element_at(pct, 3), 6).alias("p75"),
+        F.round(F.element_at(pct, 4), 6).alias("p95"),
+    )
+
+
+@q(
+    "small_quantity_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey,
+             cast(sum(cast(l_quantity as decimal(18,2))) as double) / count(*) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS total_price,
+           count(*) AS n_items
+    FROM lineitem li JOIN pa ON li.l_partkey = pa.l_partkey
+    WHERE li.l_quantity < 0.5 * pa.avg_qty
+    """,
+    "analytics",
+)
+def q_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17-style correlated scalar subquery, decorrelated: per-part
+    average quantity joined back onto lineitem (the aggregated side is
+    small — broadcast — so the fact table is scanned once, no shuffle
+    join). Decimal sums make the threshold bit-exact across engines."""
+    li = load(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(pa.withColumnRenamed("l_partkey", "pk")), F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 # Non-SQL-expressible operators: declared without oracle (driver records
 # a rows-only check). These exercise the Python/Arrow boundary.
 

@@ -69,30 +69,81 @@ def exact_dedup(df: DataFrame, id_col: str, content_col: str) -> DataFrame:
     )
 
 
+def posting_list_pairs(
+    keyed: DataFrame,
+    key_cols: list[str],
+    id_col: str = "id",
+    *,
+    max_list_size: int | None = None,
+) -> DataFrame:
+    """(bucket-key, id) rows -> co-bucketed id pairs (id_a < id_b), via
+    inverted posting lists instead of a self-join.
+
+    One shuffle on the bucket key builds sorted posting lists; pair
+    enumeration is a per-list array expression — no broadcast build, no
+    second scan of the input, and the join-side recomputation of the
+    (often expensive) bucket expression disappears. Output has one row
+    per (bucket, pair) occurrence — callers dedupe or count as needed.
+    At 100 TB the hot-bucket skew lives in ``size(ids)``; cap it there
+    (see ``max_df`` in :func:`ngram_jaccard_pairs`) rather than salting
+    a self-join.
+    """
+    posting = (
+        keyed.groupBy(*key_cols)
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    if max_list_size is not None:
+        posting = posting.filter(F.size("ids") <= max_list_size)
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return posting.select(*key_cols, F.explode(pairs).alias("p")).select(
+        *key_cols, "p.id_a", "p.id_b"
+    )
+
+
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, *, k: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via an inverted shingle index.
 
-    Plan shape: explode shingles -> hash-join on shingle (pairs meet only
-    on shared shingles) -> count co-occurrences -> Jaccard filter.
-    At scale, prune hot shingles (document-frequency cap) before the
-    self-join; here the full exact computation is the oracle baseline.
+    Plan shape: explode shingles -> posting list per shingle (one
+    shuffle) -> enumerate co-occurrence pairs per list -> count -> exact
+    Jaccard against per-doc set sizes (computed WITHOUT a shuffle —
+    ``size(shingles)`` per row — and broadcast).
+
+    ``max_df`` is the scale knob: drop shingles appearing in more than
+    that many documents before pair enumeration (a shingle in f docs
+    yields f^2/2 pairs — the classic inverted-index hot-key blowup).
+    Stop-shingles carry almost no similarity signal, but the result is
+    then a lower bound on the true overlap; None (default) stays exact.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    co = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("overlap"))
+    pair_occ = posting_list_pairs(sh, ["shingle"], max_list_size=max_df)
+    co = pair_occ.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("overlap"))
+    sizes = df.select(
+        F.col(id_col).alias("id"),
+        F.size(word_shingles(F.col(text_col), k)).alias("n_shingles"),
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    sa = F.broadcast(sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na")))
+    sb = F.broadcast(sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb")))
     return (
         co.join(sa, "id_a")
         .join(sb, "id_b")
@@ -177,16 +228,9 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    a = bands.alias("a")
-    b = bands.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        posting_list_pairs(bands, ["band", "bucket"])
+        .select("id_a", "id_b")
         .distinct()
     )
 
@@ -226,53 +270,63 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 60) -> Dat
 def simhash_near_pairs(
     df: DataFrame, id_col: str, text_col: str, *, bits: int = 60, max_hamming: int = 8
 ) -> DataFrame:
-    """Near-duplicate pairs by SimHash hamming distance.
+    """Near-duplicate pairs by SimHash hamming distance (exact output:
+    ALL pairs with hamming <= max_hamming).
 
-    Baseline implementation joins all pairs (fine at oracle scale); the
-    scale path blocks on signature chunks (pigeonhole: any pair within
-    hamming d shares at least one of d+1 chunks), turning the join into
-    an equi-join on (chunk_idx, chunk_value).
+    Blocking: split the signature into c = max_hamming//2 + 1 wide
+    chunks; by pigeonhole some chunk of a qualifying pair differs in
+    <= floor(max_hamming/c) = 1 bit, so one side additionally emits
+    every 1-bit-flip variant of each chunk and the candidate join is a
+    plain equi-join on (chunk_idx, value). Wide chunks (12 bits -> 4096
+    values) keep buckets fine-grained where the naive d+1-narrow-chunk
+    scheme (6 bits -> 64 values) degenerates into a handful of huge
+    buckets whose pairwise blowup exceeds brute force. Any complete
+    blocking yields the same final pairs, so the verification filter —
+    not the blocking — defines the result.
     """
     sigs = simhash(df, id_col, text_col, bits=bits)
-    n_chunks = max_hamming + 1
+    n_chunks = max_hamming // 2 + 1
+    while bits % n_chunks:  # need equal-width chunks covering all bits
+        n_chunks += 1
     chunk_bits = bits // n_chunks
-    chunks = sigs.select(
+    assert max_hamming // n_chunks <= 1
+
+    def chunk_val(c: int) -> Column:
+        return F.shiftrightunsigned(F.col("simhash"), c * chunk_bits).bitwiseAND(
+            F.lit((1 << chunk_bits) - 1)
+        )
+
+    exact = sigs.select(
         "id",
         "simhash",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(c).alias("chunk_idx"),
-                        F.shiftrightunsigned(F.col("simhash"), c * chunk_bits)
-                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-                        .alias("chunk_val"),
-                    )
+                    F.struct(F.lit(c).alias("chunk_idx"), chunk_val(c).alias("v"))
                     for c in range(n_chunks)
                 ]
             )
         ).alias("ch"),
-    ).select("id", "simhash", "ch.chunk_idx", "ch.chunk_val")
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
-        )
-        .distinct()
+    ).select("id", "simhash", "ch.chunk_idx", "ch.v")
+    flips = [F.col("v")] + [
+        F.col("v").bitwiseXOR(F.lit(1 << b)) for b in range(chunk_bits)
+    ]
+    variants = exact.select(
+        F.col("id").alias("va_id"),
+        F.col("simhash").alias("va_sig"),
+        "chunk_idx",
+        F.explode(F.array(*flips)).alias("v"),
     )
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    cand = variants.join(exact, ["chunk_idx", "v"]).filter(
+        F.col("va_id") != F.col("id")
+    )
+    ham = F.bit_count(F.col("va_sig").bitwiseXOR(F.col("simhash")))
     return (
-        cand.withColumn("hamming", ham)
+        cand.select(
+            F.least("va_id", "id").alias("id_a"),
+            F.greatest("va_id", "id").alias("id_b"),
+            ham.alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )

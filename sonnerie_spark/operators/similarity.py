@@ -122,6 +122,147 @@ def lsh_sign_buckets(
     )
 
 
+def ivf_centroid_data(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 8,
+) -> tuple[list[list[float]], list[int]]:
+    """Deterministic IVF coarse centroids: the vectors with the
+    ``num_centroids`` smallest ids. A real deployment would k-means these;
+    determinism matters more here (cross-engine oracle), and the
+    query-path mechanics (assign, probe, list-restricted search) are
+    identical either way. Driver-side collect of C rows — centroids are
+    dimension data, like the LSH plane matrix."""
+    rows = (
+        df.filter(F.col(id_col) < num_centroids)
+        .select(
+            F.col(id_col).cast("int").alias("cid"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
+        .orderBy("cid")
+        .collect()
+    )
+    return [list(r.cv) for r in rows], [r.cid for r in rows]
+
+
+def ivf_assign(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF list assignment: each vector -> its nearest centroid (max
+    cosine, ties to the lowest centroid id).
+
+    The argmax is a per-row fold over the broadcast centroid matrix —
+    **no shuffle, no join explosion**: at 100 TB this is a map-only pass
+    (the write-time partitioning step; queries then read one list).
+    Struct comparison does the argmax: max of (cosine, -centroid_id).
+    """
+    spark = df.sparkSession
+    cvs, cids = ivf_centroid_data(
+        df, id_col=id_col, vec_col=vec_col, num_centroids=num_centroids
+    )
+    cents = spark.createDataFrame(
+        [(cvs, cids)], "cents array<array<double>>, cids array<int>"
+    )
+    v = F.col(vec_col)
+    scored = F.zip_with(
+        F.col("cents"),
+        F.col("cids"),
+        lambda c, i: F.struct(
+            F.round(cosine(v, c), round_digits).alias("cos"),
+            (-i).cast("int").alias("negid"),
+        ),
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(-2.0).alias("cos"), F.lit(-(2**31 - 1)).cast("int").alias("negid")
+        ),
+        lambda acc, s: F.greatest(acc, s),
+    )
+    return df.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col).alias("id"),
+        (-best["negid"]).cast("int").alias("centroid_id"),
+        best["cos"].alias("centroid_cosine"),
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF approximate top-k: search only the ``nprobe`` most promising
+    inverted lists per probe instead of the whole corpus.
+
+    Plan shape (the scale story): corpus assignment is the map-only fold
+    above; the probe->centroid ranking touches P x C rows (tiny); the
+    candidate join is an equi-join on ``centroid_id`` with the probe side
+    broadcast — the corpus is scanned once and only ~nprobe/C of it
+    reaches the exact-cosine ranking window.
+    """
+    assigned = ivf_assign(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        num_centroids=num_centroids,
+        round_digits=round_digits,
+    ).join(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("cand_vec")),
+        "id",
+    )
+
+    spark = corpus.sparkSession
+    cvs, cids = ivf_centroid_data(
+        corpus, id_col=id_col, vec_col=vec_col, num_centroids=num_centroids
+    )
+    cent_rows = spark.createDataFrame(
+        list(zip(cids, cvs)), "cid int, cv array<double>"
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    pc_w = Window.partitionBy("probe_id").orderBy(
+        F.desc("c_cos"), F.asc("cid")
+    )
+    probe_cents = (
+        p.crossJoin(F.broadcast(cent_rows))
+        .withColumn(
+            "c_cos", F.round(cosine(F.col("probe_vec"), F.col("cv")), round_digits)
+        )
+        .withColumn("crank", F.row_number().over(pc_w))
+        .filter(F.col("crank") <= nprobe)
+        .select("probe_id", "probe_vec", F.col("cid").alias("p_centroid_id"))
+    )
+
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        assigned.join(
+            F.broadcast(probe_cents),
+            (F.col("centroid_id") == F.col("p_centroid_id"))
+            & (F.col("id") != F.col("probe_id")),
+        )
+        .withColumn(
+            "cosine", F.round(cosine(F.col("probe_vec"), F.col("cand_vec")), round_digits)
+        )
+        .select("probe_id", F.col("id").alias("cand_id"), "cosine")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_ann_pairs(
     df: DataFrame,
     *,

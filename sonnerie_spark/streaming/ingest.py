@@ -83,6 +83,45 @@ def stream_text_ingest(
     )
 
 
+def stateful_running_stats(
+    records: DataFrame,
+    *,
+    key_col: str = "key",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-key cumulative count/sum
+    maintained ACROSS micro-batches with ``applyInPandasWithState``.
+
+    The reference has no stateful streaming at all (SURVEY §2.2
+    Streaming) — its 'state' is the LSM itself, recomputed at read. This
+    is the Spark-native alternative: state lives in the state store
+    (checkpointed, partitioned by key, sized by #distinct keys not by
+    history length), and each micro-batch emits the updated running
+    totals for the keys it touched. Arrow-batched per group; pick
+    ``update`` output mode so the sink sees one row per touched key per
+    batch.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"key": [key[0]], "n": [n], "total": [total]})
+
+    return records.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType="key string, n long, total double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_counts(
     records: DataFrame,
     *,

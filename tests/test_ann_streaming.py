@@ -1,0 +1,137 @@
+"""IVF ANN operator tests (metamorphic: full probing == brute force)
+and the stateful streaming running-stats operator."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sonnerie_spark.operators import dedup, similarity
+from sonnerie_spark.streaming.ingest import stateful_running_stats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_ivf_assign_is_argmax_cosine(spark, emb):
+    """Each vector's assigned centroid is the true max-cosine centroid
+    (ties to lowest id) — checked against an explicit cross-join argmax."""
+    got = {r.id: (r.centroid_id, r.centroid_cosine) for r in
+           similarity.ivf_assign(emb, num_centroids=4).collect()}
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    brute = (
+        emb.crossJoin(cents)
+        .select(
+            "vec_id",
+            "cid",
+            F.round(similarity.cosine(F.col("embedding"), F.col("ce")), 6).alias("cos"),
+        )
+        .collect()
+    )
+    best = {}
+    for r in brute:
+        cur = best.get(r.vec_id)
+        if cur is None or (r.cos, -r.cid) > (cur[1], -cur[0]):
+            best[r.vec_id] = (r.cid, r.cos)
+    assert got == best
+
+
+def test_ivf_full_probe_equals_brute_force(spark, emb):
+    """With nprobe == num_centroids every list is searched, so IVF must
+    return exactly the brute-force top-k (same rounding, same ties)."""
+    probes = emb.filter(F.col("vec_id") < 3)
+    ivf = similarity.ivf_topk(emb, probes, num_centroids=4, nprobe=4, k=3)
+    brute = similarity.cosine_topk(emb, probes, k=3)
+    key = lambda r: (r.probe_id, r.rank)
+    assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, brute.collect()))
+
+
+def test_ivf_partial_probe_is_subset(spark, emb):
+    """nprobe < C results are a subset of each probe's searched lists —
+    every returned candidate must be assigned to a probed centroid."""
+    probes = emb.filter(F.col("vec_id") < 3)
+    out = similarity.ivf_topk(emb, probes, num_centroids=4, nprobe=2, k=3).collect()
+    assigned = {r.id: r.centroid_id for r in
+                similarity.ivf_assign(emb, num_centroids=4).collect()}
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    pc = (
+        probes.crossJoin(cents)
+        .select(
+            "vec_id",
+            "cid",
+            F.round(similarity.cosine(F.col("embedding"), F.col("ce")), 6).alias("cos"),
+        )
+        .collect()
+    )
+    by_probe = {}
+    for r in pc:
+        by_probe.setdefault(r.vec_id, []).append((-r.cos, r.cid))
+    probed = {p: {cid for _, cid in sorted(v)[:2]} for p, v in by_probe.items()}
+    for r in out:
+        assert assigned[r.cand_id] in probed[r.probe_id]
+
+
+def test_ngram_jaccard_max_df_cap_is_monotone(spark):
+    """The hot-shingle cap only removes overlap evidence: capped overlap
+    <= exact, and with a cap above the max document frequency the result
+    is identical to the exact computation."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    exact = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.22)
+    loose = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.22, max_df=10**9
+    )
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, loose.collect()))
+    capped = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.0, max_df=5
+    )
+    e = {(r.id_a, r.id_b): r.jaccard for r in
+         dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.0).collect()}
+    for r in capped.collect():
+        assert r.jaccard <= e[(r.id_a, r.id_b)] + 1e-9
+
+
+def test_stateful_running_stats_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state across micro-batches:
+    totals accumulate, and each batch emits only the keys it touched."""
+    inp = tmp_path / "in"
+    inp.mkdir()
+    (inp / "b1.txt").write_text("a 1\na 2\nb 3\n")
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(inp))
+    )
+    parts = F.split(F.col("value"), " ")
+    records = lines.select(
+        parts.getItem(0).alias("key"), parts.getItem(1).cast("double").alias("value")
+    )
+    out = stateful_running_stats(records)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_stats")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (inp / "b2.txt").write_text("a 4\nc 5\n")
+        q.processAllAvailable()
+        rows = spark.sql("select * from running_stats").collect()
+        # final state per key = max-n row (n is monotone per key)
+        final = {}
+        for r in rows:
+            if r.key not in final or r.n > final[r.key][0]:
+                final[r.key] = (r.n, r.total)
+        assert final == {"a": (3, 7.0), "b": (1, 3.0), "c": (1, 5.0)}
+        # batch 2 re-emitted 'a' with cumulative totals (state survived)
+        assert sum(1 for r in rows if r.key == "a") == 2
+    finally:
+        q.stop()
