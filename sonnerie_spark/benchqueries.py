@@ -1104,6 +1104,82 @@ def q_embedding_neardup_pairs(spark, sf_dir):
     )
 
 
+@q(
+    "cube_type_day",
+    """
+    SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) AS n
+    FROM events
+    GROUP BY CUBE(event_type, day)
+    """,
+    "analytics",
+)
+def q_cube_type_day(spark, sf_dir):
+    """CUBE grouping sets: all 4 margin combinations of (type, day) in
+    one pass — Spark expands to a single shuffle with grouping-id."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd")
+    )
+    return ev.cube("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "set_intersect_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    "analytics",
+)
+def q_set_intersect_users(spark, sf_dir):
+    """Set intersection: users who both signed up and purchased."""
+    ev = load(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return signups.intersect(buys)
+
+
+@q(
+    "label_centroids",
+    """
+    SELECT label, pos,
+           cast(sum(q) as double) / (count(*) * 16777216.0) AS mean_v,
+           count(*) AS n
+    FROM (
+      SELECT label, u.pos AS pos,
+             cast(floor(cast(u.v as double) * 16777216) as bigint) AS q
+      FROM (
+        SELECT label,
+               unnest(list_transform(range(len(embedding)),
+                      i -> struct_pack(pos := i, v := embedding[i + 1]))) AS u
+        FROM embeddings
+      )
+    )
+    GROUP BY label, pos
+    """,
+    "data",
+)
+def q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroid (the k-means update step of a real
+    IVF trainer): posexplode to (label, dim, value) and hash-aggregate —
+    the 100 TB shape for vector averaging (narrow shuffle rows,
+    map-side partials; no whole-vector fold on a single node). Values
+    are quantized to 2^-24 fixed point (floor, power-of-two scaling is
+    exact on doubles) so the integer sums — and hence the means — are
+    order-independent and bit-identical across engines."""
+    emb = load(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn(
+        "q", F.floor(F.col("v").cast("double") * (1 << 24)).cast("long")
+    )
+    return flat.groupBy("label", "pos").agg(
+        (F.sum("q").cast("double") / (F.count(F.lit(1)) * float(1 << 24))).alias("mean_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 _IVF_ASSIGN_SQL = f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
