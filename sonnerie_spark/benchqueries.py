@@ -1180,6 +1180,191 @@ def q_label_centroids(spark, sf_dir):
     )
 
 
+@q(
+    "anti_join_no_orders",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+    "analytics",
+)
+def q_anti_join_no_orders(spark, sf_dir):
+    """Anti join (NOT EXISTS): customers with no urgent order. The
+    priority filter is pushed below the join to the orders scan;
+    shuffled-hash anti join on the key — at 100 TB both sides partition
+    on o_custkey/c_custkey so the probe is local per partition, no
+    broadcast needed and no row explosion (anti joins emit at most the
+    left side)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@q(
+    "semi_join_priority",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+    GROUP BY o_orderpriority
+    """,
+    "analytics",
+)
+def q_semi_join_priority(spark, sf_dir):
+    """Semi join (EXISTS) + aggregation — TPC-H Q4 shape: priority
+    counts for orders having at least one heavy lineitem. The quantity
+    filter is pushed to the lineitem scan BEFORE the join (Catalyst does
+    this from the declarative plan), so the semi join probes a fraction
+    of the fact table; semi joins also stop at first match, never
+    duplicating orders rows."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@q(
+    "wordcount_top_terms",
+    """
+    SELECT term, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+    WHERE term <> ''
+    GROUP BY term
+    ORDER BY n DESC, term
+    LIMIT 100
+    """,
+    "data",
+)
+def q_wordcount_top_terms(spark, sf_dir):
+    """Global term-frequency top-k over the corpus (the vocabulary-build
+    step of a tokenizer-training pipeline). explode -> hash agg gets
+    map-side partial counts, so the shuffle carries one row per distinct
+    term per partition, not one per token; the final top-100 is a
+    TakeOrdered (per-partition heap + driver merge), never a global
+    sort. Tie-broken on term for a deterministic LIMIT."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(100)
+    )
+
+
+@q(
+    "salted_top_users",
+    """
+    SELECT user_id, count(*) AS n_events,
+           cast(sum(cast(value as decimal(18,2))) as double) AS sum_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY n_events DESC, user_id
+    LIMIT 50
+    """,
+    "analytics",
+)
+def q_salted_top_users(spark, sf_dir):
+    """Skew-resistant two-phase aggregation: pre-aggregate on
+    (user_id, salt) so a hot user's rows split across 16 reducers, then
+    merge the partials on user_id alone. The result is exactly GROUP BY
+    user_id (counts and decimal sums are associative), but no single
+    reducer ever sees all of a hot key — the manual form of what AQE
+    skew-join handles for joins. Salt is derived from event_id, not
+    rand(), so the query stays deterministic and retry-safe."""
+    ev = load(spark, sf_dir, "events")
+    partial = (
+        ev.withColumn("salt", F.pmod(F.col("event_id"), F.lit(16)))
+        .groupBy("user_id", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(_dec("value")).alias("psum"),
+        )
+    )
+    return (
+        partial.groupBy("user_id")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.sum("psum").cast("double").alias("sum_value"),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(50)
+    )
+
+
+@q(
+    "histogram_order_totals",
+    """
+    SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                WHEN o_totalprice >= 600000.0 THEN 13
+                ELSE cast(floor(o_totalprice / 50000.0) as bigint) + 1 END AS bucket,
+           count(*) AS n
+    FROM orders
+    GROUP BY bucket
+    """,
+    "analytics",
+)
+def q_histogram_order_totals(spark, sf_dir):
+    """Fixed-bin histogram of order totals via width_bucket — the fully
+    parallel binning shape (map-side bucket id + hash agg; 12 groups,
+    so the shuffle is 12 rows per partition). Contrast with ntile: a
+    global-rank decile needs a total order (single-partition window);
+    fixed or quantile-estimated boundaries keep the plan embarrassingly
+    parallel at 100 TB."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(12)).alias(
+            "bucket"
+        )
+    ).groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "series_direction_changes",
+    """
+    SELECT key,
+           count(*) FILTER (WHERE value > prev) AS n_up,
+           count(*) FILTER (WHERE value < prev) AS n_down
+    FROM (
+      SELECT key, value,
+             lag(value) OVER (PARTITION BY key ORDER BY ts_us, event_id) AS prev
+      FROM (""" + SERIES_SQL + """)
+    )
+    WHERE prev IS NOT NULL
+    GROUP BY key
+    """,
+    "analytics",
+)
+def q_series_direction_changes(spark, sf_dir):
+    """lag()-based per-series movement counts (rises/falls between
+    consecutive samples). One shuffle on key for the window; counts are
+    integers so the result is exact. The (ts_us, event_id) ordering
+    tie-break makes lag deterministic under equal timestamps."""
+    w = Window.partitionBy("key").orderBy("ts_us", "event_id")
+    s = series(spark, sf_dir).withColumn("prev", F.lag("value").over(w))
+    return (
+        s.filter(F.col("prev").isNotNull())
+        .groupBy("key")
+        .agg(
+            F.count(F.when(F.col("value") > F.col("prev"), 1)).alias("n_up"),
+            F.count(F.when(F.col("value") < F.col("prev"), 1)).alias("n_down"),
+        )
+    )
+
+
 _IVF_ASSIGN_SQL = f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
