@@ -122,6 +122,40 @@ def stateful_running_stats(
     )
 
 
+def session_windows(
+    records: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-key session windows: a session extends while successive
+    records arrive within ``gap`` of each other and closes after a quiet
+    period (``F.session_window`` — dynamic-length windows, unlike the
+    fixed tumbling windows of :func:`windowed_counts`).
+
+    State is one open session per key, merged as late rows arrive and
+    finalized by the watermark; works identically on a batch DataFrame
+    (the batch form is the ``sessionize`` operator in
+    operators/timeseries.py, which uses a lag/cumsum window instead —
+    two expressions of the same semantics, streaming-safe vs
+    batch-optimal).
+    """
+    with_time = records.withColumn(
+        "ts_utc", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+    return (
+        with_time.withWatermark("ts_utc", watermark)
+        .groupBy(F.session_window("ts_utc", gap).alias("win"), F.col("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "key",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n",
+        )
+    )
+
+
 def windowed_counts(
     records: DataFrame,
     *,

@@ -8,7 +8,12 @@ import pytest
 
 from sonnerie_spark.db import Database
 from sonnerie_spark.serve import make_server
-from sonnerie_spark.streaming.ingest import parse_lines, stream_text_ingest, windowed_counts
+from sonnerie_spark.streaming.ingest import (
+    parse_lines,
+    session_windows,
+    stream_text_ingest,
+    windowed_counts,
+)
 
 
 @pytest.fixture()
@@ -54,6 +59,26 @@ def test_windowed_counts_batch_semantics(spark, db):
         ("k", "1970-01-01T00:00:00"): 2,
         ("k", "1970-01-01T01:00:00"): 1,
         ("k", "1970-01-01T02:00:00"): 1,
+    }
+
+
+def test_session_windows_batch_semantics(spark, db):
+    tx = db.create_tx()
+    m = 60 * 10**9  # one minute in ns
+    # key k: two bursts separated by >30min; key j: one record
+    for ts in [0, 5 * m, 10 * m, 60 * m, 62 * m]:
+        tx.add_record("k", ts, "u", [1])
+    tx.add_record("j", 0, "u", [2])
+    tx.commit()
+    out = session_windows(db.read(), gap="30 minutes")
+    got = {
+        (r.key, r.session_start.isoformat(), r.session_end.isoformat()): r.n
+        for r in out.collect()
+    }
+    assert got == {
+        ("k", "1970-01-01T00:00:00", "1970-01-01T00:40:00"): 3,
+        ("k", "1970-01-01T01:00:00", "1970-01-01T01:32:00"): 2,
+        ("j", "1970-01-01T00:00:00", "1970-01-01T00:30:00"): 1,
     }
 
 
