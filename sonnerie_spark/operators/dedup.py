@@ -132,34 +132,34 @@ def ngram_jaccard_pairs(
     Stop-shingles carry almost no similarity signal, but the result is
     then a lower bound on the true overlap; None (default) stays exact.
 
-    Single-pass: each doc's shingle-set size rides through the posting
-    list as part of a struct id, so the (expensive) shingle expression
-    is evaluated once and the per-doc sizes need no second scan and no
-    join-back — the +8 bytes per shuffle row is far cheaper than
-    re-tokenizing the corpus.
+    The pair-occurrence stream is the quadratic hot path, so it carries
+    ONLY two 8-byte ids per row; per-doc set sizes are joined back as
+    broadcasts AFTER the co-occurrence count has collapsed the data.
+    (Measured: threading the sizes through the enumeration as struct
+    ids fattens the exploding intermediate ~2x and loses far more than
+    the second tokenization pass costs.)
     """
-    pre = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), k).alias("sh")
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
     )
-    sh = pre.select(
-        F.struct(F.col("id"), F.size("sh").alias("n")).alias("idn"),
-        F.explode("sh").alias("shingle"),
-    )
-    pair_occ = posting_list_pairs(sh, ["shingle"], id_col="idn", max_list_size=max_df)
+    pair_occ = posting_list_pairs(sh, ["shingle"], max_list_size=max_df)
     co = pair_occ.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("overlap"))
+    sizes = df.select(
+        F.col(id_col).alias("id"),
+        F.size(word_shingles(F.col(text_col), k)).alias("n_shingles"),
+    )
+    sa = F.broadcast(sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na")))
+    sb = F.broadcast(sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb")))
     return (
-        co.withColumn(
+        co.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
             "jaccard",
-            F.round(
-                F.col("overlap")
-                / (F.col("id_a.n") + F.col("id_b.n") - F.col("overlap")),
-                6,
-            ),
+            F.round(F.col("overlap") / (F.col("na") + F.col("nb") - F.col("overlap")), 6),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select(
-            F.col("id_a.id").alias("id_a"), F.col("id_b.id").alias("id_b"), "jaccard"
-        )
+        .select("id_a", "id_b", "jaccard")
     )
 
 

@@ -48,7 +48,10 @@ def get_spark(app_name: str = "sonnerie_spark", shuffle_partitions: int | None =
         # nanosecond longs (exactly the engine's ts model) instead of
         # failing — Spark TimestampType is only µs precision
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        # 30g, NOT 32g: a >=32 GiB heap silently disables JVM compressed
+        # oops (doubles object-pointer width) — measured ~2x on the
+        # shuffle-heavy operators here.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "30g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
