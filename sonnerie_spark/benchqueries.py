@@ -495,32 +495,35 @@ def q_resample_1h(spark, sf_dir):
 @q(
     "sessionize",
     """
-    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+    WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
     flagged AS (
-      SELECT user_id, ts_us,
+      SELECT user_id, ts_us, event_id,
              CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
                   WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
                   ELSE 0 END AS new_sess
-      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
     ),
     sess AS (
       SELECT user_id, ts_us,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+             cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) as bigint) AS session_id
       FROM flagged
     )
-    SELECT user_id, session_id, count(*) AS n_events,
+    SELECT user_id, session_id, cast(count(*) as bigint) AS n_events,
            max(ts_us) - min(ts_us) AS duration_us
     FROM sess GROUP BY user_id, session_id
     """,
     "analytics",
 )
 def q_sessionize(spark, sf_dir):
-    """Sessionization (30 min gap): lag + running sum, one shuffle."""
+    """Sessionization (30 min gap): lag + running sum, one shuffle.
+
+    Window order carries an event_id tie-break so session assignment is
+    deterministic even when two events share a truncated-us timestamp."""
     ev = load(spark, sf_dir, "events").select(
-        "user_id", F.expr("ts div 1000").alias("ts_us")
+        "user_id", F.expr("ts div 1000").alias("ts_us"), "event_id"
     )
-    w = Window.partitionBy("user_id").orderBy("ts_us")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     flagged = ev.withColumn(
         "new_sess",
         F.when(F.lag("ts_us").over(w).isNull(), 1)
@@ -656,11 +659,11 @@ def q_rollup_daily(spark, sf_dir):
     "pivot_user_events",
     """
     SELECT user_id,
-           count_if(event_type = 'click') AS n_click,
-           count_if(event_type = 'view') AS n_view,
-           count_if(event_type = 'purchase') AS n_purchase,
-           count_if(event_type = 'signup') AS n_signup,
-           count_if(event_type = 'error') AS n_error
+           cast(count_if(event_type = 'click') as bigint) AS n_click,
+           cast(count_if(event_type = 'view') as bigint) AS n_view,
+           cast(count_if(event_type = 'purchase') as bigint) AS n_purchase,
+           cast(count_if(event_type = 'signup') as bigint) AS n_signup,
+           cast(count_if(event_type = 'error') as bigint) AS n_error
     FROM events GROUP BY user_id
     """,
     "analytics",
@@ -805,12 +808,12 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     th AS (SELECT doc_id, {phash_sql("tok")} AS h FROM tok),
     bitsum AS (
       SELECT doc_id, b,
-             sum(case when (h >> b) & 1 = 1 then 1 else -1 end) AS s
+             cast(sum(case when (h >> b) & 1 = 1 then 1 else -1 end) as bigint) AS s
       FROM th CROSS JOIN (SELECT unnest(range(60)) AS b)
       GROUP BY doc_id, b
     )
     SELECT doc_id AS id,
-           sum(case when s > 0 then 1::bigint << b else 0 end) AS simhash
+           cast(sum(case when s > 0 then 1::bigint << b else 0 end) as bigint) AS simhash
     FROM bitsum GROUP BY doc_id
     """,
     "data",
@@ -913,15 +916,20 @@ def q_text_lang_id(spark, sf_dir):
     f"""
     WITH sh AS ({shingles_sql(5)}),
     h AS (SELECT doc_id, {phash_sql("shingle")} AS hv FROM sh)
-    SELECT doc_id AS id, (list_sort(list(hv)))[1:4] AS fingerprint
+    SELECT doc_id AS id,
+           array_to_string((list_sort(list(hv)))[1:4], ',') AS fingerprint
     FROM h GROUP BY doc_id
     """,
     "data",
 )
 def q_doc_fingerprint(spark, sf_dir):
-    """Winnowing-style fingerprint: 4 smallest distinct 5-gram hashes."""
+    """Winnowing-style fingerprint: 4 smallest distinct 5-gram hashes.
+
+    Emitted as a comma-joined string (not array<long>) so the driver's
+    pandas-based canonicalizer can hash the column."""
     docs = load_par(spark, sf_dir, "documents")
-    return textops.fingerprint(docs, "doc_id", "text", k=5, n_mins=4)
+    out = textops.fingerprint(docs, "doc_id", "text", k=5, n_mins=4)
+    return out.select("id", F.concat_ws(",", "fingerprint").alias("fingerprint"))
 
 
 _DOT_SQL = (
@@ -1039,12 +1047,13 @@ def q_by_key_gaps(spark, sf_dir):
     th AS (SELECT doc_id, {phash_sql("tok")} AS h FROM tok),
     bitsum AS (
       SELECT doc_id, b,
-             sum(case when (h >> b) & 1 = 1 then 1 else -1 end) AS s
+             cast(sum(case when (h >> b) & 1 = 1 then 1 else -1 end) as bigint) AS s
       FROM th CROSS JOIN (SELECT unnest(range(60)) AS b)
       GROUP BY doc_id, b
     ),
     sig AS (
-      SELECT doc_id, sum(case when s > 0 then 1::bigint << b else 0 end) AS simhash
+      SELECT doc_id,
+             cast(sum(case when s > 0 then 1::bigint << b else 0 end) as bigint) AS simhash
       FROM bitsum GROUP BY doc_id
     ),
     chunks AS (
