@@ -389,6 +389,13 @@ class Database:
         ``transform``: a ``DataFrame -> DataFrame`` callable applied to
         the merged stream — the Spark-native gegnum (main.rs:429-477);
         for subprocess parity see ``cli.gegnum_pipe``.
+
+        Like the reference (main.rs:407-499, batch limit
+        database_reader.rs:24), compaction loops in batches of
+        ``max_runs`` until at most one data run remains (minor) or a
+        single ``main`` holds everything (major). A user-supplied
+        ``transform`` is applied exactly once, on the final pass, so
+        gegnum semantics hold even when batching loops first.
         """
         lock = os.path.join(self.path, ".compact")
         lock_fd = os.open(lock, os.O_CREAT | os.O_RDWR)
@@ -396,23 +403,60 @@ class Database:
             import fcntl
 
             fcntl.flock(lock_fd, fcntl.LOCK_EX)
-            return self._compact_locked(major=major, transform=transform, max_runs=max_runs)
+            max_runs = max(2, int(max_runs))  # a 1-run batch cannot make progress
+            last = None
+            while True:
+                n_tx_data = len(
+                    [r for r in self.data_runs() if r.name != "main"]
+                )
+                if n_tx_data > max_runs:
+                    # Reduce tx-run count with plain minor batches first;
+                    # the transform / major merge happens on the last pass.
+                    last = self._compact_locked(
+                        major=False, transform=None, max_runs=max_runs
+                    )
+                    if last is None:
+                        break
+                    continue
+                final_pass = self._compact_locked(
+                    major=major, transform=transform, max_runs=max_runs
+                )
+                return final_pass if final_pass is not None else last
         finally:
             os.close(lock_fd)
+        return last
 
     def _compact_locked(self, *, major, transform, max_runs):
+        """One compaction pass over at most ``max_runs`` tx runs.
+
+        Delete-marker runs are purged only on *major* compaction: a minor
+        pass applies markers to the merged tx subset (with txid scoping,
+        so younger records are untouched) but must keep the marker files
+        on disk — records still living in ``main`` are older than the
+        marker and remain suppressed by it at read time
+        (lib.rs _purge_compacted_files removes delete txes on major only).
+        """
         all_runs = self.runs()
         if major:
             merged_runs = all_runs
+            data = [r for r in merged_runs if not r.is_delete]
+            dels = [r for r in merged_runs if r.is_delete]
         else:
-            merged_runs = [r for r in all_runs if r.name != "main"][:max_runs]
-        data = [r for r in merged_runs if not r.is_delete]
-        dels = [r for r in merged_runs if r.is_delete]
-        if not data and not dels:
-            return None
+            # Oldest ``max_runs`` tx data runs; markers are applied (txid
+            # scoping keeps them off younger records) but never purged —
+            # this is required: a merged run takes the *newest* merged
+            # name, so un-applied markers older than that name would stop
+            # matching the merged records at read time.
+            data = [
+                r for r in all_runs if r.name != "main" and not r.is_delete
+            ][:max_runs]
+            dels = [r for r in all_runs if r.is_delete]
+            merged_runs = data
+        if not data:
+            return None  # nothing to merge (deletes-only DBs stay as-is)
 
         # Build the merged view of exactly the runs being compacted.
-        sub = _SubsetView(self, data, dels if major else dels)
+        sub = _SubsetView(self, data, dels)
         df = sub.read()
         if transform is not None:
             df = transform(df)
@@ -430,20 +474,20 @@ class Database:
 
         if major:
             target_name = "main"
+            purge = [r.path for r in merged_runs]
         else:
-            target_name = merged_runs[-1].name  # newest compacted name
+            # Name the result after the newest merged *data* run and keep
+            # delete-marker runs on disk until major compaction.
+            target_name = data[-1].name
+            purge = [r.path for r in data]
         # Swap: remove replaced runs, rename result into place
         # (lib.rs:173-210 _purge_compacted_files semantics).
         final = os.path.join(self.path, target_name)
-        purge = [r.path for r in merged_runs]
         if major and os.path.exists(final) and final not in purge:
             purge.append(final)
         for p in purge:
             if os.path.exists(p):
                 shutil.rmtree(p)
-        # minor compaction keeps delete markers alive: re-target their
-        # names stay untouched because we only purged *merged* runs; for
-        # minor we purposely did NOT purge delete markers unless major.
         os.rename(tmp, final)
         return target_name
 

@@ -181,6 +181,66 @@ def test_compact_minor_keeps_main_and_markers(db):
     assert after == before
 
 
+def test_minor_compact_does_not_resurrect_main_deletes(db):
+    """A delete marker targeting records in `main` must survive minor
+    compaction — purging it after applying it only to the tx subset
+    would resurrect the deleted `main` records (the reference purges
+    delete txes on major compaction only, lib.rs _purge_compacted_files)."""
+    tx = db.create_tx()
+    tx.add_record("victim", 0, "u", [1])
+    tx.add_record("keeper", 0, "u", [2])
+    tx.commit()
+    db.compact(major=True)  # victim+keeper now live in `main`
+    db.commit_deletes([{"wildcard": "victim%"}])
+    tx2 = db.create_tx()
+    tx2.add_record("newer", 0, "u", [3])
+    tx2.commit()
+    tx3 = db.create_tx()
+    tx3.add_record("newer2", 0, "u", [4])
+    tx3.commit()
+    assert {r.key for r in db.read().collect()} == {"keeper", "newer", "newer2"}
+    db.compact(major=False)
+    # marker run must still be on disk and still suppress `main`'s victim
+    assert any(r.is_delete for r in db.runs())
+    assert {r.key for r in db.read().collect()} == {"keeper", "newer", "newer2"}
+    # major compaction bakes the delete in and purges the marker
+    db.compact(major=True)
+    assert not any(r.is_delete for r in db.runs())
+    assert {r.key for r in db.read().collect()} == {"keeper", "newer", "newer2"}
+
+
+def test_minor_compact_marker_older_than_merged_name(db):
+    """Marker older than the newest merged tx: merged records take the
+    newest name, so the marker must be applied during the merge (baked
+    in) or older-run records would escape it after renaming."""
+    tx = db.create_tx()
+    tx.add_record("old", 0, "u", [1])
+    tx.commit()
+    db.commit_deletes([{"wildcard": "old%"}])
+    tx2 = db.create_tx()
+    tx2.add_record("new", 0, "u", [2])
+    tx2.commit()
+    assert {r.key for r in db.read().collect()} == {"new"}
+    db.compact(major=False)
+    assert {r.key for r in db.read().collect()} == {"new"}
+
+
+def test_compact_loops_until_one_run(db):
+    """5 runs with max_runs=2 must still converge to a single data run
+    (reference loops compaction batches, main.rs:407-499)."""
+    for batch in range(5):
+        tx = db.create_tx()
+        tx.add_record("k", batch, "u", [batch])
+        tx.commit()
+    before = sorted((r.ts, r.v_long[0]) for r in db.read().collect())
+    db.compact(major=False, max_runs=2)
+    assert len(db.data_runs()) == 1
+    assert sorted((r.ts, r.v_long[0]) for r in db.read().collect()) == before
+    db.compact(major=True, max_runs=2)
+    assert [r.name for r in db.runs()] == ["main"]
+    assert sorted((r.ts, r.v_long[0]) for r in db.read().collect()) == before
+
+
 def test_compact_transform_gegnum(db):
     tx = db.create_tx()
     tx.add_record("good", 0, "u", [1])
