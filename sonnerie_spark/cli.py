@@ -30,7 +30,7 @@ import os
 import sys
 
 from sonnerie_spark import rowformat
-from sonnerie_spark.db import MAX_TS, MIN_TS, Database
+from sonnerie_spark.db import MAX_TS, MIN_TS, Database, Transaction
 from sonnerie_spark.session import get_spark
 
 
@@ -118,7 +118,10 @@ def cmd_add(db: Database, args) -> int:
         if rows:
             db.commit_rows(rows)
         return 0
-    tx = db.create_tx()
+    # Sorted mode rejects out-of-order keys like the reference's writer
+    # (KeyOrderingViolation, write.rs:174-179) instead of silently
+    # re-sorting the input — unsorted input must opt in via --unsorted.
+    tx = Transaction(db, strict_order=True)
     for line in sys.stdin:
         if line.strip():
             tx.add_line(line, default_fmt=args.fmt)

@@ -47,7 +47,11 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from sonnerie_spark import rowformat
-from sonnerie_spark.plans.keyfilter import analyze_wildcard, prefix_upper_bound
+from sonnerie_spark.plans.keyfilter import (
+    analyze_wildcard,
+    prefix_upper_bound,
+    to_like_pattern,
+)
 
 RECORD_SCHEMA = T.StructType(
     [
@@ -176,7 +180,7 @@ class Database:
         # Recover the run (transaction) name from the file path, JVM-side.
         # Lexical order of run names == commit order (zero-padded hex).
         df = df.withColumn(
-            "_txname", F.regexp_extract(F.input_file_name(), r"/(main|tx\.[0-9a-f]{16})/", 1)
+            "_txname", F.regexp_extract(F.input_file_name(), r"/(main|tx\.[0-9a-f]{16})/[^/]+$", 1)
         )
 
         # Key predicates first: these push down to the Parquet scan.
@@ -241,7 +245,7 @@ class Database:
                 if m["last_key"]:
                     c = c & (F.col("key") < F.lit(m["last_key"]))
                 if m["wildcard"] and m["wildcard"] != "%":
-                    c = c & F.col("key").like(m["wildcard"])
+                    c = c & F.col("key").like(to_like_pattern(m["wildcard"]))
                 cond = cond | c
             return df.filter(~cond)
         # Fallback: broadcast anti-join on the non-equi delete condition.
@@ -253,7 +257,7 @@ class Database:
                     m["last_key"],
                     int(m["after_ns"]),
                     int(m["before_ns"]),
-                    m["wildcard"] or "%",
+                    to_like_pattern(m["wildcard"] or "%"),
                 )
                 for m in markers
             ],
@@ -308,6 +312,16 @@ class Database:
         import pyarrow.parquet as pq
 
         rows = sorted(rows, key=lambda r: (r["key"], r["ts"]))
+        # Duplicate (key, ts) within one transaction is an error — the
+        # reference's writer rejects non-increasing timestamps per key
+        # after the external sort (write.rs:181-197), which serve PUT
+        # relies on (sonnerie-serve.rs:114-186).
+        for prev, cur in zip(rows, rows[1:]):
+            if prev["key"] == cur["key"] and prev["ts"] == cur["ts"]:
+                raise DuplicateRecordError(
+                    f"duplicate (key, ts) within one transaction: "
+                    f"({cur['key']!r}, {cur['ts']})"
+                )
         arrow_schema = pa.schema(
             [
                 pa.field("key", pa.string(), False),
@@ -506,7 +520,7 @@ class _SubsetView:
             return spark.createDataFrame([], RECORD_SCHEMA)
         df = spark.read.schema(RECORD_SCHEMA).parquet(*[r.path for r in self.data])
         df = df.withColumn(
-            "_txname", F.regexp_extract(F.input_file_name(), r"/(main|tx\.[0-9a-f]{16})/", 1)
+            "_txname", F.regexp_extract(F.input_file_name(), r"/(main|tx\.[0-9a-f]{16})/[^/]+$", 1)
         )
         if len(self.data) > 1:
             df = _lww_dedup(df)

@@ -22,10 +22,21 @@ from dataclasses import dataclass
 class KeyFilter:
     """Analyzed wildcard: exact key, or prefix bounds + optional LIKE."""
 
-    pattern: str
+    pattern: str  # escaped for Spark LIKE ('_' and '\\' made literal)
     exact: str | None  # set when pattern has no '%'
     prefix: str  # fixed prefix before first '%' ('' = match all)
     needs_like: bool  # True when prefix alone is not sufficient
+
+
+def to_like_pattern(pattern: str) -> str:
+    """Sonnerie wildcard -> Spark LIKE pattern.
+
+    The reference treats only ``%`` as special (wildcard.rs as_regex
+    escapes everything else); Spark LIKE additionally treats ``_`` as a
+    single-char wildcard and ``\\`` as the escape char, so both must be
+    escaped or a pattern like ``user_1%`` silently over-matches.
+    """
+    return pattern.replace("\\", "\\\\").replace("_", "\\_")
 
 
 def analyze_wildcard(pattern: str) -> KeyFilter:
@@ -35,7 +46,7 @@ def analyze_wildcard(pattern: str) -> KeyFilter:
     prefix = pattern[:pct]
     # 'pre%' is fully covered by the prefix; 'pre%suf' / 'p%q%' needs LIKE
     needs_like = pct != len(pattern) - 1
-    return KeyFilter(pattern, exact=None, prefix=prefix, needs_like=needs_like)
+    return KeyFilter(to_like_pattern(pattern), exact=None, prefix=prefix, needs_like=needs_like)
 
 
 def prefix_upper_bound(prefix: str) -> str | None:

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import base64
 import math
+import struct
 from dataclasses import dataclass
 from datetime import datetime, timezone
 
@@ -131,6 +132,16 @@ def split_escaped(line: str) -> list[str]:
 # ---------------------------------------------------------------------------
 # value parse / print per type char
 
+def _to_f32(v: float) -> float:
+    """Round through IEEE-754 single precision.
+
+    The reference parses ``f`` columns as f32 and prints ``{:.17}`` of
+    the f32 (row_format.rs:266-294), so storing full f64 precision would
+    diverge on text round-trips (0.1 -> '0.10000000000000001' instead of
+    the reference's '0.10000000149011612')."""
+    return struct.unpack("f", struct.pack("f", v))[0]
+
+
 def _float_repr(v: float) -> str:
     """Fixed-point, 17 fractional digits — Rust's ``{:.17}`` exactly
     (row_format.rs:291, 321), so text dumps are byte-identical."""
@@ -158,9 +169,10 @@ def parse_value(ch: str, token: str):
         if token == "nan":
             return float("nan")
         try:
-            return float(token)
+            v = float(token)
         except ValueError as e:
             raise FormatError(f"bad float {token!r} for {ch!r}") from e
+        return _to_f32(v) if ch == "f" else v
     if ch == "s":
         return unescape(token)
     if ch == "B":
@@ -223,7 +235,7 @@ def values_to_columns(fmt: str, values: list) -> tuple[list[int], list[float], l
         if ch in LONG_CHARS:
             v_long.append(int(v))
         elif ch in DOUBLE_CHARS:
-            v_double.append(float(v))
+            v_double.append(_to_f32(float(v)) if ch == "f" else float(v))
         elif ch == "s":
             v_str.append(str(v))
         elif ch == "B":

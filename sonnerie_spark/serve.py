@@ -69,21 +69,30 @@ def make_server(db: Database, host: str = "127.0.0.1", port: int = 0) -> Threadi
             pattern = unquote(url.path.lstrip("/")) or "%"
             human = "human" in (url.query or "")
             cache.runs()  # refresh TTL listing (parity bookkeeping)
+            headers_sent = False
             try:
                 df = db.read_sorted(wildcard=pattern)
+                it = df.toLocalIterator(prefetchPartitions=True)
                 self.send_response(200)
                 self.send_header("Content-Type", "text/plain; charset=utf-8")
                 self.end_headers()
+                headers_sent = True
                 ts_style = "%F %T" if human else "nanos"
-                for row in df.toLocalIterator(prefetchPartitions=True):
+                for row in it:
                     line = record_to_line(row, ts_style=ts_style, show_fmt=False)
                     self.wfile.write(line.encode() + b"\n")
             except BrokenPipeError:
                 pass
-            except Exception as e:  # surface engine errors as 500 text
-                self.send_response(500)
-                self.end_headers()
-                self.wfile.write(str(e).encode())
+            except Exception as e:
+                if headers_sent:
+                    # 200 + headers already on the wire: a second status
+                    # line would corrupt the body — just drop the
+                    # connection so the client sees a truncated stream.
+                    self.close_connection = True
+                else:  # surface engine errors as 500 text
+                    self.send_response(500)
+                    self.end_headers()
+                    self.wfile.write(str(e).encode())
 
         def do_PUT(self):
             length = int(self.headers.get("Content-Length", 0))

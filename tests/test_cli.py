@@ -75,6 +75,16 @@ def test_unsorted_add(db):
     assert out.splitlines() == ["a\t1\t0", "b\t1\t1", "b\t2\t2"]
 
 
+def test_sorted_add_rejects_out_of_order_keys(db):
+    """`add` without --unsorted mirrors the reference's writer, which
+    errors on out-of-order keys (KeyOrderingViolation, write.rs:174-179)
+    instead of silently sorting."""
+    from sonnerie_spark.db import CommitError
+
+    with pytest.raises(CommitError, match="key ordering"):
+        run_cli(db, ["add", "--format", "u"], stdin="b 1000000000 1\na 1000000000 2\n")
+
+
 def test_key_and_time_bound_flags(db):
     stdin = "".join(f"k{i} {i}000000000 {i}\n" for i in range(1, 6))
     run_cli(db, ["add", "--format", "u"], stdin=stdin)

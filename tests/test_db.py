@@ -61,6 +61,20 @@ def test_wildcard_with_suffix(db):
     assert db.read(wildcard="pre_c_x").count() == 1  # exact (no %)
 
 
+def test_wildcard_underscore_is_literal(db):
+    """The reference treats only '%' as special (wildcard.rs); '_' must
+    not act as Spark LIKE's single-char wildcard in reads or deletes."""
+    tx = db.create_tx()
+    for k in ["user_1", "userX1", "user_2", "u_"]:
+        tx.add_record(k, T0, "u", [1])
+    tx.commit()
+    assert {r.key for r in db.read(wildcard="user_%").collect()} == {"user_1", "user_2"}
+    assert {r.key for r in db.read(wildcard="u_%").collect()} == {"u_"}
+    # delete with '_' in the wildcard must not over-delete userX1
+    db.commit_deletes([{"wildcard": "user_%"}])
+    assert {r.key for r in db.read().collect()} == {"userX1", "u_"}
+
+
 def test_time_order_violation(db):
     tx = db.create_tx()
     tx.add_record("k", T0 + 1, "u", [1])

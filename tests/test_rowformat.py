@@ -53,6 +53,18 @@ def test_float_print_precision():
     assert math.isnan(rf.parse_value("f", "nan"))
 
 
+def test_f32_parse_rounds_to_single_precision():
+    # 'f' parses as f32 and prints {:.17} of the f32 (row_format.rs:266-294):
+    # 0.1 stored as f32 is 0.100000001490116..., not f64's 0.100000000000000006
+    v = rf.parse_value("f", "0.1")
+    assert rf.print_value("f", v) == "0.10000000149011612"
+    assert rf.print_value("F", rf.parse_value("F", "0.1")) == "0.10000000000000001"
+    # values_to_columns applies the same rounding
+    _, v_double, _, _ = rf.values_to_columns("fF", [0.1, 0.1])
+    assert v_double[0] != v_double[1]
+    assert v_double[0] == v
+
+
 def test_escape_roundtrip():
     for s in ["Many words", "It's a cat!", "back\\slash", "tab\there", "a\nb", ""]:
         assert rf.unescape(rf.escape(s)) == s

@@ -115,3 +115,15 @@ def test_serve_put_parse_error_is_400(server, db):
         _put(server, "not-a-valid-line\n")
     assert ei.value.code == 400
     assert db.read().count() == 0
+
+
+def test_serve_put_duplicate_key_ts_is_400(server, db):
+    """Duplicate (key, ts) within one PUT request is rejected — the
+    reference's writer errors on non-increasing ts per key after the
+    external sort (write.rs:181-197)."""
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _put(server, "k 1000 u 1\nk 1000 u 2\n")
+    assert ei.value.code == 400
+    assert db.read().count() == 0
