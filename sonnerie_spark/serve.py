@@ -70,14 +70,23 @@ def make_server(db: Database, host: str = "127.0.0.1", port: int = 0) -> Threadi
             human = "human" in (url.query or "")
             cache.runs()  # refresh TTL listing (parity bookkeeping)
             headers_sent = False
+            ts_style = "%F %T" if human else "nanos"
             try:
-                df = db.read_sorted(wildcard=pattern)
-                it = df.toLocalIterator(prefetchPartitions=True)
+                if "%" not in pattern:
+                    # Exact-key GET: driver-side pyarrow point read — no
+                    # Spark job on the latency-critical path (the
+                    # reference's ~15 ms lookup, README.md:277-278).
+                    from types import SimpleNamespace
+
+                    rows = [SimpleNamespace(**r) for r in db.get(pattern)]
+                    it = iter(rows)
+                else:
+                    df = db.read_sorted(wildcard=pattern)
+                    it = df.toLocalIterator(prefetchPartitions=True)
                 self.send_response(200)
                 self.send_header("Content-Type", "text/plain; charset=utf-8")
                 self.end_headers()
                 headers_sent = True
-                ts_style = "%F %T" if human else "nanos"
                 for row in it:
                     line = record_to_line(row, ts_style=ts_style, show_fmt=False)
                     self.wfile.write(line.encode() + b"\n")

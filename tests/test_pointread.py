@@ -1,0 +1,92 @@
+"""Point-read fast path: must be indistinguishable from the Spark plan.
+
+Metamorphic suite in the reference's style (parallel-vs-serial
+equivalence, tests.rs:726-785): db.get(key) vs db.read(key=...) on a DB
+with multiple runs, LWW overwrites, delete markers, and compaction.
+"""
+
+import pytest
+
+from sonnerie_spark.db import Database
+
+T0 = 1577836800 * 10**9
+NS = 10**9
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    return Database(spark, str(tmp_path / "db"))
+
+
+def _spark_rows(db, key, **kw):
+    return [
+        (r.key, r.ts, r.fmt, r.v_long, r.v_double, r.v_str, r.v_bin)
+        for r in db.read_sorted(key=key, **kw).collect()
+    ]
+
+
+def _point_rows(db, key, **kw):
+    return [
+        (r["key"], r["ts"], r["fmt"], r["v_long"], r["v_double"], r["v_str"], r["v_bin"])
+        for r in db.get(key, **kw)
+    ]
+
+
+def _norm(rows):
+    # Spark returns None for empty arrays written as [] by pyarrow? both
+    # paths produce lists; compare with tuples for stability
+    return [tuple(tuple(c) if isinstance(c, list) else c for c in r) for r in rows]
+
+
+def _seed(db):
+    tx = db.create_tx()
+    for k in ["alpha", "beta", "under_score", "zeta"]:
+        for i in range(5):
+            tx.add_record(k, T0 + i * NS, "u", [i])
+    tx.commit()
+    # overwrite a few (key, ts) in a later run
+    tx2 = db.create_tx()
+    tx2.add_record("beta", T0 + 1 * NS, "u", [100])
+    tx2.add_record("beta", T0 + 10 * NS, "u", [110])
+    tx2.commit()
+    # delete a time slice of alpha and all of zeta
+    db.commit_deletes(
+        [
+            {"wildcard": "alpha", "after_ns": T0 + 1 * NS, "before_ns": T0 + 3 * NS},
+            {"wildcard": "zeta%"},
+        ]
+    )
+    # post-delete write survives (txid scoping)
+    tx3 = db.create_tx()
+    tx3.add_record("zeta", T0, "u", [42])
+    tx3.commit()
+
+
+@pytest.mark.parametrize("key", ["alpha", "beta", "under_score", "zeta", "missing"])
+def test_point_read_matches_spark_plan(db, key):
+    _seed(db)
+    assert _norm(_point_rows(db, key)) == _norm(_spark_rows(db, key))
+
+
+def test_point_read_time_bounds(db):
+    _seed(db)
+    kw = dict(after_ns=T0 + 1 * NS, before_ns=T0 + 4 * NS)
+    for key in ["alpha", "beta"]:
+        assert _norm(_point_rows(db, key, **kw)) == _norm(_spark_rows(db, key, **kw))
+
+
+def test_point_read_after_compaction_and_footer_cache(db):
+    _seed(db)
+    before = _norm(_point_rows(db, "beta"))  # warms the footer cache
+    db.compact(major=True)
+    after = _norm(_point_rows(db, "beta"))  # cache must notice replaced runs
+    assert after == before
+    assert _norm(_point_rows(db, "zeta")) == _norm(_spark_rows(db, "zeta"))
+
+
+def test_point_read_lww_values(db):
+    _seed(db)
+    vals = {r["ts"]: r["v_long"][0] for r in db.get("beta")}
+    assert vals[T0 + 1 * NS] == 100  # overwritten by the later run
+    assert vals[T0 + 10 * NS] == 110
+    assert vals[T0] == 0

@@ -70,6 +70,22 @@ def main() -> None:
     one = warm_df.count()
     print(f"key lookup (warm plan): {one} records in {(time.time()-t0)*1000:.0f}ms")
 
+    # Point-read fast path (pyarrow, no Spark job): the serve GET /
+    # exact-key CLI path. First call reads footers (cold), repeat calls
+    # hit the footer cache — this is the ~15 ms-class number to compare
+    # with the reference's mmap binary search (README.md:277-278).
+    t0 = time.time()
+    rows = db.get("key001234")
+    print(f"point read (cold footers): {len(rows)} records in {(time.time()-t0)*1000:.1f}ms")
+    t0 = time.time()
+    n_iters = 20
+    for _ in range(n_iters):
+        rows = db.get("key005678")
+    print(
+        f"point read (warm):         {len(rows)} records in "
+        f"{(time.time()-t0)*1000/n_iters:.1f}ms/lookup"
+    )
+
     t0 = time.time()
     agg = db.read().groupBy("key").agg(F.sum(F.element_at("v_long", 1))).count()
     t_agg = time.time() - t0
