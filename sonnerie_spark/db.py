@@ -318,20 +318,51 @@ class Database:
         and per-partition sorting makes Parquet stats tight.
         """
         df = df.select([F.col(f.name).cast(f.dataType) for f in RECORD_SCHEMA.fields])
-        if check_duplicates:
-            dup = df.groupBy("key", "ts").count().filter(F.col("count") > 1).take(1)
-            if dup:
-                r = dup[0]
+        out, obs = self._prepare_run(df, check_duplicates=check_duplicates)
+
+        def write(p):
+            out.write.mode("overwrite").option(
+                "parquet.block.size", ROW_GROUP_BYTES
+            ).parquet(p)
+            if obs is not None and obs.get["dups"]:
+                # Raising before _atomic_commit's rename discards the run.
                 raise DuplicateRecordError(
-                    f"duplicate (key, ts) within one transaction: ({r['key']!r}, {r['ts']})"
+                    f"duplicate (key, ts) within one transaction: "
+                    f"({obs.get['dup_key']!r}, {obs.get['dup_ts']})"
                 )
+
+        return self._atomic_commit(write)
+
+    def _prepare_run(self, df: DataFrame, *, check_duplicates: bool):
+        """Range-partition + in-partition sort for a run write; when
+        ``check_duplicates``, attach a zero-cost duplicate observation.
+
+        The duplicate check rides the sort pass: range partitioning keeps
+        each key on one partition and rows arrive (key, ts)-sorted, so a
+        ``lag`` window over that exact distribution detects duplicates
+        with NO extra exchange or job (the window's ClusteredDistribution
+        on ``key`` is satisfied by the range partitioning — asserted in
+        tests/test_plans.py). The verdict lands via ``df.observe``, read
+        after the write action but before the atomic rename.
+        """
+        from pyspark.sql import Observation, Window
+
         shuffle_parts = max(1, int(self.spark.conf.get("spark.sql.shuffle.partitions")))
         out = df.repartitionByRange(shuffle_parts, "key").sortWithinPartitions("key", "ts")
-        return self._atomic_commit(
-            lambda p: out.write.mode("overwrite")
-            .option("parquet.block.size", ROW_GROUP_BYTES)
-            .parquet(p)
+        if not check_duplicates:
+            return out, None
+        w = Window.partitionBy("key").orderBy("ts")
+        flagged = out.withColumn(
+            "_dup", (F.lag("ts").over(w) == F.col("ts")).cast("int")
         )
+        obs = Observation()
+        observed = flagged.observe(
+            obs,
+            F.sum("_dup").alias("dups"),
+            F.max(F.when(F.col("_dup") == 1, F.col("key"))).alias("dup_key"),
+            F.max(F.when(F.col("_dup") == 1, F.col("ts"))).alias("dup_ts"),
+        )
+        return observed.drop("_dup"), obs
 
     def commit_rows(self, rows: list[dict]) -> str:
         """Commit a driver-side row buffer as one run, without a Spark job.
@@ -412,7 +443,11 @@ class Database:
         this is the same commit protocol a minimal table format uses.
         """
         tmp = os.path.join(self.path, f".tmp-{os.getpid()}-{time.time_ns():x}")
-        write_fn(tmp)
+        try:
+            write_fn(tmp)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         while True:
             txname = f"tx.{time.time_ns():016x}"
             final = os.path.join(self.path, txname)
@@ -611,6 +646,7 @@ class Transaction:
 
     def add_record(self, key: str, ts: int, fmt: str, values: list) -> None:
         rowformat.validate_format(fmt)
+        rowformat.check_timestamp(ts)
         if self.strict_order:
             if self._last_key is not None and key < self._last_key:
                 raise CommitError(f"key ordering violation: {key!r} after {self._last_key!r}")

@@ -289,12 +289,30 @@ def get_typed(fmt: str, v_long, v_double, v_str, v_bin, col: int, want: str):
 NS_PER_SEC = 1_000_000_000
 
 
+#: Valid timestamp range in epoch nanoseconds. The reference stores u64
+#: nanos and documents "times between 1970 and 2554" (README.md:36); our
+#: records live in Spark/Parquet int64, so the upper bound is i64 max —
+#: 2262-04-11 — a documented narrowing of the reference's 2554.
+MAX_TS_NS = 2**63 - 1
+
+
+def check_timestamp(ts: int) -> int:
+    """Enforce the ingest-time timestamp range guard (README.md:36)."""
+    if not (0 <= ts <= MAX_TS_NS):
+        raise FormatError(
+            f"timestamp {ts} out of range [0, {MAX_TS_NS}] epoch-nanos"
+        )
+    return ts
+
+
 def parse_timestamp(text: str) -> int:
     """Parse a CLI timestamp: epoch-nanos integer, ISO date, or datetime."""
     try:
-        return int(text)
+        ts = int(text)
     except ValueError:
-        pass
+        ts = None
+    if ts is not None:
+        return check_timestamp(ts)
     t = text.strip().replace("T", " ")
     for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d %H:%M", "%Y-%m-%d"):
         try:

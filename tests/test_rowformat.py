@@ -173,3 +173,29 @@ try:
         assert float(rf.print_value("F", v)) == v
 except ImportError:  # pragma: no cover - hypothesis is in the image
     pass
+
+
+def test_timestamp_range_guard():
+    # reference README.md:36: valid times start at 1970; our upper bound
+    # is i64-nanos max (2262) rather than the reference's u64 2554
+    import pytest
+
+    from sonnerie_spark.rowformat import FormatError, MAX_TS_NS, parse_timestamp
+
+    assert parse_timestamp("0") == 0
+    assert parse_timestamp(str(MAX_TS_NS)) == MAX_TS_NS
+    with pytest.raises(FormatError):
+        parse_timestamp("-1")
+    with pytest.raises(FormatError):
+        parse_timestamp(str(MAX_TS_NS + 1))
+
+
+def test_add_record_rejects_out_of_range_ts(spark, tmp_path):
+    import pytest
+
+    from sonnerie_spark.db import Database
+    from sonnerie_spark.rowformat import FormatError
+
+    tx = Database(spark, str(tmp_path / "db")).create_tx()
+    with pytest.raises(FormatError):
+        tx.add_record("k", -5, "u", [1])
