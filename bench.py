@@ -50,6 +50,10 @@ def main() -> None:
     jvm_gc = spark.sparkContext._jvm.System.gc
     timings: dict[str, float] = {}
     for d in REGISTRY:
+        if d.gate_only:
+            # write-path roundtrips: correctness-gate only; ingest
+            # throughput is measured by tools/scale_smoke.py (SCALE.md)
+            continue
         d.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = float("inf")
         for _ in range(2):  # min of 2 timed runs: robust to JIT flukes

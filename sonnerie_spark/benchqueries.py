@@ -40,14 +40,18 @@ class QueryDef:
     spark: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # DuckDB SQL; None -> rows-only check
     group: str
+    # gate_only: correctness-gate entry excluded from bench.py timing —
+    # used for write-path roundtrips whose cost is ingest, not query;
+    # write throughput is measured in tools/scale_smoke.py (SCALE.md).
+    gate_only: bool = False
 
 
 REGISTRY: list[QueryDef] = []
 
 
-def q(name: str, oracle: str | None, group: str):
+def q(name: str, oracle: str | None, group: str, *, gate_only: bool = False):
     def deco(fn):
-        REGISTRY.append(QueryDef(name, fn, oracle, group))
+        REGISTRY.append(QueryDef(name, fn, oracle, group, gate_only))
         return fn
 
     return deco
@@ -1559,3 +1563,93 @@ def q_ann_lsh_buckets(spark, sf_dir):
     exact-cosine verification path is oracle-checked via embedding_topk."""
     emb = load_par(spark, sf_dir, "embeddings")
     return similarity.lsh_sign_buckets(emb, dim=64, num_planes=16)
+
+
+# ===========================================================================
+# Write-path roundtrip gate: LWW + delete txid scoping + compaction get a
+# DuckDB-oracle CORRECTNESS row (they are otherwise pytest-only because
+# the driver's testdata is read-only). The query builds a THROWAWAY
+# Database in a tempdir from the events table, exercises the full write
+# lifecycle, and returns the merged read; the oracle models the exact
+# same semantics relationally (write.rs / merge.rs / create_tx.rs).
+# ===========================================================================
+
+_WP_ORACLE = """
+WITH base AS (
+  SELECT event_type || '-' || lpad(cast(user_id AS varchar), 4, '0') AS key,
+         cast(event_id * 1000 AS bigint) AS ts,
+         value, event_type
+  FROM events
+),
+-- run2 overwrites every click row (LWW: later tx wins)
+run2 AS (SELECT key, ts, value + 1000 AS value FROM base WHERE event_type = 'click'),
+lww12 AS (
+  SELECT b.key, b.ts, coalesce(r2.value, b.value) AS value
+  FROM base b LEFT JOIN run2 r2 ON b.key = r2.key AND b.ts = r2.ts
+),
+-- delete marker: wildcard 'click%', ts < cut; applies only to earlier txes
+cut AS (SELECT (max(event_id) // 2) * 1000 AS v FROM events),
+afterdel AS (
+  SELECT * FROM lww12
+  WHERE NOT (key LIKE 'click%' AND ts < (SELECT v FROM cut))
+),
+-- run3 re-adds the deleted slice AFTER the marker: txid scoping keeps it
+run3 AS (
+  SELECT key, ts, cast(-1 AS double) AS value
+  FROM base WHERE event_type = 'click' AND ts < (SELECT v FROM cut)
+)
+SELECT key, ts, value FROM afterdel
+UNION ALL
+SELECT key, ts, value FROM run3
+"""
+
+
+@q("write_path_roundtrip", _WP_ORACLE, "parity", gate_only=True)
+def q_write_path_roundtrip(spark, sf_dir):
+    """O9/O10/O11/O14/O15 as one oracle-checked lifecycle: commit run1
+    (all events), run2 (click overwrite, +1000), a delete marker over
+    'click%' below the median ts, run3 re-adding the deleted slice
+    (value -1, survives via txid scoping), then MAJOR compaction — the
+    final read must equal the pre-compaction merge, so the oracle checks
+    compaction's marker application + purge too."""
+    import tempfile
+
+    from sonnerie_spark.db import Database
+
+    base = load(spark, sf_dir, "events").select(
+        F.concat_ws(
+            "-", F.col("event_type"), F.lpad(F.col("user_id").cast("string"), 4, "0")
+        ).alias("key"),
+        (F.col("event_id") * 1000).cast("long").alias("ts"),
+        F.col("value"),
+        F.col("event_type"),
+        F.col("event_id"),
+    )
+
+    def as_records(df):
+        return df.select(
+            "key",
+            "ts",
+            F.lit("F").alias("fmt"),
+            F.lit(None).cast("array<long>").alias("v_long"),
+            F.array(F.col("value")).alias("v_double"),
+            F.lit(None).cast("array<string>").alias("v_str"),
+            F.lit(None).cast("array<binary>").alias("v_bin"),
+        )
+
+    db = Database(spark, tempfile.mkdtemp(prefix="wp_gate_"))
+    db.commit_dataframe(as_records(base), check_duplicates=False)
+    run2 = base.filter(F.col("event_type") == "click").withColumn(
+        "value", F.col("value") + F.lit(1000.0)
+    )
+    db.commit_dataframe(as_records(run2), check_duplicates=False)
+    cut = (base.agg(F.max("event_id")).first()[0] // 2) * 1000
+    db.commit_deletes([{"wildcard": "click%", "before_ns": cut}])
+    run3 = base.filter(
+        (F.col("event_type") == "click") & (F.col("ts") < cut)
+    ).withColumn("value", F.lit(-1.0))
+    db.commit_dataframe(as_records(run3), check_duplicates=False)
+    db.compact(major=True)
+    return db.read_sorted().select(
+        "key", "ts", F.element_at("v_double", 1).alias("value")
+    )
