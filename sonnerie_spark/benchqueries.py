@@ -1653,3 +1653,75 @@ def q_write_path_roundtrip(spark, sf_dir):
     return db.read_sorted().select(
         "key", "ts", F.element_at("v_double", 1).alias("value")
     )
+
+
+# ===========================================================================
+# Deterministic sampling / splitting (training-pipeline operators):
+# content-stable hash assignment, reproducible bit-for-bit in the oracle.
+# ===========================================================================
+
+from sonnerie_spark.operators import sampling  # noqa: E402
+
+
+@q(
+    "train_test_split",
+    sampling.hash_split_sql("doc_id", train_pct=80, valid_pct=10)
+    + " FROM documents",
+    "data",
+)
+def q_train_test_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/valid/test split by id-hash bucket —
+    map-only, rerun-stable (adding docs never reassigns existing ones)."""
+    docs = load_par(spark, sf_dir, "documents")
+    return sampling.hash_split(docs, "doc_id", train_pct=80, valid_pct=10)
+
+
+@q(
+    "stratified_sample_lang",
+    sampling.stratified_sample_sql(
+        "documents", "lang", "doc_id", n_per_group=20
+    ),
+    "data",
+)
+def q_stratified_sample_lang(spark, sf_dir):
+    """Deterministic stratified sample: 20 docs per language by hash
+    rank (uniform but stable; one shuffle on the group key)."""
+    docs = load_par(spark, sf_dir, "documents")
+    return sampling.stratified_sample(docs, "lang", "doc_id", n_per_group=20)
+
+
+@q(
+    "neardup_keep_longest",
+    f"""
+    WITH sh AS ({shingles_sql(3)}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    co AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS overlap
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM co JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+      WHERE overlap / (sa.n + sb.n - overlap) >= 0.22
+    ),
+    lens AS (SELECT doc_id, n_chars FROM documents)
+    SELECT DISTINCT
+           CASE WHEN la.n_chars < lb.n_chars
+                  OR (la.n_chars = lb.n_chars AND id_a > id_b)
+                THEN id_a ELSE id_b END AS remove_id
+    FROM pairs JOIN lens la ON la.doc_id = id_a
+               JOIN lens lb ON lb.doc_id = id_b
+    """,
+    "data",
+)
+def q_neardup_keep_longest(spark, sf_dir):
+    """Quality-aware near-dup resolution: for each 3-gram-Jaccard pair,
+    drop the shorter doc (tie: larger id). Pair generation is the
+    bucketed posting-list path — no all-pairs join."""
+    docs = load_par(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.22)
+    return sampling.keep_longest_of_pairs(
+        docs, pairs.select("id_a", "id_b"), id_col="doc_id", len_col="n_chars"
+    )

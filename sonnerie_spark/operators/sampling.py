@@ -1,0 +1,135 @@
+"""Deterministic sampling / splitting operators for training-data pipelines.
+
+A 100 TB corpus is split and sampled by CONTENT-STABLE hashing, never by
+``rand()``: the assignment of a document must not depend on partitioning,
+row order, executor count, or rerun — otherwise a re-run of the pipeline
+leaks validation docs into train. Everything here derives from the
+portable 60-bit md5 hash (functions/portable_hash.py) so the DuckDB
+oracle can reproduce assignments bit-for-bit.
+
+All operators are pure Catalyst expressions (no UDFs): the hash is
+`conv(substr(md5(x),1,15),16,10)`, JVM-side and codegen-friendly, and
+the per-group top-n is one shuffle on the group key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from sonnerie_spark.functions.portable_hash import phash
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    *,
+    train_pct: int = 80,
+    valid_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/valid/test split by id-hash bucket.
+
+    bucket = phash(id) mod 100; train < train_pct <= valid <
+    train_pct+valid_pct <= test. Adding documents never reassigns an
+    existing one (the property random splits lack), and the split is a
+    map-only stage — no shuffle at any scale.
+    """
+    bucket = F.pmod(phash(F.col(id_col).cast("string")), F.lit(100))
+    return df.select(
+        F.col(id_col).alias("id"),
+        bucket.alias("bucket"),
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + valid_pct, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def hash_split_sql(id_expr: str, *, train_pct: int = 80, valid_pct: int = 10) -> str:
+    """DuckDB oracle fragment matching :func:`hash_split`."""
+    from sonnerie_spark.functions.portable_hash import phash_sql
+
+    b = f"{phash_sql(f'cast({id_expr} as varchar)')} % 100"
+    return f"""
+    SELECT {id_expr} AS id, {b} AS bucket,
+           CASE WHEN {b} < {train_pct} THEN 'train'
+                WHEN {b} < {train_pct + valid_pct} THEN 'valid'
+                ELSE 'test' END AS split
+    """
+
+
+def stratified_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    *,
+    n_per_group: int,
+) -> DataFrame:
+    """Deterministic stratified sample: the ``n_per_group`` smallest
+    id-hashes per group (hash order == uniform-random order, but stable).
+
+    One shuffle on the group key; the window is rank-limited so AQE/
+    codegen keep it a single pass. At 100 TB the group count (languages,
+    sources) is small relative to rows, so the shuffle is the unavoidable
+    minimum for any per-group guarantee; skewed groups split via AQE.
+    """
+    h = phash(F.col(id_col).cast("string"))
+    w = Window.partitionBy("grp").orderBy("h", "id")
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col).alias("id"),
+            h.alias("h"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n_per_group)
+        .select("grp", "id", "rk")
+    )
+
+
+def stratified_sample_sql(
+    table: str, group_expr: str, id_expr: str, *, n_per_group: int
+) -> str:
+    """DuckDB oracle fragment matching :func:`stratified_sample`."""
+    from sonnerie_spark.functions.portable_hash import phash_sql
+
+    h = phash_sql(f"cast({id_expr} as varchar)")
+    return f"""
+    SELECT grp, id, rk FROM (
+      SELECT {group_expr} AS grp, {id_expr} AS id,
+             row_number() OVER (PARTITION BY {group_expr}
+                                ORDER BY {h}, {id_expr}) AS rk
+      FROM {table}
+    ) WHERE rk <= {n_per_group}
+    """
+
+
+def keep_longest_of_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Quality-aware near-dup resolution: for every near-duplicate pair,
+    the shorter document loses (tie: the larger id loses). Returns the
+    distinct removal set.
+
+    ``pairs`` is any (id_a, id_b) near-dup pair stream (n-gram Jaccard,
+    MinHash-LSH, SimHash — all bucketed, no all-pairs join); this stage
+    adds two broadcast-size joins against the doc-length projection and
+    a distinct on the loser ids. Greedy pairwise resolution is the
+    standard scalable alternative to connected-components clustering
+    (which needs iteration); it never removes BOTH sides of a pair
+    chain's endpoints unless each lost some comparison.
+    """
+    lens = docs.select(F.col(id_col).alias("_id"), F.col(len_col).alias("_len"))
+    j = (
+        pairs.join(lens.withColumnRenamed("_id", "id_a").withColumnRenamed("_len", "len_a"), "id_a")
+        .join(lens.withColumnRenamed("_id", "id_b").withColumnRenamed("_len", "len_b"), "id_b")
+    )
+    loser = F.when(
+        (F.col("len_a") < F.col("len_b"))
+        | ((F.col("len_a") == F.col("len_b")) & (F.col("id_a") > F.col("id_b"))),
+        F.col("id_a"),
+    ).otherwise(F.col("id_b"))
+    return j.select(loser.alias("remove_id")).distinct()
