@@ -1,0 +1,71 @@
+"""Streaming tail source: committed runs become a record stream."""
+
+import time
+
+import pytest
+
+from sonnerie_spark.db import Database
+from sonnerie_spark.streaming.tail import tail_records
+
+T0 = 1577836800 * 10**9
+
+
+@pytest.fixture()
+def db(spark, tmp_path):
+    return Database(spark, str(tmp_path / "db"))
+
+
+def _commit(db, key, n, base=0):
+    tx = db.create_tx()
+    for i in range(n):
+        tx.add_record(key, T0 + (base + i) * 10**9, "u", [base + i])
+    tx.commit()
+
+
+def test_tail_emits_runs_as_they_commit(db, spark, tmp_path):
+    _commit(db, "alpha", 5)
+    q = (
+        tail_records(db)
+        .writeStream.format("memory")
+        .queryName("tail_sink")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("select count(*) from tail_sink").first()[0] == 5
+
+        # a new commit (and a delete marker, which must NOT be emitted)
+        _commit(db, "beta", 3, base=100)
+        db.commit_deletes([{"wildcard": "alpha", "before_ns": T0 + 2 * 10**9}])
+        q.processAllAvailable()
+        total = spark.sql("select count(*) from tail_sink").first()[0]
+        keys = {
+            r[0] for r in spark.sql("select distinct key from tail_sink").collect()
+        }
+        assert total == 8  # 5 alpha + 3 beta; no delete-marker rows
+        assert keys == {"alpha", "beta"}
+    finally:
+        q.stop()
+
+
+def test_tail_skip_existing(db, spark, tmp_path):
+    _commit(db, "old", 4)
+    time.sleep(1.1)  # modifiedAfter has second-level granularity headroom
+    stream = tail_records(db, include_existing=False)
+    _commit(db, "new", 2, base=50)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("tail_skip_sink")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        keys = {
+            r[0]
+            for r in spark.sql("select distinct key from tail_skip_sink").collect()
+        }
+        assert keys == {"new"}, keys
+    finally:
+        q.stop()
