@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     p_add = sub.add_parser("add", help="ingest text-protocol lines from stdin")
     p_add.add_argument("--format", dest="fmt", help="row format for all lines (omit = per-line fmt column)")
+    p_add.add_argument(
+        "--timestamp-format",
+        dest="ts_format",
+        help="parse timestamps with this strftime pattern instead of epoch-nanos",
+    )
     p_add.add_argument("--unsorted", action="store_true", help="accept unsorted input (external sort via Spark)")
 
     p_read = sub.add_parser("read", help="query records")
@@ -68,6 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
     p_cmp = sub.add_parser("compact", help="merge transaction runs")
     p_cmp.add_argument("--major", action="store_true")
     p_cmp.add_argument("--gegnum", metavar="CMD", help="filter the merged stream through a shell command")
+    p_cmp.add_argument(
+        "--timestamp-format",
+        dest="ts_format",
+        help="with --gegnum: pipe timestamps in this strftime pattern instead of epoch-nanos",
+    )
 
     p_dump = sub.add_parser("dump-run", help="debug: dump ONE run file, no merge/deletes (examples/get.rs)")
     p_dump.add_argument("run", help="run name, e.g. main or tx.<016x>")
@@ -105,7 +115,9 @@ def cmd_add(db: Database, args) -> int:
         # lines, sort at commit. Duplicate (key, ts) within the batch is
         # still an error (write.rs:181-197 rule).
         rows = [
-            rowformat.parse_line(line, default_fmt=args.fmt).as_row()
+            rowformat.parse_line(
+                line, default_fmt=args.fmt, ts_format=args.ts_format
+            ).as_row()
             for line in sys.stdin
             if line.strip()
         ]
@@ -124,7 +136,7 @@ def cmd_add(db: Database, args) -> int:
     tx = Transaction(db, strict_order=True)
     for line in sys.stdin:
         if line.strip():
-            tx.add_line(line, default_fmt=args.fmt)
+            tx.add_line(line, default_fmt=args.fmt, ts_format=args.ts_format)
     tx.commit()
     return 0
 
@@ -215,28 +227,32 @@ def cmd_delete(db: Database, args) -> int:
     return 0
 
 
-def gegnum_transform(cmd: str):
+def gegnum_transform(cmd: str, ts_format: str | None = None):
     """DataFrame transform piping records as text through a shell command.
 
     The distributed gegnum (O16): each key-range partition's sorted
-    records are dumped in the text protocol (nanos timestamps, explicit
-    fmt) to CMD's stdin; CMD's stdout lines are parsed back into
-    records. Works for any filter/map/rename pipeline (README.md:190-216
-    examples: grep -v, sed).
+    records are dumped in the text protocol (nanos timestamps by
+    default, or ``ts_format`` strftime — main.rs gegnum
+    --timestamp-format, printed AND re-parsed with it) to CMD's stdin;
+    CMD's stdout lines are parsed back into records. Works for any
+    filter/map/rename pipeline (README.md:190-216 examples: grep -v,
+    sed).
     """
     from sonnerie_spark.db import RECORD_SCHEMA
+
+    ts_style = ts_format if ts_format is not None else "nanos"
 
     def transform(df):
         def encode(rows):
             for row in rows:
-                yield record_to_line(row, ts_style="nanos", show_fmt=True)
+                yield record_to_line(row, ts_style=ts_style, show_fmt=True)
 
         piped = df.rdd.mapPartitions(encode).pipe(cmd)
 
         def decode(lines):
             for line in lines:
                 if line.strip():
-                    yield rowformat.parse_line(line).as_row()
+                    yield rowformat.parse_line(line, ts_format=ts_format).as_row()
 
         return df.sparkSession.createDataFrame(piped.mapPartitions(decode), RECORD_SCHEMA)
 
@@ -244,7 +260,7 @@ def gegnum_transform(cmd: str):
 
 
 def cmd_compact(db: Database, args) -> int:
-    transform = gegnum_transform(args.gegnum) if args.gegnum else None
+    transform = gegnum_transform(args.gegnum, args.ts_format) if args.gegnum else None
     db.compact(major=args.major, transform=transform)
     return 0
 

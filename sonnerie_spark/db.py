@@ -673,8 +673,13 @@ class Transaction:
             }
         )
 
-    def add_line(self, line: str, default_fmt: str | None = None) -> None:
-        rec = rowformat.parse_line(line, default_fmt)
+    def add_line(
+        self,
+        line: str,
+        default_fmt: str | None = None,
+        ts_format: str | None = None,
+    ) -> None:
+        rec = rowformat.parse_line(line, default_fmt, ts_format=ts_format)
         self.add_record(rec.key, rec.ts, rec.fmt, rowformat.columns_to_values(
             rec.fmt, rec.v_long, rec.v_double, rec.v_str, rec.v_bin
         ))

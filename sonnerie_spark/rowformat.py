@@ -341,13 +341,32 @@ def format_timestamp(ts_ns: int, style: str = "%F %T") -> str:
 # ---------------------------------------------------------------------------
 # line parse / print (formatted.rs:20-106, 108-198 semantics)
 
-def parse_line(line: str, default_fmt: str | None = None) -> ParsedRecord:
-    """Parse ``key ts [fmt] v1 v2 ...`` (fmt omitted iff default_fmt given)."""
+def parse_line(
+    line: str, default_fmt: str | None = None, ts_format: str | None = None
+) -> ParsedRecord:
+    """Parse ``key ts [fmt] v1 v2 ...`` (fmt omitted iff default_fmt given).
+
+    ``ts_format``: an explicit strftime pattern for the timestamp token
+    (CLI ``add --timestamp-format``, formatted.rs:39-47). Like the
+    reference, the timestamp is ONE whitespace-delimited token — escape
+    embedded spaces or use a space-free pattern.
+    """
     tokens = split_escaped(line.rstrip("\n"))
     if len(tokens) < 2:
         raise FormatError(f"short line {line!r}")
     key = unescape(tokens[0])
-    ts = parse_timestamp(tokens[1])
+    if ts_format is not None:
+        try:
+            dt = datetime.strptime(unescape(tokens[1]), ts_format).replace(
+                tzinfo=timezone.utc
+            )
+        except ValueError as e:
+            raise FormatError(f"timestamp {tokens[1]!r} != format {ts_format!r}: {e}")
+        ts = check_timestamp(
+            int(dt.timestamp()) * NS_PER_SEC + dt.microsecond * 1000
+        )
+    else:
+        ts = parse_timestamp(tokens[1])
     if default_fmt is None:
         if len(tokens) < 3:
             raise FormatError(f"line missing format: {line!r}")

@@ -137,3 +137,30 @@ def test_dump_run_single_transaction(db):
         sys.stdout = old
     # only the first run's record, raw (no merge with the second tx)
     assert out.splitlines() == ["a\t1000000000\tu\t1"]
+
+
+def test_add_with_timestamp_format(db):
+    # add --timestamp-format parses the ts token with strftime
+    # (formatted.rs:39-47); read renders it back with the default style
+    stdin = "k 2021-06-01 5\nk 2021-06-02 6\n"
+    run_cli(db, ["add", "--format", "u", "--timestamp-format", "%Y-%m-%d"], stdin=stdin)
+    out = run_cli(db, ["read", "k"])
+    assert out.splitlines() == [
+        "k\t2021-06-01 00:00:00\t5",
+        "k\t2021-06-02 00:00:00\t6",
+    ]
+    # a token that does not match the pattern is a hard error
+    with pytest.raises(Exception):
+        run_cli(db, ["add", "--format", "u", "--timestamp-format", "%Y-%m-%d"],
+                stdin="k notadate 1\n")
+
+
+def test_gegnum_with_timestamp_format(db):
+    run_cli(db, ["add", "--format", "u"],
+            stdin="a 1000000000 1\nb 2000000000 2\n")
+    # strftime-formatted timestamps survive the gegnum pipe: printed with
+    # the pattern, re-parsed with it (main.rs gegnum --timestamp-format)
+    run_cli(db, ["compact", "--major", "--gegnum", "grep -v ^b",
+                 "--timestamp-format", "%Y-%m-%dT%H:%M:%S"])
+    out = run_cli(db, ["read", "%", "--timestamp-nanos"])
+    assert out.splitlines() == ["a\t1000000000\t1"]
