@@ -115,12 +115,23 @@ def make_server(db: Database, host: str = "127.0.0.1", port: int = 0) -> Threadi
                 if rows:
                     db.commit_rows(rows)
                 cache.invalidate()
-                self.send_response(204)
+                # 201 + "ok", like the reference (sonnerie-serve.rs:193-203)
+                self.send_response(201)
+                self.send_header("Content-Type", "text/plain")
                 self.end_headers()
+                self.wfile.write(b"ok")
             except Exception as e:
                 self.send_response(400)
                 self.end_headers()
                 self.wfile.write(str(e).encode())
+
+        def _bad_method(self):
+            # any non-GET/PUT is a 400, as in sonnerie-serve.rs:91-96
+            self.send_response(400)
+            self.end_headers()
+            self.wfile.write(b"bad method")
+
+        do_POST = do_DELETE = do_PATCH = do_HEAD = _bad_method
 
     return ThreadingHTTPServer((host, port), Handler)
 

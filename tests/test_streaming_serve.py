@@ -99,7 +99,8 @@ def _put(base, body: str):
 def test_serve_put_get_roundtrip(server, db):
     # unsorted PUT is accepted and becomes one transaction
     resp = _put(server, "b 2000 u 2\na 1000 u 1\n")
-    assert resp.status == 204
+    assert resp.status == 201  # reference returns 201 "ok"
+    assert resp.read() == b"ok"
     assert len(db.data_runs()) == 1
     out = urllib.request.urlopen(server + "/%25").read().decode()
     assert out.splitlines() == ["a\t1000\t1", "b\t2000\t2"]
@@ -127,3 +128,15 @@ def test_serve_put_duplicate_key_ts_is_400(server, db):
         _put(server, "k 1000 u 1\nk 1000 u 2\n")
     assert ei.value.code == 400
     assert db.read().count() == 0
+
+
+def test_serve_rejects_other_methods(server):
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(server + "/", data=b"x", method="POST")
+    try:
+        urllib.request.urlopen(req)
+        raise AssertionError("POST accepted")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400  # sonnerie-serve.rs:91-96
