@@ -486,6 +486,7 @@ class Database:
             import fcntl
 
             fcntl.flock(lock_fd, fcntl.LOCK_EX)
+            self._purge_stale_tmp()
             max_runs = max(2, int(max_runs))  # a 1-run batch cannot make progress
             last = None
             while True:
@@ -508,6 +509,25 @@ class Database:
         finally:
             os.close(lock_fd)
         return last
+
+    # Leftover .tmp-* dirs older than this are crash debris (a live
+    # writer renames within its commit call; an hour-old tmp has no
+    # owner). Readers always ignore .tmp-*, so cleanup is cosmetic for
+    # correctness but keeps directory listings O(runs) after crashes.
+    STALE_TMP_SECONDS = 3600.0
+
+    def _purge_stale_tmp(self) -> None:
+        """Janitor for crashed commits; called under the compaction lock."""
+        now = time.time()
+        for name in os.listdir(self.path):
+            if not name.startswith(".tmp-"):
+                continue
+            p = os.path.join(self.path, name)
+            try:
+                if now - os.stat(p).st_mtime > self.STALE_TMP_SECONDS:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
 
     def _compact_locked(self, *, major, transform, max_runs):
         """One compaction pass over at most ``max_runs`` tx runs.

@@ -301,3 +301,54 @@ def test_run_files_sorted_by_key(db, spark):
     ranges.sort()
     for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
         assert a_hi <= b_lo  # non-overlapping across files
+
+
+def test_stale_tmp_dirs_ignored_and_purged(spark, tmp_path):
+    import os
+    import time as _time
+
+    db = Database(spark, str(tmp_path / "db"))
+    tx = db.create_tx()
+    tx.add_record("k", 1000, "u", [1])
+    tx.commit()
+
+    # crash debris: an old in-flight write and a fresh one
+    stale = os.path.join(db.path, ".tmp-999-deadbeef")
+    fresh = os.path.join(db.path, ".tmp-1000-cafe")
+    os.makedirs(stale)
+    os.makedirs(fresh)
+    old = _time.time() - 7200
+    os.utime(stale, (old, old))
+
+    # readers never see tmp dirs
+    assert all(not r.name.startswith(".tmp") for r in db.runs())
+    assert db.read().count() == 1
+
+    db.compact(major=True)
+    assert not os.path.exists(stale), "hour-old tmp debris must be purged"
+    assert os.path.exists(fresh), "recent tmp may belong to a live writer"
+
+
+def test_concurrent_commits_both_land(spark, tmp_path):
+    import threading
+
+    db = Database(spark, str(tmp_path / "db"))
+    errs = []
+
+    def commit(base):
+        try:
+            tx = db.create_tx()
+            for i in range(5):
+                tx.add_record(f"key{base+i:03d}", 1000 + i, "u", [base + i])
+            tx.commit()
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=commit, args=(b,)) for b in (0, 100)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert len(db.data_runs()) == 2
+    assert db.read().count() == 10
