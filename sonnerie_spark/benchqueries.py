@@ -1544,9 +1544,23 @@ def q_small_quantity_revenue(spark, sf_dir):
 # a rows-only check). These exercise the Python/Arrow boundary.
 
 
-@q("multimodal_decode_stub", None, "data")
+@q(
+    "multimodal_decode_stub",
+    """
+    SELECT doc_id AS media_id, 'image' AS kind,
+           cast(octet_length(encode(text)) AS bigint) AS n_bytes,
+           md5(text) AS digest,
+           cast(octet_length(encode(text)) % 64 + 1 AS int) AS width,
+           cast(octet_length(encode(text)) % 48 + 1 AS int) AS height
+    FROM documents
+    """,
+    "data",
+)
 def q_multimodal_decode(spark, sf_dir):
-    """mapInPandas decode pipeline (stub decoder): media -> features."""
+    """mapInPandas decode pipeline (stub decoder): media -> features.
+    The stub's metadata outputs (byte length, md5 digest, mod-derived
+    fake dimensions) are deterministic, so the Arrow plumbing gets a
+    full value-hash oracle despite the decode itself being a stub."""
     from sonnerie_spark.operators import multimodal
 
     docs = load_par(spark, sf_dir, "documents")
@@ -1556,11 +1570,37 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
-@q("ann_lsh_buckets", None, "data")
+def _lsh_buckets_oracle_sql(dim: int = 64, num_planes: int = 16) -> str:
+    """Bit-exact oracle for sign-LSH buckets: the plane weights are all
+    +/-1.0, so each dot product is an ordered sum of sign-flipped vector
+    elements -- IEEE-exact under the same left fold in both engines
+    (list_reduce mirrors F.aggregate's element order; the leading 0.0 in
+    Spark's fold is additive-identity-exact)."""
+    rows = similarity.hyperplane_matrix(dim, num_planes)
+    vals = ",\n      ".join(
+        f"({j}, [{','.join('1.0' if x > 0 else '-1.0' for x in row)}]::DOUBLE[])"
+        for j, row in enumerate(rows)
+    )
+    dot = _DOT_SQL.format(a="p.pl", b="v.e")
+    return f"""
+    WITH planes(j, pl) AS (VALUES {vals}),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    dots AS (
+      SELECT v.vec_id AS id, p.j, {dot} AS d
+      FROM v CROSS JOIN planes p
+    )
+    SELECT id,
+           cast(sum(CASE WHEN d >= 0 THEN power(2.0, j) ELSE 0.0 END) AS bigint)
+             AS bucket
+    FROM dots GROUP BY id
+    """
+
+
+@q("ann_lsh_buckets", _lsh_buckets_oracle_sql(), "data")
 def q_ann_lsh_buckets(spark, sf_dir):
-    """Sign-LSH bucketing of embeddings (16 hyperplanes). Bucket ids
-    depend on ordered float sums; declared rows-only to be safe, the
-    exact-cosine verification path is oracle-checked via embedding_topk."""
+    """Sign-LSH bucketing of embeddings (16 deterministic md5-seeded
+    hyperplanes). Oracle-checked bit-for-bit: +/-1 plane weights keep the
+    per-plane dot products IEEE-exact under the shared fold order."""
     emb = load_par(spark, sf_dir, "embeddings")
     return similarity.lsh_sign_buckets(emb, dim=64, num_planes=16)
 

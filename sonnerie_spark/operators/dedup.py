@@ -291,7 +291,11 @@ def simhash_near_pairs(
     blocking yields the same final pairs, so the verification filter —
     not the blocking — defines the result.
     """
-    sigs = simhash(df, id_col, text_col, bits=bits)
+    # Both join sides derive from the signatures; without a persist the
+    # expensive text->simhash fold runs twice (once per side — Spark has
+    # no common-subexpression reuse across join inputs). The persisted
+    # frame is 2 columns x n_docs, negligible vs the corpus.
+    sigs = simhash(df, id_col, text_col, bits=bits).persist()
     n_chunks = max_hamming // 2 + 1
     while bits % n_chunks:  # need equal-width chunks covering all bits
         n_chunks += 1
@@ -324,14 +328,17 @@ def simhash_near_pairs(
         "chunk_idx",
         F.explode(F.array(*flips)).alias("v"),
     )
+    # va_id < id (not !=): a qualifying pair's <=1-bit-differing chunk is
+    # found from EITHER side's flip set, so keeping only the ordered
+    # direction is still complete and halves the candidate stream.
     cand = variants.join(exact, ["chunk_idx", "v"]).filter(
-        F.col("va_id") != F.col("id")
+        F.col("va_id") < F.col("id")
     )
     ham = F.bit_count(F.col("va_sig").bitwiseXOR(F.col("simhash")))
     return (
         cand.select(
-            F.least("va_id", "id").alias("id_a"),
-            F.greatest("va_id", "id").alias("id_b"),
+            F.col("va_id").alias("id_a"),
+            F.col("id").alias("id_b"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
