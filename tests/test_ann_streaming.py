@@ -135,3 +135,23 @@ def test_stateful_running_stats_across_batches(spark, tmp_path):
         assert sum(1 for r in rows if r.key == "a") == 2
     finally:
         q.stop()
+
+
+def test_ivf_partial_probe_recall(spark, emb):
+    """Measured recall of the scale path: nprobe=2 of 4 IVF lists must
+    recover most of the true top-3 neighbors (quality evidence, not just
+    subset-correctness). Deterministic: data, centroids, and ordering
+    are all fixed."""
+    probes = emb.filter(F.col("vec_id") < 20)
+    truth = {
+        (r.probe_id, r.cand_id)
+        for r in similarity.cosine_topk(emb, probes, k=3).collect()
+    }
+    got = {
+        (r.probe_id, r.cand_id)
+        for r in similarity.ivf_topk(
+            emb, probes, num_centroids=4, nprobe=2, k=3
+        ).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.7, f"recall@3 {recall:.2f} with nprobe=2/4"
