@@ -212,6 +212,18 @@ class Database:
         """read() plus the reference's global (key, ts) output ordering."""
         return self.read(**kwargs).orderBy("key", "ts")
 
+    def create_view(self, name: str = "sonnerie", **read_kwargs) -> DataFrame:
+        """Register the merged view as a Spark temp view (SURVEY §7.7):
+        ``db.create_view("ts"); spark.sql("SELECT ... FROM ts")``.
+
+        The view captures the CURRENT run listing (Spark temp views are
+        plan snapshots, like the reference's 10 s reader cache) —
+        re-register after commits that must become visible.
+        """
+        df = self.read(**read_kwargs)
+        df.createOrReplaceTempView(name)
+        return df
+
     def get(
         self,
         key: str,

@@ -352,3 +352,16 @@ def test_concurrent_commits_both_land(spark, tmp_path):
     assert not errs
     assert len(db.data_runs()) == 2
     assert db.read().count() == 10
+
+
+def test_create_view_sql(spark, tmp_path):
+    db = Database(spark, str(tmp_path / "db"))
+    tx = db.create_tx()
+    for i in range(5):
+        tx.add_record("s", 1000 + i, "u", [i * 10])
+    tx.commit()
+    db.create_view("ts_view")
+    got = spark.sql(
+        "SELECT key, sum(element_at(v_long, 1)) AS total FROM ts_view GROUP BY key"
+    ).collect()
+    assert [(r.key, r.total) for r in got] == [("s", 100)]

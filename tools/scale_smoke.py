@@ -91,6 +91,30 @@ def main() -> None:
     t_agg = time.time() - t0
     print(f"per-key agg: {agg} series in {t_agg:.1f}s = {cnt/t_agg/1e6:.2f} M rec/s")
 
+    # Compaction throughput: overwrite 1% in a second run, then major
+    # compact (read-merge-rewrite of everything + marker purge) — the
+    # reference's `compact --major` full-rewrite analogue.
+    overwrite = (
+        spark.range(n // 100)
+        .select(
+            F.concat(
+                F.lit("key"), F.lpad((F.col("id") % n_keys).cast("string"), 6, "0")
+            ).alias("key"),
+            (F.col("id") / n_keys).cast("long").alias("ts"),
+            F.lit("u").alias("fmt"),
+            F.array(F.lit(-1).cast("long")).alias("v_long"),
+            F.lit(None).cast("array<double>").alias("v_double"),
+            F.lit(None).cast("array<string>").alias("v_str"),
+            F.lit(None).cast("array<binary>").alias("v_bin"),
+        )
+    )
+    db.commit_dataframe(overwrite, check_duplicates=False)
+    t0 = time.time()
+    db.compact(major=True)
+    t_cmp = time.time() - t0
+    print(f"major compaction: {n} records rewritten in {t_cmp:.1f}s = {n/t_cmp/1e6:.2f} M rec/s")
+    assert db.read().count() == cnt
+
     if len(sys.argv) <= 2:
         shutil.rmtree(db_dir)
 
