@@ -1765,3 +1765,81 @@ def q_neardup_keep_longest(spark, sf_dir):
     return sampling.keep_longest_of_pairs(
         docs, pairs.select("id_a", "id_b"), id_col="doc_id", len_col="n_chars"
     )
+
+
+@q(
+    "corpus_curation",
+    f"""
+    WITH f AS (
+      SELECT doc_id, lang, text,
+             string_split(trim(text), ' ') AS toks,
+             length(text) AS nc
+      FROM documents
+    ), g AS (
+      SELECT doc_id, lang, text, nc,
+             len(toks) AS n,
+             len(list_filter(toks, t -> t IN
+                 ('the','a','an','and','or','of','to','in','is','it'))) AS n_stop,
+             len(list_distinct(toks)) AS n_distinct
+      FROM f
+    ), scored AS (
+      SELECT doc_id, lang, text,
+             round(least(n / 100.0, 1.0) * 0.25
+                   + least(((nc - (n - 1)) / n) / 8.0, 1.0) * 0.25
+                   + (1.0 - least(n_stop / n * 2, 1.0)) * 0.25
+                   + n_distinct / n * 0.25, 6) AS quality_score
+      FROM g
+    ), filt AS (
+      SELECT * FROM scored WHERE quality_score >= 0.5 AND lang IN ('en','de','fr')
+    ), keep AS (
+      SELECT min(doc_id) AS doc_id FROM filt GROUP BY md5(text)
+    ), kept AS (
+      SELECT f.doc_id, f.lang, f.quality_score
+      FROM filt f JOIN keep k ON f.doc_id = k.doc_id
+    )
+    SELECT doc_id AS id, lang, quality_score,
+           {phash_sql("cast(doc_id as varchar)")} % 100 AS bucket,
+           CASE WHEN {phash_sql("cast(doc_id as varchar)")} % 100 < 80 THEN 'train'
+                WHEN {phash_sql("cast(doc_id as varchar)")} % 100 < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM kept
+    """,
+    "data",
+)
+def q_corpus_curation(spark, sf_dir):
+    """End-to-end corpus curation — the composite pipeline a training-
+    data run actually executes: quality gate -> language filter -> exact
+    dedup (keep lowest id per content digest) -> deterministic hash
+    split. One quality pass (pure Catalyst), one dedup aggregation, one
+    map-only split stage; the only shuffles are the dedup groupBy and
+    its join-back, both on content-hash/id keys that stay balanced at
+    any corpus size."""
+    docs = load_par(spark, sf_dir, "documents")
+    quality = textops.quality_score(docs, "doc_id", "text").select(
+        "id", "quality_score"
+    )
+    filt = (
+        docs.join(quality, docs.doc_id == quality.id)
+        .filter(
+            (F.col("quality_score") >= 0.5)
+            & F.col("lang").isin("en", "de", "fr")
+        )
+        .select("doc_id", "lang", "text", "quality_score")
+    )
+    keep = filt.groupBy(F.md5("text").alias("digest")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = filt.join(keep.select("doc_id"), "doc_id").select(
+        "doc_id", "lang", "quality_score"
+    )
+    bucket = F.pmod(phash(F.col("doc_id").cast("string")), F.lit(100))
+    return kept.select(
+        F.col("doc_id").alias("id"),
+        "lang",
+        "quality_score",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -212,6 +212,35 @@ class Database:
         """read() plus the reference's global (key, ts) output ordering."""
         return self.read(**kwargs).orderBy("key", "ts")
 
+    def export_bucketed(
+        self,
+        table: str,
+        *,
+        num_buckets: int = 64,
+        path: str | None = None,
+        **read_kwargs,
+    ) -> None:
+        """Materialize the merged view as a key-bucketed, key/ts-sorted
+        table for repeated by-key analytics.
+
+        Bucketing persists the hash partitioning in the catalog, so every
+        subsequent self-join / join-on-key / groupBy("key") over the
+        exported table runs with NO exchange (asserted in
+        tests/test_plans.py) — the 'reuse a partitioning across stages'
+        play at 100 TB, where one shuffle of the corpus costs more than
+        the export. The reference cannot express this; its analogue is
+        the key-never-split file layout that this generalizes.
+        """
+        w = (
+            self.read(**read_kwargs)
+            .write.bucketBy(num_buckets, "key")
+            .sortBy("key", "ts")
+            .mode("overwrite")
+        )
+        if path is not None:
+            w = w.option("path", path)
+        w.saveAsTable(table)
+
     def create_view(self, name: str = "sonnerie", **read_kwargs) -> DataFrame:
         """Register the merged view as a Spark temp view (SURVEY §7.7):
         ``db.create_view("ts"); spark.sql("SELECT ... FROM ts")``.

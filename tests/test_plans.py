@@ -108,3 +108,26 @@ def test_commit_duplicate_check_adds_no_exchange(spark, db):
     n_checked = plan_of(checked).count("Exchange")
     assert n_checked == n_unchecked == 1, plan_of(checked)
     assert "Window" in plan_of(checked)
+
+
+def test_bucketed_export_join_has_no_exchange(spark, db, tmp_path):
+    """export_bucketed persists the key hash-partitioning: a self-join
+    on key over the exported table must run with zero Exchange nodes
+    (the partitioning is reused across stages instead of reshuffled)."""
+    db.export_bucketed(
+        "bktest", num_buckets=4, path=str(tmp_path / "bktest")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the join must pick a partitioned strategy
+        # (on tiny data broadcast wins; at scale bucketing is the point)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t = spark.table("bktest")
+        joined = t.alias("a").join(t.alias("b"), "key").groupBy("key").count()
+        plan = plan_of(joined)
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bktest")
