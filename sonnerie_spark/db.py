@@ -625,15 +625,34 @@ class Database:
             # delete-marker runs on disk until major compaction.
             target_name = data[-1].name
             purge = [r.path for r in data]
-        # Swap: remove replaced runs, rename result into place
-        # (lib.rs:173-210 _purge_compacted_files semantics).
+        # Swap (lib.rs:173-210 _purge_compacted_files semantics), ordered
+        # for concurrent readers: rmtree of large runs takes seconds, so
+        # deleting in place would open long windows where a listing sees
+        # no data (purge-then-rename) or where stale delete markers
+        # re-suppress records that survived a major merge (rename-then-
+        # purge). Instead every replaced run is HIDDEN first via an O(1)
+        # rename to a ``.tmp-old-*`` name — invisible to readers, and
+        # reclaimed by the stale-tmp janitor if this process dies — so
+        # the whole visibility transition is a handful of renames; the
+        # expensive rmtrees happen after the new run is live. A reader
+        # that resolved its file list before the swap may still hit a
+        # removed path (Spark re-opens by path; the reference's POSIX
+        # mmap keeps unlinked files readable) — such readers re-plan,
+        # which the serve layer's TTL listing cache does automatically.
         final = os.path.join(self.path, target_name)
         if major and os.path.exists(final) and final not in purge:
             purge.append(final)
-        for p in purge:
+        hidden = []
+        for i, p in enumerate(purge):
             if os.path.exists(p):
-                shutil.rmtree(p)
+                h = os.path.join(
+                    self.path, f".tmp-old-{time.time_ns():016x}-{i}"
+                )
+                os.rename(p, h)
+                hidden.append(h)
         os.rename(tmp, final)
+        for h in hidden:
+            shutil.rmtree(h, ignore_errors=True)
         return target_name
 
 
