@@ -274,6 +274,32 @@ class Database:
             self._point_reader = PointReader(self)
         return self._point_reader.get(key, after_ns=after_ns, before_ns=before_ns)
 
+    def get_prefix(
+        self,
+        prefix: str,
+        *,
+        after_ns: int | None = None,
+        before_ns: int | None = None,
+        max_groups: int = 64,
+    ) -> list[dict] | None:
+        """Prefix-read fast path (``fib%``-style patterns): driver-side
+        pyarrow like :meth:`get`, bounded by row-group count — returns
+        ``None`` when the match is too large, signalling the caller to
+        use the distributed :meth:`read` plan instead."""
+        from sonnerie_spark.plans.keyfilter import prefix_upper_bound
+
+        if self._point_reader is None:
+            from sonnerie_spark.pointread import PointReader
+
+            self._point_reader = PointReader(self)
+        return self._point_reader.get_range(
+            prefix,
+            prefix_upper_bound(prefix),
+            after_ns=after_ns,
+            before_ns=before_ns,
+            max_groups=max_groups,
+        )
+
     def _apply_key_filter(self, df, key, wildcard, after_key, before_key):
         """Key predicates compose as an intersection — a wildcard and
         explicit range bounds may both be present (the reference's CLI

@@ -79,6 +79,18 @@ class _FileMeta:
         out.reverse()
         return out
 
+    def groups_for_range(self, lo: str, hi: str | None) -> list[int]:
+        """Row groups possibly containing keys in ``[lo, hi)``."""
+        if self.mins is None:
+            return list(range(self.pf.metadata.num_row_groups))
+        import bisect
+
+        # groups sorted by key: start at the first whose max >= lo, stop
+        # before the first whose min >= hi.
+        start = bisect.bisect_left(self.maxs, lo)
+        end = bisect.bisect_left(self.mins, hi) if hi is not None else len(self.mins)
+        return list(range(start, max(start, end)))
+
 
 class _RunFooters:
     """Cached Parquet footers for one immutable run directory."""
@@ -138,26 +150,74 @@ class PointReader:
         wins across runs (merge.rs:17-26) then delete-marker suppression
         with txid scoping (database_reader.rs:474-518).
         """
-        by_ts: dict[int, tuple[str, dict]] = {}  # ts -> (txname, row)
+        return self._merge(
+            lambda fm: fm.groups_for(key),
+            lambda tbl: tbl.filter(pc.equal(tbl.column("key"), key)),
+            after_ns=after_ns,
+            before_ns=before_ns,
+        )
+
+    def get_range(
+        self,
+        lo: str,
+        hi: str | None,
+        *,
+        after_ns: int | None = None,
+        before_ns: int | None = None,
+        max_groups: int = 64,
+    ) -> list[dict] | None:
+        """Surviving records with ``lo <= key < hi``, (key, ts)-ascending
+        — the prefix-wildcard fast path (e.g. serve GET ``fib%``).
+
+        Returns ``None`` when more than ``max_groups`` row groups match:
+        the result is then large enough that the distributed Spark plan
+        is the right tool, and the caller falls back to it. The cap
+        bounds driver memory AND keeps this path's latency in the
+        point-read class regardless of the pattern a client sends.
+        """
+        total = 0
+        for run in self.db.data_runs():
+            footers = self._run_footers(run)
+            if footers is None:
+                continue
+            for fm in footers.files:
+                total += len(fm.groups_for_range(lo, hi))
+                if total > max_groups:
+                    return None
+
+        def flt(tbl):
+            keep = pc.greater_equal(tbl.column("key"), lo)
+            if hi is not None:
+                keep = pc.and_(keep, pc.less(tbl.column("key"), hi))
+            return tbl.filter(keep)
+
+        return self._merge(
+            lambda fm: fm.groups_for_range(lo, hi),
+            flt,
+            after_ns=after_ns,
+            before_ns=before_ns,
+        )
+
+    def _merge(self, groups_fn, filter_fn, *, after_ns, before_ns) -> list[dict]:
+        by_kt: dict[tuple[str, int], tuple[str, dict]] = {}  # (key, ts) -> (txname, row)
         for run in self.db.data_runs():  # lexical order == commit order
             footers = self._run_footers(run)
             if footers is None:
                 continue
             for fm in footers.files:
-                groups = fm.groups_for(key)
+                groups = groups_fn(fm)
                 if not groups:
                     continue
-                tbl = fm.pf.read_row_groups(groups)
-                tbl = tbl.filter(pc.equal(tbl.column("key"), key))
+                tbl = filter_fn(fm.pf.read_row_groups(groups))
                 if tbl.num_rows == 0:
                     continue
                 for row in tbl.to_pylist():
                     # later runs overwrite: runs iterate in commit order
-                    by_ts[row["ts"]] = (run.name, row)
+                    by_kt[(row["key"], row["ts"])] = (run.name, row)
 
         markers = self.db.delete_markers()
         out = []
-        for ts, (txname, row) in by_ts.items():
+        for (key, ts), (txname, row) in by_kt.items():
             if after_ns is not None and ts < after_ns:
                 continue
             if before_ns is not None and ts >= before_ns:
@@ -165,7 +225,7 @@ class PointReader:
             if any(_marker_hits(m, txname, key, ts) for m in markers):
                 continue
             out.append(row)
-        out.sort(key=lambda r: r["ts"])
+        out.sort(key=lambda r: (r["key"], r["ts"]))
         return out
 
 

@@ -72,14 +72,23 @@ def make_server(db: Database, host: str = "127.0.0.1", port: int = 0) -> Threadi
             headers_sent = False
             ts_style = "%F %T" if human else "nanos"
             try:
-                if "%" not in pattern:
+                from types import SimpleNamespace
+
+                from sonnerie_spark.plans.keyfilter import analyze_wildcard
+
+                kf = analyze_wildcard(pattern)
+                rows = None
+                if kf.exact is not None:
                     # Exact-key GET: driver-side pyarrow point read — no
                     # Spark job on the latency-critical path (the
                     # reference's ~15 ms lookup, README.md:277-278).
-                    from types import SimpleNamespace
-
-                    rows = [SimpleNamespace(**r) for r in db.get(pattern)]
-                    it = iter(rows)
+                    rows = db.get(kf.exact)
+                elif kf.prefix and not kf.needs_like:
+                    # Pure-prefix GET ("fib%"): same fast path, bounded
+                    # by row-group count; None -> too large, use Spark.
+                    rows = db.get_prefix(kf.prefix)
+                if rows is not None:
+                    it = iter([SimpleNamespace(**r) for r in rows])
                 else:
                     df = db.read_sorted(wildcard=pattern)
                     it = df.toLocalIterator(prefetchPartitions=True)

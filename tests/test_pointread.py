@@ -90,3 +90,30 @@ def test_point_read_lww_values(db):
     assert vals[T0 + 1 * NS] == 100  # overwritten by the later run
     assert vals[T0 + 10 * NS] == 110
     assert vals[T0] == 0
+
+
+def test_prefix_read_matches_spark_plan(db):
+    _seed(db)
+
+    def _prefix_rows(prefix):
+        rows = db.get_prefix(prefix)
+        assert rows is not None
+        return [
+            (r["key"], r["ts"], r["fmt"], r["v_long"], r["v_double"], r["v_str"], r["v_bin"])
+            for r in rows
+        ]
+
+    def _spark_wild(pat):
+        return [
+            (r.key, r.ts, r.fmt, r.v_long, r.v_double, r.v_str, r.v_bin)
+            for r in db.read_sorted(wildcard=pat).collect()
+        ]
+
+    for prefix in ["a", "be", "z", "under_", "nope"]:
+        assert _norm(_prefix_rows(prefix)) == _norm(_spark_wild(prefix + "%")), prefix
+
+
+def test_prefix_read_falls_back_when_too_large(db):
+    _seed(db)
+    # a zero-group budget can never satisfy any non-empty match
+    assert db.get_prefix("a", max_groups=0) is None

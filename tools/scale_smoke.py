@@ -87,6 +87,17 @@ def main() -> None:
     )
 
     t0 = time.time()
+    n_iters = 20
+    pr = None
+    for _ in range(n_iters):
+        pr = db.get_prefix("key00123")  # 10-key slice
+    n_pr = len(pr) if pr is not None else -1
+    print(
+        f"prefix read (warm):        {n_pr} records in "
+        f"{(time.time()-t0)*1000/n_iters:.1f}ms/lookup"
+    )
+
+    t0 = time.time()
     agg = db.read().groupBy("key").agg(F.sum(F.element_at("v_long", 1))).count()
     t_agg = time.time() - t0
     print(f"per-key agg: {agg} series in {t_agg:.1f}s = {cnt/t_agg/1e6:.2f} M rec/s")
