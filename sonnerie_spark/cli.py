@@ -56,7 +56,7 @@ def build_parser() -> argparse.ArgumentParser:
     p_add.add_argument("--unsorted", action="store_true", help="accept unsorted input (external sort via Spark)")
 
     p_read = sub.add_parser("read", help="query records")
-    p_read.add_argument("wildcard", nargs="?", default="%")
+    p_read.add_argument("wildcard", nargs="?", default=None)
     _add_key_time_flags(p_read)
     p_read.add_argument("--columns", help="1-based column selection, e.g. 1,3,5-7")
     p_read.add_argument("--print-format", action="store_true", help="include the format string column")
@@ -66,7 +66,7 @@ def build_parser() -> argparse.ArgumentParser:
     p_read.add_argument("--parallel", metavar="CMD", help="pipe each partition through CMD on the executors")
 
     p_del = sub.add_parser("delete", help="write a delete-marker transaction")
-    p_del.add_argument("wildcard", nargs="?", default="%")
+    p_del.add_argument("wildcard", nargs="?", default=None)
     _add_key_time_flags(p_del)
     p_del.add_argument("--time", help="delete exactly this timestamp ([T, T+1ns))")
 
@@ -151,37 +151,55 @@ def _read_df(db: Database, args):
     )
 
 
+def _require_filter(args, what: str, alternates: tuple[str, ...]) -> None:
+    """The reference requires an explicit key filter unless one of the
+    listed bounds is present (clap ``required_unless_present_any``;
+    read: key bounds, main.rs:89-91; delete: any bound, main.rs:37-39)
+    — notably so a bare ``delete`` cannot silently target the whole
+    database."""
+    if args.wildcard is None and all(
+        getattr(args, a, None) is None for a in alternates
+    ):
+        raise SystemExit(f"{what}: a key filter or bound is required")
+
+
 def cmd_read(db: Database, args) -> int:
+    _require_filter(args, "read", ("after_key", "before_key"))
+    if args.wildcard is None:
+        args.wildcard = "%"
     columns = rowformat.parse_columns_spec(args.columns) if args.columns else None
     ts_style = _ts_style(args)
     show_fmt = args.print_format
 
-    if (
-        args.wildcard
-        and "%" not in args.wildcard
-        and not args.parallel
-        and not args.after_key
-        and not args.before_key
-    ):
-        # Exact-key read: pyarrow point-read fast path, no Spark job.
+    if not args.parallel and not args.after_key and not args.before_key:
+        # pyarrow fast path (no Spark job) for exact keys and bounded
+        # pure-prefix wildcards; None -> too large, use the Spark plan.
         from types import SimpleNamespace
 
-        rows = db.get(
-            args.wildcard,
+        from sonnerie_spark.plans.keyfilter import analyze_wildcard
+
+        kf = analyze_wildcard(args.wildcard)
+        bounds = dict(
             after_ns=_ts_or(args.after_time, None) if args.after_time else None,
             before_ns=_ts_or(args.before_time, None) if args.before_time else None,
         )
-        for r in rows:
-            sys.stdout.write(
-                record_to_line(
-                    SimpleNamespace(**r),
-                    ts_style=ts_style,
-                    show_fmt=show_fmt,
-                    columns=columns,
+        rows = None
+        if kf.exact is not None:
+            rows = db.get(kf.exact, **bounds)
+        elif kf.prefix and not kf.needs_like:
+            rows = db.get_prefix(kf.prefix, **bounds)
+        if rows is not None:
+            for r in rows:
+                sys.stdout.write(
+                    record_to_line(
+                        SimpleNamespace(**r),
+                        ts_style=ts_style,
+                        show_fmt=show_fmt,
+                        columns=columns,
+                    )
+                    + "\n"
                 )
-                + "\n"
-            )
-        return 0
+            return 0
 
     df = _read_df(db, args)
 
@@ -207,6 +225,9 @@ def cmd_read(db: Database, args) -> int:
 
 
 def cmd_delete(db: Database, args) -> int:
+    _require_filter(
+        args, "delete", ("after_key", "before_key", "after_time", "before_time", "time")
+    )
     if args.time is not None:
         t = rowformat.parse_timestamp(args.time)
         after_ns, before_ns = t, t + 1  # [T, T+1ns) (main.rs:173-176)

@@ -164,3 +164,29 @@ def test_gegnum_with_timestamp_format(db):
                  "--timestamp-format", "%Y-%m-%dT%H:%M:%S"])
     out = run_cli(db, ["read", "%", "--timestamp-nanos"])
     assert out.splitlines() == ["a\t1000000000\t1"]
+
+
+def test_bare_read_and_delete_require_filter(db):
+    # clap required_unless_present_any parity (main.rs:37-39, 89-91):
+    # a bare delete must NOT silently target the whole database
+    with pytest.raises(SystemExit):
+        run_cli(db, ["read"])
+    with pytest.raises(SystemExit):
+        run_cli(db, ["delete"])
+    # read accepts KEY bounds only (main.rs:89-91); time bounds alone
+    # still error, unlike delete where any bound suffices (main.rs:37-39)
+    with pytest.raises(SystemExit):
+        run_cli(db, ["read", "--after-time", "0"])
+    run_cli(db, ["add", "--format", "u"], stdin="k 1000 1\n")
+    run_cli(db, ["delete", "--before-time", "2000"])
+    assert run_cli(db, ["read", "%"]) == ""
+    assert run_cli(db, ["read", "--after-key", ""]) == ""
+
+
+def test_cli_prefix_read_fast_path(db):
+    run_cli(db, ["add", "--format", "u"], stdin="aa 1000 1\nab 2000 2\nb 3000 3\n")
+    out = run_cli(db, ["read", "a%", "--timestamp-nanos"])
+    assert out.splitlines() == ["aa\t1000\t1", "ab\t2000\t2"]
+    # time bounds compose with the prefix fast path
+    out2 = run_cli(db, ["read", "a%", "--timestamp-nanos", "--after-time", "1500"])
+    assert out2.splitlines() == ["ab\t2000\t2"]
