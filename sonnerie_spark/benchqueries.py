@@ -1843,3 +1843,21 @@ def q_corpus_curation(spark, sf_dir):
         .otherwise("test")
         .alias("split"),
     )
+
+
+@q(
+    "key_listing",
+    f"SELECT DISTINCT key FROM ({SERIES_SQL}) WHERE key LIKE 'click-%' ORDER BY key",
+    "parity",
+)
+def q_key_listing(spark, sf_dir):
+    """Keys-only read (database_reader.rs get_filter_keys): distinct
+    matching keys with no value columns in the scan — the plan is
+    filter + column-pruned distinct, no LWW aggregation."""
+    return (
+        series(spark, sf_dir)
+        .filter(F.col("key").like("click-%"))
+        .select("key")
+        .distinct()
+        .orderBy("key")
+    )

@@ -212,6 +212,42 @@ class Database:
         """read() plus the reference's global (key, ts) output ordering."""
         return self.read(**kwargs).orderBy("key", "ts")
 
+    def keys(
+        self,
+        *,
+        key: str | None = None,
+        wildcard: str | None = None,
+        after_key: str | None = None,
+        before_key: str | None = None,
+        after_ns: int | None = None,
+        before_ns: int | None = None,
+    ) -> DataFrame:
+        """Distinct surviving keys, sorted — the reference's keys-only
+        readers (database_reader.rs get_range_keys/get_filter_keys,
+        key_reader.rs).
+
+        Cheaper than ``read().select("key")``: LWW overwrites never
+        change key EXISTENCE, so the dedup aggregation is skipped
+        entirely — the plan is a (key, ts)-pruned scan + delete filter +
+        distinct. ReadSchema carries no value columns (plan-asserted)."""
+        runs = self.data_runs()
+        if not runs:
+            return self.spark.createDataFrame([], "key string")
+        df = self.spark.read.schema(RECORD_SCHEMA).parquet(*[r.path for r in runs])
+        df = df.withColumn(
+            "_txname",
+            F.regexp_extract(
+                F.input_file_name(), r"/(main|tx\.[0-9a-f]{16})/[^/]+$", 1
+            ),
+        )
+        df = self._apply_key_filter(df, key, wildcard, after_key, before_key)
+        if after_ns is not None:
+            df = df.filter(F.col("ts") >= F.lit(int(after_ns)))
+        if before_ns is not None:
+            df = df.filter(F.col("ts") < F.lit(int(before_ns)))
+        df = self._apply_delete_markers(df)
+        return df.select("key").distinct().orderBy("key")
+
     def export_bucketed(
         self,
         table: str,

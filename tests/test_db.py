@@ -365,3 +365,30 @@ def test_create_view_sql(spark, tmp_path):
         "SELECT key, sum(element_at(v_long, 1)) AS total FROM ts_view GROUP BY key"
     ).collect()
     assert [(r.key, r.total) for r in got] == [("s", 100)]
+
+
+def test_keys_only_reader(spark, tmp_path):
+    """keys() = reference get_filter_keys/get_range_keys: distinct
+    surviving keys; skips the LWW aggregation (plan-asserted) and must
+    agree with the full read under overwrites and deletes."""
+    db = Database(spark, str(tmp_path / "db"))
+    tx = db.create_tx()
+    for k in ["a", "b", "gone"]:
+        for i in range(3):
+            tx.add_record(k, 1000 + i, "u", [i])
+    tx.commit()
+    tx2 = db.create_tx()  # overwrite must not duplicate keys
+    tx2.add_record("a", 1001, "u", [99])
+    tx2.commit()
+    db.commit_deletes([{"wildcard": "gone"}])
+
+    got = [r.key for r in db.keys().collect()]
+    assert got == ["a", "b"]
+    assert [r.key for r in db.keys(wildcard="a%").collect()] == ["a"]
+    # plan: no value columns read, no max_by dedup aggregate
+    plan = db.keys()._sc._jvm.PythonSQLUtils.explainString(
+        db.keys()._jdf.queryExecution(), "formatted"
+    )
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "v_long" not in read_schema and "v_str" not in read_schema, read_schema
+    assert "max_by" not in plan, plan
