@@ -171,3 +171,35 @@ def test_typed_read_widening_o22():
         rowformat.get_typed(fmt, *cols, col=1, want="u")  # narrowing U->u
     with pytest.raises(rowformat.FormatError):
         rowformat.get_typed(fmt, *cols, col=2, want="f")  # narrowing F->f
+
+
+def test_wildcard_spark_vs_reference_regex_property(spark, tmp_path):
+    """Property test: for adversarial key/pattern alphabets (incl. the
+    LIKE metacharacters '_' '\\\\' '%'), the engine's read(wildcard=...)
+    must select EXACTLY the keys the reference's wildcard semantics
+    (wildcard.rs as_regex: only '%' special) select."""
+    from hypothesis import given, settings, strategies as st
+
+    from sonnerie_spark.db import Database
+    from sonnerie_spark.plans.keyfilter import wildcard_regex
+
+    alphabet = "ab_%\\."
+    keys = sorted(
+        {"a_b", "a%b", "ab", "a\\b", "a.b", "aa_", "_ab", "%", "a", "ab_ab"}
+    )
+    db = Database(spark, str(tmp_path / "db"))
+    tx = db.create_tx()
+    for i, k in enumerate(keys):
+        tx.add_record(k, 1000 + i, "u", [i])
+    tx.commit()
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.text(alphabet=alphabet, min_size=0, max_size=6))
+    def check(pattern):
+        expected = sorted(k for k in keys if wildcard_regex(pattern).match(k))
+        got = sorted(
+            r.key for r in db.read(wildcard=pattern).select("key").collect()
+        )
+        assert got == expected, (pattern, got, expected)
+
+    check()
