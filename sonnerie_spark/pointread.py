@@ -199,21 +199,17 @@ class PointReader:
         )
 
     def _merge(self, groups_fn, filter_fn, *, after_ns, before_ns) -> list[dict]:
-        by_kt: dict[tuple[str, int], tuple[str, dict]] = {}  # (key, ts) -> (txname, row)
-        for run in self.db.data_runs():  # lexical order == commit order
-            footers = self._run_footers(run)
-            if footers is None:
-                continue
-            for fm in footers.files:
-                groups = groups_fn(fm)
-                if not groups:
-                    continue
-                tbl = filter_fn(fm.pf.read_row_groups(groups))
-                if tbl.num_rows == 0:
-                    continue
-                for row in tbl.to_pylist():
-                    # later runs overwrite: runs iterate in commit order
-                    by_kt[(row["key"], row["ts"])] = (run.name, row)
+        # A concurrent compaction swap can hide a run between the
+        # directory listing and the footer read; proceeding would
+        # silently drop that run's records, so restart the merge on a
+        # fresh listing (bounded retries — each swap is a handful of
+        # renames, so a second listing sees the merged replacement).
+        for _attempt in range(5):
+            by_kt = self._merge_once(groups_fn, filter_fn)
+            if by_kt is not None:
+                break
+        else:
+            raise RuntimeError("point read kept racing compaction swaps")
 
         markers = self.db.delete_markers()
         out = []
@@ -227,6 +223,39 @@ class PointReader:
             out.append(row)
         out.sort(key=lambda r: (r["key"], r["ts"]))
         return out
+
+    def _merge_once(self, groups_fn, filter_fn):
+        """One merge attempt; None when the run set changed mid-read.
+
+        Two race shapes with compaction's swap (db.py _compact_locked):
+        a listed run vanishing mid-read (stat/open fails -> retry), and
+        a listing taken INSIDE the swap window seeing neither the old
+        runs nor the merged result — caught by re-listing after the
+        merge and comparing; the window is a handful of renames, so the
+        retry's fresh listing sees the merged replacement."""
+        runs = self.db.data_runs()
+        by_kt: dict[tuple[str, int], tuple[str, dict]] = {}  # (key, ts) -> (txname, row)
+        for run in runs:  # lexical order == commit order
+            footers = self._run_footers(run)
+            if footers is None:
+                return None  # run replaced under us: caller re-lists
+            try:
+                for fm in footers.files:
+                    groups = groups_fn(fm)
+                    if not groups:
+                        continue
+                    tbl = filter_fn(fm.pf.read_row_groups(groups))
+                    if tbl.num_rows == 0:
+                        continue
+                    for row in tbl.to_pylist():
+                        # later runs overwrite: runs iterate commit order
+                        by_kt[(row["key"], row["ts"])] = (run.name, row)
+            except OSError:
+                self._footers.pop(run.path, None)
+                return None  # file deleted mid-read: retry fresh
+        if [r.name for r in self.db.data_runs()] != [r.name for r in runs]:
+            return None  # listing raced a compaction swap: retry
+        return by_kt
 
 
 def _marker_hits(m: dict, txname: str, key: str, ts: int) -> bool:

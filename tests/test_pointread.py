@@ -117,3 +117,35 @@ def test_prefix_read_falls_back_when_too_large(db):
     _seed(db)
     # a zero-group budget can never satisfy any non-empty match
     assert db.get_prefix("a", max_groups=0) is None
+
+
+def test_point_read_during_compaction_swaps(db):
+    """Point reads racing compaction swaps must never return partial
+    data: the reader retries when the run listing changes under it."""
+    import threading
+
+    for burst in range(4):
+        tx = db.create_tx()
+        for i in range(10):
+            tx.add_record("hot", T0 + (burst * 10 + i) * NS, "u", [burst * 10 + i])
+        tx.commit()
+
+    results, errs = [], []
+
+    def reader():
+        try:
+            for _ in range(60):
+                results.append(len(db.get("hot")))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    for _ in range(3):
+        db.compact(major=True)
+        tx = db.create_tx()
+        tx.add_record("cold", T0, "u", [1])
+        tx.commit()
+    t.join()
+    assert not errs
+    assert set(results) == {40}, set(results)  # never partial
