@@ -1861,3 +1861,30 @@ def q_key_listing(spark, sf_dir):
         .distinct()
         .orderBy("key")
     )
+
+
+@q(
+    "repetition_filter",
+    """
+    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS gram
+      FROM t
+    ),
+    pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+    SELECT doc_id AS id,
+           cast(sum(c) AS bigint) AS n_ngrams,
+           cast(max(c) AS bigint) AS top_ngram_n,
+           round(max(c) / cast(sum(c) AS double), 6) AS top_ngram_frac
+    FROM pg GROUP BY doc_id
+    """,
+    "data",
+)
+def q_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition signal: per-doc fraction of the 2-gram
+    stream held by its most common 2-gram (drop-above-threshold in a
+    curation pipeline). Integer aggs -> engine-exact."""
+    docs = load_par(spark, sf_dir, "documents")
+    return textops.repetition_stats(docs, "doc_id", "text", n=2)

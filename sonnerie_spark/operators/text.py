@@ -117,3 +117,51 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str, *, k: int = 5, n_mins
         F.col(id_col).alias("id"),
         F.slice(hashes, 1, n_mins).alias("fingerprint"),
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, *, n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition quality signal: the fraction of a doc's
+    n-gram stream occupied by its single most common n-gram (high ->
+    templated/repetitive text; pipelines drop docs above a threshold).
+
+    Shape at scale: explode n-grams -> one hash agg on (doc, gram) with
+    map-side partials -> per-doc max. Both aggregations are integer
+    counts, so the result is engine-exact; only the final fraction is a
+    (rounded) division.
+    """
+    toks = tokens(F.col(text_col))
+    n_toks = F.size(toks)
+    grams = F.transform(
+        F.slice(toks, 1, F.greatest(n_toks - (n - 1), F.lit(0))),
+        _gram_builder(toks, n),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("gram")
+    )
+    per_gram = exploded.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_gram.groupBy("id")
+        .agg(F.max("c").alias("top_ngram_n"), F.sum("c").alias("n_ngrams"))
+        .select(
+            "id",
+            "n_ngrams",
+            "top_ngram_n",
+            F.round(F.col("top_ngram_n") / F.col("n_ngrams"), 6).alias(
+                "top_ngram_frac"
+            ),
+        )
+    )
+
+
+def _gram_builder(toks, n: int):
+    """Closure factory (NOT a default-arg lambda — pyspark would treat a
+    two-parameter lambda as (element, index)) building the i-th n-gram
+    by position; F.transform's 2-arg form supplies the index."""
+
+    def build(_elem, idx):
+        parts = [F.element_at(toks, idx + j + 1) for j in range(n)]
+        return F.concat_ws(" ", *parts)
+
+    return build
