@@ -1888,3 +1888,45 @@ def q_repetition_filter(spark, sf_dir):
     curation pipeline). Integer aggs -> engine-exact."""
     docs = load_par(spark, sf_dir, "documents")
     return textops.repetition_stats(docs, "doc_id", "text", n=2)
+
+
+@q(
+    "time_weighted_avg",
+    f"""
+    WITH d AS (
+      SELECT key, value,
+             lead(ts_us) OVER (PARTITION BY key ORDER BY ts_us, event_id)
+               - ts_us AS delta
+      FROM ({SERIES_SQL})
+    ),
+    a AS (
+      SELECT key,
+             sum(cast(value AS decimal(18,2)) * delta) AS wsum,
+             cast(sum(delta) AS bigint) AS tspan
+      FROM d WHERE delta IS NOT NULL GROUP BY key
+    )
+    SELECT key, round(cast(wsum AS double) / tspan, 6) AS twa_value, tspan
+    FROM a WHERE tspan > 0
+    """,
+    "timeseries",
+)
+def q_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average per series — THE canonical irregular-series
+    statistic (each value weighted by how long it was current; a plain
+    avg over-weights bursts). One window pass (lead) + one hash agg;
+    DECIMAL products keep the weighted sum order-independent-exact, the
+    event_id tie-break pins equal-timestamp ordering."""
+    s = series(spark, sf_dir)
+    w = Window.partitionBy("key").orderBy("ts_us", "event_id")
+    d = s.withColumn("delta", F.lead("ts_us").over(w) - F.col("ts_us")).filter(
+        F.col("delta").isNotNull()
+    )
+    a = d.groupBy("key").agg(
+        F.sum(_dec("value") * F.col("delta")).alias("wsum"),
+        F.sum("delta").cast("long").alias("tspan"),
+    )
+    return a.filter(F.col("tspan") > 0).select(
+        "key",
+        F.round(F.col("wsum").cast("double") / F.col("tspan"), 6).alias("twa_value"),
+        "tspan",
+    )
