@@ -1930,3 +1930,46 @@ def q_time_weighted_avg(spark, sf_dir):
         F.round(F.col("wsum").cast("double") / F.col("tspan"), 6).alias("twa_value"),
         "tspan",
     )
+
+
+@q(
+    "ohlc_1h",
+    f"""
+    SELECT key, (ts_us // 3600000000) * 3600000000 AS bucket_us,
+           arg_min(value, lpad(cast(ts_us AS varchar), 20, '0') || '-'
+                           || lpad(cast(event_id AS varchar), 12, '0')) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, lpad(cast(ts_us AS varchar), 20, '0') || '-'
+                           || lpad(cast(event_id AS varchar), 12, '0')) AS close,
+           count(*) AS n
+    FROM ({SERIES_SQL})
+    GROUP BY key, bucket_us
+    """,
+    "timeseries",
+)
+def q_ohlc_1h(spark, sf_dir):
+    """OHLC downsampling (candlesticks): per key per hour, the first /
+    max / min / last value — the other canonical irregular-series
+    rollup. One hash aggregation with map-side partials; open/close are
+    min_by/max_by on the (ts, event_id) struct so equal-timestamp
+    records resolve deterministically."""
+    s = series(spark, sf_dir)
+    bucket = (F.col("ts_us") / 3600000000).cast("long") * 3600000000
+    # fixed-width sortable string: DuckDB arg_min/max keys must be
+    # scalar, so both engines order by the same composite VARCHAR
+    order = F.concat(
+        F.lpad(F.col("ts_us").cast("string"), 20, "0"),
+        F.lit("-"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        s.groupBy("key", bucket.alias("bucket_us"))
+        .agg(
+            F.min_by("value", order).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", order).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
