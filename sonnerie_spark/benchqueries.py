@@ -1973,3 +1973,75 @@ def q_ohlc_1h(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+_ORDER_STR_SQL = (
+    "lpad(cast(ts_us AS varchar), 20, '0') || '-' "
+    "|| lpad(cast(event_id AS varchar), 12, '0')"
+)
+
+
+@q(
+    "gap_fill_locf",
+    f"""
+    WITH pb AS (
+      SELECT key, (ts_us // 3600000000) * 3600000000 AS bucket_us,
+             arg_max(value, {_ORDER_STR_SQL}) AS v
+      FROM ({SERIES_SQL}) WHERE key LIKE 'click-000%'
+      GROUP BY 1, 2
+    ),
+    spans AS (SELECT key, min(bucket_us) AS lo, max(bucket_us) AS hi FROM pb GROUP BY key),
+    grid AS (
+      SELECT key, unnest(generate_series(lo, hi, 3600000000)) AS bucket_us
+      FROM spans
+    ),
+    j AS (
+      SELECT g.key, g.bucket_us, pb.v
+      FROM grid g LEFT JOIN pb ON g.key = pb.key AND g.bucket_us = pb.bucket_us
+    )
+    SELECT key, bucket_us,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY key ORDER BY bucket_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           v IS NULL AS filled
+    FROM j
+    """,
+    "timeseries",
+)
+def q_gap_fill_locf(spark, sf_dir):
+    """Dense-grid gap filling, last-observation-carried-forward: each
+    series gets every hourly bucket between its first and last
+    observation; empty buckets carry the previous bucket's closing
+    value (`filled` marks them). Grid generation is a per-key sequence
+    explode (no cross join with a calendar table); the fill is one
+    ignore-nulls window over data already clustered by the grid's
+    partitioning. Values are carried exactly — no float arithmetic."""
+    HOUR = 3600000000
+    s = series(spark, sf_dir).filter(F.col("key").like("click-000%"))
+    bucket = (F.col("ts_us") / HOUR).cast("long") * HOUR
+    order = F.concat(
+        F.lpad(F.col("ts_us").cast("string"), 20, "0"),
+        F.lit("-"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    pb = s.groupBy("key", bucket.alias("bucket_us")).agg(
+        F.max_by("value", order).alias("v")
+    )
+    spans = pb.groupBy("key").agg(
+        F.min("bucket_us").alias("lo"), F.max("bucket_us").alias("hi")
+    )
+    grid = spans.select(
+        "key", F.explode(F.sequence("lo", "hi", F.lit(HOUR))).alias("bucket_us")
+    )
+    j = grid.join(pb, ["key", "bucket_us"], "left")
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "key",
+        "bucket_us",
+        F.last("v", ignorenulls=True).over(w).alias("value"),
+        F.col("v").isNull().alias("filled"),
+    )
