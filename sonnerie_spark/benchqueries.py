@@ -2045,3 +2045,67 @@ def q_gap_fill_locf(spark, sf_dir):
         F.last("v", ignorenulls=True).over(w).alias("value"),
         F.col("v").isNull().alias("filled"),
     )
+
+
+@q(
+    "series_anomaly_zscore",
+    f"""
+    WITH a AS (
+      SELECT key, count(*) AS n,
+             sum(cast(value AS decimal(18,2))) AS s,
+             sum(cast(value AS decimal(18,2)) * cast(value AS decimal(18,2))) AS sq,
+             arg_max(value, {_ORDER_STR_SQL}) AS last_value
+      FROM ({SERIES_SQL}) GROUP BY key
+    ),
+    z AS (
+      SELECT key, cast(n AS bigint) AS n, last_value,
+             cast(s AS double) / n AS mean,
+             (cast(sq AS double) - cast(s AS double) * (cast(s AS double) / n))
+               / (n - 1) AS var
+      FROM a WHERE n > 1
+    )
+    SELECT key, n, round(mean, 6) AS mean,
+           round((last_value - mean) / sqrt(var), 6) AS zscore
+    FROM z
+    WHERE var > 0 AND abs((last_value - mean) / sqrt(var)) > 1.5
+    """,
+    "timeseries",
+)
+def q_series_anomaly_zscore(spark, sf_dir):
+    """Z-score anomaly scan: series whose LATEST value deviates > 1.5
+    sigma from the series mean — the standard streaming-alert shape run
+    as one batch pass. Count/sum/sum-of-squares aggregate as exact
+    DECIMALs (one hash agg, map-side partials); mean/variance/z are then
+    derived with the SAME double expression in both engines, so the
+    float results agree bit-for-bit."""
+    s = series(spark, sf_dir)
+    order = F.concat(
+        F.lpad(F.col("ts_us").cast("string"), 20, "0"),
+        F.lit("-"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    a = s.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("value")).alias("s"),
+        F.sum(_dec("value") * _dec("value")).alias("sq"),
+        F.max_by("value", order).alias("last_value"),
+    )
+    sd = F.col("s").cast("double")
+    mean = sd / F.col("n")
+    var = (F.col("sq").cast("double") - sd * (sd / F.col("n"))) / (F.col("n") - 1)
+    z = (F.col("last_value") - mean) / F.sqrt(var)
+    return (
+        a.filter(F.col("n") > 1)
+        .select(
+            "key",
+            F.col("n").cast("long").alias("n"),
+            "last_value",
+            mean.alias("mean"),
+            var.alias("var"),
+            z.alias("z"),
+        )
+        .filter((F.col("var") > 0) & (F.abs("z") > 1.5))
+        .select(
+            "key", "n", F.round("mean", 6).alias("mean"), F.round("z", 6).alias("zscore")
+        )
+    )
