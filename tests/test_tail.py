@@ -69,3 +69,41 @@ def test_tail_skip_existing(db, spark, tmp_path):
         assert keys == {"new"}, keys
     finally:
         q.stop()
+
+
+def test_tail_replication_converges(db, spark, tmp_path):
+    """Replication via the change feed: tail db A and commit each
+    micro-batch into db B. After the stream drains, B's merged read
+    equals A's — the LSM-over-streaming replication loop, built purely
+    from public pieces (tail_records + foreachBatch + commit_dataframe)."""
+    from sonnerie_spark.db import Database
+
+    _commit(db, "alpha", 5)
+    _commit(db, "beta", 3, base=100)
+
+    dst = Database(spark, str(tmp_path / "replica"))
+
+    def replicate(batch_df, batch_id):
+        if batch_df.take(1):
+            dst.commit_dataframe(batch_df, check_duplicates=False)
+
+    q = (
+        tail_records(db)
+        .writeStream.foreachBatch(replicate)
+        .option("checkpointLocation", str(tmp_path / "ck_repl"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        src = {(r.key, r.ts): r.v_long for r in db.read().collect()}
+        got = {(r.key, r.ts): r.v_long for r in dst.read().collect()}
+        assert got == src and len(got) == 8
+
+        # incremental: a later commit (an LWW overwrite) flows through
+        tx = db.create_tx()
+        tx.add_record("alpha", T0, "u", [999])
+        tx.commit()
+        q.processAllAvailable()
+        assert {r.v_long[0] for r in dst.read(key="alpha").collect() if r.ts == T0} == {999}
+    finally:
+        q.stop()
