@@ -116,11 +116,12 @@ def keep_longest_of_pairs(
 
     ``pairs`` is any (id_a, id_b) near-dup pair stream (n-gram Jaccard,
     MinHash-LSH, SimHash — all bucketed, no all-pairs join); this stage
-    adds two broadcast-size joins against the doc-length projection and
-    a distinct on the loser ids. Greedy pairwise resolution is the
-    standard scalable alternative to connected-components clustering
-    (which needs iteration); it never removes BOTH sides of a pair
-    chain's endpoints unless each lost some comparison.
+    adds two equi-joins on id against the 2-column doc-length projection
+    (hash-shuffled at scale; Catalyst broadcasts when the projection is
+    small) and a distinct on the loser ids. Greedy pairwise resolution
+    is the standard scalable alternative to connected-components
+    clustering (which needs iteration); it never removes BOTH sides of
+    a pair chain's endpoints unless each lost some comparison.
     """
     lens = docs.select(F.col(id_col).alias("_id"), F.col(len_col).alias("_len"))
     j = (
