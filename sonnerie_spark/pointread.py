@@ -205,13 +205,13 @@ class PointReader:
         # fresh listing (bounded retries — each swap is a handful of
         # renames, so a second listing sees the merged replacement).
         for _attempt in range(5):
-            by_kt = self._merge_once(groups_fn, filter_fn)
-            if by_kt is not None:
+            merged = self._merge_once(groups_fn, filter_fn)
+            if merged is not None:
+                by_kt, markers = merged
                 break
         else:
             raise RuntimeError("point read kept racing compaction swaps")
 
-        markers = self.db.delete_markers()
         out = []
         for (key, ts), (txname, row) in by_kt.items():
             if after_ns is not None and ts < after_ns:
@@ -226,14 +226,23 @@ class PointReader:
 
     def _merge_once(self, groups_fn, filter_fn):
         """One merge attempt; None when the run set changed mid-read.
+        On success returns ``(by_kt, markers)`` — the merged rows AND the
+        delete markers read inside the same race window.
 
         Two race shapes with compaction's swap (db.py _compact_locked):
         a listed run vanishing mid-read (stat/open fails -> retry), and
         a listing taken INSIDE the swap window seeing neither the old
         runs nor the merged result — caught by re-listing after the
         merge and comparing; the window is a handful of renames, so the
-        retry's fresh listing sees the merged replacement."""
-        runs = self.db.data_runs()
+        retry's fresh listing sees the merged replacement. Delete
+        markers are loaded here, BEFORE the final listing comparison,
+        and the comparison covers the FULL run list (data runs and
+        delete-marker runs): a major compaction purges markers from disk
+        while merged rows may still be pre-compaction, so fetching
+        markers after the guard could resurrect deleted records — a
+        snapshot that never existed."""
+        all_runs = self.db.runs()
+        runs = [r for r in all_runs if not r.is_delete]
         by_kt: dict[tuple[str, int], tuple[str, dict]] = {}  # (key, ts) -> (txname, row)
         for run in runs:  # lexical order == commit order
             footers = self._run_footers(run)
@@ -253,9 +262,13 @@ class PointReader:
             except OSError:
                 self._footers.pop(run.path, None)
                 return None  # file deleted mid-read: retry fresh
-        if [r.name for r in self.db.data_runs()] != [r.name for r in runs]:
+        try:
+            markers = self.db.delete_markers()
+        except OSError:
+            return None  # marker run purged mid-read: retry fresh
+        if [r.name for r in self.db.runs()] != [r.name for r in all_runs]:
             return None  # listing raced a compaction swap: retry
-        return by_kt
+        return by_kt, markers
 
 
 def _marker_hits(m: dict, txname: str, key: str, ts: int) -> bool:
