@@ -49,33 +49,39 @@ def main() -> None:
     # local mode does.
     jvm_gc = spark.sparkContext._jvm.System.gc
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for d in REGISTRY:
         if d.gate_only:
             # write-path roundtrips: correctness-gate only; ingest
             # throughput is measured by tools/scale_smoke.py (SCALE.md)
             continue
-        d.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        best = float("inf")
-        for _ in range(2):  # min of 2 timed runs: robust to JIT flukes
-            jvm_gc()
-            t0 = time.time()
+        # Per-query isolation: one failing query must never zero the
+        # whole bench file (BENCH_r03 lesson) — record the error, move on.
+        try:
             d.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[d.name] = round(best, 3)
+            best = float("inf")
+            for _ in range(2):  # min of 2 timed runs: robust to JIT flukes
+                jvm_gc()
+                t0 = time.time()
+                d.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            timings[d.name] = round(best, 3)
+        except Exception as e:  # noqa: BLE001 - isolation is the point
+            errors[d.name] = f"{type(e).__name__}: {e}"[:500]
+            print(f"bench: {d.name} FAILED: {errors[d.name]}", file=sys.stderr)
         jvm_gc()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "registry_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_of(sf_dir),
-            }
-        )
-    )
+    out = {
+        "metric": "registry_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_of(sf_dir),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -6,9 +6,10 @@ a north-star analytics / training-data operator, with an equivalent
 ANSI-SQL oracle for the driver's hash-match gate.
 
 Cross-engine determinism rules used throughout (see docstrings):
-- nanosecond timestamps: Spark reads TIMESTAMP(NANOS) as long ns
-  (`ts div 1000` = µs); DuckDB truncates ns->µs (`epoch_us(ts)`), so
-  µs values agree exactly.
+- timestamps: ``sources.testdata.ts_us`` normalizes either physical
+  encoding of ``events.ts`` (long-nanos or timestamp-µs TIMESTAMP_NTZ)
+  to µs-since-epoch under the UTC session TZ, equal to DuckDB's
+  ``epoch_us(ts)`` bit-for-bit on both encodings.
 - monetary / 2-decimal doubles are aggregated as DECIMAL(18,2): integer
   arithmetic, bit-exact in any summation order in both engines; final
   values are cast back to double (same decimal -> same IEEE double).
@@ -31,7 +32,7 @@ from sonnerie_spark.functions.portable_hash import (
     phash_sql,
 )
 from sonnerie_spark.operators import dedup, similarity, text as textops, timeseries
-from sonnerie_spark.sources.testdata import load
+from sonnerie_spark.sources.testdata import load, ts_us
 
 
 @dataclass
@@ -76,7 +77,7 @@ def series(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             "-", F.col("event_type"), F.lpad(F.col("user_id").cast("string"), 4, "0")
         ).alias("key"),
-        F.expr("ts div 1000").alias("ts_us"),
+        ts_us(ev).alias("ts_us"),
         F.col("value"),
         F.col("event_id"),
     )
@@ -524,9 +525,8 @@ def q_sessionize(spark, sf_dir):
 
     Window order carries an event_id tie-break so session assignment is
     deterministic even when two events share a truncated-us timestamp."""
-    ev = load(spark, sf_dir, "events").select(
-        "user_id", F.expr("ts div 1000").alias("ts_us"), "event_id"
-    )
+    raw = load(spark, sf_dir, "events")
+    ev = raw.select("user_id", ts_us(raw).alias("ts_us"), "event_id")
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     flagged = ev.withColumn(
         "new_sess",
@@ -564,10 +564,10 @@ def q_asof_join(spark, sf_dir):
     the data, so both are deterministic."""
     ev = load(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.expr("ts div 1000").alias("ts_us"), "event_id"
+        "user_id", ts_us(ev).alias("ts_us"), "event_id"
     )
     views = ev.filter(F.col("event_type") == "view").select(
-        "user_id", F.expr("ts div 1000").alias("ts_us"), F.col("value").alias("view_value")
+        "user_id", ts_us(ev).alias("ts_us"), F.col("value").alias("view_value")
     )
     out = timeseries.asof_join(
         clicks,
@@ -603,10 +603,10 @@ def q_range_join_purchases(spark, sf_dir):
     at scale this is a partitioned hash join, not a cross product."""
     ev = load(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.expr("ts div 1000").alias("p_ts"), "event_id"
+        "user_id", ts_us(ev).alias("p_ts"), "event_id"
     )
     c = ev.filter(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_uid"), F.expr("ts div 1000").alias("c_ts")
+        F.col("user_id").alias("c_uid"), ts_us(ev).alias("c_ts")
     )
     joined = p.join(
         c,
@@ -650,8 +650,9 @@ def q_set_ops_users(spark, sf_dir):
 )
 def q_rollup_daily(spark, sf_dir):
     """ROLLUP hierarchy totals (type, day) -> (type) -> ()."""
-    ev = load(spark, sf_dir, "events").withColumn(
-        "day", F.date_format(F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd")
+    raw = load(spark, sf_dir, "events")
+    ev = raw.withColumn(
+        "day", F.date_format(F.timestamp_micros(ts_us(raw)), "yyyy-MM-dd")
     )
     return ev.rollup("event_type", "day").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1130,8 +1131,9 @@ def q_embedding_neardup_pairs(spark, sf_dir):
 def q_cube_type_day(spark, sf_dir):
     """CUBE grouping sets: all 4 margin combinations of (type, day) in
     one pass — Spark expands to a single shuffle with grouping-id."""
-    ev = load(spark, sf_dir, "events").withColumn(
-        "day", F.date_format(F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd")
+    raw = load(spark, sf_dir, "events")
+    ev = raw.withColumn(
+        "day", F.date_format(F.timestamp_micros(ts_us(raw)), "yyyy-MM-dd")
     )
     return ev.cube("event_type", "day").agg(F.count(F.lit(1)).alias("n"))
 
