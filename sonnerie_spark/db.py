@@ -18,19 +18,27 @@ wins", README.md:33-34).
 
 Scale notes (local[N] here, 1000 executors in production):
 
-- All data runs are read in ONE ``spark.read.parquet(*paths)`` scan; the
-  run name is recovered JVM-side from ``input_file_name()`` so the
-  last-writer-wins ordering key costs no Python round-trip and the scan
-  stays a single FileSourceScan with uniform split planning.
-- Runs are written ``repartitionByRange(key).sortWithinPartitions(key,
-  ts)`` so Parquet row-group min/max stats on ``key``/``ts`` are tight;
-  Catalyst's predicate pushdown then prunes files and row groups — the
-  declarative replacement for the reference's binary-searched sparse
-  segment index (segment_reader.rs:173-234).
-- LWW dedup is a hash aggregation (``max_by``) keyed on ``(key, ts)``,
-  which gets map-side partial aggregation; when the database has a
-  single data run (the common post-compaction state) the dedup stage is
-  skipped entirely.
+- Every run is hash-bucketed by key into a fixed database-wide B
+  (bucketing.py): Spark's bucket function, Spark's bucket file naming.
+  A multi-run read goes through an external bucketed table over a
+  hard-linked view of all run files, so the scan reports
+  ``HashPartitioning(key, B)``, each bucket's k per-run files land in
+  ONE task, and the LWW dedup below needs NO Exchange — the k-way LSM
+  merge (merge.rs:48-181) runs bucket-locally, declared to Catalyst
+  instead of hand-scheduled. The run name is recovered JVM-side from
+  ``input_file_name()`` so the last-writer-wins ordering key costs no
+  Python round-trip.
+- Files are ``sortBy(key, ts)`` within buckets so Parquet row-group
+  min/max stats on ``key``/``ts`` are tight; Catalyst's predicate
+  pushdown prunes row groups — the declarative replacement for the
+  reference's binary-searched sparse segment index
+  (segment_reader.rs:173-234) — and exact-key predicates additionally
+  prune to 1/B of the bucket files.
+- LWW dedup is an aggregation (``max_by``) keyed on ``(key, ts)``:
+  bucket-local (no shuffle) on a bucketed multi-run read, two-phase
+  with map-side partials on legacy/mixed layouts; when the database has
+  a single data run (the common post-compaction state) the dedup stage
+  is skipped entirely.
 - Delete markers are tiny (one row per delete call); they are applied as
   an inlined literal predicate (pure codegen, no join, no shuffle), with
   a broadcast anti-join fallback above a threshold.
@@ -47,6 +55,12 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from sonnerie_spark import rowformat
+from sonnerie_spark.bucketing import (
+    BUCKETS_FILE,
+    bucket_file_name,
+    bucket_of,
+    parse_bucket_id,
+)
 from sonnerie_spark.plans.keyfilter import (
     analyze_wildcard,
     prefix_upper_bound,
@@ -111,11 +125,40 @@ class RunInfo:
 class Database:
     """Open a database directory; build declarative read plans over it."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, *, buckets: int | None = None):
         self.spark = spark
         self.path = os.path.abspath(path)
         self._point_reader = None  # lazy PointReader (exact-key fast path)
+        self._view_tables: dict[str, str] = {}  # run-set sig -> table name
         os.makedirs(self.path, exist_ok=True)
+        self.buckets = self._resolve_buckets(buckets)
+
+    def _resolve_buckets(self, requested: int | None) -> int:
+        """Fixed database-wide bucket count B (bucketing.py rationale).
+
+        Persisted once at creation in ``db_dir/BUCKETS`` so every writer
+        — Spark jobs and the driver-side pyarrow path — uses the same
+        bucket function forever; a later ``buckets=`` argument is
+        ignored for an existing database (like the reference's immutable
+        file-format parameters)."""
+        meta = os.path.join(self.path, BUCKETS_FILE)
+        try:
+            with open(meta) as f:
+                return max(1, int(f.read().strip()))
+        except (OSError, ValueError):
+            pass
+        b = requested
+        if b is None:
+            b = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        b = max(1, int(b))
+        try:
+            fd = os.open(meta, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                f.write(str(b))
+            return b
+        except FileExistsError:  # concurrent creator won: adopt its B
+            with open(meta) as f:
+                return max(1, int(f.read().strip()))
 
     # -- manifest ----------------------------------------------------------
 
@@ -158,6 +201,121 @@ class Database:
                 markers.append(row)
         return markers
 
+    # -- bucketed multi-run scan -------------------------------------------
+
+    _VIEW_TTL_SECONDS = 600.0
+
+    def _bucketed_files(self, runs: list[RunInfo]) -> list[tuple[str, str]] | None:
+        """(run_name, file_name) for every data file, or None unless ALL
+        files carry a valid bucket id < B (mixed/legacy layouts fall
+        back to the shuffle-dedup read)."""
+        out: list[tuple[str, str]] = []
+        for r in runs:
+            for name in sorted(os.listdir(r.path)):
+                if not name.endswith(".parquet"):
+                    continue
+                b = parse_bucket_id(name)
+                if b is None or b >= self.buckets:
+                    return None
+                out.append((r.name, name))
+        return out or None
+
+    def _bucketed_table(self, runs: list[RunInfo], files: list[tuple[str, str]]) -> DataFrame:
+        """Expose the given runs as ONE external bucketed table.
+
+        A view directory of hard links (``.cache/view-<sig>``) flattens
+        the per-run files into one location, each link named
+        ``<run>+<original>`` so (a) Spark still parses the bucket id
+        from the preserved suffix and (b) ``input_file_name()`` recovers
+        the transaction for LWW ordering. ``CLUSTERED BY (key)`` makes
+        FileSourceScan report ``HashPartitioning(key, B)`` and coalesce
+        each bucket's k per-run files into one task — the downstream
+        ``groupBy(key, ts)`` dedup then runs with NO Exchange
+        (plan-asserted in tests/test_plans.py). Hard links also make the
+        view immune to compaction's hidden-rename swap: the inodes stay
+        live for in-flight readers of an older snapshot.
+        """
+        import hashlib
+
+        sig = hashlib.sha1(
+            ("\n".join(f"{rn}/{fn}" for rn, fn in files) + f"#{self.buckets}").encode()
+        ).hexdigest()[:12]
+        cache = os.path.join(self.path, ".cache")
+        view = os.path.join(cache, f"view-{sig}")
+        if not os.path.isdir(view):
+            os.makedirs(cache, exist_ok=True)
+            tmp = os.path.join(cache, f".build-{os.getpid()}-{time.time_ns():x}")
+            os.makedirs(tmp)
+            by_run = {r.name: r.path for r in runs}
+            for rn, fn in files:
+                os.link(os.path.join(by_run[rn], fn), os.path.join(tmp, f"{rn}+{fn}"))
+            try:
+                os.rename(tmp, view)
+            except OSError:  # concurrent builder won
+                shutil.rmtree(tmp, ignore_errors=True)
+            self._gc_stale_views(keep=view)
+
+        tbl = self._view_tables.get(sig)
+        if tbl is None:
+            tbl = f"snk_v_{hashlib.sha1(self.path.encode()).hexdigest()[:8]}_{sig}"
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in RECORD_SCHEMA.fields
+            )
+            self.spark.sql(
+                f"CREATE TABLE IF NOT EXISTS `{tbl}` ({cols}) USING parquet "
+                f"CLUSTERED BY (key) SORTED BY (key, ts) INTO {self.buckets} BUCKETS "
+                f"LOCATION '{view}'"
+            )
+            self._view_tables[sig] = tbl
+        return self.spark.table(tbl)
+
+    def _gc_stale_views(self, keep: str | None = None) -> None:
+        """Reap view dirs not rebuilt within the TTL (their run set was
+        replaced). Hard links mean this only frees names, never data
+        another run dir still owns."""
+        cache = os.path.join(self.path, ".cache")
+        try:
+            names = os.listdir(cache)
+        except OSError:
+            return
+        now = time.time()
+        for name in names:
+            p = os.path.join(cache, name)
+            if p == keep:
+                continue
+            try:
+                if now - os.stat(p).st_mtime > self._VIEW_TTL_SECONDS:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
+
+    def _scan_data_runs(self, runs: list[RunInfo]) -> tuple[DataFrame, bool, "F.Column"]:
+        """One DataFrame over ``runs``, WITHOUT ``_txname`` attached.
+
+        Returns ``(df, bucket_aligned, txname_col)``. The caller must
+        apply its key/ts filters BEFORE projecting ``txname_col``:
+        ``input_file_name()`` is non-deterministic, and a projection
+        containing it blocks Catalyst from pushing any predicate through
+        it to the scan (killing both PushedFilters and bucket pruning).
+        When aligned, the scan's HashPartitioning(key, B) makes the LWW
+        dedup (and any groupBy/join on key) exchange-free, and a
+        bucket-aligned run write needs no repartition. Single-run reads
+        keep the plain parquet scan: no dedup is planned, and size-based
+        split planning parallelizes better than B fixed tasks.
+        """
+        if len(runs) > 1:
+            files = self._bucketed_files(runs)
+            if files is not None:
+                txcol = F.regexp_extract(
+                    F.input_file_name(), r"/(main|tx\.[0-9a-f]{16})\+[^/]+$", 1
+                )
+                return self._bucketed_table(runs, files), True, txcol
+        df = self.spark.read.schema(RECORD_SCHEMA).parquet(*[r.path for r in runs])
+        txcol = F.regexp_extract(
+            F.input_file_name(), r"/(main|tx\.[0-9a-f]{16})/[^/]+$", 1
+        )
+        return df, False, txcol
+
     # -- read plan ---------------------------------------------------------
 
     def read(
@@ -185,19 +343,19 @@ class Database:
         if not runs:
             return self.spark.createDataFrame([], RECORD_SCHEMA)
 
-        df = self.spark.read.schema(RECORD_SCHEMA).parquet(*[r.path for r in runs])
-        # Recover the run (transaction) name from the file path, JVM-side.
-        # Lexical order of run names == commit order (zero-padded hex).
-        df = df.withColumn(
-            "_txname", F.regexp_extract(F.input_file_name(), r"/(main|tx\.[0-9a-f]{16})/[^/]+$", 1)
-        )
+        # Single scan over all runs; _txname (lexical order == commit
+        # order) recovered JVM-side. Multi-run goes through the bucketed
+        # view so the dedup below is exchange-free (bucketing.py).
+        df, _aligned, txcol = self._scan_data_runs(runs)
 
-        # Key predicates first: these push down to the Parquet scan.
+        # Key predicates first — BELOW the _txname projection — so they
+        # push down to the Parquet scan (and prune buckets/row groups).
         df = self._apply_key_filter(df, key, wildcard, after_key, before_key)
         if after_ns is not None:
             df = df.filter(F.col("ts") >= F.lit(int(after_ns)))
         if before_ns is not None:
             df = df.filter(F.col("ts") < F.lit(int(before_ns)))
+        df = df.withColumn("_txname", txcol)
 
         # Last-writer-wins across runs; skipped when only one run exists.
         if len(runs) > 1:
@@ -233,18 +391,13 @@ class Database:
         runs = self.data_runs()
         if not runs:
             return self.spark.createDataFrame([], "key string")
-        df = self.spark.read.schema(RECORD_SCHEMA).parquet(*[r.path for r in runs])
-        df = df.withColumn(
-            "_txname",
-            F.regexp_extract(
-                F.input_file_name(), r"/(main|tx\.[0-9a-f]{16})/[^/]+$", 1
-            ),
-        )
+        df, _aligned, txcol = self._scan_data_runs(runs)
         df = self._apply_key_filter(df, key, wildcard, after_key, before_key)
         if after_ns is not None:
             df = df.filter(F.col("ts") >= F.lit(int(after_ns)))
         if before_ns is not None:
             df = df.filter(F.col("ts") < F.lit(int(before_ns)))
+        df = df.withColumn("_txname", txcol)
         df = self._apply_delete_markers(df)
         return df.select("key").distinct().orderBy("key")
 
@@ -424,34 +577,57 @@ class Database:
         out, obs = self._prepare_run(df, check_duplicates=check_duplicates)
 
         def write(p):
-            out.write.mode("overwrite").option(
-                "parquet.block.size", ROW_GROUP_BYTES
-            ).parquet(p)
+            self._write_bucketed_run(out, p, align=False)
             if obs is not None and obs.get["dups"]:
                 # Raising before _atomic_commit's rename discards the run.
+                d = obs.get["dup"]
                 raise DuplicateRecordError(
                     f"duplicate (key, ts) within one transaction: "
-                    f"({obs.get['dup_key']!r}, {obs.get['dup_ts']})"
+                    f"({d['key']!r}, {d['ts']})"
                 )
 
         return self._atomic_commit(write)
+
+    def _write_bucketed_run(self, df: DataFrame, path: str, *, align: bool) -> None:
+        """Write ``df`` as one bucketed run directory (bucketing.py).
+
+        Spark only writes bucketed files through ``saveAsTable``, so we
+        save to a throwaway external table pointed at ``path`` and drop
+        the table (files stay). ``align=True`` repartitions by the
+        bucket function first so each task holds exactly one bucket and
+        writes exactly one file; callers whose input already carries
+        HashPartitioning(key, B) — a bucketed multi-run scan, or
+        _prepare_run's repartition — skip that exchange entirely.
+        """
+        if align:
+            df = df.repartition(self.buckets, "key")
+        tbl = f"snk_w_{os.getpid()}_{time.time_ns():x}"
+        (
+            df.write.bucketBy(self.buckets, "key")
+            .sortBy("key", "ts")
+            .option("path", path)
+            .option("parquet.block.size", ROW_GROUP_BYTES)
+            .mode("overwrite")
+            .saveAsTable(tbl)
+        )
+        self.spark.sql(f"DROP TABLE IF EXISTS `{tbl}`")
 
     def _prepare_run(self, df: DataFrame, *, check_duplicates: bool):
         """Range-partition + in-partition sort for a run write; when
         ``check_duplicates``, attach a zero-cost duplicate observation.
 
-        The duplicate check rides the sort pass: range partitioning keeps
-        each key on one partition and rows arrive (key, ts)-sorted, so a
-        ``lag`` window over that exact distribution detects duplicates
-        with NO extra exchange or job (the window's ClusteredDistribution
-        on ``key`` is satisfied by the range partitioning — asserted in
-        tests/test_plans.py). The verdict lands via ``df.observe``, read
-        after the write action but before the atomic rename.
+        The duplicate check rides the sort pass: hash partitioning on
+        key (the bucket function) keeps each key on one partition and
+        rows arrive (key, ts)-sorted, so a ``lag`` window over that
+        exact distribution detects duplicates with NO extra exchange or
+        job (the window's ClusteredDistribution on ``key`` is satisfied
+        by the hash partitioning — asserted in tests/test_plans.py). The
+        verdict lands via ``df.observe``, read after the write action
+        but before the atomic rename.
         """
         from pyspark.sql import Observation, Window
 
-        shuffle_parts = max(1, int(self.spark.conf.get("spark.sql.shuffle.partitions")))
-        out = df.repartitionByRange(shuffle_parts, "key").sortWithinPartitions("key", "ts")
+        out = df.repartition(self.buckets, "key").sortWithinPartitions("key", "ts")
         if not check_duplicates:
             return out, None
         w = Window.partitionBy("key").orderBy("ts")
@@ -459,11 +635,14 @@ class Database:
             "_dup", (F.lag("ts").over(w) == F.col("ts")).cast("int")
         )
         obs = Observation()
+        # ONE max over a (key, ts) struct so the reported pair is a real
+        # duplicate row, never a key from one dup and a ts from another.
         observed = flagged.observe(
             obs,
             F.sum("_dup").alias("dups"),
-            F.max(F.when(F.col("_dup") == 1, F.col("key"))).alias("dup_key"),
-            F.max(F.when(F.col("_dup") == 1, F.col("ts"))).alias("dup_ts"),
+            F.max(
+                F.when(F.col("_dup") == 1, F.struct("key", "ts"))
+            ).alias("dup"),
         )
         return observed.drop("_dup"), obs
 
@@ -501,11 +680,21 @@ class Database:
                 pa.field("v_bin", pa.list_(pa.binary())),
             ]
         )
-        tbl = pa.Table.from_pylist(rows, schema=arrow_schema)
+        # Same bucket layout as the Spark writer (bucketing.py): one
+        # (key, ts)-sorted file per non-empty bucket, bucket id computed
+        # with the Python mirror of Spark's murmur3 and encoded in the
+        # file name, so driver-written runs participate in the
+        # exchange-free bucketed multi-run read like any other run.
+        by_bucket: dict[int, list[dict]] = {}
+        for r in rows:  # rows already (key, ts)-sorted; stable split
+            by_bucket.setdefault(bucket_of(r["key"], self.buckets), []).append(r)
 
         def write(p):
             os.makedirs(p, exist_ok=True)
-            pq.write_table(tbl, os.path.join(p, "part-00000.parquet"))
+            nonce = f"{time.time_ns():016x}"
+            for b, brows in by_bucket.items():
+                tbl = pa.Table.from_pylist(brows, schema=arrow_schema)
+                pq.write_table(tbl, os.path.join(p, bucket_file_name(b, nonce)))
 
         return self._atomic_commit(write)
 
@@ -664,19 +853,21 @@ class Database:
         # Build the merged view of exactly the runs being compacted.
         sub = _SubsetView(self, data, dels)
         df = sub.read()
+        aligned = sub.bucket_aligned
         if transform is not None:
             df = transform(df)
+            aligned = False  # a transform may change keys / partitioning
 
         tmp = os.path.join(self.path, f".tmp-compact-{time.time_ns():x}")
-        (
-            df.select([F.col(f.name) for f in RECORD_SCHEMA.fields])
-            .repartitionByRange(
-                max(1, int(self.spark.conf.get("spark.sql.shuffle.partitions"))), "key"
-            )
-            .sortWithinPartitions("key", "ts")
-            .write.mode("overwrite")
-            .option("parquet.block.size", ROW_GROUP_BYTES)
-            .parquet(tmp)
+        # Bucketed scan in -> bucket-aligned write out: when the merge
+        # read was exchange-free (aligned), the compaction rewrite is a
+        # ZERO-shuffle streaming merge — read k files per bucket, dedup
+        # in place, write one file per bucket — the Spark re-expression
+        # of the reference's heap-merge compactor (merge.rs:48-181).
+        self._write_bucketed_run(
+            df.select([F.col(f.name) for f in RECORD_SCHEMA.fields]),
+            tmp,
+            align=not aligned,
         )
 
         if major:
@@ -725,15 +916,14 @@ class _SubsetView:
         self.db = db
         self.data = data
         self.dels = dels
+        self.bucket_aligned = False  # set by read()
 
     def read(self) -> DataFrame:
         spark = self.db.spark
         if not self.data:
             return spark.createDataFrame([], RECORD_SCHEMA)
-        df = spark.read.schema(RECORD_SCHEMA).parquet(*[r.path for r in self.data])
-        df = df.withColumn(
-            "_txname", F.regexp_extract(F.input_file_name(), r"/(main|tx\.[0-9a-f]{16})/[^/]+$", 1)
-        )
+        df, self.bucket_aligned, txcol = self.db._scan_data_runs(self.data)
+        df = df.withColumn("_txname", txcol)
         if len(self.data) > 1:
             df = _lww_dedup(df)
         if self.dels:

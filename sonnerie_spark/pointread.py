@@ -29,6 +29,7 @@ from typing import Any
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from sonnerie_spark.bucketing import bucket_of, parse_bucket_id
 from sonnerie_spark.plans.keyfilter import wildcard_regex
 
 
@@ -41,11 +42,15 @@ class _FileMeta:
     hundreds of) statistics objects per lookup.
     """
 
-    __slots__ = ("path", "pf", "mins", "maxs")
+    __slots__ = ("path", "pf", "mins", "maxs", "bucket")
 
     def __init__(self, path: str, pf: Any):
         self.path = path
         self.pf = pf
+        # bucket id from the file name (bucketing.py layout): lets an
+        # exact-key lookup skip every file of the other B-1 buckets
+        # before touching footer stats. None on legacy unbucketed files.
+        self.bucket = parse_bucket_id(os.path.basename(path))
         md = pf.metadata
         key_idx = md.schema.to_arrow_schema().get_field_index("key")
         mins: list[str] = []
@@ -117,20 +122,23 @@ class PointReader:
     # -- footer cache ------------------------------------------------------
 
     def _run_footers(self, run) -> _RunFooters | None:
+        # The whole stat/list/open sequence can race a compaction swap
+        # hiding the run dir; ANY OSError here means "run replaced under
+        # us" and the caller retries on a fresh listing.
         try:
             mtime = os.stat(run.path).st_mtime_ns
+            cached = self._footers.get(run.path)
+            if cached is not None and cached.mtime == mtime:
+                return cached
+            files = []
+            for name in sorted(os.listdir(run.path)):
+                if not name.endswith(".parquet"):
+                    continue
+                p = os.path.join(run.path, name)
+                files.append(_FileMeta(p, pq.ParquetFile(p)))
         except OSError:
             self._footers.pop(run.path, None)
             return None
-        cached = self._footers.get(run.path)
-        if cached is not None and cached.mtime == mtime:
-            return cached
-        files = []
-        for name in sorted(os.listdir(run.path)):
-            if not name.endswith(".parquet"):
-                continue
-            p = os.path.join(run.path, name)
-            files.append(_FileMeta(p, pq.ParquetFile(p)))
         entry = _RunFooters(mtime, files)
         self._footers[run.path] = entry
         return entry
@@ -148,13 +156,17 @@ class PointReader:
 
         Semantics identical to ``Database.read(key=...)``: last-writer-
         wins across runs (merge.rs:17-26) then delete-marker suppression
-        with txid scoping (database_reader.rs:474-518).
+        with txid scoping (database_reader.rs:474-518). On a bucketed
+        layout only the key's own bucket file is opened per run (1/B of
+        the footers — the driver-side mirror of Spark's bucket pruning).
         """
+        want = bucket_of(key, self.db.buckets)
         return self._merge(
             lambda fm: fm.groups_for(key),
             lambda tbl: tbl.filter(pc.equal(tbl.column("key"), key)),
             after_ns=after_ns,
             before_ns=before_ns,
+            file_ok=lambda fm: fm.bucket is None or fm.bucket == want,
         )
 
     def get_range(
@@ -198,14 +210,14 @@ class PointReader:
             before_ns=before_ns,
         )
 
-    def _merge(self, groups_fn, filter_fn, *, after_ns, before_ns) -> list[dict]:
+    def _merge(self, groups_fn, filter_fn, *, after_ns, before_ns, file_ok=None) -> list[dict]:
         # A concurrent compaction swap can hide a run between the
         # directory listing and the footer read; proceeding would
         # silently drop that run's records, so restart the merge on a
         # fresh listing (bounded retries — each swap is a handful of
         # renames, so a second listing sees the merged replacement).
         for _attempt in range(5):
-            merged = self._merge_once(groups_fn, filter_fn)
+            merged = self._merge_once(groups_fn, filter_fn, file_ok)
             if merged is not None:
                 by_kt, markers = merged
                 break
@@ -224,7 +236,7 @@ class PointReader:
         out.sort(key=lambda r: (r["key"], r["ts"]))
         return out
 
-    def _merge_once(self, groups_fn, filter_fn):
+    def _merge_once(self, groups_fn, filter_fn, file_ok=None):
         """One merge attempt; None when the run set changed mid-read.
         On success returns ``(by_kt, markers)`` — the merged rows AND the
         delete markers read inside the same race window.
@@ -250,6 +262,8 @@ class PointReader:
                 return None  # run replaced under us: caller re-lists
             try:
                 for fm in footers.files:
+                    if file_ok is not None and not file_ok(fm):
+                        continue
                     groups = groups_fn(fm)
                     if not groups:
                         continue

@@ -279,8 +279,13 @@ def test_unsorted_dataframe_ingest_f10(db, spark):
     assert [r.ts for r in got] == sorted(r.ts for r in got)
 
 
-def test_run_files_sorted_by_key(db, spark):
-    """Runs must be range-partitioned by key so parquet stats are tight."""
+def test_run_files_bucketed_and_sorted_by_key(db, spark):
+    """Run layout invariant (bucketing.py): every file carries a bucket
+    id < B in its name, holds exactly the keys that hash to that bucket
+    (Spark's pmod(murmur3, B)), and is (key, ts)-sorted inside so
+    parquet row-group stats stay tight."""
+    from sonnerie_spark.bucketing import bucket_of, parse_bucket_id
+
     tx = db.create_tx()
     for i in range(1000):
         tx.add_record(f"key{i:04d}", 0, "u", [i])
@@ -291,16 +296,15 @@ def test_run_files_sorted_by_key(db, spark):
     files = sorted(
         os.path.join(run.path, f) for f in os.listdir(run.path) if f.endswith(".parquet")
     )
-    ranges = []
+    seen_buckets = set()
     for f in files:
-        t = pq.read_table(f, columns=["key"])
-        ks = t.column("key").to_pylist()
-        if ks:
-            assert ks == sorted(ks)  # sorted within file
-            ranges.append((ks[0], ks[-1]))
-    ranges.sort()
-    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
-        assert a_hi <= b_lo  # non-overlapping across files
+        b = parse_bucket_id(os.path.basename(f))
+        assert b is not None and 0 <= b < db.buckets, f
+        seen_buckets.add(b)
+        ks = pq.read_table(f, columns=["key"]).column("key").to_pylist()
+        assert ks == sorted(ks)  # sorted within file
+        assert all(bucket_of(k, db.buckets) == b for k in ks)  # hash-disjoint
+    assert len(seen_buckets) > 1  # 1000 keys spread over several buckets
 
 
 def test_stale_tmp_dirs_ignored_and_purged(spark, tmp_path):

@@ -92,7 +92,7 @@ def test_whole_stage_codegen_covers_scan_filter(db):
 
 def test_commit_duplicate_check_adds_no_exchange(spark, db):
     """The duplicate-check window in _prepare_run must ride the commit's
-    range partitioning: RangePartitioning(key) satisfies the window's
+    bucket partitioning: HashPartitioning(key, B) satisfies the window's
     ClusteredDistribution(key), so the checked plan has exactly the one
     Exchange the unchecked plan has (verdict item 7: no extra shuffle or
     job per commit)."""
@@ -131,3 +131,75 @@ def test_bucketed_export_join_has_no_exchange(spark, db, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bktest")
+
+
+def test_multi_run_read_has_no_exchange(spark, tmp_path):
+    """THE scale guarantee of the bucketed run layout (bucketing.py):
+    with several runs, the LWW dedup is bucket-local — the bucketed
+    scan's HashPartitioning(key, B) satisfies the aggregation's
+    clustering, so the read plan contains ZERO Exchange nodes (vs the
+    measured 15x full-shuffle cliff of the legacy layout, SCALE.md)."""
+    db = Database(spark, str(tmp_path / "db"))
+    for r in range(3):
+        tx = db.create_tx()
+        for i in range(50):
+            tx.add_record(f"key{i:03d}", 1000 + r, "u", [i])
+        tx.commit()
+    assert len(db.data_runs()) == 3
+    df = db.read()
+    plan = plan_of(df)
+    assert "Bucketed: true" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "max_by" in plan  # the dedup is still in the plan
+    assert df.count() == 50 * 3 - 0  # distinct (key, ts) pairs survive
+
+
+def test_multi_run_key_lookup_prunes_buckets(spark, tmp_path):
+    """An exact-key filter over the bucketed multi-run view must scan
+    only the key's own bucket (SelectedBucketsCount 1 out of B)."""
+    db = Database(spark, str(tmp_path / "db"))
+    for r in range(2):
+        tx = db.create_tx()
+        for i in range(50):
+            tx.add_record(f"key{i:03d}", 1000 + r, "u", [i])
+        tx.commit()
+    plan = formatted_plan(db.read(key="key007"))
+    assert "SelectedBucketsCount: 1 out of" in plan, plan
+
+
+def test_compaction_of_bucketed_runs_adds_no_exchange(spark, tmp_path):
+    """Compaction reads bucketed runs and writes bucket-aligned: the
+    merge rewrite is a zero-shuffle plan (read k files per bucket ->
+    dedup in place -> write one file per bucket)."""
+    from sonnerie_spark.db import _SubsetView
+
+    db = Database(spark, str(tmp_path / "db"))
+    for r in range(3):
+        tx = db.create_tx()
+        for i in range(50):
+            tx.add_record(f"key{i:03d}", 1000 + r, "u", [i])
+        tx.commit()
+    sub = _SubsetView(db, db.data_runs(), [])
+    df = sub.read()
+    assert sub.bucket_aligned
+    assert "Exchange" not in plan_of(df)
+    db.compact()
+    assert len(db.data_runs()) == 1
+    assert db.read().count() == 150
+
+
+def test_python_murmur3_matches_jvm(spark):
+    """bucketing.spark_murmur3_str must be bit-exact with Spark hash()
+    (seed 42) — the pyarrow write path depends on it for bucket ids."""
+    from pyspark.sql import functions as F
+
+    from sonnerie_spark.bucketing import bucket_of, spark_murmur3_str
+
+    samples = ["", "a", "ab", "abc", "abcd", "key007", "fib", "x" * 37,
+               "üñïçødé-ключ", "k\U0001F600", "tx.0123456789abcdef"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {r["s"]: (r["h"], r["b"]) for r in df.select(
+        "s", F.hash("s").alias("h"), F.pmod(F.hash("s"), F.lit(7)).alias("b")
+    ).collect()}
+    for s in samples:
+        assert got[s] == (spark_murmur3_str(s), bucket_of(s, 7)), s
