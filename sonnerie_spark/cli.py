@@ -35,8 +35,16 @@ from sonnerie_spark.session import get_spark
 
 
 def _add_key_time_flags(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--after-key", help="inclusive lower key bound")
-    p.add_argument("--before-key", help="exclusive upper key bound")
+    p.add_argument("--after-key", help="inclusive lower key bound (Bound::Included)")
+    p.add_argument("--before-key", help="exclusive upper key bound (Bound::Excluded)")
+    p.add_argument(
+        "--after-key-excl",
+        help="exclusive lower key bound (Bound::Excluded — lib.rs:34-168)",
+    )
+    p.add_argument(
+        "--before-key-incl",
+        help="inclusive upper key bound (Bound::Included, as in get_range(a..=b))",
+    )
     p.add_argument("--after-time", help="inclusive lower time bound (ISO or epoch-nanos)")
     p.add_argument("--before-time", help="exclusive upper time bound (ISO or epoch-nanos)")
 
@@ -146,6 +154,8 @@ def _read_df(db: Database, args):
         wildcard=args.wildcard,
         after_key=args.after_key,
         before_key=args.before_key,
+        after_key_excl=args.after_key_excl,
+        before_key_incl=args.before_key_incl,
         after_ns=_ts_or(args.after_time, None) if args.after_time else None,
         before_ns=_ts_or(args.before_time, None) if args.before_time else None,
     )
@@ -164,14 +174,18 @@ def _require_filter(args, what: str, alternates: tuple[str, ...]) -> None:
 
 
 def cmd_read(db: Database, args) -> int:
-    _require_filter(args, "read", ("after_key", "before_key"))
+    _require_filter(
+        args, "read", ("after_key", "before_key", "after_key_excl", "before_key_incl")
+    )
     if args.wildcard is None:
         args.wildcard = "%"
     columns = rowformat.parse_columns_spec(args.columns) if args.columns else None
     ts_style = _ts_style(args)
     show_fmt = args.print_format
 
-    if not args.parallel and not args.after_key and not args.before_key:
+    if not args.parallel and not any(
+        (args.after_key, args.before_key, args.after_key_excl, args.before_key_incl)
+    ):
         # pyarrow fast path (no Spark job) for exact keys and bounded
         # pure-prefix wildcards; None -> too large, use the Spark plan.
         from types import SimpleNamespace
@@ -228,6 +242,11 @@ def cmd_delete(db: Database, args) -> int:
     _require_filter(
         args, "delete", ("after_key", "before_key", "after_time", "before_time", "time")
     )
+    if args.after_key_excl or args.before_key_incl:
+        # Delete markers store only Included(first)/Excluded(last) bounds
+        # (the reference's delete CLI shape, main.rs:36-61) — reject the
+        # other kinds instead of silently widening the deleted range.
+        raise SystemExit("delete: only --after-key/--before-key bounds are supported")
     if args.time is not None:
         t = rowformat.parse_timestamp(args.time)
         after_ns, before_ns = t, t + 1  # [T, T+1ns) (main.rs:173-176)

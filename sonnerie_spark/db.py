@@ -325,6 +325,8 @@ class Database:
         wildcard: str | None = None,
         after_key: str | None = None,
         before_key: str | None = None,
+        after_key_excl: str | None = None,
+        before_key_incl: str | None = None,
         after_ns: int | None = None,
         before_ns: int | None = None,
         include_txname: bool = False,
@@ -350,7 +352,10 @@ class Database:
 
         # Key predicates first — BELOW the _txname projection — so they
         # push down to the Parquet scan (and prune buckets/row groups).
-        df = self._apply_key_filter(df, key, wildcard, after_key, before_key)
+        df = self._apply_key_filter(
+            df, key, wildcard, after_key, before_key,
+            after_key_excl=after_key_excl, before_key_incl=before_key_incl,
+        )
         if after_ns is not None:
             df = df.filter(F.col("ts") >= F.lit(int(after_ns)))
         if before_ns is not None:
@@ -377,6 +382,8 @@ class Database:
         wildcard: str | None = None,
         after_key: str | None = None,
         before_key: str | None = None,
+        after_key_excl: str | None = None,
+        before_key_incl: str | None = None,
         after_ns: int | None = None,
         before_ns: int | None = None,
     ) -> DataFrame:
@@ -392,7 +399,10 @@ class Database:
         if not runs:
             return self.spark.createDataFrame([], "key string")
         df, _aligned, txcol = self._scan_data_runs(runs)
-        df = self._apply_key_filter(df, key, wildcard, after_key, before_key)
+        df = self._apply_key_filter(
+            df, key, wildcard, after_key, before_key,
+            after_key_excl=after_key_excl, before_key_incl=before_key_incl,
+        )
         if after_ns is not None:
             df = df.filter(F.col("ts") >= F.lit(int(after_ns)))
         if before_ns is not None:
@@ -489,10 +499,21 @@ class Database:
             max_groups=max_groups,
         )
 
-    def _apply_key_filter(self, df, key, wildcard, after_key, before_key):
+    def _apply_key_filter(
+        self, df, key, wildcard, after_key, before_key,
+        *, after_key_excl=None, before_key_incl=None,
+    ):
         """Key predicates compose as an intersection — a wildcard and
         explicit range bounds may both be present (the reference's CLI
-        combines them the same way, main.rs:306-328)."""
+        combines them the same way, main.rs:306-328).
+
+        All four Rust ``Bound`` kinds on each end are expressible
+        (lib.rs:34-168, get_range database_reader.rs:185-195):
+        ``after_key`` = Included(start), ``after_key_excl`` =
+        Excluded(start), ``before_key`` = Excluded(end),
+        ``before_key_incl`` = Included(end), None = Unbounded. Each is a
+        plain string comparison, so every kind pushes down to the
+        Parquet scan unchanged."""
         if key is not None:
             df = df.filter(F.col("key") == F.lit(key))
         if wildcard is not None:
@@ -509,8 +530,12 @@ class Database:
                     df = df.filter(F.col("key").like(kf.pattern))
         if after_key is not None:
             df = df.filter(F.col("key") >= F.lit(after_key))
+        if after_key_excl is not None:
+            df = df.filter(F.col("key") > F.lit(after_key_excl))
         if before_key is not None:
             df = df.filter(F.col("key") < F.lit(before_key))
+        if before_key_incl is not None:
+            df = df.filter(F.col("key") <= F.lit(before_key_incl))
         return df
 
     def _apply_delete_markers(self, df: DataFrame) -> DataFrame:

@@ -86,6 +86,38 @@ def test_parallel_vs_serial_equivalence(db, spark):
         assert serial == parallel == df.count()
 
 
+def test_key_bound_kinds_sweep(db):
+    """All Rust Bound kinds on both ends (Unbounded / Included /
+    Excluded, lib.rs:34-168; get_range database_reader.rs:185-195),
+    swept combinatorially against an independent Python model — the
+    analogue of the reference's bound-matrix delete_test! sweep
+    (tests.rs:1262-1302)."""
+    total, rows = seed_db(db, n_keys=20)
+    keys = sorted({r["key"] for r in rows})
+    lo, hi = keys[4], keys[-4]
+    starts = [
+        (None, lambda k: True),                       # Unbounded
+        ({"after_key": lo}, lambda k: k >= lo),       # Included(lo)
+        ({"after_key_excl": lo}, lambda k: k > lo),   # Excluded(lo)
+    ]
+    ends = [
+        (None, lambda k: True),                        # Unbounded
+        ({"before_key": hi}, lambda k: k < hi),        # Excluded(hi)
+        ({"before_key_incl": hi}, lambda k: k <= hi),  # Included(hi)
+    ]
+    for skw, spred in starts:
+        for ekw, epred in ends:
+            kw = {**(skw or {}), **(ekw or {})}
+            expect = sorted(
+                (r["key"], r["ts"]) for r in rows if spred(r["key"]) and epred(r["key"])
+            )
+            got = sorted((r.key, r.ts) for r in db.read(**kw).collect())
+            assert got == expect, kw
+            # keys() agrees on the surviving key set for the same bounds
+            expect_keys = sorted({k for k, _ in expect})
+            assert [r.key for r in db.keys(**kw).collect()] == expect_keys, kw
+
+
 WILDCARDS = ["%", "a%", "%a", "a%a", "aa"]
 BOUNDS = [None, "set"]
 
