@@ -82,6 +82,13 @@ def build_parser() -> argparse.ArgumentParser:
     p_cmp.add_argument("--major", action="store_true")
     p_cmp.add_argument("--gegnum", metavar="CMD", help="filter the merged stream through a shell command")
     p_cmp.add_argument(
+        "--whole-stream",
+        action="store_true",
+        help="with --gegnum: ONE subprocess sees the entire sorted stream "
+        "(reference semantics, required for cross-key stateful commands); "
+        "default pipes each key-range partition in parallel",
+    )
+    p_cmp.add_argument(
         "--timestamp-format",
         dest="ts_format",
         help="with --gegnum: pipe timestamps in this strftime pattern instead of epoch-nanos",
@@ -299,9 +306,120 @@ def gegnum_transform(cmd: str, ts_format: str | None = None):
     return transform
 
 
+def gegnum_whole_stream_transform(db: Database, cmd: str, ts_format: str | None = None):
+    """Whole-stream gegnum: the ENTIRE merged dump through ONE subprocess.
+
+    Exact parity with the reference's gegnum (main.rs:429-477): a single
+    ``sh -c CMD`` child sees every record, (key, ts)-sorted, on stdin —
+    so cross-key stateful filters (a global ``uniq``/``awk '!seen[..]++'``
+    dedup, a running counter) behave identically. The per-partition
+    :func:`gegnum_transform` stays the parallel default; it silently
+    changes semantics for such commands because each subprocess sees only
+    its own key slice.
+
+    Scale shape: the feed side streams ``toLocalIterator`` (one sorted
+    partition resident at a time) into the child from a thread, and the
+    child's stdout is parsed incrementally and spooled to Parquet chunk
+    files under the db's ``.tmp-*`` namespace — driver memory stays
+    bounded by one chunk regardless of database size. The subprocess
+    itself is the sequential bottleneck by *definition* of the semantics
+    (the reference is single-process here too); the returned DataFrame
+    re-enters the distributed plan for the bucketed compaction rewrite.
+
+    The spool directories are recorded on ``transform.spool_dirs`` for
+    cleanup after the compaction commit (the stale-.tmp janitor reclaims
+    them after a crash).
+    """
+    import subprocess
+    import threading
+    import time as _time
+
+    from sonnerie_spark.db import RECORD_SCHEMA, arrow_record_schema
+
+    ts_style = ts_format if ts_format is not None else "nanos"
+    spool_dirs: list[str] = []
+
+    def transform(df):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        proc = subprocess.Popen(
+            ["/bin/sh", "-c", cmd],
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        src = df.orderBy("key", "ts")
+        feed_err: list[BaseException] = []
+
+        def feed():
+            try:
+                for row in src.toLocalIterator(prefetchPartitions=True):
+                    proc.stdin.write(
+                        record_to_line(row, ts_style=ts_style, show_fmt=True) + "\n"
+                    )
+            except BrokenPipeError:
+                pass  # child exited early (e.g. head); its rc decides
+            except BaseException as e:
+                feed_err.append(e)
+            finally:
+                try:
+                    proc.stdin.close()
+                except BrokenPipeError:
+                    pass
+
+        feeder = threading.Thread(target=feed, daemon=True)
+        feeder.start()
+
+        spool = os.path.join(db.path, f".tmp-gegnum-{_time.time_ns():x}")
+        os.makedirs(spool)
+        spool_dirs.append(spool)
+        schema = arrow_record_schema()
+        batch: list[dict] = []
+        chunk = 0
+
+        def flush():
+            nonlocal chunk
+            pq.write_table(
+                pa.Table.from_pylist(batch, schema=schema),
+                os.path.join(spool, f"chunk-{chunk:06d}.parquet"),
+            )
+            chunk += 1
+            batch.clear()
+
+        for line in proc.stdout:
+            if line.strip():
+                batch.append(rowformat.parse_line(line, ts_format=ts_format).as_row())
+                if len(batch) >= 65536:
+                    flush()
+        feeder.join()
+        rc = proc.wait()
+        if rc != 0:
+            raise RuntimeError(f"gegnum command failed (rc={rc}): cancelling compact")
+        if feed_err:
+            raise feed_err[0]
+        if batch or chunk == 0:  # always leave >=1 file so the scan is well-formed
+            flush()
+        return db.spark.read.schema(RECORD_SCHEMA).parquet(spool)
+
+    transform.spool_dirs = spool_dirs
+    return transform
+
+
 def cmd_compact(db: Database, args) -> int:
-    transform = gegnum_transform(args.gegnum, args.ts_format) if args.gegnum else None
-    db.compact(major=args.major, transform=transform)
+    transform = None
+    if args.gegnum:
+        if args.whole_stream:
+            transform = gegnum_whole_stream_transform(db, args.gegnum, args.ts_format)
+        else:
+            transform = gegnum_transform(args.gegnum, args.ts_format)
+    try:
+        db.compact(major=args.major, transform=transform)
+    finally:
+        import shutil
+
+        for d in getattr(transform, "spool_dirs", []):
+            shutil.rmtree(d, ignore_errors=True)
     return 0
 
 

@@ -89,6 +89,25 @@ DELETE_SCHEMA = T.StructType(
     ]
 )
 
+def arrow_record_schema():
+    """RECORD_SCHEMA's pyarrow twin, for driver-side parquet writers
+    (commit_rows, the whole-stream gegnum spool) — files written with it
+    are indistinguishable from Spark-written run files."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field("key", pa.string(), False),
+            pa.field("ts", pa.int64(), False),
+            pa.field("fmt", pa.string(), False),
+            pa.field("v_long", pa.list_(pa.int64())),
+            pa.field("v_double", pa.list_(pa.float64())),
+            pa.field("v_str", pa.list_(pa.string())),
+            pa.field("v_bin", pa.list_(pa.binary())),
+        ]
+    )
+
+
 _TX_NAME_RE = re.compile(r"^(main|tx\.[0-9a-f]{16})$")
 DELETE_SENTINEL = "DELETE_MARKER"
 # Above this many live delete markers, switch from an inlined literal
@@ -694,17 +713,7 @@ class Database:
                     f"duplicate (key, ts) within one transaction: "
                     f"({cur['key']!r}, {cur['ts']})"
                 )
-        arrow_schema = pa.schema(
-            [
-                pa.field("key", pa.string(), False),
-                pa.field("ts", pa.int64(), False),
-                pa.field("fmt", pa.string(), False),
-                pa.field("v_long", pa.list_(pa.int64())),
-                pa.field("v_double", pa.list_(pa.float64())),
-                pa.field("v_str", pa.list_(pa.string())),
-                pa.field("v_bin", pa.list_(pa.binary())),
-            ]
-        )
+        arrow_schema = arrow_record_schema()
         # Same bucket layout as the Spark writer (bucketing.py): one
         # (key, ts)-sorted file per non-empty bucket, bucket id computed
         # with the Python mirror of Spark's murmur3 and encoded in the

@@ -113,6 +113,45 @@ def test_compact_gegnum_subprocess(db):
     assert [r.name for r in db.runs()] == ["main"]
 
 
+def test_compact_gegnum_whole_stream_stateful(db):
+    """--whole-stream: ONE subprocess sees the entire sorted dump
+    (main.rs:429-477), so a cross-key stateful filter — awk keeping the
+    globally FIRST record per value — matches reference semantics. The
+    per-partition default cannot express this: duplicates of a value on
+    keys in different partitions would each survive their own pipe."""
+    stdin = (
+        "a 1000000000 7\n"
+        "b 1000000000 7\n"   # dup value on another key: must be dropped
+        "b 2000000000 8\n"
+        "c 1000000000 8\n"   # dup value on a third key: must be dropped
+        "c 2000000000 9\n"
+    )
+    run_cli(db, ["add", "--format", "u"], stdin=stdin)
+    run_cli(
+        db,
+        ["compact", "--major", "--whole-stream", "--gegnum", "awk '!seen[$4]++'"],
+    )
+    out = run_cli(db, ["read", "%", "--timestamp-seconds"])
+    assert out.splitlines() == ["a\t1\t7", "b\t2\t8", "c\t2\t9"]
+    assert [r.name for r in db.runs()] == ["main"]
+    # spool dirs were cleaned up after the commit
+    import os
+
+    assert not [n for n in os.listdir(db.path) if n.startswith(".tmp-gegnum")]
+
+
+def test_compact_gegnum_whole_stream_failure_cancels(db):
+    """A failing gegnum child cancels the compact, like the reference's
+    'child process failed: cancelling compact' panic (main.rs:474-476)."""
+    run_cli(db, ["add", "--format", "u"], stdin="a 1000000000 1\n")
+    run_cli(db, ["add", "--format", "u"], stdin="b 1000000000 2\n")
+    with pytest.raises(RuntimeError, match="gegnum command failed"):
+        run_cli(db, ["compact", "--major", "--whole-stream", "--gegnum", "false"])
+    # database unchanged: both runs still present, data intact
+    out = run_cli(db, ["read", "%", "--timestamp-seconds"])
+    assert out.splitlines() == ["a\t1\t1", "b\t1\t2"]
+
+
 def test_parallel_subprocess_read(db):
     stdin = "".join(f"k{i:02d} 1000000000 {i}\n" for i in range(10))
     run_cli(db, ["add", "--format", "u"], stdin=stdin)
