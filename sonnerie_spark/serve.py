@@ -53,7 +53,21 @@ class _RunCache:
             self._runs = None
 
 
-def make_server(db: Database, host: str = "127.0.0.1", port: int = 0) -> ThreadingHTTPServer:
+# PUT bodies above this many bytes are spooled to disk and committed
+# through the Spark shuffle-sort instead of a driver-resident Python
+# sort — the analogue of the reference's shardio external sort, which
+# exists precisely so an arbitrarily large PUT never needs request-sized
+# memory (sonnerie-serve.rs:114-157).
+PUT_SPOOL_THRESHOLD = 4 * 1024 * 1024
+
+
+def make_server(
+    db: Database,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    *,
+    put_spool_threshold: int = PUT_SPOOL_THRESHOLD,
+) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; ``server_address[1]`` is the
     bound port (use port=0 for an ephemeral one in tests)."""
     cache = _RunCache(db)
@@ -112,17 +126,50 @@ def make_server(db: Database, host: str = "127.0.0.1", port: int = 0) -> Threadi
                     self.end_headers()
                     self.wfile.write(str(e).encode())
 
+        def _commit_spooled(self, length: int) -> None:
+            """Large-PUT path: body -> disk spool -> distributed parse ->
+            one shuffle-sorted transaction. Driver memory stays bounded
+            by the copy buffer; the sort that the reference does with an
+            external-sort library is Spark's own range-partition + sort
+            inside ``commit_dataframe``. Duplicate (key, ts) within the
+            request is still an error (write.rs:181-197 rule)."""
+            import os
+            import shutil
+            import time as _time
+
+            from sonnerie_spark.streaming.ingest import parse_lines
+
+            spool = os.path.join(db.path, f".tmp-put-{_time.time_ns():x}")
+            os.makedirs(spool)
+            try:
+                remaining = length
+                with open(os.path.join(spool, "body.txt"), "wb") as f:
+                    while remaining > 0:
+                        chunk = self.rfile.read(min(1 << 20, remaining))
+                        if not chunk:
+                            raise OSError("short PUT body")
+                        f.write(chunk)
+                        remaining -= len(chunk)
+                rows = parse_lines(db.spark.read.text(spool))
+                if rows.take(1):
+                    db.commit_dataframe(rows)
+            finally:
+                shutil.rmtree(spool, ignore_errors=True)
+
         def do_PUT(self):
             length = int(self.headers.get("Content-Length", 0))
-            body = self.rfile.read(length).decode()
             try:
-                rows = [
-                    parse_line(line).as_row()
-                    for line in body.splitlines()
-                    if line.strip()
-                ]
-                if rows:
-                    db.commit_rows(rows)
+                if length > put_spool_threshold:
+                    self._commit_spooled(length)
+                else:
+                    body = self.rfile.read(length).decode()
+                    rows = [
+                        parse_line(line).as_row()
+                        for line in body.splitlines()
+                        if line.strip()
+                    ]
+                    if rows:
+                        db.commit_rows(rows)
                 cache.invalidate()
                 # 201 + "ok", like the reference (sonnerie-serve.rs:193-203)
                 self.send_response(201)

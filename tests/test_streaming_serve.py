@@ -130,6 +130,41 @@ def test_serve_put_duplicate_key_ts_is_400(server, db):
     assert db.read().count() == 0
 
 
+def test_serve_put_spooled_large_body(db):
+    """A PUT body over the spool threshold never lives in driver memory:
+    it streams to a disk spool and commits through the distributed parse
+    + shuffle-sort (the reference's external-sort design point,
+    sonnerie-serve.rs:114-157). Exactly ONE transaction; reads see every
+    record; unsorted input and in-request duplicates behave like the
+    small path."""
+    import os
+    import urllib.error
+
+    srv = make_server(db, put_spool_threshold=1024)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        # ~30 KiB unsorted body, well over the 1 KiB test threshold
+        body = "".join(f"k{i % 7} {1000 + i * 7} u {i}\n" for i in reversed(range(1500)))
+        resp = _put(base, body)
+        assert resp.status == 201
+        assert len(db.data_runs()) == 1  # exactly one transaction
+        assert db.read().count() == 1500
+        got = [(r.key, r.ts) for r in db.read_sorted(key="k0").collect()]
+        assert got == sorted((f"k{i % 7}", 1000 + i * 7) for i in range(1500) if i % 7 == 0)
+        # spool cleaned up
+        assert not [n for n in os.listdir(db.path) if n.startswith(".tmp-put")]
+        # duplicate (key, ts) within a spooled request is still a 400
+        dup = "x 1000 u 1\n" * 2 + "".join(f"y {i} u 0\n" for i in range(400))
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _put(base, dup)
+        assert ei.value.code == 400
+        assert db.read().count() == 1500  # nothing extra committed
+    finally:
+        srv.shutdown()
+
+
 def test_serve_rejects_other_methods(server):
     import urllib.error
     import urllib.request
