@@ -727,6 +727,46 @@ def shingles_sql(k: int = 3) -> str:
     return _SHINGLES_SQL.format(km1=k - 1)
 
 
+def ngram_pairs_sql(threshold: float, *, k: int = 3, max_df: int | None = None) -> str:
+    """Oracle CTE chain for :func:`dedup.ngram_jaccard_pairs`.
+
+    With ``max_df``, shingles occurring in more than that many documents
+    are dropped BEFORE pair enumeration, exactly as the Spark plan drops
+    over-long posting lists — both sides then compute the same
+    lower-bound jaccard (overlap misses capped shingles; na/nb stay full
+    set sizes), so capped results still hash-match.
+    """
+    sh = f"sh AS ({shingles_sql(k)})"
+    if max_df is None:
+        src = "sh"
+        cap = ""
+    else:
+        # shingles are distinct per doc, so count(*) per shingle == df
+        cap = f""",
+    capped AS (
+      SELECT s.doc_id, s.shingle
+      FROM sh s JOIN (
+        SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {max_df}
+      ) ok USING (shingle)
+    )"""
+        src = "capped"
+    return f"""
+    WITH {sh}{cap},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    co AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS overlap
+      FROM {src} a JOIN {src} b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b,
+             round(overlap / (sa.n + sb.n - overlap), 6) AS jaccard
+      FROM co JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+      WHERE overlap / (sa.n + sb.n - overlap) >= {threshold}
+    )"""
+
+
 @q(
     "dedup_exact",
     """
@@ -746,26 +786,31 @@ def q_dedup_exact(spark, sf_dir):
 
 @q(
     "dedup_ngram_jaccard",
-    f"""
-    WITH sh AS ({shingles_sql(3)}),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    co AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS overlap
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    )
-    SELECT id_a, id_b,
-           round(overlap / (sa.n + sb.n - overlap), 6) AS jaccard
-    FROM co JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-    WHERE overlap / (sa.n + sb.n - overlap) >= 0.22
-    """,
+    ngram_pairs_sql(0.22) + " SELECT id_a, id_b, jaccard FROM pairs",
     "data",
 )
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard near-dup pairs (inverted-index self-join)."""
     docs = load_par(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.22)
+
+
+@q(
+    "dedup_ngram_jaccard_capped",
+    ngram_pairs_sql(0.22, max_df=64) + " SELECT id_a, id_b, jaccard FROM pairs",
+    "data",
+)
+def q_dedup_ngram_jaccard_capped(spark, sf_dir):
+    """The corpus-scale n-gram path: max_df=64 drops stop-shingles before
+    pair enumeration. A shingle in f docs emits f^2/2 pair occurrences,
+    so one stop-shingle at 100 TB explodes the quadratic hot path; the
+    cap bounds every posting list while jaccard becomes a documented
+    lower bound (full set sizes, capped overlap). The oracle applies the
+    identical cap, so results hash-match exactly."""
+    docs = load_par(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.22, max_df=64
+    )
 
 
 def _minhash_oracle_sql(num_hashes: int = 16, band_size: int = 4, k: int = 3) -> str:
@@ -1734,20 +1779,8 @@ def q_stratified_sample_lang(spark, sf_dir):
 
 @q(
     "neardup_keep_longest",
-    f"""
-    WITH sh AS ({shingles_sql(3)}),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-    co AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS overlap
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT id_a, id_b
-      FROM co JOIN sizes sa ON sa.doc_id = id_a
-              JOIN sizes sb ON sb.doc_id = id_b
-      WHERE overlap / (sa.n + sb.n - overlap) >= 0.22
-    ),
+    ngram_pairs_sql(0.22, max_df=64)
+    + """,
     lens AS (SELECT doc_id, n_chars FROM documents)
     SELECT DISTINCT
            CASE WHEN la.n_chars < lb.n_chars
@@ -1761,9 +1794,13 @@ def q_stratified_sample_lang(spark, sf_dir):
 def q_neardup_keep_longest(spark, sf_dir):
     """Quality-aware near-dup resolution: for each 3-gram-Jaccard pair,
     drop the shorter doc (tie: larger id). Pair generation is the
-    bucketed posting-list path — no all-pairs join."""
+    bucketed posting-list path with the corpus-scale max_df cap — no
+    all-pairs join, no uncapped posting list (the oracle applies the
+    identical cap; pairs found are a lower bound of the uncapped set)."""
     docs = load_par(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.22)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.22, max_df=64
+    )
     return sampling.keep_longest_of_pairs(
         docs, pairs.select("id_a", "id_b"), id_col="doc_id", len_col="n_chars"
     )

@@ -203,3 +203,14 @@ def test_python_murmur3_matches_jvm(spark):
     ).collect()}
     for s in samples:
         assert got[s] == (spark_murmur3_str(s), bucket_of(s, 7)), s
+
+
+def test_ngram_max_df_cap_visible_in_plan(spark, sf_dir):
+    """The corpus-scale max_df cap must be a real plan node — a filter on
+    posting-list size BEFORE pair enumeration — not a post-hoc prune of
+    the already-exploded quadratic pair stream."""
+    from sonnerie_spark.benchqueries import q_dedup_ngram_jaccard_capped
+
+    df = q_dedup_ngram_jaccard_capped(spark, sf_dir)
+    plan = plan_of(df).replace(" ", "")
+    assert "size(ids" in plan and "<=64" in plan, plan
