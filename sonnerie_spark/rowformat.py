@@ -317,9 +317,15 @@ def parse_timestamp(text: str) -> int:
     for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d %H:%M", "%Y-%m-%d"):
         try:
             dt = datetime.strptime(t, fmt).replace(tzinfo=timezone.utc)
-            return int(dt.timestamp()) * NS_PER_SEC + dt.microsecond * 1000
         except ValueError:
             continue
+        # Same range guard as the integer branch, applied OUTSIDE the
+        # strptime try (FormatError is a ValueError): a date past 2262
+        # overflows int64 nanos and must fail as out-of-range here, not
+        # as a raw pyarrow/py4j overflow later.
+        return check_timestamp(
+            int(dt.timestamp()) * NS_PER_SEC + dt.microsecond * 1000
+        )
     raise FormatError(f"unparseable timestamp {text!r}")
 
 

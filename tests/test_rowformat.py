@@ -188,6 +188,13 @@ def test_timestamp_range_guard():
         parse_timestamp("-1")
     with pytest.raises(FormatError):
         parse_timestamp(str(MAX_TS_NS + 1))
+    # the ISO branch enforces the same guard: 9999-01-01 overflows i64
+    # nanos and must be a FormatError, not a raw pyarrow/py4j overflow
+    with pytest.raises(FormatError):
+        parse_timestamp("9999-01-01")
+    with pytest.raises(FormatError):
+        parse_timestamp("2263-01-01 00:00:00")
+    assert parse_timestamp("2262-01-01") == 9214646400000000000
 
 
 def test_add_record_rejects_out_of_range_ts(spark, tmp_path):
