@@ -206,10 +206,14 @@ class Database:
     def data_runs(self) -> list[RunInfo]:
         return [r for r in self.runs() if not r.is_delete]
 
-    def delete_markers(self) -> list[dict]:
-        """Load delete markers (tiny) to the driver, tagged with txname."""
+    def delete_markers(self, runs: list["RunInfo"] | None = None) -> list[dict]:
+        """Load delete markers (tiny) to the driver, tagged with txname.
+
+        ``runs``: an already-taken run listing to read from — callers
+        holding a listing (the point reader's retry loop) pass it so one
+        snapshot serves the whole attempt and no second readdir runs."""
         markers: list[dict] = []
-        for r in self.runs():
+        for r in self.runs() if runs is None else runs:
             if not r.is_delete:
                 continue
             import pyarrow.parquet as pq

@@ -277,7 +277,10 @@ class PointReader:
                 self._footers.pop(run.path, None)
                 return None  # file deleted mid-read: retry fresh
         try:
-            markers = self.db.delete_markers()
+            # Read markers from the attempt's own listing: one consistent
+            # snapshot per attempt, no second readdir, and an unrelated
+            # delete commit landing mid-attempt can't consume a retry.
+            markers = self.db.delete_markers(all_runs)
         except OSError:
             return None  # marker run purged mid-read: retry fresh
         if [r.name for r in self.db.runs()] != [r.name for r in all_runs]:
