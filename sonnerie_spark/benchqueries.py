@@ -1458,6 +1458,56 @@ def q_ivf_assign(spark, sf_dir):
 
 
 @q(
+    "ivf_kmeans_assign",
+    f"""
+    {_IVF_ASSIGN_SQL},
+    assign0 AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+    -- one Lloyd iteration, integer-exact means: sums of longs are
+    -- order-independent, so Spark's parallel agg and this serial one
+    -- agree bit-for-bit (a double avg would differ by summation order)
+    flat AS (
+      SELECT a.cid, generate_subscripts(v.e, 1) - 1 AS pos,
+             unnest(v.e) AS val
+      FROM assign0 a JOIN v ON v.vec_id = a.vec_id
+    ),
+    sums AS (
+      SELECT cid, pos,
+             sum(cast(round(val * 10000000) as bigint)) AS s,
+             count(*) AS n
+      FROM flat GROUP BY cid, pos
+    ),
+    means AS (
+      SELECT cid, list(floor(s * 1.0 / n) / 10000000.0 ORDER BY pos) AS ce
+      FROM sums GROUP BY cid
+    ),
+    c1 AS (SELECT c.cid, coalesce(m.ce, c.ce) AS ce
+           FROM c LEFT JOIN means m ON m.cid = c.cid),
+    scored1 AS (
+      SELECT v.vec_id, c1.cid, round({_cos_sql("v.e", "c1.ce")}, 6) AS cos
+      FROM v CROSS JOIN c1
+    ),
+    r1 AS (SELECT vec_id, cid, cos,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, cid ASC) AS rn
+           FROM scored1)
+    SELECT vec_id AS id, cast(cid as int) AS centroid_id, cos AS centroid_cosine
+    FROM r1 WHERE rn = 1
+    """,
+    "data",
+)
+def q_ivf_kmeans_assign(spark, sf_dir):
+    """IVF assignment against k-means-REFINED centroids (one Lloyd
+    iteration over the deterministic seed) — closes the recall gap of
+    the raw first-C-ids centroids while staying bit-for-bit
+    oracle-checkable: the update step computes each (list, dim) mean in
+    integer space (floor(sum(round(val*1e7))/n)/1e7), so parallel and
+    serial aggregation orders cannot diverge."""
+    emb = load_par(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_train(emb, num_centroids=8, iters=1)
+    return similarity.ivf_assign(emb, num_centroids=8, centroids=cents)
+
+
+@q(
     "ivf_ann_topk",
     f"""
     {_IVF_ASSIGN_SQL},

@@ -147,6 +147,79 @@ def ivf_centroid_data(
     return [list(r.cv) for r in rows], [r.cid for r in rows]
 
 
+def ivf_train(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 8,
+    iters: int = 1,
+    round_digits: int = 6,
+    scale: int = 10**7,
+) -> tuple[list[list[float]], list[int]]:
+    """Lloyd's k-means refinement of the seed centroids — the real
+    recall story for the IVF index (the seed alone is deterministic but
+    arbitrary; one refinement round already moves each centroid to its
+    list's mean).
+
+    Every step is deterministic AND cross-engine reproducible, so the
+    refined assignment stays oracle-checkable:
+
+    - assignment: the same rounded-cosine argmax fold as
+      :func:`ivf_assign` (map-only, no shuffle);
+    - update: the per-(list, dim) mean is computed in INTEGER space —
+      ``floor(sum(round(val * scale)) / n) / scale`` — sums of longs are
+      exact and order-independent, so Spark's parallel aggregation and
+      DuckDB's serial one agree bit-for-bit (a plain double ``avg``
+      would differ by summation order);
+    - an empty list keeps its previous centroid.
+
+    Per iteration: one map-only assignment pass + one (C x D)-group hash
+    agg — at 100 TB both are single scans with tiny shuffles (C·D
+    rows). Centroids are dimension data (collected to the driver), like
+    the LSH plane matrix.
+    """
+    import math
+
+    cvs, cids = ivf_centroid_data(
+        df, id_col=id_col, vec_col=vec_col, num_centroids=num_centroids
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(
+            df,
+            id_col=id_col,
+            vec_col=vec_col,
+            num_centroids=num_centroids,
+            round_digits=round_digits,
+            centroids=(cvs, cids),
+        )
+        stats = (
+            assigned.join(
+                df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "id"
+            )
+            .select(
+                "centroid_id",
+                F.posexplode(F.col("v").cast("array<double>")).alias("pos", "val"),
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(
+                F.sum(F.round(F.col("val") * scale).cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in stats:
+            by_cid.setdefault(r.centroid_id, {})[r.pos] = (
+                math.floor(r.s / r.n) / scale
+            )
+        cvs = [
+            [by_cid[cid][p] for p in range(len(cv))] if cid in by_cid else cv
+            for cv, cid in zip(cvs, cids)
+        ]
+    return cvs, cids
+
+
 def ivf_assign(
     df: DataFrame,
     *,
@@ -154,6 +227,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     num_centroids: int = 8,
     round_digits: int = 6,
+    centroids: tuple[list[list[float]], list[int]] | None = None,
 ) -> DataFrame:
     """IVF list assignment: each vector -> its nearest centroid (max
     cosine, ties to the lowest centroid id).
@@ -162,11 +236,18 @@ def ivf_assign(
     **no shuffle, no join explosion**: at 100 TB this is a map-only pass
     (the write-time partitioning step; queries then read one list).
     Struct comparison does the argmax: max of (cosine, -centroid_id).
+
+    ``centroids``: explicit ``(vectors, ids)`` — pass
+    :func:`ivf_train`'s output to assign against refined centroids;
+    default derives the deterministic seed from ``df``.
     """
     spark = df.sparkSession
-    cvs, cids = ivf_centroid_data(
-        df, id_col=id_col, vec_col=vec_col, num_centroids=num_centroids
-    )
+    if centroids is not None:
+        cvs, cids = centroids
+    else:
+        cvs, cids = ivf_centroid_data(
+            df, id_col=id_col, vec_col=vec_col, num_centroids=num_centroids
+        )
     cents = spark.createDataFrame(
         [(cvs, cids)], "cents array<array<double>>, cids array<int>"
     )
@@ -203,6 +284,7 @@ def ivf_topk(
     nprobe: int = 2,
     k: int = 5,
     round_digits: int = 6,
+    centroids: tuple[list[list[float]], list[int]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: search only the ``nprobe`` most promising
     inverted lists per probe instead of the whole corpus.
@@ -219,15 +301,19 @@ def ivf_topk(
         vec_col=vec_col,
         num_centroids=num_centroids,
         round_digits=round_digits,
+        centroids=centroids,
     ).join(
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("cand_vec")),
         "id",
     )
 
     spark = corpus.sparkSession
-    cvs, cids = ivf_centroid_data(
-        corpus, id_col=id_col, vec_col=vec_col, num_centroids=num_centroids
-    )
+    if centroids is not None:
+        cvs, cids = centroids
+    else:
+        cvs, cids = ivf_centroid_data(
+            corpus, id_col=id_col, vec_col=vec_col, num_centroids=num_centroids
+        )
     cent_rows = spark.createDataFrame(
         list(zip(cids, cvs)), "cid int, cv array<double>"
     )

@@ -74,7 +74,7 @@ def test_multi_run_dedup_is_partial_aggregation(db):
     # (key, ts) per input partition), and no sort-the-world window
     # (a partial_* aggregate is by construction the map-side pass that
     # runs before the Exchange in Spark's two-phase aggregation)
-    assert "partial_max_by" in plan, plan
+    assert "partial_max(struct(_txid" in plan, plan
     assert "Window" not in plan, plan
 
 
@@ -150,7 +150,7 @@ def test_multi_run_read_has_no_exchange(spark, tmp_path):
     plan = plan_of(df)
     assert "Bucketed: true" in plan, plan
     assert "Exchange" not in plan, plan
-    assert "max_by" in plan  # the dedup is still in the plan
+    assert "max(struct(_txid" in plan, plan  # the dedup is still in the plan
     assert df.count() == 50 * 3 - 0  # distinct (key, ts) pairs survive
 
 

@@ -44,11 +44,17 @@ def gen_run(spark, n: int, n_keys: int, run_i: int):
 
 
 def timed_scan(db, n: int, label: str) -> float:
+    # Materialize the payload (sum over v_long sizes), not bare count():
+    # count() on a single compacted run collapses to parquet metadata
+    # and reads no data, which would inflate the multi-run/compacted
+    # ratio with a scan that isn't one.
     t0 = time.time()
-    cnt = db.read().count()
+    row = db.read().agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size("v_long")).alias("m")
+    ).collect()[0]
     dt = time.time() - t0
-    print(f"{label}: {cnt} records in {dt:.1f}s = {cnt/dt/1e6:.2f} M rec/s")
-    assert cnt == n, (cnt, n)
+    print(f"{label}: {row.n} records in {dt:.1f}s = {row.n/dt/1e6:.2f} M rec/s")
+    assert row.n == n, (row.n, n)
     return dt
 
 
