@@ -2198,3 +2198,58 @@ def q_series_anomaly_zscore(spark, sf_dir):
             "key", "n", F.round("mean", 6).alias("mean"), F.round("z", 6).alias("zscore")
         )
     )
+
+
+# ===========================================================================
+# Training-data hygiene: benchmark decontamination + PII-style redaction
+# ===========================================================================
+
+
+@q(
+    "decontaminate_benchmark",
+    f"""
+    WITH sh AS ({shingles_sql(8)}),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT s.doc_id AS id, count(*) AS n_hits
+      FROM sh s JOIN bench b USING (shingle)
+      GROUP BY s.doc_id
+    )
+    SELECT id, n_hits FROM hits
+    """,
+    "data",
+)
+def q_decontaminate_benchmark(spark, sf_dir):
+    """Benchmark decontamination: corpus documents sharing any 8-gram
+    with the (deterministic pseudo-)eval set doc_id % 97 == 0. The eval
+    side collapses to a distinct shingle set and BROADCASTs, so the
+    corpus is scanned once with no shuffle on its shingle stream."""
+    docs = load_par(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return textops.decontaminate(docs, bench, k=8)
+
+
+@q(
+    "redact_pii",
+    """
+    SELECT doc_id AS id,
+           cast(len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}')) as int)
+             AS n_emails,
+           cast(len(regexp_extract_all(text, '[0-9]{9,}')) as int)
+             AS n_digit_runs,
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{9,}', '<NUMBER>', 'g') AS redacted
+    FROM documents
+    """,
+    "data",
+)
+def q_redact_pii(spark, sf_dir):
+    """PII-style scrub over the corpus: email-shaped and long-digit-run
+    tokens replaced by placeholder tags, with per-doc counts — pure
+    regexp Catalyst expressions at scan speed, engine-portable patterns
+    (character classes only, identical in Java regex and RE2)."""
+    docs = load_par(spark, sf_dir, "documents")
+    return textops.redact_pii(docs)

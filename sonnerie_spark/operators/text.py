@@ -165,3 +165,71 @@ def _gram_builder(toks, n: int):
         return F.concat_ws(" ", *parts)
 
     return build
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, how many distinct
+    k-gram shingles it shares with ANY benchmark document.
+
+    The standard training-data hygiene pass (strip eval-set material
+    from the corpus before training). Shape at 100 TB: the corpus
+    explodes to (doc, shingle) once; the benchmark side — eval sets are
+    tiny by definition — collapses to a distinct-shingle set and arrives
+    via BROADCAST hash join, so the corpus is scanned exactly once with
+    no shuffle on the quadratic side. Output: one row per CONTAMINATED
+    document (``n_hits`` distinct shared shingles > 0); clean documents
+    don't appear — anti-join this result to keep them.
+
+    Uses the same distinct word-shingle definition as the n-gram dedup
+    family (dedup.word_shingles), so thresholds transfer.
+    """
+    from sonnerie_spark.operators.dedup import word_shingles
+
+    corpus_sh = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    bench_sh = (
+        benchmark.select(F.explode(word_shingles(F.col(text_col), k)).alias("shingle"))
+        .distinct()
+    )
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def redact_pii(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """PII-style scrubbing: replace email-shaped and long-digit-run
+    tokens with fixed placeholder tags, and count what was replaced.
+
+    Pure Catalyst ``regexp_replace``/``regexp_count`` — scan-speed, no
+    Python in the path. The two patterns are deliberately simple,
+    engine-portable regexes (character classes only — identical
+    semantics in Java regex and RE2/DuckDB): real deployments swap in
+    their PII taxonomy here; the Spark plumbing (schema, counts,
+    ordering of passes) is what this operator pins down.
+    """
+    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+    digits = "[0-9]{9,}"
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.regexp_count(t, F.lit(email)).alias("n_emails"),
+        F.regexp_count(t, F.lit(digits)).alias("n_digit_runs"),
+        F.regexp_replace(
+            F.regexp_replace(t, email, "<EMAIL>"), digits, "<NUMBER>"
+        ).alias("redacted"),
+    )

@@ -155,3 +155,38 @@ def test_ivf_partial_probe_recall(spark, emb):
     }
     recall = len(truth & got) / len(truth)
     assert recall >= 0.7, f"recall@3 {recall:.2f} with nprobe=2/4"
+
+
+def test_decontaminate_flags_exact_and_partial_overlap(spark):
+    from sonnerie_spark.operators.text import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "quick brown fox jumps over the lazy dog today again"),  # shares 8-grams with 1
+            (3, "completely different content with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter("doc_id = 1")
+    hits = {r.id: r.n_hits for r in decontaminate(docs, bench, k=8).collect()}
+    assert 1 in hits and hits[1] >= 1  # a benchmark doc contaminates itself
+    assert 2 in hits  # partial 8-gram overlap detected
+    assert 3 not in hits  # clean doc absent from the result
+
+
+def test_redact_pii_counts_and_replaces(spark):
+    from sonnerie_spark.operators.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact a.user@example.com or call 123456789 now"),
+            (2, "clean text with short 12345 number"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.id: r for r in redact_pii(docs).collect()}
+    assert out[1].n_emails == 1 and out[1].n_digit_runs == 1
+    assert out[1].redacted == "contact <EMAIL> or call <NUMBER> now"
+    assert out[2].n_emails == 0 and out[2].n_digit_runs == 0
+    assert out[2].redacted == "clean text with short 12345 number"

@@ -214,3 +214,14 @@ def test_ngram_max_df_cap_visible_in_plan(spark, sf_dir):
     df = q_dedup_ngram_jaccard_capped(spark, sf_dir)
     plan = plan_of(df).replace(" ", "")
     assert "size(ids" in plan and "<=64" in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The eval-set side of decontamination must arrive by broadcast —
+    a shuffle join keyed on shingles would move the full corpus shingle
+    stream over the network at 100 TB for a benchmark that is tiny by
+    definition."""
+    from sonnerie_spark.benchqueries import q_decontaminate_benchmark
+
+    plan = plan_of(q_decontaminate_benchmark(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
