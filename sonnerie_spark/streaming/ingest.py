@@ -94,6 +94,49 @@ def stream_text_ingest(
     )
 
 
+def stream_dedup_exact(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    time_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop documents whose content digest was
+    already seen, ACROSS micro-batches.
+
+    The streaming face of ``operators.dedup.exact_dedup`` — a corpus
+    arriving continuously (crawl output, log shippers) deduped before it
+    ever lands. State is one digest per distinct content, partitioned by
+    digest in the state store.
+
+    Two modes, chosen by ``time_col``:
+
+    - ``None``: ``dropDuplicates`` on the digest — state grows with
+      distinct contents forever (fine for bounded corpora / sessions).
+    - an event-time column: ``dropDuplicatesWithinWatermark`` — a
+      duplicate arriving within the watermark of its first copy is
+      dropped, and state older than the watermark is evicted. This is
+      the 100 TB mode: state is bounded by the dedup horizon, not by
+      corpus history (crawl re-fetch storms are bursty; a horizon of
+      hours catches them without remembering the whole crawl).
+
+    On a batch DataFrame the digest-only mode runs unchanged;
+    ``dropDuplicatesWithinWatermark`` is streaming-only in Spark, so
+    with ``time_col`` set a batch input falls back to plain
+    ``dropDuplicates`` (a static frame IS one complete batch — every
+    duplicate is within any horizon of its first copy).
+    """
+    with_digest = docs.withColumn("_digest", F.md5(F.col(content_col)))
+    if time_col is None or not docs.isStreaming:
+        return with_digest.dropDuplicates(["_digest"]).drop("_digest")
+    return (
+        with_digest.withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(["_digest"])
+        .drop("_digest")
+    )
+
+
 def stateful_running_stats(
     records: DataFrame,
     *,

@@ -225,3 +225,29 @@ def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
 
     plan = plan_of(q_decontaminate_benchmark(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_all_bound_kinds_pushed_to_parquet(db):
+    """Every Bound kind is a plain string comparison, so each must reach
+    PushedFilters — incl/excl bounds that sat in a post-scan Filter
+    would re-read every row group at 100 TB."""
+    df = db.read(after_key_excl="key010", before_key_incl="key090")
+    squashed = formatted_plan(df).replace(" ", "")
+    assert "GreaterThan(key,key010)" in squashed, squashed
+    assert "LessThanOrEqual(key,key090)" in squashed, squashed
+
+
+def test_keys_reader_no_exchange_on_bucketed_runs(spark, tmp_path):
+    """keys() over a bucketed multi-run layout: the distinct rides the
+    scan's HashPartitioning(key, B) — no Exchange before the aggregate
+    (the global orderBy for sorted output is the only later movement)."""
+    db = Database(spark, str(tmp_path / "db"))
+    for r in range(2):
+        tx = db.create_tx()
+        for i in range(40):
+            tx.add_record(f"key{i:03d}", 1000 + r, "u", [i])
+        tx.commit()
+    plan = plan_of(db.keys())
+    pre_sort = plan.split("Sort", 1)[-1]  # everything below the output sort
+    assert "Exchange hashpartitioning" not in pre_sort, plan
+    assert [r.key for r in db.keys().collect()][:2] == ["key000", "key001"]

@@ -175,3 +175,58 @@ def test_serve_rejects_other_methods(server):
         raise AssertionError("POST accepted")
     except urllib.error.HTTPError as e:
         assert e.code == 400  # sonnerie-serve.rs:91-96
+
+
+def test_stream_dedup_exact_across_batches(spark, tmp_path):
+    """Cross-micro-batch exact dedup: a content digest seen in batch 1
+    suppresses the same content arriving in batch 2 — state lives in the
+    state store, not in any single batch."""
+    import json
+
+    from sonnerie_spark.streaming.ingest import stream_dedup_exact
+
+    inp = tmp_path / "docs"
+    inp.mkdir()
+    out = []
+
+    def collect_batch(batch_df, batch_id):
+        out.extend((r.doc_id, r.text) for r in batch_df.collect())
+
+    (inp / "b1.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"doc_id": 1, "text": "alpha"},
+                {"doc_id": 2, "text": "beta"},
+                {"doc_id": 3, "text": "alpha"},  # in-batch dup
+            ]
+        )
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(inp))
+    )
+    q = (
+        stream_dedup_exact(stream)
+        .writeStream.foreachBatch(collect_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert sorted(t for _, t in out) == ["alpha", "beta"]
+        (inp / "b2.json").write_text(
+            "\n".join(
+                json.dumps(d)
+                for d in [
+                    {"doc_id": 4, "text": "alpha"},  # cross-batch dup: dropped
+                    {"doc_id": 5, "text": "gamma"},
+                ]
+            )
+        )
+        q.processAllAvailable()
+        assert sorted(t for _, t in out) == ["alpha", "beta", "gamma"]
+    finally:
+        q.stop()
