@@ -2253,3 +2253,52 @@ def q_redact_pii(spark, sf_dir):
     (character classes only, identical in Java regex and RE2)."""
     docs = load_par(spark, sf_dir, "documents")
     return textops.redact_pii(docs)
+
+
+@q(
+    "pack_sequences",
+    f"""
+    WITH RECURSIVE ordered AS (
+      SELECT doc_id,
+             n_chars::BIGINT AS length,
+             cast({phash_sql("cast(doc_id as varchar)")} % 16 as int) AS slice,
+             {phash_sql("cast(doc_id as varchar)")} AS h,
+             row_number() OVER (
+               PARTITION BY {phash_sql("cast(doc_id as varchar)")} % 16
+               ORDER BY {phash_sql("cast(doc_id as varchar)")}, doc_id
+             ) AS rn
+      FROM documents
+    ),
+    packed AS (
+      SELECT slice, rn, doc_id, length,
+             0::BIGINT AS start_pos,
+             least(length, 512) AS end_pos
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.slice, o.rn, o.doc_id, o.length,
+             CASE WHEN p.end_pos % 512 != 0
+                       AND p.end_pos % 512 + least(o.length, 512) > 512
+                  THEN p.end_pos + 512 - p.end_pos % 512
+                  ELSE p.end_pos END AS start_pos,
+             CASE WHEN p.end_pos % 512 != 0
+                       AND p.end_pos % 512 + least(o.length, 512) > 512
+                  THEN p.end_pos + 512 - p.end_pos % 512
+                  ELSE p.end_pos END + least(o.length, 512) AS end_pos
+      FROM packed p JOIN ordered o ON o.slice = p.slice AND o.rn = p.rn + 1
+    )
+    SELECT doc_id AS id, length, slice,
+           cast(start_pos // 512 as int) AS pack_id,
+           start_pos % 512 AS pack_offset
+    FROM packed
+    """,
+    "data",
+)
+def q_pack_sequences(spark, sf_dir):
+    """Deterministic per-slice sequence packing (budget 512 tokens, 16
+    hash slices): the training-batch construction pass. The greedy fill
+    recurrence is sequential, so it runs as one Arrow batch per slice
+    (applyInPandas) — parallel across slices, which is how shards are
+    packed in practice; the oracle replays the identical recurrence with
+    a recursive CTE."""
+    docs = load_par(spark, sf_dir, "documents")
+    return sampling.pack_sequences(docs, "doc_id", "n_chars", budget=512, num_slices=16)

@@ -134,3 +134,65 @@ def keep_longest_of_pairs(
         F.col("id_a"),
     ).otherwise(F.col("id_b"))
     return j.select(loser.alias("remove_id")).distinct()
+
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    *,
+    budget: int,
+    num_slices: int = 16,
+) -> DataFrame:
+    """Deterministic sequence packing for training-batch construction:
+    within each of ``num_slices`` hash slices, documents (in stable
+    hash order) fill fixed-``budget`` token packs; a document that would
+    straddle a pack boundary starts the next pack, and oversized
+    documents are clipped to one full pack.
+
+    The fill recurrence (next start depends on the previous corrected
+    end) is inherently sequential — no closed form over a raw cumsum
+    exists because each boundary bump shifts every later residue. So
+    this is a grouped-map ``applyInPandas`` operator: one Arrow batch
+    per slice, a tight Python loop per batch — exactly the per-shard
+    shape training pipelines use (packs are built within a shard, never
+    across the corpus), so the sequential pass parallelizes across
+    slices and scales with executors, not corpus size. The SQL oracle
+    replays the identical recurrence with a recursive CTE.
+
+    Output: id, length, slice, pack_id (0-based within slice),
+    pack_offset (token start within the pack).
+    """
+    import pandas as pd
+
+    B = int(budget)
+    slices = F.pmod(phash(F.col(id_col).cast("string")), F.lit(num_slices))
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(len_col).cast("long").alias("length"),
+        slices.cast("int").alias("slice"),
+        phash(F.col(id_col).cast("string")).alias("_h"),
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd  # self-contained for cloudpickle
+
+        pdf = pdf.sort_values(["_h", "id"], kind="mergesort")
+        end = 0
+        starts = []
+        for ln in pdf["length"]:
+            ln = min(int(ln), B)
+            if end % B != 0 and end % B + ln > B:
+                end += B - end % B  # bump to the next pack boundary
+            starts.append(end)
+            end += ln
+        out = pdf[["id", "length", "slice"]].copy()
+        out["pack_id"] = [s // B for s in starts]
+        out["pack_offset"] = [s % B for s in starts]
+        return out
+
+    return staged.groupBy("slice").applyInPandas(
+        pack,
+        "id long, length long, slice int, pack_id int, pack_offset long",
+    )

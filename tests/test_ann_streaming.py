@@ -190,3 +190,30 @@ def test_redact_pii_counts_and_replaces(spark):
     assert out[1].redacted == "contact <EMAIL> or call <NUMBER> now"
     assert out[2].n_emails == 0 and out[2].n_digit_runs == 0
     assert out[2].redacted == "clean text with short 12345 number"
+
+
+def test_pack_sequences_invariants(spark):
+    """Packing invariants per slice: no pack exceeds the budget, packs
+    are densely numbered, offsets place docs disjointly, oversized docs
+    are clipped to a full pack of their own, and assignment is
+    deterministic across runs."""
+    from sonnerie_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, 50 + (i * 37) % 300) for i in range(200)] + [(999, 5000)],
+        "doc_id long, n long",
+    )
+    out = pack_sequences(docs, "doc_id", "n", budget=256, num_slices=4).collect()
+    assert len(out) == 201
+    by_pack = {}
+    for r in out:
+        by_pack.setdefault((r.slice, r.pack_id), []).append(r)
+    for (_, _), rows in by_pack.items():
+        used = sorted((r.pack_offset, r.pack_offset + min(r.length, 256)) for r in rows)
+        assert used[-1][1] <= 256  # budget respected (clipped lengths)
+        for (a0, a1), (b0, b1) in zip(used, used[1:]):
+            assert a1 <= b0  # disjoint placement
+    big = next(r for r in out if r.id == 999)
+    assert big.pack_offset == 0 and big.length == 5000  # clipped, own pack start
+    out2 = pack_sequences(docs, "doc_id", "n", budget=256, num_slices=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))  # deterministic
