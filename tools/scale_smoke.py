@@ -50,8 +50,13 @@ def main() -> None:
     t_write = time.time() - t0
     print(f"write: {n} records in {t_write:.1f}s = {n/t_write/1e6:.2f} M rec/s")
 
+    # Materialize the payload — count() alone collapses to parquet
+    # metadata on a single run and reads no data (see lsm_depth.py).
     t0 = time.time()
-    cnt = db.read().count()
+    row = db.read().agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size("v_long")).alias("m")
+    ).collect()[0]
+    cnt = row.n
     t_scan = time.time() - t0
     print(f"scan:  {cnt} records in {t_scan:.1f}s = {cnt/t_scan/1e6:.2f} M rec/s")
     assert cnt == n
@@ -97,10 +102,20 @@ def main() -> None:
         f"{(time.time()-t0)*1000/n_iters:.1f}ms/lookup"
     )
 
+    # Consume the aggregate value (a bare .count() over the grouped
+    # frame lets Catalyst prune the sum and measures key-distinct only).
     t0 = time.time()
-    agg = db.read().groupBy("key").agg(F.sum(F.element_at("v_long", 1))).count()
+    per_key = db.read().groupBy("key").agg(
+        F.sum(F.element_at("v_long", 1)).alias("s")
+    )
+    agg_row = per_key.agg(
+        F.count(F.lit(1)).alias("groups"), F.sum("s").alias("total")
+    ).collect()[0]
     t_agg = time.time() - t0
-    print(f"per-key agg: {agg} series in {t_agg:.1f}s = {cnt/t_agg/1e6:.2f} M rec/s")
+    print(
+        f"per-key agg: {agg_row.groups} series in {t_agg:.1f}s = "
+        f"{cnt/t_agg/1e6:.2f} M rec/s"
+    )
 
     # Compaction throughput: overwrite 1% in a second run, then major
     # compact (read-merge-rewrite of everything + marker purge) — the
