@@ -106,6 +106,12 @@ def _ts_or(v: str | None, default: int) -> int:
 
 
 def _ts_style(args) -> str:
+    # clap-parity conflict rules (main.rs:99-112): the style flags are
+    # mutually exclusive, and a custom pattern conflicts with both.
+    if args.timestamp_nanos and args.timestamp_seconds:
+        raise SystemExit("read: --timestamp-nanos conflicts with --timestamp-seconds")
+    if (args.timestamp_nanos or args.timestamp_seconds) and args.timestamp_format != "%F %T":
+        raise SystemExit("read: --timestamp-format conflicts with --timestamp-nanos/seconds")
     if args.timestamp_nanos:
         return "nanos"
     if args.timestamp_seconds:
@@ -255,6 +261,10 @@ def cmd_delete(db: Database, args) -> int:
         # other kinds instead of silently widening the deleted range.
         raise SystemExit("delete: only --after-key/--before-key bounds are supported")
     if args.time is not None:
+        if args.after_time or args.before_time:
+            # clap parity: --time conflicts with the range bounds
+            # (main.rs:49-59 conflicts_with = "time")
+            raise SystemExit("delete: --time conflicts with --after-time/--before-time")
         t = rowformat.parse_timestamp(args.time)
         after_ns, before_ns = t, t + 1  # [T, T+1ns) (main.rs:173-176)
     else:

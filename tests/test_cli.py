@@ -229,3 +229,16 @@ def test_cli_prefix_read_fast_path(db):
     # time bounds compose with the prefix fast path
     out2 = run_cli(db, ["read", "a%", "--timestamp-nanos", "--after-time", "1500"])
     assert out2.splitlines() == ["ab\t2000\t2"]
+
+
+def test_conflicting_flag_rules_match_reference(db):
+    """clap-parity conflict rules: --time vs the time bounds on delete
+    (main.rs:49-59), and the mutually-exclusive timestamp output styles
+    on read (main.rs:99-112)."""
+    run_cli(db, ["add", "--format", "u"], stdin="k 1000000000 1\n")
+    with pytest.raises(SystemExit, match="--time conflicts"):
+        run_cli(db, ["delete", "%", "--time", "1000000000", "--before-time", "2000000000"])
+    with pytest.raises(SystemExit, match="timestamp-nanos conflicts"):
+        run_cli(db, ["read", "%", "--timestamp-nanos", "--timestamp-seconds"])
+    with pytest.raises(SystemExit, match="timestamp-format conflicts"):
+        run_cli(db, ["read", "%", "--timestamp-format", "%Y", "--timestamp-nanos"])
