@@ -778,6 +778,10 @@ class Database:
         except BaseException:
             shutil.rmtree(tmp, ignore_errors=True)
             raise
+        return self._atomic_rename(tmp)
+
+    def _atomic_rename(self, tmp: str) -> str:
+        """Publish an already-written ``.tmp-*`` dir as a transaction."""
         while True:
             txname = f"tx.{time.time_ns():016x}"
             final = os.path.join(self.path, txname)
@@ -1027,15 +1031,39 @@ class Transaction:
     (in strict mode) sorted key arrival, mirroring KeyOrderingViolation /
     TimeOrderingViolation (write.rs:174-197). ``commit`` turns the
     buffer into one sorted Parquet run atomically.
+
+    Strict-order transactions stream with BOUNDED memory, like the
+    reference's segment writer (write.rs cuts ~1 MiB segments to disk as
+    they fill): sorted arrival means each bucket's file can be appended
+    in row-group increments, so every ``spill_threshold`` rows the
+    buffer flushes to per-bucket Parquet writers under a ``.tmp-*`` dir
+    and commit is just the close + atomic rename. A billion-record
+    ``cli add`` stream holds at most ``spill_threshold`` rows in driver
+    memory. (Unsorted transactions still buffer: they need the global
+    sort at commit.) Strict mode also keeps O(1) ordering state — the
+    sorted-arrival check needs only the current key and its last ts, not
+    a per-key map.
     """
 
-    def __init__(self, db: Database, *, strict_order: bool = False):
+    SPILL_THRESHOLD = 1_000_000
+
+    def __init__(
+        self, db: Database, *, strict_order: bool = False,
+        spill_threshold: int | None = None,
+    ):
         self.db = db
         self.strict_order = strict_order
+        self.spill_threshold = (
+            spill_threshold if spill_threshold is not None else self.SPILL_THRESHOLD
+        )
         self.rows: list[dict] = []
         self._last_key: str | None = None
+        self._last_ts: int | None = None  # strict mode: current key only
         self._last_ts_per_key: dict[str, int] = {}
         self._seen_keys: set[str] = set()
+        self._spill_dir: str | None = None
+        self._spill_writers: dict[int, object] = {}
+        self._spilled = 0
 
     def add_record(self, key: str, ts: int, fmt: str, values: list) -> None:
         rowformat.validate_format(fmt)
@@ -1043,15 +1071,24 @@ class Transaction:
         if self.strict_order:
             if self._last_key is not None and key < self._last_key:
                 raise CommitError(f"key ordering violation: {key!r} after {self._last_key!r}")
-            if key != self._last_key and key in self._seen_keys:
-                raise CommitError(f"key ordering violation: {key!r} re-appears")
-        last_ts = self._last_ts_per_key.get(key)
-        if last_ts is not None and ts <= last_ts:
-            raise CommitError(
-                f"time ordering violation for key {key!r}: {ts} after {last_ts}"
-            )
-        self._last_ts_per_key[key] = ts
-        self._seen_keys.add(key)
+            # Sorted arrival makes any non-adjacent reappearance a
+            # key-ordering violation above, so only the CURRENT key's
+            # last ts is needed — O(1) state however many keys stream by.
+            if key != self._last_key:
+                self._last_ts = None
+            if self._last_ts is not None and ts <= self._last_ts:
+                raise CommitError(
+                    f"time ordering violation for key {key!r}: {ts} after {self._last_ts}"
+                )
+            self._last_ts = ts
+        else:
+            last_ts = self._last_ts_per_key.get(key)
+            if last_ts is not None and ts <= last_ts:
+                raise CommitError(
+                    f"time ordering violation for key {key!r}: {ts} after {last_ts}"
+                )
+            self._last_ts_per_key[key] = ts
+            self._seen_keys.add(key)
         self._last_key = key
         v_long, v_double, v_str, v_bin = rowformat.values_to_columns(fmt, values)
         self.rows.append(
@@ -1065,6 +1102,41 @@ class Transaction:
                 "v_bin": v_bin,
             }
         )
+        if self.strict_order and len(self.rows) >= self.spill_threshold:
+            self._spill()
+
+    def _spill(self) -> None:
+        """Append the buffer to per-bucket Parquet writers and clear it.
+
+        Sorted arrival (strict mode) means each bucket receives its rows
+        in (key, ts) order across spills, so appended row groups keep
+        the non-overlapping sorted stats the point reader bisects."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if self._spill_dir is None:
+            self._spill_dir = os.path.join(
+                self.db.path, f".tmp-{os.getpid()}-{time.time_ns():x}"
+            )
+            os.makedirs(self._spill_dir)
+            self._spill_nonce = f"{time.time_ns():016x}"
+        schema = arrow_record_schema()
+        by_bucket: dict[int, list[dict]] = {}
+        for r in self.rows:
+            by_bucket.setdefault(bucket_of(r["key"], self.db.buckets), []).append(r)
+        for b in sorted(by_bucket):
+            w = self._spill_writers.get(b)
+            if w is None:
+                w = pq.ParquetWriter(
+                    os.path.join(
+                        self._spill_dir, bucket_file_name(b, self._spill_nonce)
+                    ),
+                    schema,
+                )
+                self._spill_writers[b] = w
+            w.write_table(pa.Table.from_pylist(by_bucket[b], schema=schema))
+        self._spilled += len(self.rows)
+        self.rows = []
 
     def add_line(
         self,
@@ -1078,6 +1150,15 @@ class Transaction:
         ))
 
     def commit(self) -> str | None:
+        if self._spill_dir is not None:
+            # streaming path: flush the tail, close writers, publish
+            if self.rows:
+                self._spill()
+            for w in self._spill_writers.values():
+                w.close()
+            self._spill_writers = {}
+            tmp, self._spill_dir = self._spill_dir, None
+            return self.db._atomic_rename(tmp)
         if not self.rows:
             return None
         # per-tx duplicate check already enforced incrementally

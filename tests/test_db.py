@@ -396,3 +396,37 @@ def test_keys_only_reader(spark, tmp_path):
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "v_long" not in read_schema and "v_str" not in read_schema, read_schema
     assert "max_by" not in plan, plan
+
+
+def test_strict_tx_spills_with_bounded_memory(spark, tmp_path):
+    """A strict-order transaction over the spill threshold streams to
+    per-bucket parquet writers: the buffer never exceeds the threshold,
+    the result is ONE normal bucketed run (point reads, bucketed
+    multi-run reads, and LWW all work), and ordering violations are
+    still caught mid-stream."""
+    from sonnerie_spark.db import CommitError, Database, Transaction
+
+    db = Database(spark, str(tmp_path / "db"))
+    tx = Transaction(db, strict_order=True, spill_threshold=100)
+    n = 0
+    for k in range(20):
+        for t in range(30):
+            tx.add_record(f"key{k:03d}", 1000 + t, "u", [k * 100 + t])
+            n += 1
+            assert len(tx.rows) <= 100  # bounded buffer
+    txname = tx.commit()
+    assert txname is not None
+    assert db.read().count() == n
+    # the spilled run participates in the bucketed layout like any other
+    rows = db.get("key007")
+    assert [r["v_long"][0] for r in rows] == [700 + t for t in range(30)]
+    tx2 = db.create_tx()
+    tx2.add_record("key007", 1000, "u", [-1])  # LWW overwrite across runs
+    tx2.commit()
+    assert db.get("key007")[0]["v_long"][0] == -1
+    # mid-stream ordering violation still raises
+    tx3 = Transaction(db, strict_order=True, spill_threshold=10)
+    for i in range(15):
+        tx3.add_record("a", i, "u", [i])
+    with pytest.raises(CommitError, match="time ordering"):
+        tx3.add_record("a", 5, "u", [0])
