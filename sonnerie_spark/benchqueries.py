@@ -2302,3 +2302,137 @@ def q_pack_sequences(spark, sf_dir):
     a recursive CTE."""
     docs = load_par(spark, sf_dir, "documents")
     return sampling.pack_sequences(docs, "doc_id", "n_chars", budget=512, num_slices=16)
+
+
+# ===========================================================================
+# Group: near-dup clustering (connected components) + corpus mixing
+# ===========================================================================
+
+from sonnerie_spark.operators import graph  # noqa: E402
+
+
+@q(
+    "neardup_components",
+    graph.cc_oracle_sql(_minhash_oracle_sql())
+    + " SELECT id, comp FROM cc",
+    "data",
+)
+def q_neardup_components(spark, sf_dir):
+    """Connected components over the MinHash-LSH near-dup graph: the
+    exact transitive clustering a curation pipeline wants ("all
+    near-dups of X"), vs. the greedy pairwise resolution of
+    neardup_keep_longest. Iterative min-label propagation with pointer
+    jumping (O(log d) driver-loop rounds of pure DataFrame ops); the
+    oracle computes the same closure with a recursive CTE."""
+    docs = load_par(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, band_size=4
+    )
+    return graph.connected_components(pairs, "id_a", "id_b")
+
+
+@q(
+    "neardup_keep_canonical",
+    graph.cc_oracle_sql(_minhash_oracle_sql())
+    + """
+    SELECT comp, keep_id, n_members FROM (
+      SELECT comp, cc.id AS keep_id,
+             count(*) OVER (PARTITION BY comp) AS n_members,
+             row_number() OVER (PARTITION BY comp
+                                ORDER BY d.n_chars DESC, cc.id) AS rk
+      FROM cc JOIN documents d ON d.doc_id = cc.id
+    ) WHERE rk = 1
+    """,
+    "data",
+)
+def q_neardup_keep_canonical(spark, sf_dir):
+    """Exact cluster-level near-dup resolution: per connected component
+    of the LSH graph, keep the longest member (tie: smallest id). The
+    precise counterpart of the greedy pairwise rule — a component keeps
+    exactly ONE survivor however long the dup chain is."""
+    docs = load_par(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, band_size=4
+    )
+    comps = graph.connected_components(pairs, "id_a", "id_b")
+    return sampling.keep_canonical_per_component(
+        comps, docs, id_col="doc_id", len_col="n_chars"
+    )
+
+
+@q(
+    "corpus_mix_uniform",
+    f"""
+    WITH c AS (SELECT lang, count(*) AS n_s FROM documents GROUP BY lang),
+    m AS (SELECT min(n_s) AS n_min FROM c)
+    SELECT doc_id AS id, d.lang AS source
+    FROM documents d JOIN c USING (lang) CROSS JOIN m
+    WHERE ({phash_sql("cast(doc_id as varchar)")} % 1000000) * n_s
+          < n_min * 1000000
+    """,
+    "data",
+)
+def q_corpus_mix_uniform(spark, sf_dir):
+    """Deterministic corpus mixing: every language downsampled to the
+    smallest language's size by content-stable hash threshold (the
+    testdata's lang distribution is skewed ~3.4x, so the rule is
+    genuinely exercised). Integer-only keep rule (hash%1e6 * n_s <
+    n_min * 1e6) — no float rates, so the oracle matches bit-for-bit;
+    the corpus-side stage is map-only."""
+    docs = load_par(spark, sf_dir, "documents")
+    return sampling.mix_sources_uniform(docs, "lang", "doc_id")
+
+
+@q(
+    "quality_filter_stratified",
+    """
+    WITH f AS (
+      SELECT doc_id, lang,
+             string_split(trim(text), ' ') AS toks,
+             length(text) AS nc
+      FROM documents
+    ), g AS (
+      SELECT doc_id, lang, nc,
+             len(toks) AS n,
+             len(list_filter(toks, t -> t IN
+                 ('the','a','an','and','or','of','to','in','is','it'))) AS n_stop,
+             len(list_distinct(toks)) AS n_distinct
+      FROM f
+    ), scored AS (
+      SELECT doc_id, lang,
+             round(least(n / 100.0, 1.0) * 0.25
+                   + least(((nc - (n - 1)) / n) / 8.0, 1.0) * 0.25
+                   + (1.0 - least(n_stop / n * 2, 1.0)) * 0.25
+                   + n_distinct / n * 0.25, 6) AS quality_score
+      FROM g
+    )
+    SELECT id, lang, quality_score FROM (
+      SELECT doc_id AS id, lang, quality_score,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY quality_score DESC, doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n_lang
+      FROM scored
+    ) WHERE rk * 4 <= n_lang * 3
+    """,
+    "data",
+)
+def q_quality_filter_stratified(spark, sf_dir):
+    """Quality-based corpus filtering, stratified by language: keep the
+    top 75% of docs per language by composite quality score. Rank-based
+    cutoff (rk*4 <= n*3, integer arithmetic) instead of a percentile
+    threshold — no float interpolation at the boundary, so the kept set
+    is deterministic and engine-portable. One shuffle on lang; both
+    windows share it."""
+    docs = load_par(spark, sf_dir, "documents")
+    scored = textops.quality_score(docs, "doc_id", "text").select(
+        "id", "quality_score"
+    )
+    j = docs.select(F.col("doc_id").alias("id"), "lang").join(scored, "id")
+    wp = Window.partitionBy("lang")
+    w = wp.orderBy(F.col("quality_score").desc(), F.col("id"))
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_lang", F.count("*").over(wp))
+        .filter(F.col("rk") * 4 <= F.col("n_lang") * 3)
+        .select("id", "lang", "quality_score")
+    )

@@ -1,0 +1,112 @@
+"""Iterative graph operators for corpus-scale dedup clustering.
+
+Near-dup pair streams (MinHash-LSH, SimHash, n-gram Jaccard — see
+operators/dedup.py) induce an undirected graph over documents; the
+clusters a curation pipeline actually wants are that graph's connected
+components ("all transitive near-dups of X"), not individual pairs.
+``keep_longest_of_pairs`` (sampling.py) is the cheap greedy resolution;
+this module adds the exact clustering.
+
+Spark has no built-in iterative-graph operator, so connected components
+runs as a driver-side loop of DataFrame rounds — the Pregel pattern
+(GraphX / GraphFrames implement their algorithms the same way). Each
+round is pure declarative DataFrame ops (join + groupBy.min), so every
+round gets Catalyst/AQE optimization, and ``localCheckpoint`` truncates
+the lineage so the plan does not grow with the iteration count.
+
+Scale: a round shuffles O(E) label messages hash-partitioned by node
+id. Label propagation alone needs diameter(G) rounds; the added
+pointer-jumping step (comp <- comp[comp], the classic Shiloach-Vishkin
+halving) makes convergence O(log d). Near-dup graphs are shallow
+(clusters of copies), so in practice 2-4 rounds; `max_iter` bounds the
+adversarial case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, comp) for every node of the undirected pair graph, where
+    ``comp`` is the smallest node id in the node's connected component
+    (the canonical, order-independent cluster label).
+
+    Algorithm per round (min-label propagation + pointer jumping):
+      1. every node sends its current label to each neighbour;
+         new label = min(own, received)        -- join + groupBy.min
+      2. comp <- comp[comp]                    -- self-join on label
+      3. stop when no label changed            -- anti-equality probe
+
+    The edge set is symmetrized, deduplicated, and cached once; every
+    round reuses it. All shuffles hash-partition on node id, so AQE
+    coalesces/splits them uniformly; no window functions, no Python.
+    """
+    e = pairs.select(
+        F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
+    )
+    sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    sym = sym.persist()
+    labels = sym.select(F.col("s").alias("id")).distinct().withColumn(
+        "comp", F.col("id")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # 1. propagate: min over own label and all neighbour labels
+        msgs = sym.join(labels.withColumnRenamed("id", "s"), "s").select(
+            F.col("d").alias("id"), "comp"
+        )
+        nxt = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # Checkpoint BEFORE the pointer-jump self-join: the join's two
+        # sides must be independent plan leaves, not two views of one
+        # unresolved aggregate (Catalyst attribute-dedup chokes there).
+        nxt = nxt.localCheckpoint(eager=True)
+        # 2. pointer jump: comp <- comp(comp). Every comp value is some
+        # node's id, so the self-join is total; chain length halves.
+        ptr = nxt.withColumnRenamed("comp", "comp2").withColumnRenamed("id", "comp")
+        nxt = nxt.join(ptr, "comp").select("id", F.col("comp2").alias("comp"))
+        nxt = nxt.localCheckpoint(eager=True)
+        # 3. converged iff no node's label changed this round
+        changed = (
+            nxt.join(labels.withColumnRenamed("comp", "prev"), "id")
+            .filter(F.col("comp") != F.col("prev"))
+            .limit(1)
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def cc_oracle_sql(pairs_sql: str) -> str:
+    """DuckDB oracle for :func:`connected_components` over the pair
+    stream produced by ``pairs_sql`` (columns id_a, id_b): transitive
+    closure by recursive CTE, then min label per node. Exponential pair
+    enumeration is fine at oracle scale (sf0.01); Spark runs the
+    log-round algorithm."""
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_sql}),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+      UNION
+      SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+    ),
+    cc AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id)
+    """

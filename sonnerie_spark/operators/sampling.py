@@ -136,6 +136,65 @@ def keep_longest_of_pairs(
     return j.select(loser.alias("remove_id")).distinct()
 
 
+def keep_canonical_per_component(
+    comps: DataFrame,
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Exact near-dup resolution over connected components (the precise
+    counterpart of greedy :func:`keep_longest_of_pairs`): per component,
+    keep the longest member (tie: smallest id), drop the rest.
+
+    ``comps`` is ``graph.connected_components`` output (id, comp).
+    Returns (comp, keep_id, n_members). One equi-join against the
+    2-column length projection, then one shuffle on the component key;
+    both windows share the same partitioning so Catalyst plans a single
+    exchange. Component count ~ duplicate-cluster count, far below row
+    count, so the shuffle is small at any corpus scale.
+    """
+    from pyspark.sql import Window
+
+    j = comps.join(
+        docs.select(
+            F.col(id_col).cast("long").alias("id"), F.col(len_col).alias("_len")
+        ),
+        "id",
+    )
+    wp = Window.partitionBy("comp")
+    w = wp.orderBy(F.col("_len").desc(), F.col("id"))
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wp))
+        .filter(F.col("rk") == 1)
+        .select("comp", F.col("id").alias("keep_id"), "n_members")
+    )
+
+
+def mix_sources_uniform(docs: DataFrame, source_col: str, id_col: str) -> DataFrame:
+    """Deterministic corpus mixing: downsample every source to the size
+    of the smallest one (the uniform-target special case of weighted
+    corpus mixing), selecting by content-stable hash so reruns and
+    incremental appends never reshuffle the kept set.
+
+    keep(doc) iff hash(id) % 1e6 * n_source < n_min * 1e6 — pure integer
+    arithmetic, bit-identical in the DuckDB oracle (no float rates).
+    Plan: one tiny groupBy for per-source counts (broadcast back), a
+    scalar min (broadcast), then a map-only filter — no shuffle touches
+    the corpus itself, so the stage streams at scan speed on 100 TB.
+    """
+    counts = docs.groupBy(source_col).agg(F.count("*").alias("n_s"))
+    n_min = counts.agg(F.min("n_s").alias("n_min"))
+    h = F.pmod(phash(F.col("id").cast("string")), F.lit(1_000_000))
+    return (
+        docs.select(F.col(id_col).alias("id"), F.col(source_col).alias("source"))
+        .join(F.broadcast(counts.withColumnRenamed(source_col, "source")), "source")
+        .crossJoin(F.broadcast(n_min))
+        .filter(h.cast("long") * F.col("n_s") < F.col("n_min") * F.lit(1_000_000))
+        .select("id", "source")
+    )
+
 
 def pack_sequences(
     df: DataFrame,

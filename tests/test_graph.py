@@ -1,0 +1,86 @@
+"""connected_components: exactness vs a driver-side union-find, plus
+convergence behavior on adversarial shapes (long chains)."""
+
+import random
+
+from sonnerie_spark.operators import graph, sampling
+
+
+def _uf_components(edges):
+    """Reference union-find over the same edge list."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    # canonical label = min node id of the component
+    comps = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    out = {}
+    for members in comps.values():
+        lbl = min(members)
+        for n in members:
+            out[n] = lbl
+    return out
+
+
+def _run(spark, edges):
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    got = {
+        r["id"]: r["comp"]
+        for r in graph.connected_components(df, "id_a", "id_b").collect()
+    }
+    assert got == _uf_components(edges)
+    return got
+
+
+def test_cc_two_components(spark):
+    _run(spark, [(1, 2), (2, 3), (5, 6)])
+
+
+def test_cc_self_loop_and_dup_edges(spark):
+    got = _run(spark, [(7, 7), (1, 2), (2, 1), (1, 2)])
+    assert got[7] == 7 and got[2] == 1
+
+
+def test_cc_long_chain_converges(spark):
+    # a 40-node path has diameter 39; pointer jumping must converge it
+    # well within max_iter=25 (plain propagation alone would not).
+    edges = [(i, i + 1) for i in range(40)]
+    got = _run(spark, edges)
+    assert set(got.values()) == {0}
+
+
+def test_cc_random_graph_matches_union_find(spark):
+    rng = random.Random(42)
+    nodes = list(range(200))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)]
+    _run(spark, edges)
+
+
+def test_keep_canonical_per_component(spark):
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)], "id: long, comp: long"
+    )
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (5, 7), (6, 7)], "doc_id: long, n_chars: long"
+    )
+    rows = {
+        r["comp"]: (r["keep_id"], r["n_members"])
+        for r in sampling.keep_canonical_per_component(comps, docs).collect()
+    }
+    # comp 1: lengths (10,30,30) -> longest, tie broken by smallest id = 2
+    # comp 5: lengths (7,7) -> smallest id = 5
+    assert rows == {1: (2, 3), 5: (5, 2)}
