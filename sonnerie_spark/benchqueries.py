@@ -2436,3 +2436,62 @@ def q_quality_filter_stratified(spark, sf_dir):
         .filter(F.col("rk") * 4 <= F.col("n_lang") * 3)
         .select("id", "lang", "quality_score")
     )
+
+
+@q(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents
+    ), toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
+    dfreq AS (
+      SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks2)
+      GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT id, term, tf, df, tfidf, rk FROM (
+      SELECT tf.doc_id AS id, tf.term, tf.tf, dfreq.df,
+             round(tf.tf * n_docs / dfreq.df, 6) AS tfidf,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * n_docs / dfreq.df DESC, tf.term) AS rk
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ) WHERE rk <= 3
+    """,
+    "data",
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 characteristic terms per document by tf-idf with RAW
+    inverse document frequency (N/df, no log): IEEE division is
+    correctly rounded so the score is bit-identical cross-engine,
+    whereas ln is not and would flake at rank boundaries. Postings
+    explode + two map-side-partial hash aggs + term join + per-doc
+    top-n window."""
+    docs = load_par(spark, sf_dir, "documents")
+    return textops.tfidf_top_terms(docs, "doc_id", "text", top_n=3)
+
+
+@q(
+    "bpe_pair_counts",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(tok)),
+                                   i -> substr(tok, i, 2))) AS pair
+      FROM tok WHERE length(tok) >= 2
+    ),
+    counted AS (SELECT pair, count(*) AS n FROM pairs GROUP BY pair)
+    SELECT pair, n, cast(row_number() OVER (ORDER BY n DESC, pair) as bigint) AS rk
+    FROM counted ORDER BY n DESC, pair LIMIT 30
+    """,
+    "data",
+)
+def q_bpe_pair_counts(spark, sf_dir):
+    """The counting step of one BPE tokenizer-training iteration:
+    corpus-wide adjacent character-pair frequencies, top 30 (the top
+    pair is the next merge BPE would learn). Integer-only pipeline;
+    shuffle bounded by the pair vocabulary, not the corpus."""
+    docs = load_par(spark, sf_dir, "documents")
+    return textops.bpe_pair_counts(docs, "text", top_n=30)

@@ -233,3 +233,76 @@ def redact_pii(
             F.regexp_replace(t, email, "<EMAIL>"), digits, "<NUMBER>"
         ).alias("redacted"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, *, top_n: int = 3
+) -> DataFrame:
+    """Top-n characteristic terms per document by tf-idf.
+
+    idf is the RAW inverse document frequency N/df (no logarithm):
+    IEEE-754 requires division to be correctly rounded, so the score is
+    bit-identical across engines, while ``ln`` is not correctly-rounded
+    and would make oracle hash-matching flaky at rank boundaries. The
+    ranking it induces is the same family of weighting; the docstring
+    of the gate query documents the variant.
+
+    Plan: explode to (doc, term) postings, two hash aggs (tf by
+    (doc, term), df by term — both map-side partial), one equi-join on
+    term, one per-doc top-n window. The postings stream is the same
+    volume an inverted-index build shuffles; no all-pairs anything.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.col("n_docs") / F.col("df"), 6),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_n)
+        .select("id", "term", "tf", "df", "tfidf", "rk")
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame, text_col: str, *, top_n: int = 30
+) -> DataFrame:
+    """Corpus-wide adjacent character-pair frequencies — the counting
+    step of one BPE tokenizer-training merge iteration (the top pair is
+    the merge BPE would learn next).
+
+    Pure integer pipeline: whitespace tokens -> per-token adjacent
+    2-grams (built JVM-side with sequence+transform+substring, no
+    Python) -> one hash agg on the pair key with map-side partials.
+    Shuffle volume is bounded by the distinct-pair vocabulary (~|alphabet|^2),
+    orders of magnitude below corpus size, so the stage is scan-bound at
+    100 TB exactly like production BPE counting jobs.
+    """
+    from pyspark.sql import Window
+
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("tok")).filter(
+        F.length("tok") >= 2
+    )
+    pairs = tok.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    top = counted.orderBy(F.col("n").desc(), F.col("pair")).limit(top_n)
+    # rank over the already-limited top_n rows: the unpartitioned window
+    # touches only top_n rows, not the vocabulary.
+    w = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    return top.withColumn("rk", F.row_number().over(w))
