@@ -67,13 +67,17 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("comp").alias("comp"))
         )
-        # Checkpoint BEFORE the pointer-jump self-join: the join's two
-        # sides must be independent plan leaves, not two views of one
-        # unresolved aggregate (Catalyst attribute-dedup chokes there).
-        nxt = nxt.localCheckpoint(eager=True)
-        # 2. pointer jump: comp <- comp(comp). Every comp value is some
-        # node's id, so the self-join is total; chain length halves.
-        ptr = nxt.withColumnRenamed("comp", "comp2").withColumnRenamed("id", "comp")
+        # 2. pointer jump through the PREVIOUS round's label table:
+        # comp <- labels(comp). Every comp value is a node id of the
+        # same component and labels() is monotone non-increasing, so the
+        # jump stays correct while still halving chain length per round
+        # (two-phase variant). Jumping through `labels` — an already-
+        # checkpointed leaf — instead of `nxt` itself keeps the join's
+        # sides independent (Catalyst's attribute dedup rejects the
+        # aggregate self-join) and saves a mid-round materialization.
+        ptr = labels.withColumnRenamed("comp", "comp2").withColumnRenamed(
+            "id", "comp"
+        )
         nxt = nxt.join(ptr, "comp").select("id", F.col("comp2").alias("comp"))
         nxt = nxt.localCheckpoint(eager=True)
         # 3. converged iff no node's label changed this round
