@@ -2495,3 +2495,37 @@ def q_bpe_pair_counts(spark, sf_dir):
     shuffle bounded by the pair vocabulary, not the corpus."""
     docs = load_par(spark, sf_dir, "documents")
     return textops.bpe_pair_counts(docs, "text", top_n=30)
+
+
+_EMB_PAIRS_035_SQL = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+               WHERE vec_id < 300)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round({_cos_sql("a.e", "b.e")}, 6) >= 0.35
+"""
+
+
+@q(
+    "embedding_neardup_components",
+    graph.cc_oracle_sql(_EMB_PAIRS_035_SQL) + " SELECT id, comp FROM cc",
+    "data",
+)
+def q_embedding_neardup_components(spark, sf_dir):
+    """Semantic dedup clusters: connected components over the
+    embedding-cosine near-dup graph (exact bounded slice, cosine >=
+    0.35 — the threshold that yields sparse multi-member clusters on
+    this data). The same CC engine clusters the LSH/IVF candidate
+    streams at scale; the oracle replays the closure recursively."""
+    emb = load_par(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    from sonnerie_spark.operators.similarity import cosine
+
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine(F.col("ea"), F.col("eb")), 6))
+        .filter(F.col("cosine") >= 0.35)
+        .select("id_a", "id_b")
+    )
+    return graph.connected_components(pairs, "id_a", "id_b")
