@@ -2529,3 +2529,79 @@ def q_embedding_neardup_components(spark, sf_dir):
         .select("id_a", "id_b")
     )
     return graph.connected_components(pairs, "id_a", "id_b")
+
+
+@q(
+    "continuous_rollup_roundtrip",
+    """
+    WITH base AS (
+      SELECT event_type || '-' || lpad(cast(user_id as varchar), 4, '0') AS key,
+             event_id * 1000 AS ts,
+             round(value * 100)
+               + CASE WHEN event_type = 'click' THEN 100000 ELSE 0 END AS v
+      FROM events
+    )
+    SELECT key, ts - ts % 1000000 AS bucket_ts,
+           count(*) AS n, sum(v) AS sum, min(v) AS min, max(v) AS max,
+           sum(v) / count(*) AS mean
+    FROM base GROUP BY key, bucket_ts
+    """,
+    "streaming",
+    gate_only=True,
+)
+def q_continuous_rollup_roundtrip(spark, sf_dir):
+    """Continuous aggregate lifecycle, oracle-checked end to end: build
+    a source DB from events, full-build the hourly^W per-1e6ns rollup,
+    commit an LWW overwrite of every click record (+100000), refresh
+    INCREMENTALLY (only dirty buckets recomputed and upserted via the
+    rollup DB's own LWW merge), and read the final state. The oracle is
+    the direct one-shot aggregate over the post-overwrite truth, so the
+    gate proves initial build + incremental invalidation + upsert all
+    converge to it. Values are integer-valued doubles (round(value*100))
+    so float summation is order-exact cross-engine."""
+    import tempfile
+
+    from sonnerie_spark.db import Database
+    from sonnerie_spark.streaming.rollup import ContinuousRollup
+
+    base = load(spark, sf_dir, "events").select(
+        F.concat_ws(
+            "-", F.col("event_type"), F.lpad(F.col("user_id").cast("string"), 4, "0")
+        ).alias("key"),
+        (F.col("event_id") * 1000).cast("long").alias("ts"),
+        F.round(F.col("value") * 100).alias("v"),
+        F.col("event_type"),
+    )
+
+    def as_records(df):
+        return df.select(
+            "key",
+            "ts",
+            F.lit("F").alias("fmt"),
+            F.lit(None).cast("array<long>").alias("v_long"),
+            F.array(F.col("v")).alias("v_double"),
+            F.lit(None).cast("array<string>").alias("v_str"),
+            F.lit(None).cast("array<binary>").alias("v_bin"),
+        )
+
+    src = Database(spark, tempfile.mkdtemp(prefix="roll_gate_src_"))
+    roll = ContinuousRollup(
+        src, tempfile.mkdtemp(prefix="roll_gate_dst_"), interval_ns=1_000_000
+    )
+    src.commit_dataframe(as_records(base), check_duplicates=False)
+    roll.refresh()  # full build
+    run2 = base.filter(F.col("event_type") == "click").withColumn(
+        "v", F.col("v") + F.lit(100000.0)
+    )
+    src.commit_dataframe(as_records(run2), check_duplicates=False)
+    roll.refresh()  # incremental: only click-dirty buckets recomputed
+    r = roll.read()
+    return r.select(
+        "key",
+        "bucket_ts",
+        "n",
+        "sum",
+        "min",
+        "max",
+        (F.col("sum") / F.col("n")).alias("mean"),
+    )

@@ -1,0 +1,197 @@
+"""Incrementally-maintained time-bucket rollups (continuous aggregates).
+
+The reference has no derived views — users re-scan and re-aggregate
+(README.md:24-25 delegates analytics downstream). The natural Spark-
+native north-star is the continuous aggregate: a derived table holding
+per-(key, bucket) count/sum/min/max that is refreshed *incrementally*,
+recomputing only the buckets touched by transactions committed since
+the last refresh (the invalidate-and-recompute design TimescaleDB's
+continuous aggregates use — correct under arbitrary LWW overwrites,
+unlike delta-merging of partials which double-counts an overwrite).
+
+The rollup IS a Database: one record per (key, bucket) with
+``ts = bucket start``, ``fmt = "IFFF"``, ``v_long = [n]``,
+``v_double = [sum, min, max]``. Upserting a recomputed bucket is just
+committing a transaction — the engine's own last-writer-wins merge
+replaces the previous bucket version with zero read-modify-write, and
+readers get snapshot isolation from the atomic commit.
+
+Scale: a refresh costs one bounded job — scan of the NEW runs only
+(dirty-set extraction), then a recompute of the merged view pruned to
+the dirty time window (ts predicate reaches parquet) and semi-joined to
+the dirty (key, bucket) set (broadcast when small, shuffle otherwise;
+AQE decides). Steady-state cost is proportional to new data, not to
+database size.
+
+Known limits (documented, mirrored in tests):
+- Delete-marker commits in the source are invisible to the incremental
+  path (markers carry no record rows) — run ``refresh_full()`` after
+  deletes, as with any invalidation-log-less continuous aggregate.
+- A rewritten ``main`` (compaction) is skipped: plain compaction never
+  changes merged content, so skipping is correct; ``compact
+  (transform=...)`` DOES change content — run ``refresh_full()`` after
+  a gegnum transform. Minor-compaction output committed as a new
+  ``tx.*`` run IS reprocessed; recompute-from-truth is idempotent, so
+  replays only cost work, never correctness.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from sonnerie_spark.db import Database
+
+CURSOR_FILE = "rollup.cursor.json"
+
+#: count:int64, sum/min/max:f64
+ROLLUP_FMT = "IFFF"
+
+
+def _default_value(df: DataFrame):
+    """Numeric value of a record: first double column, else first long."""
+    return F.coalesce(
+        F.try_element_at("v_double", F.lit(1)),
+        F.try_element_at("v_long", F.lit(1)).cast("double"),
+    )
+
+
+class ContinuousRollup:
+    """A (key, time-bucket) -> count/sum/min/max aggregate over ``src``,
+    materialized in its own Database at ``dst_path`` and refreshed
+    incrementally."""
+
+    def __init__(self, src: Database, dst_path: str, *, interval_ns: int):
+        self.src = src
+        self.dst = Database(src.spark, dst_path)
+        self.interval_ns = int(interval_ns)
+        self._cursor_path = os.path.join(self.dst.path, CURSOR_FILE)
+
+    # -- cursor ------------------------------------------------------------
+
+    def _load_cursor(self) -> dict | None:
+        try:
+            with open(self._cursor_path) as f:
+                cur = json.load(f)
+        except (OSError, ValueError):
+            return None
+        if cur.get("interval_ns") != self.interval_ns:
+            raise ValueError(
+                f"rollup at {self.dst.path} was built with interval_ns="
+                f"{cur.get('interval_ns')}, not {self.interval_ns}"
+            )
+        return cur
+
+    def _store_cursor(self, last_tx: str) -> None:
+        tmp = self._cursor_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_tx": last_tx, "interval_ns": self.interval_ns}, f)
+        os.replace(tmp, self._cursor_path)
+
+    # -- refresh -----------------------------------------------------------
+
+    def _bucket(self, ts_col):
+        return (ts_col - F.pmod(ts_col, F.lit(self.interval_ns))).cast("long")
+
+    def _aggregate(self, records: DataFrame) -> DataFrame:
+        """(key, bucket records) -> rollup RECORD_SCHEMA rows."""
+        v = _default_value(records)
+        return (
+            records.select(
+                "key", self._bucket(F.col("ts")).alias("ts"), v.alias("v")
+            )
+            .groupBy("key", "ts")
+            .agg(
+                F.count("v").alias("n"),
+                F.sum("v").alias("s"),
+                F.min("v").alias("mn"),
+                F.max("v").alias("mx"),
+            )
+            .select(
+                "key",
+                "ts",
+                F.lit(ROLLUP_FMT).alias("fmt"),
+                F.array("n").alias("v_long"),
+                F.array("s", "mn", "mx").alias("v_double"),
+                F.array().cast("array<string>").alias("v_str"),
+                F.array().cast("array<binary>").alias("v_bin"),
+            )
+        )
+
+    def refresh(self) -> str | None:
+        """Incremental refresh: recompute the (key, bucket) pairs touched
+        by source transactions committed after the cursor; commit them
+        as one rollup transaction (LWW upsert). Returns the rollup tx
+        name, or None if there was nothing new. First call on an empty
+        cursor is a full build."""
+        cursor = self._load_cursor()
+        runs = self.src.data_runs()
+        if cursor is None:
+            new = runs
+        else:
+            last = cursor["last_tx"]
+            new = [r for r in runs if r.name.startswith("tx.") and r.name > last]
+        if not new:
+            return None
+        tx_names = [r.name for r in new if r.name.startswith("tx.")]
+        last_tx = max(tx_names) if tx_names else (cursor or {}).get("last_tx", "")
+
+        # 1. dirty set: only the NEW runs are scanned
+        new_rows = self.src.spark.read.option(
+            "pathGlobFilter", "part-*.parquet"
+        ).parquet(*[r.path for r in new])
+        dirty = new_rows.select(
+            "key", self._bucket(F.col("ts")).alias("ts")
+        ).distinct()
+
+        # 2. recompute those buckets from the merged truth, pruned to the
+        # dirty time window (ts predicate pushes to parquet stats) and
+        # semi-joined to the dirty pair set.
+        bounds = dirty.agg(
+            F.min("ts").alias("lo"), F.max("ts").alias("hi")
+        ).first()
+        if bounds["lo"] is None:  # new runs exist but carry no rows
+            self._store_cursor(last_tx)
+            return None
+        truth = self.src.read(
+            after_ns=int(bounds["lo"]),
+            before_ns=int(bounds["hi"]) + self.interval_ns,
+        )
+        rolled = self._aggregate(truth).join(dirty, ["key", "ts"], "left_semi")
+
+        txname = self.dst.commit_dataframe(rolled, check_duplicates=False)
+        self._store_cursor(last_tx)
+        return txname
+
+    def refresh_full(self) -> str:
+        """Rebuild from scratch: an unbounded delete marker (clears every
+        earlier rollup row, including buckets that no longer exist in the
+        source) followed by a full recompute commit. Use after source
+        deletes or a transform-compaction; each commit is atomic but a
+        reader between the two sees an empty rollup."""
+        self.dst.commit_deletes([{}])
+        rolled = self._aggregate(self.src.read())
+        txname = self.dst.commit_dataframe(rolled, check_duplicates=False)
+        runs = [r.name for r in self.src.data_runs() if r.name.startswith("tx.")]
+        self._store_cursor(max(runs) if runs else "")
+        return txname
+
+    # -- read --------------------------------------------------------------
+
+    def read(self, **read_kwargs) -> DataFrame:
+        """The rollup as (key, bucket_ts, n, sum, min, max, mean); accepts
+        Database.read filters (wildcard=, after_ns=, ...)."""
+        r = self.dst.read(**read_kwargs)
+        n = F.element_at("v_long", 1)
+        s = F.element_at("v_double", 1)
+        return r.select(
+            "key",
+            F.col("ts").alias("bucket_ts"),
+            n.alias("n"),
+            s.alias("sum"),
+            F.element_at("v_double", 2).alias("min"),
+            F.element_at("v_double", 3).alias("max"),
+            (s / n).alias("mean"),
+        )

@@ -1,0 +1,128 @@
+"""ContinuousRollup: incremental correctness vs full recompute, LWW
+overwrite safety, compaction idempotence, cursor behavior."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sonnerie_spark.db import Database
+from sonnerie_spark.streaming.rollup import ContinuousRollup
+
+HOUR = 3600 * 10**9
+T0 = 1577836800 * 10**9  # 2020-01-01
+
+
+@pytest.fixture()
+def src(spark, tmp_path):
+    return Database(spark, str(tmp_path / "src"))
+
+
+def _rollup(src, tmp_path):
+    return ContinuousRollup(src, str(tmp_path / "roll"), interval_ns=HOUR)
+
+
+def _expected(src):
+    """Ground truth: full recompute from the merged view."""
+    r = src.read().select(
+        "key",
+        (F.col("ts") - F.pmod("ts", F.lit(HOUR))).alias("bucket_ts"),
+        F.element_at("v_long", 1).cast("double").alias("v"),
+    )
+    return {
+        (x["key"], x["bucket_ts"]): (x["n"], x["sum"], x["min"], x["max"])
+        for x in r.groupBy("key", "bucket_ts")
+        .agg(
+            F.count("v").alias("n"),
+            F.sum("v").alias("sum"),
+            F.min("v").alias("min"),
+            F.max("v").alias("max"),
+        )
+        .collect()
+    }
+
+
+def _got(roll):
+    return {
+        (x["key"], x["bucket_ts"]): (x["n"], x["sum"], x["min"], x["max"])
+        for x in roll.read().collect()
+    }
+
+
+def test_initial_build_and_incremental(src, tmp_path):
+    tx = src.create_tx()
+    for i in range(6):  # 2 keys x 3 records over 2 hour-buckets
+        tx.add_record("a", T0 + i * 1800 * 10**9, "u", [i])
+        tx.add_record("b", T0 + i * 1800 * 10**9, "u", [10 * i])
+    tx.commit()
+
+    roll = _rollup(src, tmp_path)
+    assert roll.refresh() is not None
+    assert _got(roll) == _expected(src)
+
+    # no new data -> no new tx
+    assert roll.refresh() is None
+
+    # incremental: a new tx touching ONE bucket of key a
+    tx = src.create_tx()
+    tx.add_record("a", T0 + 10 * 60 * 10**9, "u", [100])
+    tx.commit()
+    assert roll.refresh() is not None
+    assert _got(roll) == _expected(src)
+    # the incremental tx only carries the dirty bucket, not the world
+    last_run = src.spark.read.parquet(roll.dst.data_runs()[-1].path)
+    assert last_run.count() == 1
+
+
+def test_lww_overwrite_does_not_double_count(src, tmp_path):
+    tx = src.create_tx()
+    tx.add_record("k", T0, "u", [5])
+    tx.commit()
+    roll = _rollup(src, tmp_path)
+    roll.refresh()
+    assert _got(roll)[("k", T0)] == (1, 5.0, 5.0, 5.0)
+
+    # overwrite the SAME (key, ts): count must stay 1
+    tx = src.create_tx()
+    tx.add_record("k", T0, "u", [7])
+    tx.commit()
+    roll.refresh()
+    assert _got(roll)[("k", T0)] == (1, 7.0, 7.0, 7.0)
+
+
+def test_minor_compaction_replay_is_idempotent(src, tmp_path):
+    for i in range(3):
+        tx = src.create_tx()
+        tx.add_record("k", T0 + i * 10**9, "u", [i])
+        tx.commit()
+    roll = _rollup(src, tmp_path)
+    roll.refresh()
+    before = _got(roll)
+    src.compact()  # minor: merges tx runs into a new tx.* run
+    roll.refresh()  # replays the compacted run; recompute is idempotent
+    assert _got(roll) == before == _expected(src)
+
+
+def test_refresh_full_after_source_delete(src, tmp_path):
+    tx = src.create_tx()
+    tx.add_record("gone", T0, "u", [1])
+    tx.add_record("kept", T0, "u", [2])
+    tx.commit()
+    roll = _rollup(src, tmp_path)
+    roll.refresh()
+    assert ("gone", T0) in _got(roll)
+
+    src.commit_deletes([{"wildcard": "gone"}])
+    # incremental path cannot see marker-only commits (documented);
+    # full refresh clears the stale bucket
+    roll.refresh_full()
+    got = _got(roll)
+    assert ("gone", T0) not in got
+    assert got[("kept", T0)] == (1, 2.0, 2.0, 2.0)
+
+
+def test_interval_mismatch_rejected(src, tmp_path):
+    tx = src.create_tx()
+    tx.add_record("k", T0, "u", [1])
+    tx.commit()
+    _rollup(src, tmp_path).refresh()
+    with pytest.raises(ValueError, match="interval_ns"):
+        ContinuousRollup(src, str(tmp_path / "roll"), interval_ns=2 * HOUR).refresh()
