@@ -98,7 +98,49 @@ def build_parser() -> argparse.ArgumentParser:
     p_dump.add_argument("run", help="run name, e.g. main or tx.<016x>")
     p_dump.add_argument("wildcard", nargs="?", default="%")
 
+    p_roll = sub.add_parser(
+        "rollup",
+        help="incrementally refresh a continuous time-bucket aggregate "
+        "(count/sum/min/max per key per interval) into DEST",
+    )
+    p_roll.add_argument("--dest", required=True, help="rollup database directory")
+    p_roll.add_argument(
+        "--interval",
+        required=True,
+        help="bucket width: <n>ns|us|ms|s|m|h|d (e.g. 1h) or raw nanoseconds",
+    )
+    p_roll.add_argument(
+        "--full",
+        action="store_true",
+        help="rebuild from scratch (required after source deletes or a "
+        "--gegnum transform compaction)",
+    )
+
     return ap
+
+
+_INTERVAL_UNITS = {
+    "ns": 1,
+    "us": 10**3,
+    "ms": 10**6,
+    "s": 10**9,
+    "m": 60 * 10**9,
+    "h": 3600 * 10**9,
+    "d": 86400 * 10**9,
+}
+
+
+def parse_interval(text: str) -> int:
+    """'90s' / '15m' / '1h' / raw nanosecond count -> nanoseconds."""
+    t = text.strip()
+    for suffix in sorted(_INTERVAL_UNITS, key=len, reverse=True):
+        if t.endswith(suffix):
+            num = t[: -len(suffix)]
+            if num.isdigit():
+                return int(num) * _INTERVAL_UNITS[suffix]
+    if t.isdigit():
+        return int(t)
+    raise SystemExit(f"rollup: cannot parse interval {text!r}")
 
 
 def _ts_or(v: str | None, default: int) -> int:
@@ -461,6 +503,17 @@ def cmd_dump_run(db: Database, args) -> int:
     return 0
 
 
+def cmd_rollup(db: Database, args) -> int:
+    """Refresh (or rebuild with --full) a continuous aggregate of this
+    database into --dest (streaming/rollup.py)."""
+    from sonnerie_spark.streaming.rollup import ContinuousRollup
+
+    roll = ContinuousRollup(db, args.dest, interval_ns=parse_interval(args.interval))
+    tx = roll.refresh_full() if args.full else roll.refresh()
+    print(tx if tx is not None else "up-to-date")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     spark = get_spark("sonnerie-cli")
@@ -471,6 +524,7 @@ def main(argv: list[str] | None = None) -> int:
         "delete": cmd_delete,
         "compact": cmd_compact,
         "dump-run": cmd_dump_run,
+        "rollup": cmd_rollup,
     }[args.cmd](db, args)
 
 

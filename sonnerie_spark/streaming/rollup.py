@@ -142,13 +142,19 @@ class ContinuousRollup:
         new_rows = self.src.spark.read.option(
             "pathGlobFilter", "part-*.parquet"
         ).parquet(*[r.path for r in new])
-        dirty = new_rows.select(
-            "key", self._bucket(F.col("ts")).alias("ts")
-        ).distinct()
+        dirty = (
+            new_rows.select("key", self._bucket(F.col("ts")).alias("ts"))
+            .distinct()
+            .persist()  # reused by bounds, key-pushdown, and the semi-join
+        )
 
-        # 2. recompute those buckets from the merged truth, pruned to the
-        # dirty time window (ts predicate pushes to parquet stats) and
-        # semi-joined to the dirty pair set.
+        # 2. recompute those buckets from the merged truth, pruned THREE
+        # ways: the dirty time window (ts predicate -> parquet stats),
+        # the dirty key set when it is small (isin -> parquet stats +
+        # bucket pruning; a typical steady-state tx touches few keys,
+        # and without this the scan covers the whole DB whenever the
+        # dirty buckets span the full time range), and finally the
+        # bucket-exact semi-join.
         bounds = dirty.agg(
             F.min("ts").alias("lo"), F.max("ts").alias("hi")
         ).first()
@@ -159,9 +165,21 @@ class ContinuousRollup:
             after_ns=int(bounds["lo"]),
             before_ns=int(bounds["hi"]) + self.interval_ns,
         )
-        rolled = self._aggregate(truth).join(dirty, ["key", "ts"], "left_semi")
+        cap = 4096
+        keys = [
+            r["key"] for r in dirty.select("key").distinct().limit(cap + 1).collect()
+        ]
+        small = len(keys) <= cap
+        if small:
+            truth = truth.filter(F.col("key").isin(keys))
+        rolled = self._aggregate(truth).join(
+            F.broadcast(dirty) if small else dirty, ["key", "ts"], "left_semi"
+        )
 
-        txname = self.dst.commit_dataframe(rolled, check_duplicates=False)
+        try:
+            txname = self.dst.commit_dataframe(rolled, check_duplicates=False)
+        finally:
+            dirty.unpersist()
         self._store_cursor(last_tx)
         return txname
 

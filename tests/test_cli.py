@@ -242,3 +242,47 @@ def test_conflicting_flag_rules_match_reference(db):
         run_cli(db, ["read", "%", "--timestamp-nanos", "--timestamp-seconds"])
     with pytest.raises(SystemExit, match="timestamp-format conflicts"):
         run_cli(db, ["read", "%", "--timestamp-format", "%Y", "--timestamp-nanos"])
+
+
+def test_rollup_subcommand(db, tmp_path):
+    from sonnerie_spark.cli import cmd_rollup, parse_interval
+    from sonnerie_spark.streaming.rollup import ContinuousRollup
+
+    assert parse_interval("1h") == 3600 * 10**9
+    assert parse_interval("90s") == 90 * 10**9
+    assert parse_interval("1000000") == 1000000
+    with pytest.raises(SystemExit):
+        parse_interval("5 fortnights")
+
+    stdin = (
+        "k 1000000000 1\n"
+        "k 2000000000 2\n"
+        "k 4000000000 9\n"  # second 3s-bucket
+    )
+    run_cli(db, ["add", "--format", "u"], stdin=stdin)
+    dest = str(tmp_path / "roll")
+    args = build_parser().parse_args(
+        ["-d", db.path, "rollup", "--dest", dest, "--interval", "3s"]
+    )
+    old_out, sys.stdout = sys.stdout, io.StringIO()
+    try:
+        assert cmd_rollup(db, args) == 0
+        printed = sys.stdout.getvalue().strip()
+    finally:
+        sys.stdout = old_out
+    assert printed.startswith("tx.")
+
+    roll = ContinuousRollup(db, dest, interval_ns=3 * 10**9)
+    got = {
+        (r["key"], r["bucket_ts"]): (r["n"], r["sum"]) for r in roll.read().collect()
+    }
+    assert got == {("k", 0): (2, 3.0), ("k", 3 * 10**9): (1, 9.0)}
+
+    # second run with no new data prints up-to-date
+    old_out, sys.stdout = sys.stdout, io.StringIO()
+    try:
+        cmd_rollup(db, args)
+        printed = sys.stdout.getvalue().strip()
+    finally:
+        sys.stdout = old_out
+    assert printed == "up-to-date"
