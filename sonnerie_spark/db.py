@@ -345,6 +345,7 @@ class Database:
         self,
         *,
         key: str | None = None,
+        keys: list[str] | None = None,
         wildcard: str | None = None,
         after_key: str | None = None,
         before_key: str | None = None,
@@ -363,6 +364,14 @@ class Database:
         files/row-groups from the pushed key/ts predicates, the dedup is
         a partial-aggregating hash agg, and delete markers fold into a
         codegen'd literal predicate.
+
+        ``keys``: an explicit key set (the multi-key generalization of
+        ``key``, like the reference's caller looping get(key) — e.g. a
+        rollup refresh's dirty keys). Applied HERE, below the dedup, the
+        In predicate both bucket-prunes the bucketed view and row-group-
+        prunes within each file; the same filter applied on top of
+        read()'s result does neither (Catalyst will not re-derive bucket
+        pruning through the aggregate — plan-asserted in test_plans).
         """
         runs = self.data_runs()
         if not runs:
@@ -379,6 +388,8 @@ class Database:
             df, key, wildcard, after_key, before_key,
             after_key_excl=after_key_excl, before_key_incl=before_key_incl,
         )
+        if keys is not None:
+            df = df.filter(F.col("key").isin(list(keys)))
         if after_ns is not None:
             df = df.filter(F.col("ts") >= F.lit(int(after_ns)))
         if before_ns is not None:

@@ -161,17 +161,16 @@ class ContinuousRollup:
         if bounds["lo"] is None:  # new runs exist but carry no rows
             self._store_cursor(last_tx)
             return None
-        truth = self.src.read(
-            after_ns=int(bounds["lo"]),
-            before_ns=int(bounds["hi"]) + self.interval_ns,
-        )
         cap = 4096
         keys = [
             r["key"] for r in dirty.select("key").distinct().limit(cap + 1).collect()
         ]
         small = len(keys) <= cap
-        if small:
-            truth = truth.filter(F.col("key").isin(keys))
+        truth = self.src.read(
+            keys=keys if small else None,  # inside read() -> bucket pruning
+            after_ns=int(bounds["lo"]),
+            before_ns=int(bounds["hi"]) + self.interval_ns,
+        )
         rolled = self._aggregate(truth).join(
             F.broadcast(dirty) if small else dirty, ["key", "ts"], "left_semi"
         )

@@ -251,3 +251,60 @@ def test_keys_reader_no_exchange_on_bucketed_runs(spark, tmp_path):
     pre_sort = plan.split("Sort", 1)[-1]  # everything below the output sort
     assert "Exchange hashpartitioning" not in pre_sort, plan
     assert [r.key for r in db.keys().collect()][:2] == ["key000", "key001"]
+
+
+def test_tfidf_aggs_are_partial(spark, sf_dir):
+    """tfidf's two counting aggs (tf, df) must plan map-side partials —
+    at corpus scale the postings shuffle carries pre-combined rows."""
+    from sonnerie_spark.benchqueries import load_par
+    from sonnerie_spark.operators import text as textops
+
+    df = textops.tfidf_top_terms(
+        load_par(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    plan = plan_of(df)
+    assert plan.count("partial_count") >= 2, plan
+
+
+def test_mix_sources_broadcasts_dims(spark, sf_dir):
+    """Corpus mixing: the per-source counts and the scalar min are
+    broadcast; the corpus side joins with no shuffle of its own rows."""
+    from sonnerie_spark.benchqueries import load_par
+    from sonnerie_spark.operators import sampling
+
+    df = sampling.mix_sources_uniform(
+        load_par(spark, sf_dir, "documents"), "lang", "doc_id"
+    )
+    plan = plan_of(df)
+    assert plan.count("BroadcastExchange") >= 2, plan
+    # the corpus stream itself must not be hash-repartitioned for the join
+    assert "Exchange hashpartitioning(id" not in plan, plan
+
+
+def test_dirty_key_set_prunes_buckets(spark, tmp_path):
+    """The rollup refresh's dirty-key pushdown depends on this: a key
+    SET passed to read(keys=) must select only those keys' buckets
+    (SelectedBucketsCount < B). The same isin applied ON TOP of read()
+    does NOT bucket-prune (Catalyst won't re-derive it through the LWW
+    aggregate) — asserted too, as the reason read(keys=) exists."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    db = Database(spark, str(tmp_path / "db"))
+    for batch in range(2):  # 2 runs -> bucketed-view read path
+        tx = db.create_tx()
+        for i in range(64):
+            tx.add_record(f"key{i:03d}", 1000 + batch, "u", [i])
+        tx.commit()
+    want = ["key001", "key002", "key003"]
+
+    plan = formatted_plan(db.read(keys=want))
+    line = next(l for l in plan.splitlines() if "SelectedBucketsCount" in l)
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", line)
+    assert m and int(m.group(1)) <= 3 < int(m.group(2)), line
+
+    above = formatted_plan(db.read().filter(F.col("key").isin(want)))
+    line2 = next(l for l in above.splitlines() if "SelectedBucketsCount" in l)
+    m2 = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", line2)
+    assert m2 and int(m2.group(1)) == int(m2.group(2)), line2
