@@ -126,3 +126,42 @@ def test_interval_mismatch_rejected(src, tmp_path):
     _rollup(src, tmp_path).refresh()
     with pytest.raises(ValueError, match="interval_ns"):
         ContinuousRollup(src, str(tmp_path / "roll"), interval_ns=2 * HOUR).refresh()
+
+
+def test_cascade_hourly_to_daily(src, tmp_path):
+    DAY = 24 * HOUR
+    tx = src.create_tx()
+    for h in range(30):  # 30 hourly records spanning 2 days
+        tx.add_record("k", T0 + h * HOUR + 60 * 10**9, "u", [h])
+    tx.commit()
+    hourly = _rollup(src, tmp_path)
+    hourly.refresh()
+    daily = ContinuousRollup.cascade(
+        hourly, str(tmp_path / "daily"), interval_ns=DAY
+    )
+    daily.refresh()
+
+    got = {
+        (r["key"], r["bucket_ts"]): (r["n"], r["sum"], r["min"], r["max"])
+        for r in daily.read().collect()
+    }
+    assert got == {
+        ("k", T0): (24, float(sum(range(24))), 0.0, 23.0),
+        ("k", T0 + DAY): (6, float(sum(range(24, 30))), 24.0, 29.0),
+    }
+
+    # incremental ripple: new raw tx -> refresh hourly -> refresh daily
+    tx = src.create_tx()
+    tx.add_record("k", T0 + 30 * 60 * 10**9, "u", [1000])  # into day 1
+    tx.commit()
+    hourly.refresh()
+    daily.refresh()
+    got = {
+        (r["key"], r["bucket_ts"]): (r["n"], r["sum"], r["max"])
+        for r in daily.read().collect()
+    }
+    assert got[("k", T0)] == (25, float(sum(range(24)) + 1000), 1000.0)
+
+    # misaligned interval rejected
+    with pytest.raises(ValueError, match="multiple"):
+        ContinuousRollup.cascade(hourly, str(tmp_path / "bad"), interval_ns=90 * 60 * 10**9)
