@@ -2605,3 +2605,26 @@ def q_continuous_rollup_roundtrip(spark, sf_dir):
         "max",
         (F.col("sum") / F.col("n")).alias("mean"),
     )
+
+
+@q(
+    "corpus_mix_temperature",
+    f"""
+    WITH c AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY lang),
+    m AS (SELECT min(n_g) AS n_min FROM c)
+    SELECT doc_id AS id, d.lang AS grp
+    FROM documents d JOIN c USING (lang) CROSS JOIN m
+    WHERE ({phash_sql("cast(doc_id as varchar)")} % 1000000)::HUGEINT
+          * ({phash_sql("cast(doc_id as varchar)")} % 1000000)::HUGEINT
+          * n_g::HUGEINT
+          < n_min::HUGEINT * 1000000000000::HUGEINT
+    """,
+    "data",
+)
+def q_corpus_mix_temperature(spark, sf_dir):
+    """Temperature sampling at alpha=0.5 over languages (p ∝ sqrt(n)):
+    the standard multilingual rebalance, with the sqrt folded into an
+    exact squared integer comparison (decimal-widened) so the oracle
+    hash-matches with no float boundary flakes."""
+    docs = load_par(spark, sf_dir, "documents")
+    return sampling.temperature_sample_sqrt(docs, "lang", "doc_id")

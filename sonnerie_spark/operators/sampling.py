@@ -255,3 +255,38 @@ def pack_sequences(
         pack,
         "id long, length long, slice int, pack_id int, pack_offset long",
     )
+
+
+def temperature_sample_sqrt(
+    docs: DataFrame, group_col: str, id_col: str
+) -> DataFrame:
+    """Temperature-based corpus sampling at alpha = 0.5 (the standard
+    multilingual rebalancing rule p_g ∝ n_g^alpha): each group g keeps
+    a sqrt(n_min / n_g) fraction of its documents, flattening the skew
+    of large groups while keeping the smallest group intact.
+
+    alpha = 0.5 specifically because it makes the keep rule EXACT: with
+    u = hash(id) % 1e6 (a uniform integer), keep iff u < 1e6 *
+    sqrt(n_min/n_g) iff u^2 * n_g < n_min * 1e12 — pure integer
+    arithmetic (decimal-widened: u^2*n_g can exceed int64), bit-identical
+    in the SQL oracle. Other alphas need pow(), which IEEE does not
+    require to be correctly rounded, so cross-engine hash-matching would
+    flake at keep boundaries.
+
+    Same plan shape as :func:`mix_sources_uniform`: tiny broadcast
+    count/min dims, map-only filter over the corpus.
+    """
+    counts = docs.groupBy(group_col).agg(F.count("*").alias("n_g"))
+    n_min = counts.agg(F.min("n_g").alias("n_min"))
+    u = F.pmod(phash(F.col("id").cast("string")), F.lit(1_000_000))
+    dec = "decimal(38,0)"
+    return (
+        docs.select(F.col(id_col).alias("id"), F.col(group_col).alias("grp"))
+        .join(F.broadcast(counts.withColumnRenamed(group_col, "grp")), "grp")
+        .crossJoin(F.broadcast(n_min))
+        .filter(
+            (u * u).cast(dec) * F.col("n_g").cast(dec)
+            < F.col("n_min").cast(dec) * F.lit(10**12).cast(dec)
+        )
+        .select("id", "grp")
+    )
