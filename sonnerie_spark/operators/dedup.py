@@ -211,9 +211,31 @@ def minhash_lsh_pairs(
     bucket, distinct pairs. Shuffle volume is #docs × #bands rows of a
     few bytes; hot buckets are split by AQE skew handling.
     """
+    bands = minhash_bands(
+        df, id_col, text_col, k=k, num_hashes=num_hashes, band_size=band_size
+    )
+    return (
+        posting_list_pairs(bands, ["band", "bucket"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """(id, band, bucket) LSH band-bucket rows — the shared currency of
+    one-shot pair enumeration (:func:`minhash_lsh_pairs`) and the
+    persistent incremental index (:class:`LshIndex`)."""
     sigs = minhash_signatures(df, id_col, text_col, k=k, num_hashes=num_hashes)
     n_bands = num_hashes // band_size
-    bands = sigs.select(
+    return sigs.select(
         "id",
         F.explode(
             F.array(
@@ -235,11 +257,6 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    return (
-        posting_list_pairs(bands, ["band", "bucket"])
-        .select("id_a", "id_b")
-        .distinct()
-    )
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 60) -> DataFrame:
@@ -344,3 +361,107 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+class LshIndex:
+    """Persistent MinHash-LSH index for INCREMENTAL near-dup detection.
+
+    The one-shot pair enumeration recomputes every signature per run; a
+    growing corpus instead indexes each arriving batch once and probes
+    only the batch's own band buckets against what is already indexed —
+    the cost of a batch is O(batch + collisions), independent of corpus
+    size. Union over batches of ``add()``'s output equals the one-shot
+    pair set over the whole corpus (test-asserted), because a pair's
+    bucket collision is observed exactly when its second member arrives.
+
+    Storage: an append-only parquet directory of (id, band, bucket) rows
+    written per batch (each ``add`` = one new file set; the parquet
+    append is atomic per file and a torn batch can be re-added — pair
+    output is idempotent downstream of a distinct). The probe join is an
+    equi-join on (band, bucket) — hash-shuffled, AQE-skew-split, no
+    pairwise work outside buckets, same scale shape as the one-shot path.
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        *,
+        k: int = 3,
+        num_hashes: int = 16,
+        band_size: int = 4,
+    ):
+        import json
+        import os
+
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.k, self.num_hashes, self.band_size = k, num_hashes, band_size
+        os.makedirs(self.path, exist_ok=True)
+        meta_path = os.path.join(self.path, "lsh_index.json")
+        meta = {"k": k, "num_hashes": num_hashes, "band_size": band_size}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                stored = json.load(f)
+            if stored != meta:
+                raise ValueError(
+                    f"index at {self.path} was built with {stored}, not {meta}"
+                )
+        else:
+            with open(meta_path, "w") as f:
+                json.dump(meta, f)
+        self._data = os.path.join(self.path, "bands")
+
+    def _existing(self) -> DataFrame | None:
+        import os
+
+        if not os.path.isdir(self._data):
+            return None
+        return self.spark.read.schema("id long, band int, bucket string").parquet(
+            self._data
+        )
+
+    def add(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        """Index ``docs`` and return the near-dup candidate pairs they
+        form — batch-internal pairs plus (new x already-indexed) pairs,
+        as (id_a, id_b) with id_a < id_b."""
+        bands = (
+            minhash_bands(
+                docs,
+                id_col,
+                text_col,
+                k=self.k,
+                num_hashes=self.num_hashes,
+                band_size=self.band_size,
+            )
+            .withColumn("id", F.col("id").cast("long"))
+            .persist()
+        )
+        try:
+            intra = (
+                posting_list_pairs(bands, ["band", "bucket"])
+                .select("id_a", "id_b")
+                .distinct()
+            )
+            old = self._existing()
+            if old is not None:
+                cross = (
+                    bands.withColumnRenamed("id", "new_id")
+                    .join(old.withColumnRenamed("id", "old_id"), ["band", "bucket"])
+                    .select(
+                        F.least("new_id", "old_id").alias("id_a"),
+                        F.greatest("new_id", "old_id").alias("id_b"),
+                    )
+                    .filter(F.col("id_a") != F.col("id_b"))
+                    .distinct()
+                )
+                pairs = intra.unionByName(cross).distinct()
+            else:
+                pairs = intra
+            # materialize pairs BEFORE appending: the probe must not see
+            # the batch's own rows through the index
+            out = pairs.localCheckpoint(eager=True)
+            bands.write.mode("append").parquet(self._data)
+            return out
+        finally:
+            bands.unpersist()

@@ -84,3 +84,33 @@ def test_keep_canonical_per_component(spark):
     # comp 1: lengths (10,30,30) -> longest, tie broken by smallest id = 2
     # comp 5: lengths (7,7) -> smallest id = 5
     assert rows == {1: (2, 3), 5: (5, 2)}
+
+
+def test_lsh_index_incremental_equals_one_shot(spark, sf_dir, tmp_path):
+    """Union of per-batch LshIndex.add() pair sets == the one-shot
+    minhash_lsh_pairs over the whole corpus."""
+    from sonnerie_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    one_shot = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+
+    idx = dedup.LshIndex(spark, str(tmp_path / "lsh"))
+    b1 = docs.filter(docs.doc_id % 2 == 0)
+    b2 = docs.filter(docs.doc_id % 2 == 1)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in idx.add(b1, "doc_id", "text").collect()
+    } | {
+        (r["id_a"], r["id_b"])
+        for r in idx.add(b2, "doc_id", "text").collect()
+    }
+    assert got == one_shot and one_shot
+
+    # parameter mismatch on reopen is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="built with"):
+        dedup.LshIndex(spark, str(tmp_path / "lsh"), band_size=8)
