@@ -27,6 +27,7 @@ This package maps that model onto Spark:
 
 from sonnerie_spark.session import get_spark
 from sonnerie_spark.db import Database, Transaction
+from sonnerie_spark.streaming.rollup import ContinuousRollup
 
-__all__ = ["get_spark", "Database", "Transaction"]
+__all__ = ["get_spark", "Database", "Transaction", "ContinuousRollup"]
 __version__ = "0.1.0"

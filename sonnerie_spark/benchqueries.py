@@ -2628,3 +2628,102 @@ def q_corpus_mix_temperature(spark, sf_dir):
     hash-matches with no float boundary flakes."""
     docs = load_par(spark, sf_dir, "documents")
     return sampling.temperature_sample_sqrt(docs, "lang", "doc_id")
+
+
+@q(
+    "cohort_retention",
+    """
+    WITH ev AS (
+      SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             date_trunc('day', ts) AS d
+      FROM events
+    ),
+    cohort AS (SELECT user_id, min(d) AS c0 FROM ev GROUP BY user_id)
+    SELECT strftime(c0, '%Y-%m-%d') AS cohort_day,
+           date_diff('day', c0, d) AS day_offset,
+           count(DISTINCT ev.user_id) AS n_users
+    FROM ev JOIN cohort USING (user_id)
+    WHERE date_diff('day', c0, d) BETWEEN 0 AND 7
+    GROUP BY cohort_day, day_offset
+    """,
+    "analytics",
+)
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users bucketed by first-seen day, counted
+    on each of the next 7 days they return. Two hash aggs (first-seen,
+    distinct-per-cell) + one equi-join on user_id — the standard
+    event-analytics staple, fully shuffle-bounded by user cardinality."""
+    raw = load(spark, sf_dir, "events")
+    ev = raw.select(
+        "user_id",
+        F.date_trunc("day", F.timestamp_micros(ts_us(raw))).alias("d"),
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("d").alias("c0"))
+    j = ev.join(cohort, "user_id").withColumn(
+        "day_offset", F.datediff(F.col("d"), F.col("c0")).cast("long")
+    )
+    return (
+        j.filter(F.col("day_offset").between(0, 7))
+        .groupBy(
+            F.date_format("c0", "yyyy-MM-dd").alias("cohort_day"), "day_offset"
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@q(
+    "funnel_conversion",
+    """
+    WITH s AS (
+      SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(epoch_us(ts)) AS t2
+      FROM events e JOIN s USING (user_id)
+      WHERE event_type = 'click' AND epoch_us(ts) > t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(epoch_us(ts)) AS t3
+      FROM events e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND epoch_us(ts) > t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM s) AS n_signup,
+           (SELECT count(*) FROM c) AS n_click_after,
+           (SELECT count(*) FROM p) AS n_purchase_after
+    """,
+    "analytics",
+)
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered funnel: signup -> later click -> later purchase, counted
+    per stage. Each stage is one filtered agg plus an equi-join against
+    the previous stage's per-user min — user-cardinality shuffles only,
+    no window over the raw event stream."""
+    raw = load(spark, sf_dir, "events")
+    ev = raw.select("user_id", "event_type", ts_us(raw).alias("t"))
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("t") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("t") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t3"))
+    )
+    return (
+        s.agg(F.count(F.lit(1)).alias("n_signup"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
+    )
