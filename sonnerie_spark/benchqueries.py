@@ -2727,3 +2727,38 @@ def q_funnel_conversion(spark, sf_dir):
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
     )
+
+
+@q(
+    "repeated_spans",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, unnest(range(greatest(len(t) - 7, 0))) AS pos, t
+      FROM toks WHERE len(t) >= 8
+    ),
+    hashed AS (
+      SELECT doc_id AS id, pos,
+             {phash_sql("array_to_string(t[pos+1:pos+8], ' ')")} AS span_h
+      FROM spans
+    ),
+    freq AS (
+      SELECT span_h, count(*) AS df
+      FROM (SELECT DISTINCT id, span_h FROM hashed)
+      GROUP BY span_h HAVING count(*) >= 2
+    )
+    SELECT id, pos, hashed.span_h, df FROM hashed JOIN freq USING (span_h)
+    """,
+    "data",
+)
+def q_repeated_spans(spark, sf_dir):
+    """Span-level duplication map: every position of an 8-token span
+    shared by >= 2 distinct documents — the counting core of substring
+    dedup (boilerplate removal between the exact and near-dup passes).
+    One span-occurrence stream + one map-side-partial df agg + a join
+    back; no pair enumeration, so no quadratic path exists."""
+    docs = load_par(spark, sf_dir, "documents")
+    r = textops.repeated_spans(docs, "doc_id", "text", k=8, min_df=2)
+    return r.select("id", F.col("pos").cast("long"), "span_h", "df")

@@ -306,3 +306,47 @@ def bpe_pair_counts(
     # touches only top_n rows, not the vocabulary.
     w = Window.orderBy(F.col("n").desc(), F.col("pair"))
     return top.withColumn("rk", F.row_number().over(w))
+
+
+def repeated_spans(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 8, min_df: int = 2
+) -> DataFrame:
+    """Span-level duplication detection: every position of a k-token
+    span that occurs in >= min_df distinct documents — the counting core
+    of substring-level dedup (the boilerplate/licence-header remover a
+    corpus-cleaning pipeline runs between exact and near-dup passes).
+
+    Two passes over the token stream, all JVM-side: (1) positions ->
+    span hash (one md5 per span occurrence), (2) hash agg for distinct-
+    doc frequency, (3) join flagged hashes back to positions. Shuffle
+    volume is one row per span occurrence (two 8-byte ints + one hash);
+    the df agg is map-side partial. Skew lives in hot spans and is
+    bounded the same way as posting lists (min_df only FLAGS; no pair
+    enumeration exists at all, so there is no quadratic path).
+    """
+    toks = tokens(F.col(text_col))
+    spans = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.when(
+                F.size(toks) >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - k),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        phash(F.concat_ws(" ", F.slice(toks, i + 1, k))).alias(
+                            "span_h"
+                        ),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("s"),
+    ).select("id", "s.pos", "s.span_h")
+    freq = (
+        spans.select("id", "span_h")
+        .distinct()
+        .groupBy("span_h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    return spans.join(freq, "span_h").select("id", "pos", "span_h", "df")
