@@ -2762,3 +2762,85 @@ def q_repeated_spans(spark, sf_dir):
     docs = load_par(spark, sf_dir, "documents")
     r = textops.repeated_spans(docs, "doc_id", "text", k=8, min_df=2)
     return r.select("id", F.col("pos").cast("long"), "span_h", "df")
+
+
+@q(
+    "lsh_index_incremental",
+    _minhash_oracle_sql(),
+    "data",
+    gate_only=True,
+)
+def q_lsh_index_incremental(spark, sf_dir):
+    """The persistent LshIndex under the correctness gate: documents
+    arrive as two batches (even ids, then odd ids); the union of each
+    batch's add() pair output must equal the one-shot LSH pair set over
+    the whole corpus — the oracle IS the one-shot SQL. Proves the
+    incremental index neither misses cross-batch collisions nor
+    re-emits stale ones."""
+    import tempfile
+
+    docs = load_par(spark, sf_dir, "documents")
+    idx = dedup.LshIndex(spark, tempfile.mkdtemp(prefix="lsh_gate_"))
+    p1 = idx.add(docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text")
+    p2 = idx.add(docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text")
+    return p1.unionByName(p2).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long")
+    )
+
+
+@q(
+    "rollup_cascade_roundtrip",
+    """
+    WITH base AS (
+      SELECT event_type || '-' || lpad(cast(user_id as varchar), 4, '0') AS key,
+             event_id * 1000 AS ts,
+             round(value * 100) AS v
+      FROM events
+    )
+    SELECT key, ts - ts % 10000000 AS bucket_ts,
+           count(*) AS n, sum(v) AS sum, min(v) AS min, max(v) AS max
+    FROM base GROUP BY key, bucket_ts
+    """,
+    "streaming",
+    gate_only=True,
+)
+def q_rollup_cascade_roundtrip(spark, sf_dir):
+    """Hierarchical rollup under the gate: fine rollup (1e6 ns) built
+    from the source, coarse rollup (1e7 ns) cascaded FROM the fine one
+    (aggregate-merge, never re-reading raw data); the oracle is the
+    direct coarse aggregate over the raw events, so the gate proves the
+    reaggregation identity end-to-end."""
+    import tempfile
+
+    from sonnerie_spark.db import Database
+    from sonnerie_spark.streaming.rollup import ContinuousRollup
+
+    base = load(spark, sf_dir, "events").select(
+        F.concat_ws(
+            "-", F.col("event_type"), F.lpad(F.col("user_id").cast("string"), 4, "0")
+        ).alias("key"),
+        (F.col("event_id") * 1000).cast("long").alias("ts"),
+        F.round(F.col("value") * 100).alias("v"),
+    )
+    src = Database(spark, tempfile.mkdtemp(prefix="casc_src_"))
+    src.commit_dataframe(
+        base.select(
+            "key",
+            "ts",
+            F.lit("F").alias("fmt"),
+            F.lit(None).cast("array<long>").alias("v_long"),
+            F.array(F.col("v")).alias("v_double"),
+            F.lit(None).cast("array<string>").alias("v_str"),
+            F.lit(None).cast("array<binary>").alias("v_bin"),
+        ),
+        check_duplicates=False,
+    )
+    fine = ContinuousRollup(
+        src, tempfile.mkdtemp(prefix="casc_fine_"), interval_ns=1_000_000
+    )
+    fine.refresh()
+    coarse = ContinuousRollup.cascade(
+        fine, tempfile.mkdtemp(prefix="casc_coarse_"), interval_ns=10_000_000
+    )
+    coarse.refresh()
+    return coarse.read().select("key", "bucket_ts", "n", "sum", "min", "max")
