@@ -235,3 +235,53 @@ def test_wildcard_spark_vs_reference_regex_property(spark, tmp_path):
         assert got == expected, (pattern, got, expected)
 
     check()
+
+
+def test_reader_snapshot_survives_compaction(spark, tmp_path):
+    """A DataFrame planned BEFORE a major compaction must still collect
+    the same rows AFTER the swap: the bucketed multi-run view hard-links
+    run files, so replaced runs' inodes stay live for in-flight readers
+    (the Spark-side analogue of the reference's mmap'd-file immunity)."""
+    from sonnerie_spark.db import Database
+
+    db = Database(spark, str(tmp_path / "db"))
+    for batch in range(3):
+        tx = db.create_tx()
+        for i in range(20):
+            tx.add_record(f"k{i:02d}", 1000 + batch * 100 + i, "u", [batch])
+        tx.commit()
+    snapshot = db.read()  # planned against the 3 pre-compaction runs
+    expected = sorted(
+        (r.key, r.ts, r.v_long[0]) for r in db.read().collect()
+    )
+    db.compact(major=True)
+    assert [r.name for r in db.data_runs()] == ["main"]
+    got = sorted((r.key, r.ts, r.v_long[0]) for r in snapshot.collect())
+    assert got == expected
+
+
+def test_cc_property_vs_union_find(spark):
+    """Property test: connected_components equals a reference union-find
+    on arbitrary small graphs (self-loops, duplicates, disconnected)."""
+    from hypothesis import given, settings, strategies as st
+
+    from sonnerie_spark.operators import graph
+    from tests.test_graph import _uf_components
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 25), st.integers(0, 25)),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def check(edges):
+        df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+        got = {
+            r["id"]: r["comp"]
+            for r in graph.connected_components(df, "id_a", "id_b").collect()
+        }
+        assert got == _uf_components(edges), edges
+
+    check()
