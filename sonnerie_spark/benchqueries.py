@@ -2844,3 +2844,34 @@ def q_rollup_cascade_roundtrip(spark, sf_dir):
     )
     coarse.refresh()
     return coarse.read().select("key", "bucket_ts", "n", "sum", "min", "max")
+
+
+@q(
+    "corpus_mix_weighted",
+    f"""
+    WITH w(src, wt) AS (VALUES ('de', 2), ('en', 1), ('es', 2), ('fr', 3), ('zh', 1)),
+    c AS (
+      SELECT lang AS src, count(*) AS n_s FROM documents GROUP BY lang
+    ),
+    cw AS (SELECT src, n_s, wt FROM c JOIN w USING (src)),
+    m AS (
+      SELECT n_s AS n_m, wt AS w_m FROM cw
+      ORDER BY n_s * 1.0 / wt, src LIMIT 1
+    )
+    SELECT doc_id AS id, d.lang AS source
+    FROM documents d JOIN cw ON cw.src = d.lang CROSS JOIN m
+    WHERE ({phash_sql("cast(doc_id as varchar)")} % 1000000)::HUGEINT
+          * n_s::HUGEINT * w_m::HUGEINT
+          < 1000000::HUGEINT * n_m::HUGEINT * wt::HUGEINT
+    """,
+    "data",
+)
+def q_corpus_mix_weighted(spark, sf_dir):
+    """Corpus mixing to explicit target proportions (de:2 en:1 es:2 fr:3
+    zh:1): the largest corpus with exactly that mix, keep decisions by
+    content-stable hash under a pure-integer rule (decimal/HUGEINT
+    widened), binding source chosen deterministically."""
+    docs = load_par(spark, sf_dir, "documents")
+    return sampling.mix_sources_weighted(
+        docs, "lang", "doc_id", {"de": 2, "en": 1, "es": 2, "fr": 3, "zh": 1}
+    )

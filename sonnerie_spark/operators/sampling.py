@@ -290,3 +290,49 @@ def temperature_sample_sqrt(
         )
         .select("id", "grp")
     )
+
+
+def mix_sources_weighted(
+    docs: DataFrame, source_col: str, id_col: str, weights: dict[str, int]
+) -> DataFrame:
+    """Corpus mixing to arbitrary integer target proportions: the output
+    is the LARGEST corpus whose source mix is exactly ``weights`` (no
+    source oversampled past its actual size). Sources missing from
+    ``weights`` are dropped.
+
+    With m = argmin(n_s / w_s) (the binding source; deterministic
+    tie-break by source name), source s keeps a (n_m * w_s)/(w_m * n_s)
+    fraction, selected by content-stable hash with the pure-integer rule
+    u * n_s * w_m < 1e6 * n_m * w_s (decimal-widened) — exact in both
+    engines, like the uniform and temperature variants.
+
+    Plan: per-source counts joined to the broadcast weight literal, the
+    binding source via a 1-row orderBy/limit (broadcast), then a
+    map-only corpus filter.
+    """
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, int(w)) for s, w in sorted(weights.items())], "src string, w long"
+    )
+    counts = (
+        docs.groupBy(F.col(source_col).alias("src"))
+        .agg(F.count("*").alias("n_s"))
+        .join(wdf, "src")
+    )
+    binding = (
+        counts.orderBy((F.col("n_s") / F.col("w")).asc(), F.col("src"))
+        .limit(1)
+        .select(F.col("n_s").alias("n_m"), F.col("w").alias("w_m"))
+    )
+    u = F.pmod(phash(F.col("id").cast("string")), F.lit(1_000_000))
+    dec = "decimal(38,0)"
+    return (
+        docs.select(F.col(id_col).alias("id"), F.col(source_col).alias("src"))
+        .join(F.broadcast(counts), "src")
+        .crossJoin(F.broadcast(binding))
+        .filter(
+            u.cast(dec) * F.col("n_s").cast(dec) * F.col("w_m").cast(dec)
+            < F.lit(1_000_000).cast(dec) * F.col("n_m").cast(dec) * F.col("w").cast(dec)
+        )
+        .select("id", F.col("src").alias("source"))
+    )
