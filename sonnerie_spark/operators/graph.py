@@ -90,6 +90,16 @@ def connected_components(
         labels = nxt
         if changed == 0:
             break
+    else:
+        # An unconverged label table is silently WRONG for the documented
+        # "comp = min id of the component" contract — fail loudly. With
+        # pointer jumping, max_iter rounds cover diameters up to ~2^max_iter,
+        # so hitting this means an extreme graph, not a tuning issue.
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            f"raise max_iter"
+        )
     sym.unpersist()
     return labels
 

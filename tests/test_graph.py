@@ -114,3 +114,16 @@ def test_lsh_index_incremental_equals_one_shot(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="built with"):
         dedup.LshIndex(spark, str(tmp_path / "lsh"), band_size=8)
+
+
+def test_cc_nonconvergence_raises(spark):
+    """An unconverged result would silently violate the min-label
+    contract; the loop must fail loudly instead."""
+    import pytest as _pytest
+
+    edges = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    from sonnerie_spark.operators import graph
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(df, "id_a", "id_b", max_iter=2)
