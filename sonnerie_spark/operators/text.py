@@ -325,23 +325,25 @@ def repeated_spans(
     enumeration exists at all, so there is no quadratic path).
     """
     toks = tokens(F.col(text_col))
-    spans = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.when(
-                F.size(toks) >= k,
+    spans = (
+        df.select(F.col(id_col).alias("id"), toks.alias("t"))
+        .filter(F.size("t") >= k)
+        .select(
+            "id",
+            F.explode(
                 F.transform(
-                    F.sequence(F.lit(0), F.size(toks) - k),
+                    F.sequence(F.lit(0), F.size("t") - k),
                     lambda i: F.struct(
                         i.alias("pos"),
-                        phash(F.concat_ws(" ", F.slice(toks, i + 1, k))).alias(
-                            "span_h"
-                        ),
+                        phash(
+                            F.concat_ws(" ", F.slice(F.col("t"), i + 1, k))
+                        ).alias("span_h"),
                     ),
-                ),
-            ).otherwise(F.array())
-        ).alias("s"),
-    ).select("id", "s.pos", "s.span_h")
+                )
+            ).alias("s"),
+        )
+        .select("id", "s.pos", "s.span_h")
+    )
     freq = (
         spans.select("id", "span_h")
         .distinct()
