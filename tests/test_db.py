@@ -430,3 +430,45 @@ def test_strict_tx_spills_with_bounded_memory(spark, tmp_path):
         tx3.add_record("a", i, "u", [i])
     with pytest.raises(CommitError, match="time ordering"):
         tx3.add_record("a", 5, "u", [0])
+
+
+def test_concurrent_writers_all_commit(db):
+    """8 threads committing interleaved transactions: the atomic-rename
+    protocol with nanos-collision retry must give every tx a distinct
+    run, lose no records, and keep LWW deterministic (create_tx.rs
+    :180-264 semantics under real concurrency)."""
+    import threading
+
+    N_THREADS, TXS = 8, 4
+    errors = []
+
+    def writer(t):
+        try:
+            for b in range(TXS):
+                rows = [
+                    {
+                        "key": f"w{t:02d}",
+                        "ts": T0 + b * 100 + i,
+                        "fmt": "u",
+                        "v_long": [t * 1000 + b * 10 + i],
+                        "v_double": [],
+                        "v_str": [],
+                        "v_bin": [],
+                    }
+                    for i in range(5)
+                ]
+                db.commit_rows(rows)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(N_THREADS)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert len(db.data_runs()) == N_THREADS * TXS  # every tx its own run
+    rows = db.read().collect()
+    assert len(rows) == N_THREADS * TXS * 5  # no records lost
+    got = {(r.key, r.ts): r.v_long[0] for r in rows}
+    assert got[("w03", T0 + 203)] == 3 * 1000 + 2 * 10 + 3
