@@ -57,7 +57,7 @@ def connected_components(
         "comp", F.col("id")
     )
     labels = labels.localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # 1. propagate: min over own label and all neighbour labels
         msgs = sym.join(labels.withColumnRenamed("id", "s"), "s").select(
             F.col("d").alias("id"), "comp"
@@ -80,7 +80,13 @@ def connected_components(
         )
         nxt = nxt.join(ptr, "comp").select("id", F.col("comp2").alias("comp"))
         nxt = nxt.localCheckpoint(eager=True)
-        # 3. converged iff no node's label changed this round
+        # 3. converged iff no node's label changed this round. Round 0
+        # starts from the identity labeling, which only a graph of pure
+        # self-loops leaves unchanged — skip the probe job there (the
+        # degenerate case just pays one extra round).
+        if it == 0:
+            labels = nxt
+            continue
         changed = (
             nxt.join(labels.withColumnRenamed("comp", "prev"), "id")
             .filter(F.col("comp") != F.col("prev"))
