@@ -2875,3 +2875,155 @@ def q_corpus_mix_weighted(spark, sf_dir):
     return sampling.mix_sources_weighted(
         docs, "lang", "doc_id", {"de": 2, "en": 1, "es": 2, "fr": 3, "zh": 1}
     )
+
+
+def _quality_keep_sql() -> str:
+    """CTE chain ending in keepq(id, lang, n_chars): top-75%-quality
+    docs per language (the quality_filter_stratified rule)."""
+    return """
+    qf AS (
+      SELECT doc_id, lang, n_chars,
+             string_split(trim(text), ' ') AS toks,
+             length(text) AS nc
+      FROM documents
+    ), qg AS (
+      SELECT doc_id, lang, n_chars, nc,
+             len(toks) AS n,
+             len(list_filter(toks, t -> t IN
+                 ('the','a','an','and','or','of','to','in','is','it'))) AS n_stop,
+             len(list_distinct(toks)) AS n_distinct
+      FROM qf
+    ), qscored AS (
+      SELECT doc_id, lang, n_chars,
+             round(least(n / 100.0, 1.0) * 0.25
+                   + least(((nc - (n - 1)) / n) / 8.0, 1.0) * 0.25
+                   + (1.0 - least(n_stop / n * 2, 1.0)) * 0.25
+                   + n_distinct / n * 0.25, 6) AS quality_score
+      FROM qg
+    ), keepq AS (
+      SELECT id, lang, n_chars FROM (
+        SELECT doc_id AS id, lang, n_chars,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY quality_score DESC, doc_id) AS rk,
+               count(*) OVER (PARTITION BY lang) AS n_lang
+        FROM qscored
+      ) WHERE rk * 4 <= n_lang * 3
+    )
+    """
+
+
+def _curation_v2_oracle() -> str:
+    ph = phash_sql("cast(id as varchar)")
+    u = f"({ph} % 1000000)"
+    # full-corpus LSH pairs restricted to the quality-kept set ==
+    # LSH pairs computed on the kept set (signatures are per-doc)
+    mh = _minhash_oracle_sql()
+    mh_body = mh.strip()
+    assert mh_body.startswith("WITH ")
+    return (
+        "WITH RECURSIVE "
+        + _quality_keep_sql().strip().rstrip()
+        + ", "
+        + mh_body[len("WITH ") :].split("SELECT DISTINCT")[0]
+        + """,
+    allpairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM allpairs
+      JOIN keepq ka ON ka.id = id_a JOIN keepq kb ON kb.id = id_b
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, lbl) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+      UNION
+      SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id
+    ),
+    cc AS (SELECT id, min(lbl) AS comp FROM reach GROUP BY id),
+    canon AS (
+      SELECT comp, id AS keep_id FROM (
+        SELECT comp, cc.id,
+               row_number() OVER (PARTITION BY comp
+                                  ORDER BY k.n_chars DESC, cc.id) AS rk
+        FROM cc JOIN keepq k USING (id)
+      ) WHERE rk = 1
+    ),
+    removed AS (
+      SELECT cc.id FROM cc JOIN canon USING (comp) WHERE cc.id <> canon.keep_id
+    ),
+    survivors AS (
+      SELECT id, lang FROM keepq WHERE id NOT IN (SELECT id FROM removed)
+    ),
+    sc AS (SELECT lang, count(*) AS n_g FROM survivors GROUP BY lang),
+    sm AS (SELECT min(n_g) AS n_min FROM sc),
+    mixed AS (
+      SELECT id, s.lang FROM survivors s JOIN sc USING (lang) CROSS JOIN sm
+      WHERE """
+        + f"{u}::HUGEINT * {u}::HUGEINT * n_g::HUGEINT < n_min::HUGEINT * 1000000000000::HUGEINT"
+        + f"""
+    )
+    SELECT id, lang,
+           {ph} % 100 AS bucket,
+           CASE WHEN {ph} % 100 < 80 THEN 'train'
+                WHEN {ph} % 100 < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM mixed
+    """
+    )
+
+
+@q("corpus_curation_v2", _curation_v2_oracle(), "data")
+def q_corpus_curation_v2(spark, sf_dir):
+    """The round-4 flagship composite: the full training-data curation
+    flow using the EXACT cluster-level machinery — per-language quality
+    gate (rank-based top 75%) -> MinHash-LSH pairs on the kept set ->
+    connected-components clustering -> keep the longest member per
+    cluster -> temperature mix (alpha=0.5) across languages ->
+    deterministic hash split. Every stage is the oracle-gated operator
+    it reuses; the composition itself is what this gate proves. Plan:
+    quality+rank (one lang shuffle), bucketed LSH pair stream, O(log d)
+    CC rounds, two tiny broadcast dims, map-only mix+split."""
+    docs = load_par(spark, sf_dir, "documents")
+    scored = textops.quality_score(docs, "doc_id", "text").select(
+        "id", "quality_score"
+    )
+    base = docs.select(
+        F.col("doc_id").alias("id"), "lang", "n_chars", "text"
+    ).join(scored, "id")
+    wp = Window.partitionBy("lang")
+    w = wp.orderBy(F.col("quality_score").desc(), F.col("id"))
+    keepq = (
+        base.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_lang", F.count("*").over(wp))
+        .filter(F.col("rk") * 4 <= F.col("n_lang") * 3)
+        .select("id", "lang", "n_chars", "text")
+    )
+    pairs = dedup.minhash_lsh_pairs(keepq, "id", "text", k=3, num_hashes=16, band_size=4)
+    comps = graph.connected_components(pairs, "id_a", "id_b")
+    canon = sampling.keep_canonical_per_component(
+        comps, keepq, id_col="id", len_col="n_chars"
+    )
+    removed = (
+        comps.join(canon, "comp")
+        .filter(F.col("id") != F.col("keep_id"))
+        .select("id")
+    )
+    survivors = keepq.select("id", "lang").join(removed, "id", "left_anti")
+    mixed = sampling.temperature_sample_sqrt(survivors, "lang", "id").select(
+        "id", F.col("grp").alias("lang")
+    )
+    bucket = F.pmod(phash(F.col("id").cast("string")), F.lit(100))
+    return mixed.select(
+        "id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
