@@ -72,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
     p_read.add_argument("--timestamp-nanos", action="store_true")
     p_read.add_argument("--timestamp-seconds", action="store_true")
     p_read.add_argument("--parallel", metavar="CMD", help="pipe each partition through CMD on the executors")
+    p_read.add_argument(
+        "--keys",
+        help="comma-separated exact key set (multi-key fetch; applied "
+        "below the merge so the scan bucket-prunes)",
+    )
 
     p_del = sub.add_parser("delete", help="write a delete-marker transaction")
     p_del.add_argument("wildcard", nargs="?", default=None)
@@ -206,6 +211,7 @@ def cmd_add(db: Database, args) -> int:
 
 def _read_df(db: Database, args):
     return db.read_sorted(
+        keys=args.keys.split(",") if getattr(args, "keys", None) else None,
         wildcard=args.wildcard,
         after_key=args.after_key,
         before_key=args.before_key,
@@ -230,7 +236,9 @@ def _require_filter(args, what: str, alternates: tuple[str, ...]) -> None:
 
 def cmd_read(db: Database, args) -> int:
     _require_filter(
-        args, "read", ("after_key", "before_key", "after_key_excl", "before_key_incl")
+        args,
+        "read",
+        ("after_key", "before_key", "after_key_excl", "before_key_incl", "keys"),
     )
     if args.wildcard is None:
         args.wildcard = "%"
@@ -239,7 +247,8 @@ def cmd_read(db: Database, args) -> int:
     show_fmt = args.print_format
 
     if not args.parallel and not any(
-        (args.after_key, args.before_key, args.after_key_excl, args.before_key_incl)
+        (args.after_key, args.before_key, args.after_key_excl,
+         args.before_key_incl, getattr(args, "keys", None))
     ):
         # pyarrow fast path (no Spark job) for exact keys and bounded
         # pure-prefix wildcards; None -> too large, use the Spark plan.

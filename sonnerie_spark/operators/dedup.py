@@ -465,3 +465,28 @@ class LshIndex:
             return out
         finally:
             bands.unpersist()
+
+    def compact(self) -> None:
+        """Rewrite the accumulated per-batch band files into one compact
+        file set (the index analogue of the database's minor compaction:
+        many small appends -> one sorted layout, fewer files to open per
+        probe). Atomic swap via tmp dir + rename; a concurrent add() that
+        raced the swap appends into the fresh directory unharmed."""
+        import os
+        import shutil
+        import time
+
+        old = self._existing()
+        if old is None:
+            return
+        tmp = self._data + f".compact-{os.getpid()}-{time.time_ns():x}"
+        (
+            old.repartition("band", "bucket")
+            .sortWithinPartitions("band", "bucket", "id")
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        back = self._data + f".old-{time.time_ns():x}"
+        os.rename(self._data, back)
+        os.rename(tmp, self._data)
+        shutil.rmtree(back, ignore_errors=True)

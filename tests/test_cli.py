@@ -286,3 +286,14 @@ def test_rollup_subcommand(db, tmp_path):
     finally:
         sys.stdout = old_out
     assert printed == "up-to-date"
+
+
+def test_read_keys_flag(db):
+    stdin = "ka 1000 1\nkb 2000 2\nkc 3000 3\n"
+    run_cli(db, ["add", "--format", "u"], stdin=stdin)
+    out = run_cli(db, ["read", "--keys", "ka,kc", "--timestamp-nanos"])
+    assert out.splitlines() == ["ka\t1000\t1", "kc\t3000\t3"]
+    # --keys composes with a time bound
+    out = run_cli(db, ["read", "--keys", "ka,kc", "--timestamp-nanos",
+                       "--after-time", "2000"])
+    assert out.splitlines() == ["kc\t3000\t3"]

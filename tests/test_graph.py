@@ -127,3 +127,31 @@ def test_cc_nonconvergence_raises(spark):
 
     with _pytest.raises(RuntimeError, match="did not converge"):
         graph.connected_components(df, "id_a", "id_b", max_iter=2)
+
+
+def test_lsh_index_compact_preserves_probes(spark, sf_dir, tmp_path):
+    from sonnerie_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = dedup.LshIndex(spark, str(tmp_path / "lshc"))
+    idx.add(docs.filter(docs.doc_id % 3 == 0), "doc_id", "text")
+    idx.add(docs.filter(docs.doc_id % 3 == 1), "doc_id", "text")
+    import glob
+
+    n_before = len(glob.glob(str(tmp_path / "lshc" / "bands" / "*.parquet")))
+    idx.compact()
+    n_after = len(glob.glob(str(tmp_path / "lshc" / "bands" / "*.parquet")))
+    assert n_after <= n_before
+    # probing after compaction yields the same pairs as the one-shot set
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in idx.add(docs.filter(docs.doc_id % 3 == 2), "doc_id", "text").collect()
+    }
+    one_shot = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    b2 = docs.filter(docs.doc_id % 3 == 2)
+    ids2 = {r["doc_id"] for r in b2.select("doc_id").collect()}
+    expected = {p for p in one_shot if p[0] in ids2 or p[1] in ids2}
+    assert got == expected
