@@ -58,9 +58,16 @@ def main() -> None:
         # Per-query isolation: one failing query must never zero the
         # whole bench file (BENCH_r03 lesson) — record the error, move on.
         try:
+            t0 = time.time()
             d.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            warm = time.time() - t0
+            # min of 2 timed runs guards JIT flukes on fast queries; for
+            # heavy ones (iterative CC, composite pipelines) the warm-up
+            # execution above already absorbed JIT, and a second timed
+            # repeat only inflates wall time — one timed run suffices.
+            reps = 1 if warm > 2.0 else 2
             best = float("inf")
-            for _ in range(2):  # min of 2 timed runs: robust to JIT flukes
+            for _ in range(reps):
                 jvm_gc()
                 t0 = time.time()
                 d.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
