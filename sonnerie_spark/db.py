@@ -507,6 +507,24 @@ class Database:
             self._point_reader = PointReader(self)
         return self._point_reader.get(key, after_ns=after_ns, before_ns=before_ns)
 
+    def get_many(
+        self,
+        keys: list[str],
+        *,
+        after_ns: int | None = None,
+        before_ns: int | None = None,
+    ) -> dict[str, list[dict]]:
+        """Batch :meth:`get`: {key: rows} in ONE driver-side merge pass
+        (run listing, footers, and delete markers amortized across the
+        batch — the point-read analogue of ``read(keys=[...])``)."""
+        if self._point_reader is None:
+            from sonnerie_spark.pointread import PointReader
+
+            self._point_reader = PointReader(self)
+        return self._point_reader.get_many(
+            keys, after_ns=after_ns, before_ns=before_ns
+        )
+
     def get_prefix(
         self,
         prefix: str,

@@ -169,6 +169,42 @@ class PointReader:
             file_ok=lambda fm: fm.bucket is None or fm.bucket == want,
         )
 
+    def get_many(
+        self,
+        keys: list[str],
+        *,
+        after_ns: int | None = None,
+        before_ns: int | None = None,
+    ) -> dict[str, list[dict]]:
+        """Batch exact-key lookup: one merge pass over the UNION of the
+        keys' row groups, amortizing the run listing, footer reads, and
+        delete-marker load across the whole batch (a loop over ``get``
+        repeats all three per key). Returns {key: rows}, rows
+        ts-ascending; absent keys map to []."""
+        import pyarrow as pa
+
+        kset = sorted(set(keys))
+        arr = pa.array(kset)
+        buckets = {bucket_of(k, self.db.buckets) for k in kset}
+
+        def groups(fm):
+            gs: set[int] = set()
+            for k in kset:
+                gs.update(fm.groups_for(k))
+            return sorted(gs)
+
+        rows = self._merge(
+            groups,
+            lambda tbl: tbl.filter(pc.is_in(tbl.column("key"), value_set=arr)),
+            after_ns=after_ns,
+            before_ns=before_ns,
+            file_ok=lambda fm: fm.bucket is None or fm.bucket in buckets,
+        )
+        out: dict[str, list[dict]] = {k: [] for k in keys}
+        for r in rows:
+            out[r["key"]].append(r)
+        return out
+
     def get_range(
         self,
         lo: str,

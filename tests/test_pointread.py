@@ -149,3 +149,29 @@ def test_point_read_during_compaction_swaps(db):
     t.join()
     assert not errs
     assert set(results) == {40}, set(results)  # never partial
+
+
+def test_get_many_matches_per_key_gets(spark, tmp_path):
+    """get_many == looping get(), across LWW overwrites and deletes,
+    including keys that don't exist."""
+    from sonnerie_spark.db import Database
+
+    db = Database(spark, str(tmp_path / "gm"))
+    tx = db.create_tx()
+    for i in range(20):
+        for t in range(3):
+            tx.add_record(f"key{i:02d}", 1000 + t, "u", [i * 10 + t])
+    tx.commit()
+    tx = db.create_tx()
+    tx.add_record("key03", 1001, "u", [999])  # LWW overwrite
+    tx.commit()
+    db.commit_deletes([{"wildcard": "key07"}])
+
+    want = ["key03", "key07", "key11", "nosuchkey"]
+    batch = db.get_many(want, after_ns=1000, before_ns=1003)
+    assert set(batch) == set(want)
+    for k in want:
+        assert batch[k] == db.get(k, after_ns=1000, before_ns=1003), k
+    assert batch["nosuchkey"] == []
+    assert batch["key07"] == []  # deleted
+    assert [r["v_long"][0] for r in batch["key03"]] == [30, 999, 32]
