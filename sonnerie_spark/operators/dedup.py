@@ -470,8 +470,11 @@ class LshIndex:
         """Rewrite the accumulated per-batch band files into one compact
         file set (the index analogue of the database's minor compaction:
         many small appends -> one sorted layout, fewer files to open per
-        probe). Atomic swap via tmp dir + rename; a concurrent add() that
-        raced the swap appends into the fresh directory unharmed."""
+        probe). Swap is tmp dir + two renames; run it from the SAME
+        single writer that calls add() — an add() racing the swap window
+        could recreate the data dir between the renames and fail the
+        second one (the index is a single-writer structure, like the
+        reference's compactor under its .compact flock)."""
         import os
         import shutil
         import time
