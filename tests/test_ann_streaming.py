@@ -217,3 +217,42 @@ def test_pack_sequences_invariants(spark):
     assert big.pack_offset == 0 and big.length == 5000  # clipped, own pack start
     out2 = pack_sequences(docs, "doc_id", "n", budget=256, num_slices=4).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))  # deterministic
+
+
+def test_streaming_lsh_index_dedup(spark, tmp_path):
+    """Near-dup detection as a STREAMING pipeline: documents arrive as
+    micro-batches (file source, one file per trigger); each batch flows
+    through LshIndex.add in foreachBatch. The accumulated pair set must
+    equal the one-shot LSH enumeration over everything seen."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    src = str(tmp_path / "arrivals")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        src + "/b0"
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        src + "/b1"
+    )
+
+    idx = dedup.LshIndex(spark, str(tmp_path / "lsh"))
+    seen_pairs = set()
+
+    def on_batch(batch_df, _bid):
+        for r in idx.add(batch_df, "doc_id", "text").collect():
+            seen_pairs.add((r["id_a"], r["id_b"]))
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(on_batch).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+
+    one_shot = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text").collect()
+    }
+    assert seen_pairs == one_shot and one_shot
