@@ -103,6 +103,12 @@ def build_parser() -> argparse.ArgumentParser:
     p_dump.add_argument("run", help="run name, e.g. main or tx.<016x>")
     p_dump.add_argument("wildcard", nargs="?", default="%")
 
+    sub.add_parser(
+        "stats",
+        help="database report from parquet footers (runs, rows, bytes, "
+        "delete markers, buckets) — no Spark job",
+    )
+
     p_roll = sub.add_parser(
         "rollup",
         help="incrementally refresh a continuous time-bucket aggregate "
@@ -512,6 +518,18 @@ def cmd_dump_run(db: Database, args) -> int:
     return 0
 
 
+def cmd_stats(db: Database, args) -> int:
+    s = db.stats()
+    for r in s["runs"]:
+        print(f"{r['name']}\t{r['files']} files\t{r['rows']} rows\t{r['bytes']} bytes")
+    print(
+        f"total\t{s['n_runs']} runs\t{s['total_rows']} rows\t"
+        f"{s['total_bytes']} bytes\t{s['delete_markers']} delete-markers\t"
+        f"{s['buckets']} buckets"
+    )
+    return 0
+
+
 def cmd_rollup(db: Database, args) -> int:
     """Refresh (or rebuild with --full) a continuous aggregate of this
     database into --dest (streaming/rollup.py)."""
@@ -534,6 +552,7 @@ def main(argv: list[str] | None = None) -> int:
         "compact": cmd_compact,
         "dump-run": cmd_dump_run,
         "rollup": cmd_rollup,
+        "stats": cmd_stats,
     }[args.cmd](db, args)
 
 

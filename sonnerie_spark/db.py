@@ -525,6 +525,46 @@ class Database:
             keys, after_ns=after_ns, before_ns=before_ns
         )
 
+    def stats(self) -> dict:
+        """Operational database report from parquet footers alone — no
+        Spark job, O(runs) metadata reads (the cost of one directory
+        listing plus cached footers). Keys: per-run name/files/rows/
+        bytes, totals, delete-marker count, bucket count.
+
+        An extension (the reference has no introspection command); the
+        numbers mirror what its users reconstruct with `ls` + dump."""
+        import pyarrow.parquet as pq
+
+        runs = []
+        total_rows = 0
+        total_bytes = 0
+        n_markers = 0
+        for r in self.runs():
+            if r.is_delete:
+                n_markers += len(self.delete_markers([r]))
+                continue
+            files = rows = nbytes = 0
+            for name in sorted(os.listdir(r.path)):
+                if not name.endswith(".parquet"):
+                    continue
+                p = os.path.join(r.path, name)
+                files += 1
+                nbytes += os.stat(p).st_size
+                rows += pq.ParquetFile(p).metadata.num_rows
+            runs.append(
+                {"name": r.name, "files": files, "rows": rows, "bytes": nbytes}
+            )
+            total_rows += rows
+            total_bytes += nbytes
+        return {
+            "runs": runs,
+            "n_runs": len(runs),
+            "total_rows": total_rows,
+            "total_bytes": total_bytes,
+            "delete_markers": n_markers,
+            "buckets": self.buckets,
+        }
+
     def get_prefix(
         self,
         prefix: str,

@@ -297,3 +297,20 @@ def test_read_keys_flag(db):
     out = run_cli(db, ["read", "--keys", "ka,kc", "--timestamp-nanos",
                        "--after-time", "2000"])
     assert out.splitlines() == ["kc\t3000\t3"]
+
+
+def test_stats_command(db, capsys):
+    from sonnerie_spark.cli import cmd_stats
+
+    run_cli(db, ["add", "--format", "u"], stdin="a 1000 1\nb 2000 2\n")
+    run_cli(db, ["add", "--format", "u"], stdin="c 3000 3\n")
+    run_cli(db, ["delete", "a"])
+    args = build_parser().parse_args(["-d", db.path, "stats"])
+    assert cmd_stats(db, args) == 0
+    out = capsys.readouterr().out
+    assert "2 runs" in out and "3 rows" in out and "1 delete-markers" in out
+
+    s = db.stats()
+    assert s["n_runs"] == 2 and s["total_rows"] == 3
+    assert s["delete_markers"] == 1 and s["buckets"] >= 1
+    assert all(r["files"] >= 1 and r["bytes"] > 0 for r in s["runs"])
