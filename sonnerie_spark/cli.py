@@ -109,6 +109,21 @@ def build_parser() -> argparse.ArgumentParser:
         "delete markers, buckets) — no Spark job",
     )
 
+    p_exp = sub.add_parser(
+        "export-parquet",
+        help="write the merged, deduped, delete-filtered view as a plain "
+        "parquet dataset (the off-ramp: any engine can read it)",
+    )
+    p_exp.add_argument("dest", help="output parquet directory")
+    p_exp.add_argument("wildcard", nargs="?", default="%")
+
+    p_imp = sub.add_parser(
+        "import-parquet",
+        help="commit a parquet dataset of records (RECORD_SCHEMA columns) "
+        "as one transaction (the on-ramp)",
+    )
+    p_imp.add_argument("src", help="input parquet path")
+
     p_roll = sub.add_parser(
         "rollup",
         help="incrementally refresh a continuous time-bucket aggregate "
@@ -518,6 +533,26 @@ def cmd_dump_run(db: Database, args) -> int:
     return 0
 
 
+def cmd_export_parquet(db: Database, args) -> int:
+    """Off-ramp: one sorted write of the merged view. The dataset is
+    self-describing (union-typed value columns + fmt tag), so DuckDB /
+    pandas / any parquet reader can consume it without this engine."""
+    db.read_sorted(wildcard=args.wildcard).write.mode("error").parquet(args.dest)
+    return 0
+
+
+def cmd_import_parquet(db: Database, args) -> int:
+    """On-ramp: any parquet dataset with RECORD_SCHEMA columns becomes
+    one committed transaction (sorted, bucketed, atomic); duplicate
+    (key, ts) rows in the input are rejected like any other commit."""
+    df = db.spark.read.parquet(args.src)
+    missing = {f.name for f in __import__("sonnerie_spark.db", fromlist=["RECORD_SCHEMA"]).RECORD_SCHEMA.fields} - set(df.columns)
+    if missing:
+        raise SystemExit(f"import-parquet: input lacks columns {sorted(missing)}")
+    print(db.commit_dataframe(df))
+    return 0
+
+
 def cmd_stats(db: Database, args) -> int:
     s = db.stats()
     for r in s["runs"]:
@@ -553,6 +588,8 @@ def main(argv: list[str] | None = None) -> int:
         "dump-run": cmd_dump_run,
         "rollup": cmd_rollup,
         "stats": cmd_stats,
+        "export-parquet": cmd_export_parquet,
+        "import-parquet": cmd_import_parquet,
     }[args.cmd](db, args)
 
 
