@@ -3027,3 +3027,62 @@ def q_corpus_curation_v2(spark, sf_dir):
         .otherwise("test")
         .alias("split"),
     )
+
+
+@q(
+    "sql_over_view",
+    """
+    WITH base AS (
+      SELECT event_type || '-' || lpad(cast(user_id as varchar), 4, '0') AS key,
+             event_id * 1000 AS ts,
+             round(value * 100) AS v
+      FROM events
+    )
+    SELECT key, count(*) AS n,
+           sum(v) AS total, min(ts) AS first_ts, max(ts) AS last_ts
+    FROM base GROUP BY key
+    """,
+    "parity",
+    gate_only=True,
+)
+def q_sql_over_view(spark, sf_dir):
+    """The SQL layer end-to-end: events committed into a Database, the
+    merged view registered with create_view(), and plain spark.sql()
+    aggregating over it — checked against the direct aggregate of the
+    raw data. Proves a SQL-only user gets the LWW/delete-filtered truth
+    through a temp view with no DataFrame code."""
+    import os
+    import tempfile
+
+    from sonnerie_spark.db import Database
+
+    base = load(spark, sf_dir, "events").select(
+        F.concat_ws(
+            "-", F.col("event_type"), F.lpad(F.col("user_id").cast("string"), 4, "0")
+        ).alias("key"),
+        (F.col("event_id") * 1000).cast("long").alias("ts"),
+        F.round(F.col("value") * 100).alias("v"),
+    )
+    db = Database(spark, tempfile.mkdtemp(prefix="sqlview_gate_"))
+    db.commit_dataframe(
+        base.select(
+            "key",
+            "ts",
+            F.lit("F").alias("fmt"),
+            F.lit(None).cast("array<long>").alias("v_long"),
+            F.array(F.col("v")).alias("v_double"),
+            F.lit(None).cast("array<string>").alias("v_str"),
+            F.lit(None).cast("array<binary>").alias("v_bin"),
+        ),
+        check_duplicates=False,
+    )
+    view = f"tsdb_{os.getpid()}"
+    db.create_view(view)
+    return spark.sql(
+        f"""
+        SELECT key, count(*) AS n,
+               sum(v_double[0]) AS total,
+               min(ts) AS first_ts, max(ts) AS last_ts
+        FROM {view} GROUP BY key
+        """
+    )
