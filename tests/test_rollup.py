@@ -165,3 +165,21 @@ def test_cascade_hourly_to_daily(src, tmp_path):
     # misaligned interval rejected
     with pytest.raises(ValueError, match="multiple"):
         ContinuousRollup.cascade(hourly, str(tmp_path / "bad"), interval_ns=90 * 60 * 10**9)
+
+
+def test_corrupt_cursor_self_heals(src, tmp_path):
+    """A corrupt/lost cursor degrades to a full rebuild, not an error:
+    the rebuild recommits every bucket and the LWW upsert makes that
+    idempotent — read values unchanged."""
+    tx = src.create_tx()
+    for i in range(4):
+        tx.add_record("k", T0 + i * HOUR, "u", [i])
+    tx.commit()
+    roll = _rollup(src, tmp_path)
+    roll.refresh()
+    before = _got(roll)
+
+    with open(roll._cursor_path, "w") as f:
+        f.write("{not json")
+    assert roll.refresh() is not None  # reprocesses everything
+    assert _got(roll) == before == _expected(src)
