@@ -73,6 +73,13 @@ def build_parser() -> argparse.ArgumentParser:
     p_read.add_argument("--timestamp-seconds", action="store_true")
     p_read.add_argument("--parallel", metavar="CMD", help="pipe each partition through CMD on the executors")
     p_read.add_argument(
+        "--as-of",
+        dest="as_of",
+        help="time travel: read the snapshot as of this transaction "
+        "(a run name from `stats`); snapshots older than the last "
+        "compaction are unreachable",
+    )
+    p_read.add_argument(
         "--keys",
         help="comma-separated exact key set (multi-key fetch; applied "
         "below the merge so the scan bucket-prunes)",
@@ -233,6 +240,7 @@ def cmd_add(db: Database, args) -> int:
 def _read_df(db: Database, args):
     return db.read_sorted(
         keys=args.keys.split(",") if getattr(args, "keys", None) else None,
+        as_of=getattr(args, "as_of", None),
         wildcard=args.wildcard,
         after_key=args.after_key,
         before_key=args.before_key,
@@ -269,7 +277,8 @@ def cmd_read(db: Database, args) -> int:
 
     if not args.parallel and not any(
         (args.after_key, args.before_key, args.after_key_excl,
-         args.before_key_incl, getattr(args, "keys", None))
+         args.before_key_incl, getattr(args, "keys", None),
+         getattr(args, "as_of", None))
     ):
         # pyarrow fast path (no Spark job) for exact keys and bounded
         # pure-prefix wildcards; None -> too large, use the Spark plan.

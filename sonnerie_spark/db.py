@@ -354,6 +354,7 @@ class Database:
         after_ns: int | None = None,
         before_ns: int | None = None,
         include_txname: bool = False,
+        as_of: str | None = None,
     ) -> DataFrame:
         """The merged, deduped, delete-filtered view of the database.
 
@@ -372,8 +373,21 @@ class Database:
         prunes within each file; the same filter applied on top of
         read()'s result does neither (Catalyst will not re-derive bucket
         pruning through the aggregate — plan-asserted in test_plans).
+
+        ``as_of``: time travel — read the snapshot as of transaction
+        ``as_of`` (a run name from ``stats()``/``runs()``): only runs
+        and delete markers with txname <= as_of participate, which on
+        this immutable-run layout is exactly the historical read state
+        (the Delta-style capability the LSM gives for free; the
+        reference has no equivalent). Compaction REWRITES history into
+        its output run (``main`` sorts before every tx name), so an
+        ``as_of`` older than the last compaction resolves to the
+        COMPACTED state, not the original version — history is
+        collapsed, the VACUUM contract.
         """
         runs = self.data_runs()
+        if as_of is not None:
+            runs = [r for r in runs if r.name <= as_of]
         if not runs:
             return self.spark.createDataFrame([], RECORD_SCHEMA)
 
@@ -400,7 +414,7 @@ class Database:
         if len(runs) > 1:
             df = _lww_dedup(df)
 
-        df = self._apply_delete_markers(df)
+        df = self._apply_delete_markers(df, as_of=as_of)
         if not include_txname:
             df = df.drop("_txname")
         return df
@@ -630,8 +644,10 @@ class Database:
             df = df.filter(F.col("key") <= F.lit(before_key_incl))
         return df
 
-    def _apply_delete_markers(self, df: DataFrame) -> DataFrame:
+    def _apply_delete_markers(self, df: DataFrame, *, as_of: str | None = None) -> DataFrame:
         markers = self.delete_markers()
+        if as_of is not None:
+            markers = [m for m in markers if m["_txname"] <= as_of]
         if not markers:
             return df
         if len(markers) <= MAX_INLINE_DELETES:

@@ -344,3 +344,11 @@ def test_export_import_roundtrip(db, spark, tmp_path):
         ("a", 1000, 1),
         ("a", 2000, 2),
     }
+
+
+def test_read_as_of_flag(db):
+    run_cli(db, ["add", "--format", "u"], stdin="k 1000 1\n")
+    t1 = db.data_runs()[-1].name
+    run_cli(db, ["add", "--format", "u"], stdin="k 2000 2\n")
+    out = run_cli(db, ["read", "k", "--as-of", t1, "--timestamp-nanos"])
+    assert out.splitlines() == ["k\t1000\t1"]

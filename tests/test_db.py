@@ -472,3 +472,34 @@ def test_concurrent_writers_all_commit(db):
     assert len(rows) == N_THREADS * TXS * 5  # no records lost
     got = {(r.key, r.ts): r.v_long[0] for r in rows}
     assert got[("w03", T0 + 203)] == 3 * 1000 + 2 * 10 + 3
+
+
+def test_time_travel_as_of(db):
+    """read(as_of=tx) reconstructs historical snapshots on the
+    immutable-run layout: each commit (including deletes) is a readable
+    version until compaction rewrites history."""
+    tx = db.create_tx()
+    tx.add_record("k", 100, "u", [1])
+    tx.commit()
+    t1 = db.data_runs()[-1].name
+    tx = db.create_tx()
+    tx.add_record("k", 100, "u", [2])  # LWW overwrite
+    tx.add_record("k", 200, "u", [3])
+    tx.commit()
+    t2 = db.data_runs()[-1].name
+    t3 = db.commit_deletes([{"after_ns": 150}])
+
+    def snap(as_of):
+        return {(r.ts, r.v_long[0]) for r in db.read(as_of=as_of).collect()}
+
+    assert snap(t1) == {(100, 1)}
+    assert snap(t2) == {(100, 2), (200, 3)}
+    assert snap(t3) == {(100, 2)}          # delete applied
+    assert snap(None if False else "zzz") == {(100, 2)}  # beyond head == head
+    assert snap("tx.0000000000000000") == set()  # before everything
+
+    # compaction collapses history: an as_of older than the compaction
+    # resolves to the COMPACTED state ('main' sorts before any tx name)
+    db.compact(major=True)
+    assert snap(t1) == {(100, 2)}
+    assert {(r.ts, r.v_long[0]) for r in db.read().collect()} == {(100, 2)}
