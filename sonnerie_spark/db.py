@@ -488,6 +488,31 @@ class Database:
             w = w.option("path", path)
         w.saveAsTable(table)
 
+    def changes(self, since: str | None = None, until: str | None = None) -> DataFrame:
+        """Batch change feed: the CDC upsert records committed in runs
+        with ``since < txname <= until`` (run names from ``stats()``;
+        None = unbounded). The batch companion of the streaming
+        ``tail_records`` source, with the same contract: LWW overwrites
+        appear as new records, delete-marker commits carry no rows
+        (consume ``delete_markers()`` out-of-band), and a compaction's
+        output run re-emits its merged content (at-least-once; LWW-
+        idempotent downstream). Plan: one parquet scan over just the
+        selected runs — cost proportional to the change window, not the
+        database."""
+        runs = [
+            r
+            for r in self.data_runs()
+            if (since is None or r.name > since)
+            and (until is None or r.name <= until)
+        ]
+        if not runs:
+            return self.spark.createDataFrame([], RECORD_SCHEMA)
+        return (
+            self.spark.read.schema(RECORD_SCHEMA)
+            .option("pathGlobFilter", "part-*.parquet")
+            .parquet(*[r.path for r in runs])
+        )
+
     def create_view(self, name: str = "sonnerie", **read_kwargs) -> DataFrame:
         """Register the merged view as a Spark temp view (SURVEY §7.7):
         ``db.create_view("ts"); spark.sql("SELECT ... FROM ts")``.

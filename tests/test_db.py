@@ -503,3 +503,21 @@ def test_time_travel_as_of(db):
     db.compact(major=True)
     assert snap(t1) == {(100, 2)}
     assert {(r.ts, r.v_long[0]) for r in db.read().collect()} == {(100, 2)}
+
+
+def test_changes_batch_feed(db):
+    """changes(since, until) returns exactly the runs in the window —
+    the batch CDC companion of tail_records."""
+    names = []
+    for i in range(3):
+        tx = db.create_tx()
+        tx.add_record("k", 100 + i, "u", [i])
+        tx.commit()
+        names.append(db.data_runs()[-1].name)
+
+    assert {r.v_long[0] for r in db.changes().collect()} == {0, 1, 2}
+    assert {r.v_long[0] for r in db.changes(since=names[0]).collect()} == {1, 2}
+    assert {
+        r.v_long[0] for r in db.changes(since=names[0], until=names[1]).collect()
+    } == {1}
+    assert db.changes(since=names[2]).count() == 0
