@@ -123,6 +123,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_exp.add_argument("dest", help="output parquet directory")
     p_exp.add_argument("wildcard", nargs="?", default="%")
+    p_exp.add_argument(
+        "--as-of", dest="as_of",
+        help="export a historical snapshot (run name from `stats`)",
+    )
 
     p_imp = sub.add_parser(
         "import-parquet",
@@ -546,7 +550,9 @@ def cmd_export_parquet(db: Database, args) -> int:
     """Off-ramp: one sorted write of the merged view. The dataset is
     self-describing (union-typed value columns + fmt tag), so DuckDB /
     pandas / any parquet reader can consume it without this engine."""
-    db.read_sorted(wildcard=args.wildcard).write.mode("error").parquet(args.dest)
+    db.read_sorted(
+        wildcard=args.wildcard, as_of=getattr(args, "as_of", None)
+    ).write.mode("error").parquet(args.dest)
     return 0
 
 
