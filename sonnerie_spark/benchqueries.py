@@ -3086,3 +3086,36 @@ def q_sql_over_view(spark, sf_dir):
         FROM {view} GROUP BY key
         """
     )
+
+
+@q(
+    "embedding_quantize_int8",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    m AS (
+      SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) AS mx
+      FROM v
+    )
+    SELECT vec_id AS id,
+           mx / 127.0 AS scale,
+           CASE WHEN mx = 0
+                THEN list_transform(e, x -> 0)
+                ELSE list_transform(e, x -> cast(round(x * 127.0 / mx) as int))
+           END AS qvec
+    FROM m
+    """,
+    "data",
+)
+def q_embedding_quantize_int8(spark, sf_dir):
+    """Symmetric int8 embedding quantization (scale = max|x|/127): the
+    4x storage/bandwidth compression applied before ANN indexing at
+    corpus scale. Map-only; engine-exact because max/abs/divide are
+    correctly-rounded IEEE ops and both engines round halves away from
+    zero."""
+    emb = load_par(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    from sonnerie_spark.operators.similarity import quantize_int8
+
+    return quantize_int8(emb, "vec_id", "embedding")

@@ -380,3 +380,29 @@ def lsh_ann_pairs(
             "cosine",
         )
     )
+
+
+def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Symmetric int8 quantization per vector: scale = max|x| / 127,
+    q[i] = round(x[i] / scale) — the 4x storage/bandwidth reduction an
+    embedding store applies before the ANN index at corpus scale (dot
+    products on int8 then run in SIMD integer units downstream).
+
+    Engine-exact: max/abs/division are correctly-rounded IEEE ops and
+    both engines round halves away from zero, so (scale, qvec) is
+    bit-identical in the SQL oracle. All-zero vectors quantize to zeros
+    with scale 0. Map-only — no shuffle at any scale.
+    """
+    v = F.col(vec_col)
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = (mx / F.lit(127.0)).alias("scale")
+    q = F.when(
+        mx == 0.0, F.transform(v, lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(v, lambda x: F.round(x * F.lit(127.0) / mx).cast("int"))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        scale,
+        q.alias("qvec"),
+    )
