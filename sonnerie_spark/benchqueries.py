@@ -3119,3 +3119,64 @@ def q_embedding_quantize_int8(spark, sf_dir):
     from sonnerie_spark.operators.similarity import quantize_int8
 
     return quantize_int8(emb, "vec_id", "embedding")
+
+
+@q(
+    "embedding_topk_int8",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    m AS (
+      SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx FROM v
+    ),
+    q AS (
+      SELECT vec_id,
+             CASE WHEN mx = 0
+                  THEN list_transform(e, x -> 0)
+                  ELSE list_transform(e, x -> cast(round(x * 127.0 / mx) as int))
+             END AS qv
+      FROM m
+    )
+    SELECT probe_id, id, idot, rk FROM (
+      SELECT p.vec_id AS probe_id, c.vec_id AS id,
+             cast(list_sum(list_transform(range(1, len(p.qv) + 1),
+                  i -> cast(p.qv[i] as bigint) * c.qv[i])) as bigint) AS idot,
+             row_number() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY list_sum(list_transform(range(1, len(p.qv) + 1),
+                        i -> cast(p.qv[i] as bigint) * c.qv[i])) DESC, c.vec_id
+             ) AS rk
+      FROM q p JOIN q c ON p.vec_id < 5 AND c.vec_id <> p.vec_id
+    ) WHERE rk <= 5
+    """,
+    "data",
+)
+def q_embedding_topk_int8(spark, sf_dir):
+    """Top-5 neighbours per probe by INT8 dot product over the quantized
+    vectors — the downstream payoff of quantization: ranking is pure
+    64-bit integer arithmetic, exact in any order and any engine (no
+    float-tie flakiness at all). Probes broadcast against one scan of
+    the quantized corpus."""
+    from sonnerie_spark.operators.similarity import quantize_int8
+
+    emb = load_par(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    q = quantize_int8(emb, "vec_id", "embedding")
+    probes = q.filter(F.col("id") < 5).select(
+        F.col("id").alias("probe_id"), F.col("qvec").alias("pv")
+    )
+    cand = q.select(F.col("id"), F.col("qvec").alias("cv"))
+    idot = F.aggregate(
+        F.zip_with("pv", "cv", lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("idot").desc(), F.col("id"))
+    return (
+        F.broadcast(probes)
+        .join(cand, F.col("probe_id") != F.col("id"))
+        .withColumn("idot", idot)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("probe_id", "id", "idot", "rk")
+    )
