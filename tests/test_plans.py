@@ -308,3 +308,17 @@ def test_dirty_key_set_prunes_buckets(spark, tmp_path):
     line2 = next(l for l in above.splitlines() if "SelectedBucketsCount" in l)
     m2 = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", line2)
     assert m2 and int(m2.group(1)) == int(m2.group(2)), line2
+
+
+def test_quantize_int8_is_map_only(spark, sf_dir):
+    """Quantization must stream at scan speed: no Exchange anywhere in
+    the plan (the per-vector scale is a row-local array expression)."""
+    from sonnerie_spark.operators.similarity import quantize_int8
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", __import__("pyspark.sql.functions", fromlist=["col"]).col(
+            "embedding"
+        ).cast("array<double>").alias("embedding")
+    )
+    plan = plan_of(quantize_int8(emb, "vec_id", "embedding"))
+    assert "Exchange" not in plan, plan
