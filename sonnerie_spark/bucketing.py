@@ -24,7 +24,10 @@ Sizing B: locally B defaults to ``spark.sql.shuffle.partitions``. On a
 real cluster pick B so one bucket of the LARGEST expected run fits a
 task comfortably (e.g. 100 TB main / 4096 buckets = ~25 GB per bucket
 file; bucketed scans cannot split a file, so prefer more, smaller
-buckets — thousands — at warehouse scale).
+buckets — thousands — at warehouse scale). B is also the aggregation-
+spill knob, measured: a 100 M-row 4-run merged read takes 88 s at B=32
+(per-task LWW state spills) and 32.4 s at B=128 with nothing else
+changed (SCALE.md).
 
 This module holds the engine-portable pieces: a pure-Python
 reimplementation of Spark's Murmur3 (seed 42) so the driver-side
