@@ -905,6 +905,30 @@ class Database:
 
     # -- compaction --------------------------------------------------------
 
+    def rebucket(self, new_buckets: int) -> str | None:
+        """Change the database-wide bucket count B — the aggregation-
+        spill knob (bucketing.py: a 100 M-row 4-run read measured 88 s
+        at B=32 vs 32.4 s at B=128). B is otherwise fixed at creation;
+        growth beyond the planned volume calls for this migration.
+
+        Sequence: atomically replace ``BUCKETS``, then major-compact —
+        the rewrite emits one run aligned to the NEW B. Between the two
+        steps (and for any process still holding the old B) the layout
+        is mixed; mixed layouts are handled by design — the bucketed
+        fast path declines (``_bucketed_files`` -> None) and reads fall
+        back to the shuffle-dedup plan, so correctness never depends on
+        the migration being atomic. Everything converges at the
+        compaction."""
+        new_buckets = max(1, int(new_buckets))
+        meta = os.path.join(self.path, BUCKETS_FILE)
+        tmp = meta + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(str(new_buckets))
+        os.replace(tmp, meta)
+        self.buckets = new_buckets
+        self._point_reader = None  # cached reader carries the old B
+        return self.compact(major=True)
+
     def compact(self, *, major: bool = False, transform=None, max_runs: int = 1000) -> str | None:
         """Merge runs into one (O15), optionally through a transform (O16).
 

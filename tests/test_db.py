@@ -521,3 +521,37 @@ def test_changes_batch_feed(db):
         r.v_long[0] for r in db.changes(since=names[0], until=names[1]).collect()
     } == {1}
     assert db.changes(since=names[2]).count() == 0
+
+
+def test_rebucket_migration(db, spark):
+    """rebucket() changes B (the spill knob) via meta swap + major
+    compaction; reads stay correct throughout and the new layout
+    bucket-prunes with the new B."""
+    tx = db.create_tx()
+    for i in range(60):
+        tx.add_record(f"key{i:03d}", 1000, "u", [i])
+    tx.commit()
+    old_b = db.buckets
+    before = {(r.key, r.v_long[0]) for r in db.read().collect()}
+
+    db.rebucket(old_b * 2)
+    assert db.buckets == old_b * 2
+    with open(os.path.join(db.path, "BUCKETS")) as f:
+        assert int(f.read()) == old_b * 2
+    assert {(r.key, r.v_long[0]) for r in db.read().collect()} == before
+
+    # a reopened handle adopts the new B; point reads use it too
+    from sonnerie_spark.db import Database
+
+    db2 = Database(spark, db.path)
+    assert db2.buckets == old_b * 2
+    assert [r["v_long"][0] for r in db2.get("key007")] == [7]
+
+    # new commits write the new layout: multi-run read bucket-prunes at 2B
+    tx = db2.create_tx()
+    tx.add_record("key000", 2000, "u", [100])
+    tx.commit()
+    plan = db2.read(key="key007")._sc._jvm.PythonSQLUtils.explainString(
+        db2.read(key="key007")._jdf.queryExecution(), "formatted"
+    )
+    assert f"out of {old_b * 2}" in plan, plan
