@@ -3180,3 +3180,60 @@ def q_embedding_topk_int8(spark, sf_dir):
         .filter(F.col("rk") <= 5)
         .select("probe_id", "id", "idot", "rk")
     )
+
+
+@q(
+    "time_travel_roundtrip",
+    """
+    WITH base AS (
+      SELECT event_type || '-' || lpad(cast(user_id as varchar), 4, '0') AS key,
+             event_id * 1000 AS ts,
+             round(value * 100) AS v
+      FROM events
+    )
+    SELECT key, count(*) AS n, sum(v) AS total
+    FROM base GROUP BY key
+    """,
+    "parity",
+    gate_only=True,
+)
+def q_time_travel_roundtrip(spark, sf_dir):
+    """Time travel under the gate: commit the base data, then commit an
+    overwrite of EVERY record (+1e6) — and read back as_of the FIRST
+    transaction. The snapshot must aggregate to the ORIGINAL values,
+    proving as_of excludes later runs from both the scan and the LWW
+    merge (the head read would be off by n*1e6 per key)."""
+    import tempfile
+
+    from sonnerie_spark.db import Database
+
+    base = load(spark, sf_dir, "events").select(
+        F.concat_ws(
+            "-", F.col("event_type"), F.lpad(F.col("user_id").cast("string"), 4, "0")
+        ).alias("key"),
+        (F.col("event_id") * 1000).cast("long").alias("ts"),
+        F.round(F.col("value") * 100).alias("v"),
+    )
+
+    def as_records(df):
+        return df.select(
+            "key",
+            "ts",
+            F.lit("F").alias("fmt"),
+            F.lit(None).cast("array<long>").alias("v_long"),
+            F.array(F.col("v")).alias("v_double"),
+            F.lit(None).cast("array<string>").alias("v_str"),
+            F.lit(None).cast("array<binary>").alias("v_bin"),
+        )
+
+    db = Database(spark, tempfile.mkdtemp(prefix="tt_gate_"))
+    t1 = db.commit_dataframe(as_records(base), check_duplicates=False)
+    db.commit_dataframe(
+        as_records(base.withColumn("v", F.col("v") + F.lit(1_000_000.0))),
+        check_duplicates=False,
+    )
+    snap = db.read(as_of=t1)
+    return snap.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.element_at("v_double", 1)).alias("total"),
+    )
