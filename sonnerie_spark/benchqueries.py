@@ -908,14 +908,14 @@ def q_text_token_stats(spark, sf_dir):
       FROM f
     )
     SELECT doc_id AS id, n AS n_words,
-           round((nc - (n - 1)) / n, 6) AS mean_word_len,
-           round(n_stop / n, 6) AS stopword_ratio,
-           round(n_distinct / n, 6) AS distinct_ratio,
-           round(np / greatest(nc, 1), 6) AS punct_ratio,
-           round(least(n / 100.0, 1.0) * 0.25
+           floor((nc - (n - 1)) / n * 1e6 + 0.5) / 1e6 AS mean_word_len,
+           floor(n_stop / n * 1e6 + 0.5) / 1e6 AS stopword_ratio,
+           floor(n_distinct / n * 1e6 + 0.5) / 1e6 AS distinct_ratio,
+           floor(np / greatest(nc, 1) * 1e6 + 0.5) / 1e6 AS punct_ratio,
+           floor((least(n / 100.0, 1.0) * 0.25
                  + least(((nc - (n - 1)) / n) / 8.0, 1.0) * 0.25
                  + (1.0 - least(n_stop / n * 2, 1.0)) * 0.25
-                 + n_distinct / n * 0.25, 6) AS quality_score
+                 + n_distinct / n * 0.25) * 1e6 + 0.5) / 1e6 AS quality_score
     FROM g
     """,
     "data",
@@ -1873,10 +1873,10 @@ def q_neardup_keep_longest(spark, sf_dir):
       FROM f
     ), scored AS (
       SELECT doc_id, lang, text,
-             round(least(n / 100.0, 1.0) * 0.25
+             floor((least(n / 100.0, 1.0) * 0.25
                    + least(((nc - (n - 1)) / n) / 8.0, 1.0) * 0.25
                    + (1.0 - least(n_stop / n * 2, 1.0)) * 0.25
-                   + n_distinct / n * 0.25, 6) AS quality_score
+                   + n_distinct / n * 0.25) * 1e6 + 0.5) / 1e6 AS quality_score
       FROM g
     ), filt AS (
       SELECT * FROM scored WHERE quality_score >= 0.5 AND lang IN ('en','de','fr')
@@ -2400,10 +2400,10 @@ def q_corpus_mix_uniform(spark, sf_dir):
       FROM f
     ), scored AS (
       SELECT doc_id, lang,
-             round(least(n / 100.0, 1.0) * 0.25
+             floor((least(n / 100.0, 1.0) * 0.25
                    + least(((nc - (n - 1)) / n) / 8.0, 1.0) * 0.25
                    + (1.0 - least(n_stop / n * 2, 1.0)) * 0.25
-                   + n_distinct / n * 0.25, 6) AS quality_score
+                   + n_distinct / n * 0.25) * 1e6 + 0.5) / 1e6 AS quality_score
       FROM g
     )
     SELECT id, lang, quality_score FROM (
@@ -2895,10 +2895,10 @@ def _quality_keep_sql() -> str:
       FROM qf
     ), qscored AS (
       SELECT doc_id, lang, n_chars,
-             round(least(n / 100.0, 1.0) * 0.25
+             floor((least(n / 100.0, 1.0) * 0.25
                    + least(((nc - (n - 1)) / n) / 8.0, 1.0) * 0.25
                    + (1.0 - least(n_stop / n * 2, 1.0)) * 0.25
-                   + n_distinct / n * 0.25, 6) AS quality_score
+                   + n_distinct / n * 0.25) * 1e6 + 0.5) / 1e6 AS quality_score
       FROM qg
     ), keepq AS (
       SELECT id, lang, n_chars FROM (

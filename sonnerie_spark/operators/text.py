@@ -66,14 +66,23 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + (F.lit(1.0) - F.least(stop_ratio * 2, F.lit(1.0))) * 0.25
         + distinct_ratio * 0.25
     )
+    # 6-decimal rounding via floor(x*1e6 + 0.5)/1e6, NOT round(x, 6):
+    # at an exact decimal tie Spark's HALF_UP (on the binary double's
+    # exact BigDecimal) and DuckDB's round() can disagree by 1 in the
+    # last digit (observed at sf0.1), while multiply/add/floor are all
+    # exact IEEE ops on identical doubles — both engines agree on
+    # whatever the tie resolves to.
+    def r6(c):
+        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
     return df.select(
         F.col(id_col).alias("id"),
         n.alias("n_words"),
-        F.round(mean_wl, 6).alias("mean_word_len"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(distinct_ratio, 6).alias("distinct_ratio"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        r6(mean_wl).alias("mean_word_len"),
+        r6(stop_ratio).alias("stopword_ratio"),
+        r6(distinct_ratio).alias("distinct_ratio"),
+        r6(punct_ratio).alias("punct_ratio"),
+        r6(score).alias("quality_score"),
     )
 
 
