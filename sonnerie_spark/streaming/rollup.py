@@ -249,10 +249,15 @@ class ContinuousRollup:
         source) followed by a full recompute commit. Use after source
         deletes or a transform-compaction; each commit is atomic but a
         reader between the two sees an empty rollup."""
+        # Cursor from a listing taken BEFORE the rebuild reads: a tx
+        # that lands mid-rebuild may or may not make it into this
+        # aggregate, so it must stay AFTER the cursor — the next
+        # incremental refresh then reprocesses it (idempotent upsert);
+        # the reverse order would mark it processed and lose it.
+        runs = [r.name for r in self.src.data_runs() if r.name.startswith("tx.")]
         self.dst.commit_deletes([{}])
         rolled = self._aggregate(self.src.read())
         txname = self.dst.commit_dataframe(rolled, check_duplicates=False)
-        runs = [r.name for r in self.src.data_runs() if r.name.startswith("tx.")]
         self._store_cursor(max(runs) if runs else "")
         return txname
 
