@@ -152,6 +152,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="rebuild from scratch (required after source deletes or a "
         "--gegnum transform compaction)",
     )
+    p_roll.add_argument(
+        "--source-is-rollup",
+        action="store_true",
+        help="DBDIR is itself a rollup: build a coarser cascade from it "
+        "(aggregate-merge; --interval must be a multiple of the source "
+        "rollup's interval, read from its cursor)",
+    )
 
     return ap
 
@@ -582,10 +589,32 @@ def cmd_stats(db: Database, args) -> int:
 
 def cmd_rollup(db: Database, args) -> int:
     """Refresh (or rebuild with --full) a continuous aggregate of this
-    database into --dest (streaming/rollup.py)."""
-    from sonnerie_spark.streaming.rollup import ContinuousRollup
+    database into --dest (streaming/rollup.py); with --source-is-rollup,
+    DBDIR is a finer rollup and --dest becomes its coarser cascade."""
+    import json
 
-    roll = ContinuousRollup(db, args.dest, interval_ns=parse_interval(args.interval))
+    from sonnerie_spark.streaming.rollup import CURSOR_FILE, ContinuousRollup
+
+    interval = parse_interval(args.interval)
+    if getattr(args, "source_is_rollup", False):
+        try:
+            with open(os.path.join(db.path, CURSOR_FILE)) as f:
+                finer_interval = int(json.load(f)["interval_ns"])
+        except (OSError, ValueError, KeyError):
+            raise SystemExit(
+                f"rollup: {db.path} has no readable rollup cursor "
+                "(--source-is-rollup needs a refreshed rollup as source)"
+            )
+        if interval % finer_interval != 0:
+            raise SystemExit(
+                f"rollup: --interval {interval} is not a multiple of the "
+                f"source rollup's {finer_interval}"
+            )
+        roll = ContinuousRollup(
+            db, args.dest, interval_ns=interval, source_is_rollup=True
+        )
+    else:
+        roll = ContinuousRollup(db, args.dest, interval_ns=interval)
     tx = roll.refresh_full() if args.full else roll.refresh()
     print(tx if tx is not None else "up-to-date")
     return 0

@@ -352,3 +352,46 @@ def test_read_as_of_flag(db):
     run_cli(db, ["add", "--format", "u"], stdin="k 2000 2\n")
     out = run_cli(db, ["read", "k", "--as-of", t1, "--timestamp-nanos"])
     assert out.splitlines() == ["k\t1000\t1"]
+
+
+def test_rollup_cascade_cli(db, tmp_path):
+    from sonnerie_spark.cli import cmd_rollup
+    from sonnerie_spark.db import Database
+    from sonnerie_spark.streaming.rollup import ContinuousRollup
+
+    stdin = "".join(f"k {t * 10**9} {t}\n" for t in range(0, 7200, 600))
+    run_cli(db, ["add", "--format", "u"], stdin=stdin)
+    fine_dir = str(tmp_path / "r1h")
+    args = build_parser().parse_args(
+        ["-d", db.path, "rollup", "--dest", fine_dir, "--interval", "1h"]
+    )
+    old_out, sys.stdout = sys.stdout, io.StringIO()
+    try:
+        cmd_rollup(db, args)
+    finally:
+        sys.stdout = old_out
+
+    coarse_dir = str(tmp_path / "r2h")
+    args = build_parser().parse_args(
+        ["-d", fine_dir, "rollup", "--dest", coarse_dir, "--interval", "2h",
+         "--source-is-rollup"]
+    )
+    fine_db = Database(db.spark, fine_dir)
+    old_out, sys.stdout = sys.stdout, io.StringIO()
+    try:
+        assert cmd_rollup(fine_db, args) == 0
+    finally:
+        sys.stdout = old_out
+    coarse = ContinuousRollup(
+        fine_db, coarse_dir, interval_ns=2 * 3600 * 10**9, source_is_rollup=True
+    )
+    got = {r["bucket_ts"]: r["n"] for r in coarse.read().collect()}
+    assert got == {0: 12}  # all 12 ten-minute records in one 2h bucket
+
+    # misaligned cascade interval rejected at the CLI
+    args = build_parser().parse_args(
+        ["-d", fine_dir, "rollup", "--dest", str(tmp_path / "bad"),
+         "--interval", "90m", "--source-is-rollup"]
+    )
+    with pytest.raises(SystemExit, match="multiple"):
+        cmd_rollup(fine_db, args)
