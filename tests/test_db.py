@@ -555,3 +555,31 @@ def test_rebucket_migration(db, spark):
         db2.read(key="key007")._jdf.queryExecution(), "formatted"
     )
     assert f"out of {old_b * 2}" in plan, plan
+
+
+def test_time_travel_random_model(db):
+    """Model check: after every commit, read(as_of=that tx) must equal
+    the model's state at that point — across overwrites and new keys."""
+    import random
+
+    rng = random.Random(11)
+    model = {}
+    snapshots = []  # (txname, frozen model)
+    for _ in range(6):
+        batch = {}
+        for _ in range(rng.randint(1, 5)):
+            k = f"k{rng.randint(0, 2)}"
+            t = rng.randint(0, 4)
+            batch[(k, t)] = rng.randint(0, 99)
+        tx = db.create_tx()
+        for (k, t), v in sorted(batch.items()):
+            tx.add_record(k, t, "u", [v])
+            model[(k, t)] = v
+        tx.commit()
+        snapshots.append((db.data_runs()[-1].name, dict(model)))
+
+    for txname, frozen in snapshots:
+        got = {
+            (r.key, r.ts): r.v_long[0] for r in db.read(as_of=txname).collect()
+        }
+        assert got == frozen, txname

@@ -183,3 +183,26 @@ def test_corrupt_cursor_self_heals(src, tmp_path):
         f.write("{not json")
     assert roll.refresh() is not None  # reprocesses everything
     assert _got(roll) == before == _expected(src)
+
+
+def test_rollup_random_commit_refresh_interleaving(src, tmp_path):
+    """Model check: any interleaving of commits (with LWW overwrites)
+    and refreshes converges to the brute-force recompute."""
+    import random
+
+    rng = random.Random(7)
+    roll = _rollup(src, tmp_path)
+    for _ in range(6):
+        batch = {}
+        for _ in range(rng.randint(1, 8)):
+            k = f"k{rng.randint(0, 3)}"
+            t = T0 + rng.randint(0, 5) * 1800 * 10**9
+            batch[(k, t)] = rng.randint(0, 100)
+        tx = src.create_tx()
+        for (k, t), v in sorted(batch.items()):
+            tx.add_record(k, t, "u", [v])
+        tx.commit()
+        if rng.random() < 0.7:
+            roll.refresh()
+    roll.refresh()
+    assert _got(roll) == _expected(src)
