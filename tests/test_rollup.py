@@ -206,3 +206,29 @@ def test_rollup_random_commit_refresh_interleaving(src, tmp_path):
             roll.refresh()
     roll.refresh()
     assert _got(roll) == _expected(src)
+
+
+def test_rollup_after_transform_compaction_needs_full(src, tmp_path):
+    """Pin the documented contract: a transform-compaction changes
+    merged content invisibly to the incremental path (rewritten `main`
+    is skipped); refresh_full restores correctness."""
+    from pyspark.sql import functions as F
+
+    tx = src.create_tx()
+    tx.add_record("k", T0, "u", [5])
+    tx.commit()
+    roll = _rollup(src, tmp_path)
+    roll.refresh()
+    assert _got(roll)[("k", T0)] == (1, 5.0, 5.0, 5.0)
+
+    # transform-compaction: triple every value
+    src.compact(
+        major=True,
+        transform=lambda df: df.withColumn(
+            "v_long", F.transform("v_long", lambda x: x * 3)
+        ),
+    )
+    assert roll.refresh() is None  # incremental path cannot see it
+    assert _got(roll)[("k", T0)] == (1, 5.0, 5.0, 5.0)  # stale, as documented
+    roll.refresh_full()
+    assert _got(roll)[("k", T0)] == (1, 15.0, 15.0, 15.0)
