@@ -3237,3 +3237,52 @@ def q_time_travel_roundtrip(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(F.element_at("v_double", 1)).alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-window ordering. The driver's CORRECTNESS gate checks the FIRST
+# 50 registry rows; definition order above is pedagogical (parity ops,
+# then analytics, then composites), which left the most load-bearing
+# lifecycle/composite gates outside the window. Reorder so the window
+# certifies: all 23-parity gates, the write/time-travel/rollup/LSH-index
+# lifecycle roundtrips, and the composite curation pipelines. Everything
+# not listed keeps its definition order after the window; entries listed
+# here but not (yet) defined are skipped, so planned gates can be named
+# ahead of their implementation.
+
+_DRIVER_WINDOW = [
+    # sonnerie parity surface (SURVEY §2.1)
+    "scan_all", "key_lookup", "key_range", "key_wildcard", "time_range",
+    "project_columns", "lww_merge", "delete_markers", "by_key_stats",
+    "format_lines", "key_listing",
+    # lifecycle roundtrips (write path, versioning, continuous aggs)
+    "write_path_roundtrip", "time_travel_roundtrip", "sql_over_view",
+    "continuous_rollup_roundtrip", "rollup_cascade_roundtrip",
+    "rollup_multicol_roundtrip", "lsh_index_incremental",
+    # dedup / similarity scale paths
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
+    "dedup_minhash_lsh", "dedup_minhash_lsh_capped", "dedup_simhash",
+    "simhash_near_pairs", "neardup_components", "neardup_keep_canonical",
+    "embedding_topk", "embedding_neardup_pairs",
+    "embedding_neardup_components", "ann_lsh_buckets", "ivf_assign",
+    "ivf_kmeans_assign", "ivf_ann_topk", "embedding_quantize_int8",
+    "embedding_topk_int8",
+    # text / sampling / multimodal pipeline
+    "text_token_stats", "text_quality", "text_lang_id", "doc_fingerprint",
+    "decontaminate_benchmark", "redact_pii", "pack_sequences",
+    "train_test_split", "corpus_mix_uniform", "corpus_mix_temperature",
+    "corpus_mix_weighted", "multimodal_meta", "multimodal_decode_real",
+    "multimodal_decode_stub",
+    # composite end-to-end
+    "corpus_curation_v2",
+]
+
+
+def _reorder_registry() -> None:
+    by = {d.name: d for d in REGISTRY}
+    window = [by[n] for n in _DRIVER_WINDOW if n in by]
+    chosen = {d.name for d in window}
+    REGISTRY[:] = window + [d for d in REGISTRY if d.name not in chosen]
+
+
+_reorder_registry()

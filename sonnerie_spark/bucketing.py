@@ -42,6 +42,36 @@ import re
 
 BUCKETS_FILE = "BUCKETS"
 
+# Per-run marker recording the bucket count B the run was WRITTEN with.
+# The database-wide BUCKETS value can change (rebucket()); during the
+# window between the swap and the major compaction — or forever, after a
+# crash in between — runs of the old B coexist with the new setting. A
+# run is treated as bucket-aligned/prunable only when its recorded B
+# equals the reader's current B; any mismatch (or a missing marker)
+# falls back to the shuffle-dedup read and unpruned point read, which
+# are correct at any B. The leading underscore keeps the marker out of
+# Spark's file listing (same convention as _SUCCESS).
+RUN_BUCKETS_FILE = "_B"
+
+
+def write_run_buckets(run_path: str, b: int) -> None:
+    """Record the bucket count a run directory was written with."""
+    import os
+
+    with open(os.path.join(run_path, RUN_BUCKETS_FILE), "w") as f:
+        f.write(str(int(b)))
+
+
+def read_run_buckets(run_path: str) -> int | None:
+    """The run's recorded bucket count, or None (legacy/unknown)."""
+    import os
+
+    try:
+        with open(os.path.join(run_path, RUN_BUCKETS_FILE)) as f:
+            return max(1, int(f.read().strip()))
+    except (OSError, ValueError):
+        return None
+
 # Spark BucketingUtils.getBucketId file-name convention: the bucket id
 # is the last _<digits> group before the (optional) extensions.
 _BUCKET_NAME_RE = re.compile(r".*_(\d+)(?:\..*)?$")

@@ -60,6 +60,8 @@ from sonnerie_spark.bucketing import (
     bucket_file_name,
     bucket_of,
     parse_bucket_id,
+    read_run_buckets,
+    write_run_buckets,
 )
 from sonnerie_spark.plans.keyfilter import (
     analyze_wildcard,
@@ -230,10 +232,16 @@ class Database:
 
     def _bucketed_files(self, runs: list[RunInfo]) -> list[tuple[str, str]] | None:
         """(run_name, file_name) for every data file, or None unless ALL
-        files carry a valid bucket id < B (mixed/legacy layouts fall
-        back to the shuffle-dedup read)."""
+        runs were written at the CURRENT bucket count B (per-run ``B``
+        marker, bucketing.py) and all files carry a valid bucket id.
+        Mixed/legacy/rebucket-in-flight layouts fall back to the
+        shuffle-dedup read — bucket ids alone can't prove alignment:
+        after ``rebucket()`` to a larger B, old-B file ids all sit below
+        the new B, so pruning by them would silently drop rows."""
         out: list[tuple[str, str]] = []
         for r in runs:
+            if read_run_buckets(r.path) != self.buckets:
+                return None
             for name in sorted(os.listdir(r.path)):
                 if not name.endswith(".parquet"):
                     continue
@@ -294,14 +302,19 @@ class Database:
 
     def _gc_stale_views(self, keep: str | None = None) -> None:
         """Reap view dirs not rebuilt within the TTL (their run set was
-        replaced). Hard links mean this only frees names, never data
+        replaced), and DROP their catalog tables — without the drop a
+        long-lived session/metastore accumulates dead ``snk_v_*`` names
+        without bound. Hard links mean this only frees names, never data
         another run dir still owns."""
+        import hashlib
+
         cache = os.path.join(self.path, ".cache")
         try:
             names = os.listdir(cache)
         except OSError:
             return
         now = time.time()
+        phash = hashlib.sha1(self.path.encode()).hexdigest()[:8]
         for name in names:
             p = os.path.join(cache, name)
             if p == keep:
@@ -309,6 +322,15 @@ class Database:
             try:
                 if now - os.stat(p).st_mtime > self._VIEW_TTL_SECONDS:
                     shutil.rmtree(p, ignore_errors=True)
+                    if name.startswith("view-"):
+                        sig = name[len("view-"):]
+                        # Table names are content-addressed from (db
+                        # path, run-set sig), so the catalog entry is
+                        # reconstructible even if another handle made it.
+                        self.spark.sql(
+                            f"DROP TABLE IF EXISTS `snk_v_{phash}_{sig}`"
+                        )
+                        self._view_tables.pop(sig, None)
             except OSError:
                 pass
 
@@ -760,15 +782,20 @@ class Database:
         if align:
             df = df.repartition(self.buckets, "key")
         tbl = f"snk_w_{os.getpid()}_{time.time_ns():x}"
-        (
-            df.write.bucketBy(self.buckets, "key")
-            .sortBy("key", "ts")
-            .option("path", path)
-            .option("parquet.block.size", ROW_GROUP_BYTES)
-            .mode("overwrite")
-            .saveAsTable(tbl)
-        )
-        self.spark.sql(f"DROP TABLE IF EXISTS `{tbl}`")
+        try:
+            (
+                df.write.bucketBy(self.buckets, "key")
+                .sortBy("key", "ts")
+                .option("path", path)
+                .option("parquet.block.size", ROW_GROUP_BYTES)
+                .mode("overwrite")
+                .saveAsTable(tbl)
+            )
+        finally:
+            # Drop even when the write job fails — a leaked snk_w_* name
+            # pointing at a dead tmp path would pollute the catalog.
+            self.spark.sql(f"DROP TABLE IF EXISTS `{tbl}`")
+        write_run_buckets(path, self.buckets)
 
     def _prepare_run(self, df: DataFrame, *, check_duplicates: bool):
         """Range-partition + in-partition sort for a run write; when
@@ -843,6 +870,7 @@ class Database:
             for b, brows in by_bucket.items():
                 tbl = pa.Table.from_pylist(brows, schema=arrow_schema)
                 pq.write_table(tbl, os.path.join(p, bucket_file_name(b, nonce)))
+            write_run_buckets(p, self.buckets)
 
         return self._atomic_commit(write)
 
@@ -891,17 +919,39 @@ class Database:
         return self._atomic_rename(tmp)
 
     def _atomic_rename(self, tmp: str) -> str:
-        """Publish an already-written ``.tmp-*`` dir as a transaction."""
-        while True:
-            txname = f"tx.{time.time_ns():016x}"
-            final = os.path.join(self.path, txname)
-            try:
-                os.rename(tmp, final)
-                return txname
-            except OSError:
-                if not os.path.exists(final):
-                    raise
-                time.sleep(0.000001)  # name collision: retry with fresh nanos
+        """Publish an already-written ``.tmp-*`` dir as a transaction.
+
+        Serialized by an flock so published names are strictly monotonic
+        even under concurrent/preempted writers: without it, a writer
+        preempted between ``time_ns()`` and ``rename`` could publish a
+        name OLDER than one already observed, and txname-cursor
+        consumers (``changes(since=...)``, ``ContinuousRollup.refresh``)
+        would skip that transaction forever. The name floor is the max
+        existing tx name, so NTP clock steps backwards can't regress
+        the order either. The critical section is a listing plus one
+        rename — microseconds; run-writing jobs stay fully parallel."""
+        lock_fd = os.open(os.path.join(self.path, ".commitlock"), os.O_CREAT | os.O_RDWR)
+        try:
+            import fcntl
+
+            fcntl.flock(lock_fd, fcntl.LOCK_EX)
+            floor = 0
+            for name in os.listdir(self.path):
+                if name.startswith("tx.") and _TX_NAME_RE.match(name):
+                    floor = max(floor, int(name[3:], 16))
+            while True:
+                nanos = max(time.time_ns(), floor + 1)
+                txname = f"tx.{nanos:016x}"
+                final = os.path.join(self.path, txname)
+                try:
+                    os.rename(tmp, final)
+                    return txname
+                except OSError:
+                    if not os.path.exists(final):
+                        raise
+                    floor = nanos  # collision: bump past it
+        finally:
+            os.close(lock_fd)
 
     # -- compaction --------------------------------------------------------
 
@@ -914,11 +964,19 @@ class Database:
         Sequence: atomically replace ``BUCKETS``, then major-compact —
         the rewrite emits one run aligned to the NEW B. Between the two
         steps (and for any process still holding the old B) the layout
-        is mixed; mixed layouts are handled by design — the bucketed
-        fast path declines (``_bucketed_files`` -> None) and reads fall
-        back to the shuffle-dedup plan, so correctness never depends on
-        the migration being atomic. Everything converges at the
-        compaction."""
+        is mixed; mixed layouts are handled by the per-run ``B`` marker
+        (bucketing.py): every run records the bucket count it was
+        written with, ``_bucketed_files`` declines alignment for any run
+        whose recorded B differs from the reader's, and the point reader
+        prunes with each run's OWN B — so a crash between the swap and
+        the compaction, or a stale handle carrying the old B, degrades
+        to the shuffle-dedup / unpruned read, never to missing rows.
+        Everything converges at the compaction."""
+        self._set_buckets(new_buckets)
+        return self.compact(major=True)
+
+    def _set_buckets(self, new_buckets: int) -> None:
+        """Atomically swap the database-wide B (rebucket step 1)."""
         new_buckets = max(1, int(new_buckets))
         meta = os.path.join(self.path, BUCKETS_FILE)
         tmp = meta + f".tmp-{os.getpid()}"
@@ -927,7 +985,6 @@ class Database:
         os.replace(tmp, meta)
         self.buckets = new_buckets
         self._point_reader = None  # cached reader carries the old B
-        return self.compact(major=True)
 
     def compact(self, *, major: bool = False, transform=None, max_runs: int = 1000) -> str | None:
         """Merge runs into one (O15), optionally through a transform (O16).
@@ -1254,10 +1311,16 @@ class Transaction:
             )
             os.makedirs(self._spill_dir)
             self._spill_nonce = f"{time.time_ns():016x}"
+            # Pin B for the life of this tx: a concurrent rebucket()
+            # changing db.buckets mid-stream must not split one run
+            # across two bucket functions (the recorded marker stays
+            # truthful for every file in the dir).
+            self._spill_b = self.db.buckets
+            write_run_buckets(self._spill_dir, self._spill_b)
         schema = arrow_record_schema()
         by_bucket: dict[int, list[dict]] = {}
         for r in self.rows:
-            by_bucket.setdefault(bucket_of(r["key"], self.db.buckets), []).append(r)
+            by_bucket.setdefault(bucket_of(r["key"], self._spill_b), []).append(r)
         for b in sorted(by_bucket):
             w = self._spill_writers.get(b)
             if w is None:

@@ -29,7 +29,7 @@ from typing import Any
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from sonnerie_spark.bucketing import bucket_of, parse_bucket_id
+from sonnerie_spark.bucketing import bucket_of, parse_bucket_id, read_run_buckets
 from sonnerie_spark.plans.keyfilter import wildcard_regex
 
 
@@ -42,15 +42,19 @@ class _FileMeta:
     hundreds of) statistics objects per lookup.
     """
 
-    __slots__ = ("path", "pf", "mins", "maxs", "bucket")
+    __slots__ = ("path", "pf", "mins", "maxs", "bucket", "run_b")
 
-    def __init__(self, path: str, pf: Any):
+    def __init__(self, path: str, pf: Any, run_b: int | None = None):
         self.path = path
         self.pf = pf
-        # bucket id from the file name (bucketing.py layout): lets an
-        # exact-key lookup skip every file of the other B-1 buckets
-        # before touching footer stats. None on legacy unbucketed files.
+        # bucket id from the file name (bucketing.py layout), paired with
+        # the RUN's recorded bucket count: lets an exact-key lookup skip
+        # every file of the other B-1 buckets before touching footer
+        # stats. Pruning uses the run's OWN B (valid even mid-rebucket /
+        # from a stale handle whose db.buckets differs); files whose run
+        # has no recorded B are never pruned.
         self.bucket = parse_bucket_id(os.path.basename(path))
+        self.run_b = run_b
         md = pf.metadata
         key_idx = md.schema.to_arrow_schema().get_field_index("key")
         mins: list[str] = []
@@ -130,12 +134,13 @@ class PointReader:
             cached = self._footers.get(run.path)
             if cached is not None and cached.mtime == mtime:
                 return cached
+            run_b = read_run_buckets(run.path)
             files = []
             for name in sorted(os.listdir(run.path)):
                 if not name.endswith(".parquet"):
                     continue
                 p = os.path.join(run.path, name)
-                files.append(_FileMeta(p, pq.ParquetFile(p)))
+                files.append(_FileMeta(p, pq.ParquetFile(p), run_b))
         except OSError:
             self._footers.pop(run.path, None)
             return None
@@ -159,14 +164,25 @@ class PointReader:
         with txid scoping (database_reader.rs:474-518). On a bucketed
         layout only the key's own bucket file is opened per run (1/B of
         the footers — the driver-side mirror of Spark's bucket pruning).
+        Pruning is computed against each run's RECORDED bucket count,
+        never the handle's — correct mid-rebucket and from stale handles.
         """
-        want = bucket_of(key, self.db.buckets)
+        want: dict[int, int] = {}  # run B -> bucket_of(key, B), memoized
+
+        def file_ok(fm):
+            if fm.bucket is None or fm.run_b is None:
+                return True
+            b = want.get(fm.run_b)
+            if b is None:
+                b = want[fm.run_b] = bucket_of(key, fm.run_b)
+            return fm.bucket == b
+
         return self._merge(
             lambda fm: fm.groups_for(key),
             lambda tbl: tbl.filter(pc.equal(tbl.column("key"), key)),
             after_ns=after_ns,
             before_ns=before_ns,
-            file_ok=lambda fm: fm.bucket is None or fm.bucket == want,
+            file_ok=file_ok,
         )
 
     def get_many(
@@ -185,7 +201,15 @@ class PointReader:
 
         kset = sorted(set(keys))
         arr = pa.array(kset)
-        buckets = {bucket_of(k, self.db.buckets) for k in kset}
+        buckets: dict[int, set[int]] = {}  # run B -> wanted bucket ids
+
+        def file_ok(fm):
+            if fm.bucket is None or fm.run_b is None:
+                return True
+            bs = buckets.get(fm.run_b)
+            if bs is None:
+                bs = buckets[fm.run_b] = {bucket_of(k, fm.run_b) for k in kset}
+            return fm.bucket in bs
 
         def groups(fm):
             gs: set[int] = set()
@@ -198,7 +222,7 @@ class PointReader:
             lambda tbl: tbl.filter(pc.is_in(tbl.column("key"), value_set=arr)),
             after_ns=after_ns,
             before_ns=before_ns,
-            file_ok=lambda fm: fm.bucket is None or fm.bucket in buckets,
+            file_ok=file_ok,
         )
         out: dict[str, list[dict]] = {k: [] for k in keys}
         for r in rows:

@@ -1,0 +1,140 @@
+"""Rebucket crash/concurrency safety (per-run B markers) + commit
+hygiene.
+
+The hazard (found in round-4 review): after ``rebucket()`` to a LARGER
+B, every old-B bucket file's id is < newB, so an id-only alignment check
+would treat old runs as newB-aligned during the window between the
+BUCKETS swap and the major compaction (or forever, after a crash in
+between) — and bucket pruning would silently drop rows. The fix records
+B per run (``B`` marker file, bucketing.py) and declines alignment /
+pruning on any mismatch.
+"""
+
+import os
+
+import pytest
+
+from sonnerie_spark.bucketing import read_run_buckets
+from sonnerie_spark.db import Database
+
+NS = 10**9
+
+
+def _seed(db, n=40, ts=1000):
+    tx = db.create_tx()
+    for i in range(n):
+        tx.add_record(f"key{i:03d}", ts, "u", [i])
+    tx.commit()
+
+
+def test_runs_record_their_bucket_count(spark, tmp_path):
+    db = Database(spark, str(tmp_path / "db"), buckets=4)
+    _seed(db)
+    run = db.data_runs()[0]
+    assert read_run_buckets(run.path) == 4
+    # Spark-written runs (compaction path) record it too
+    db.compact(major=True)
+    run = db.data_runs()[0]
+    assert run.name == "main"
+    assert read_run_buckets(run.path) == 4
+
+
+def test_rebucket_crash_window_reads_stay_correct(spark, tmp_path):
+    """Simulate a crash between the BUCKETS swap and the compaction:
+    old-B runs + new-B setting. Scans, point reads and batch point
+    reads must all still see every row (via the safe fallbacks)."""
+    db = Database(spark, str(tmp_path / "db"), buckets=4)
+    _seed(db, ts=1000)
+    _seed(db, ts=2000)  # second run so the multi-run path engages
+    expect = {(r.key, r.ts, r.v_long[0]) for r in db.read().collect()}
+    assert len(expect) == 80
+
+    db._set_buckets(8)  # rebucket step 1 only — "crash" before compact
+
+    # fresh handle (adopts B=8 from BUCKETS)
+    db2 = Database(spark, db.path)
+    assert db2.buckets == 8
+    # old runs must NOT be treated as 8-aligned
+    assert db2._bucketed_files(db2.data_runs()) is None
+    assert {(r.key, r.ts, r.v_long[0]) for r in db2.read().collect()} == expect
+    # point reads prune with each run's RECORDED B (4), not the handle's 8
+    assert [r["v_long"][0] for r in db2.get("key007")] == [7, 7]
+    got = db2.get_many(["key003", "key019", "nope"])
+    assert [r["v_long"][0] for r in got["key003"]] == [3, 3]
+    assert [r["v_long"][0] for r in got["key019"]] == [19, 19]
+    assert got["nope"] == []
+
+    # convergence: the deferred compaction aligns everything to B=8
+    db2.compact(major=True)
+    runs = db2.data_runs()
+    assert [r.name for r in runs] == ["main"]
+    assert read_run_buckets(runs[0].path) == 8
+    assert {(r.key, r.ts, r.v_long[0]) for r in db2.read().collect()} == expect
+
+
+def test_stale_handle_after_full_rebucket(spark, tmp_path):
+    """A process still holding the OLD B keeps reading correctly after
+    another handle completes a full rebucket (swap + compaction)."""
+    stale = Database(spark, str(tmp_path / "db"), buckets=4)
+    _seed(stale, ts=1000)
+    fresh = Database(spark, stale.path)
+    fresh.rebucket(16)
+    assert fresh.buckets == 16
+
+    # stale handle: buckets attr is 4, but the on-disk run records 16
+    assert stale.buckets == 4
+    rows = stale.read().collect()
+    assert {r.v_long[0] for r in rows} == set(range(40))
+    assert [r["v_long"][0] for r in stale.get("key011")] == [11]
+    got = stale.get_many(["key000", "key039"])
+    assert [r["v_long"][0] for r in got["key000"]] == [0]
+    assert [r["v_long"][0] for r in got["key039"]] == [39]
+
+    # and mixed old-handle writes stay readable everywhere: the stale
+    # handle commits a run recorded at B=4 next to the B=16 main
+    tx = stale.create_tx()
+    tx.add_record("key011", 2000, "u", [111])
+    tx.commit()
+    for h in (stale, fresh, Database(spark, stale.path)):
+        assert [r["v_long"][0] for r in h.get("key011")] == [11, 111]
+        assert h.read(key="key011").count() == 2
+
+
+def test_commit_names_strictly_increase_past_existing(spark, tmp_path):
+    """Published tx names are monotonic even if the clock (or a
+    preempted writer's pre-generated name) lags behind an already
+    published name: the rename floor is the max existing tx name."""
+    db = Database(spark, str(tmp_path / "db"), buckets=2)
+    # adversarial pre-existing run name far in the future
+    future = "tx.7fffffffffffffff"
+    os.makedirs(os.path.join(db.path, future))
+    tx = db.create_tx()
+    tx.add_record("k", 1, "u", [1])
+    name = tx.commit()
+    assert name > future
+    # and the next one lands after that again
+    tx = db.create_tx()
+    tx.add_record("k", 2, "u", [2])
+    assert tx.commit() > name
+
+
+def test_view_catalog_does_not_grow(spark, tmp_path):
+    """Churning run sets must not accumulate dead snk_v_* catalog
+    entries: the view GC drops tables along with their directories."""
+    import hashlib
+
+    db = Database(spark, str(tmp_path / "db"), buckets=2)
+    db._VIEW_TTL_SECONDS = 0.0  # reap aggressively for the test
+    phash = hashlib.sha1(db.path.encode()).hexdigest()[:8]
+
+    def my_tables():
+        return [
+            t.name
+            for t in spark.catalog.listTables()
+            if t.name.startswith(f"snk_v_{phash}_")
+        ]
+
+    for i in range(4):
+        _seed(db, n=5, ts=1000 + i)  # each commit changes the run set
+        db.read().count()  # multi-run read builds a bucketed view
+        assert len(my_tables()) <= 1, my_tables()
