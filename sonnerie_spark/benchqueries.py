@@ -813,9 +813,20 @@ def q_dedup_ngram_jaccard_capped(spark, sf_dir):
     )
 
 
-def _minhash_oracle_sql(num_hashes: int = 16, band_size: int = 4, k: int = 3) -> str:
+def _minhash_oracle_sql(
+    num_hashes: int = 16,
+    band_size: int = 4,
+    k: int = 3,
+    max_bucket_size: int | None = None,
+) -> str:
     a_list = ",".join(str(a) for a, _ in dedup.minhash_params(num_hashes))
     b_list = ",".join(str(b) for _, b in dedup.minhash_params(num_hashes))
+    cap = (
+        ""
+        if max_bucket_size is None
+        else f" QUALIFY count(*) OVER (PARTITION BY band, bucket)"
+        f" <= {int(max_bucket_size)}"
+    )
     return f"""
     WITH sh AS ({shingles_sql(k)}),
     base AS (
@@ -830,7 +841,7 @@ def _minhash_oracle_sql(num_hashes: int = 16, band_size: int = 4, k: int = 3) ->
     bands AS (
       SELECT doc_id, i // {band_size} AS band,
              md5(string_agg(cast(minhash as varchar), ',' ORDER BY i)) AS bucket
-      FROM sig GROUP BY doc_id, band
+      FROM sig GROUP BY doc_id, band{cap}
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b
@@ -845,6 +856,23 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     docs = load_par(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", k=3, num_hashes=16, band_size=4
+    ).select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
+
+
+@q("dedup_minhash_lsh_capped", _minhash_oracle_sql(max_bucket_size=3), "data")
+def q_dedup_minhash_lsh_capped(spark, sf_dir):
+    """The corpus-scale LSH path with the hot-bucket guard engaged:
+    band buckets holding more than max_bucket_size docs emit no pairs
+    (same f^2/2 blowup rationale as dedup_ngram_jaccard_capped's
+    max_df). The cap is deliberately low (3) so the testdata actually
+    exercises it — at sf0.01 it drops the dozen size-4 buckets, so this
+    result strictly differs from dedup_minhash_lsh's and the oracle
+    (which applies the identical QUALIFY cap) proves the dropped set
+    matches exactly."""
+    docs = load_par(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, band_size=4,
+        max_bucket_size=3,
     ).select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
 
 
@@ -3239,6 +3267,74 @@ def q_time_travel_roundtrip(spark, sf_dir):
     )
 
 
+@q(
+    "rollup_multicol_roundtrip",
+    """
+    WITH base AS (
+      SELECT event_type || '-' || lpad(cast(user_id as varchar), 4, '0') AS key,
+             event_id * 1000 AS ts,
+             round(value * 100) AS v1,
+             cast(user_id as double) AS v2
+      FROM events
+    )
+    SELECT key, ts - ts % 10000000 AS bucket_ts,
+           count(*) AS n1, sum(v1) AS sum1, min(v1) AS min1, max(v1) AS max1,
+           count(*) AS n2, sum(v2) AS sum2, min(v2) AS min2, max(v2) AS max2
+    FROM base GROUP BY key, bucket_ts
+    """,
+    "streaming",
+    gate_only=True,
+)
+def q_rollup_multicol_roundtrip(spark, sf_dir):
+    """Multi-column continuous rollup under the gate: records carry TWO
+    float values ("FF"); a fine rollup (1e6 ns, num_values=2) is built
+    incrementally, a coarse rollup (1e7 ns) cascades FROM it, and the
+    oracle aggregates both columns straight off the raw events — so the
+    per-column reaggregation identity (n/sum/min/max each cascade
+    independently) is proved end-to-end, closing the r4 'first numeric
+    column only' limitation."""
+    import tempfile
+
+    from sonnerie_spark.db import Database
+    from sonnerie_spark.streaming.rollup import ContinuousRollup
+
+    base = load(spark, sf_dir, "events").select(
+        F.concat_ws(
+            "-", F.col("event_type"), F.lpad(F.col("user_id").cast("string"), 4, "0")
+        ).alias("key"),
+        (F.col("event_id") * 1000).cast("long").alias("ts"),
+        F.round(F.col("value") * 100).alias("v1"),
+        F.col("user_id").cast("double").alias("v2"),
+    )
+    records = base.select(
+        "key",
+        "ts",
+        F.lit("FF").alias("fmt"),
+        F.lit(None).cast("array<long>").alias("v_long"),
+        F.array(F.col("v1"), F.col("v2")).alias("v_double"),
+        F.lit(None).cast("array<string>").alias("v_str"),
+        F.lit(None).cast("array<binary>").alias("v_bin"),
+    )
+    src = Database(spark, tempfile.mkdtemp(prefix="mcroll_src_"))
+    fine = ContinuousRollup(
+        src,
+        tempfile.mkdtemp(prefix="mcroll_fine_"),
+        interval_ns=1_000_000,
+        num_values=2,
+    )
+    coarse = ContinuousRollup.cascade(
+        fine, tempfile.mkdtemp(prefix="mcroll_coarse_"), interval_ns=10_000_000
+    )
+    src.commit_dataframe(records, check_duplicates=False)
+    fine.refresh()
+    coarse.refresh()
+    return coarse.read().select(
+        "key", "bucket_ts",
+        "n1", "sum1", "min1", "max1",
+        "n2", "sum2", "min2", "max2",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's CORRECTNESS gate checks the FIRST
 # 50 registry rows; definition order above is pedagogical (parity ops,
@@ -3272,10 +3368,11 @@ _DRIVER_WINDOW = [
     "decontaminate_benchmark", "redact_pii", "pack_sequences",
     "train_test_split", "corpus_mix_uniform", "corpus_mix_temperature",
     "corpus_mix_weighted", "multimodal_meta", "multimodal_decode_real",
-    "multimodal_decode_stub",
     # composite end-to-end
     "corpus_curation_v2",
 ]
+# (exactly 50 names once every planned gate exists — decode_stub and the
+# remaining analytics keep definition order after the window)
 
 
 def _reorder_registry() -> None:

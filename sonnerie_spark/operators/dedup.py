@@ -204,18 +204,27 @@ def minhash_lsh_pairs(
     k: int = 3,
     num_hashes: int = 16,
     band_size: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one band bucket.
 
     The scale path: explode to (band, bucket) keys, self-join per
     bucket, distinct pairs. Shuffle volume is #docs × #bands rows of a
     few bytes; hot buckets are split by AQE skew handling.
+
+    ``max_bucket_size`` is the same skew guard as ``max_df`` on the
+    n-gram path: a degenerate band bucket holding f docs (e.g.
+    near-empty documents all sharing one signature) yields f^2/2 pairs;
+    the cap drops buckets above it before pair enumeration. A pair of
+    genuinely similar docs usually collides in several bands, so losing
+    one pathological bucket rarely loses the pair; None (default) stays
+    exhaustive.
     """
     bands = minhash_bands(
         df, id_col, text_col, k=k, num_hashes=num_hashes, band_size=band_size
     )
     return (
-        posting_list_pairs(bands, ["band", "bucket"])
+        posting_list_pairs(bands, ["band", "bucket"], max_list_size=max_bucket_size)
         .select("id_a", "id_b")
         .distinct()
     )
@@ -390,6 +399,7 @@ class LshIndex:
         k: int = 3,
         num_hashes: int = 16,
         band_size: int = 4,
+        max_bucket_size: int | None = None,
     ):
         import json
         import os
@@ -397,6 +407,12 @@ class LshIndex:
         self.spark = spark
         self.path = os.path.abspath(path)
         self.k, self.num_hashes, self.band_size = k, num_hashes, band_size
+        # Skew guard (minhash_lsh_pairs' max_bucket_size): buckets whose
+        # TOTAL membership (indexed + batch) exceeds the cap emit no
+        # pairs for this batch. NOT part of the index identity — the
+        # stored band rows are cap-independent, only pair emission is
+        # filtered — so it can change between add() calls.
+        self.max_bucket_size = max_bucket_size
         os.makedirs(self.path, exist_ok=True)
         meta_path = os.path.join(self.path, "lsh_index.json")
         meta = {"k": k, "num_hashes": num_hashes, "band_size": band_size}
@@ -421,10 +437,32 @@ class LshIndex:
             self._data
         )
 
-    def add(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    def add(
+        self,
+        docs: DataFrame,
+        id_col: str,
+        text_col: str,
+        *,
+        max_bucket_size: int | None = None,
+    ) -> DataFrame:
         """Index ``docs`` and return the near-dup candidate pairs they
         form — batch-internal pairs plus (new x already-indexed) pairs,
-        as (id_a, id_b) with id_a < id_b."""
+        as (id_a, id_b) with id_a < id_b.
+
+        ``max_bucket_size`` (default: the index's constructor setting)
+        caps per-bucket pair emission: a bucket whose total membership —
+        already-indexed rows plus this batch's — exceeds the cap emits
+        NO pairs this batch. This is the hot-bucket f^2/2 guard on the
+        probe join (the indexed side of a degenerate bucket grows with
+        the corpus, so the cross join against it is where an uncapped
+        index blows up at scale). The bucket's rows are still INDEXED —
+        the cap filters emission, not storage — so raising the cap later
+        re-exposes them. Capped incremental output is a superset of the
+        capped one-shot output (early batches may emit pairs from a
+        bucket before it outgrows the cap) and a subset of the uncapped
+        pair set; the uncapped equivalence to one-shot stays exact.
+        """
+        cap = max_bucket_size if max_bucket_size is not None else self.max_bucket_size
         bands = (
             minhash_bands(
                 docs,
@@ -438,15 +476,49 @@ class LshIndex:
             .persist()
         )
         try:
+            old = self._existing()
+            pair_bands = bands
+            if cap is not None:
+                # One aggregation over the BATCH's buckets (tiny) plus a
+                # count of index rows restricted to those buckets (the
+                # probe join touches exactly those rows anyway) decides
+                # which buckets may emit pairs this batch.
+                new_sz = bands.groupBy("band", "bucket").agg(
+                    F.count(F.lit(1)).alias("n_new")
+                )
+                if old is not None:
+                    old_sz = (
+                        old.join(
+                            new_sz.select("band", "bucket"), ["band", "bucket"]
+                        )
+                        .groupBy("band", "bucket")
+                        .agg(F.count(F.lit(1)).alias("n_old"))
+                    )
+                    allowed = (
+                        new_sz.join(old_sz, ["band", "bucket"], "left")
+                        .filter(
+                            F.coalesce(F.col("n_old"), F.lit(0)) + F.col("n_new")
+                            <= F.lit(cap)
+                        )
+                        .select("band", "bucket")
+                    )
+                else:
+                    allowed = new_sz.filter(F.col("n_new") <= F.lit(cap)).select(
+                        "band", "bucket"
+                    )
+                # No broadcast hint: `allowed` scales with the batch's
+                # bucket count (batch x bands in the worst case), which
+                # can exceed broadcast limits — AQE picks broadcast when
+                # the runtime size allows.
+                pair_bands = bands.join(allowed, ["band", "bucket"])
             intra = (
-                posting_list_pairs(bands, ["band", "bucket"])
+                posting_list_pairs(pair_bands, ["band", "bucket"])
                 .select("id_a", "id_b")
                 .distinct()
             )
-            old = self._existing()
             if old is not None:
                 cross = (
-                    bands.withColumnRenamed("id", "new_id")
+                    pair_bands.withColumnRenamed("id", "new_id")
                     .join(old.withColumnRenamed("id", "old_id"), ["band", "bucket"])
                     .select(
                         F.least("new_id", "old_id").alias("id_a"),

@@ -46,22 +46,41 @@ from sonnerie_spark.db import Database
 
 CURSOR_FILE = "rollup.cursor.json"
 
-#: count:int64, sum/min/max:f64
+#: count:int64, sum/min/max:f64 (single-value layout; multi-value
+#: rollups generalize to "I"*m + "F"*3m, see ContinuousRollup docstring)
 ROLLUP_FMT = "IFFF"
 
 
-def _default_value(df: DataFrame):
-    """Numeric value of a record: first double column, else first long."""
+def _value_at(j: int):
+    """The j-th (0-based) numeric value of a record: position j of
+    ``v_double`` if present, else position j of ``v_long``.
+
+    Exact for sources whose numeric columns live in ONE typed array
+    (all-float or all-int formats — the realistic rollup input). For a
+    MIXED per-record format like "iF" the per-array position does not
+    recover declaration order; roll such sources up with num_values=1
+    (first numeric value, which coalesce does resolve correctly) or
+    normalize formats upstream."""
     return F.coalesce(
-        F.try_element_at("v_double", F.lit(1)),
-        F.try_element_at("v_long", F.lit(1)).cast("double"),
+        F.try_element_at("v_double", F.lit(j + 1)),
+        F.try_element_at("v_long", F.lit(j + 1)).cast("double"),
     )
 
 
 class ContinuousRollup:
     """A (key, time-bucket) -> count/sum/min/max aggregate over ``src``,
     materialized in its own Database at ``dst_path`` and refreshed
-    incrementally."""
+    incrementally.
+
+    ``num_values`` (m, default 1) rolls up the first m numeric values of
+    each record independently. Rollup record layout generalizes the
+    single-value case: ``v_long = [n_1..n_m]`` (per-column non-null
+    counts), ``v_double = [sum_1..sum_m, min_1..min_m, max_1..max_m]``,
+    ``fmt = "I"*m + "F"*3m`` — at m=1 exactly the historic
+    ``[n] / [sum, min, max] / "IFFF"`` layout. The cascade merge is
+    per-column and inherits m from the finer rollup. See ``_value_at``
+    for the mixed-format caveat when m > 1.
+    """
 
     def __init__(
         self,
@@ -70,11 +89,13 @@ class ContinuousRollup:
         *,
         interval_ns: int,
         source_is_rollup: bool = False,
+        num_values: int = 1,
     ):
         self.src = src
         self.dst = Database(src.spark, dst_path)
         self.interval_ns = int(interval_ns)
         self.source_is_rollup = source_is_rollup
+        self.num_values = max(1, int(num_values))
         self._cursor_path = os.path.join(self.dst.path, CURSOR_FILE)
 
     @classmethod
@@ -94,7 +115,11 @@ class ContinuousRollup:
                 f"finer rollup's {finer.interval_ns}"
             )
         return cls(
-            finer.dst, dst_path, interval_ns=interval_ns, source_is_rollup=True
+            finer.dst,
+            dst_path,
+            interval_ns=interval_ns,
+            source_is_rollup=True,
+            num_values=finer.num_values,
         )
 
     # -- cursor ------------------------------------------------------------
@@ -110,12 +135,24 @@ class ContinuousRollup:
                 f"rollup at {self.dst.path} was built with interval_ns="
                 f"{cur.get('interval_ns')}, not {self.interval_ns}"
             )
+        if cur.get("num_values", 1) != self.num_values:
+            raise ValueError(
+                f"rollup at {self.dst.path} was built with num_values="
+                f"{cur.get('num_values', 1)}, not {self.num_values}"
+            )
         return cur
 
     def _store_cursor(self, last_tx: str) -> None:
         tmp = self._cursor_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"last_tx": last_tx, "interval_ns": self.interval_ns}, f)
+            json.dump(
+                {
+                    "last_tx": last_tx,
+                    "interval_ns": self.interval_ns,
+                    "num_values": self.num_values,
+                },
+                f,
+            )
         os.replace(tmp, self._cursor_path)
 
     # -- refresh -----------------------------------------------------------
@@ -129,45 +166,62 @@ class ContinuousRollup:
         Raw mode counts/sums the record values; cascade mode MERGES the
         finer rollup's aggregates (n=sum n, sum=sum sum, min=min min,
         max=max max) — the classic reaggregation identity that makes
-        count/sum/min/max cascade-safe (mean is derived, never stored)."""
+        count/sum/min/max cascade-safe (mean is derived, never stored).
+        Both modes are per-value-column (j in 0..m-1); the m aggregates
+        ride ONE hash aggregation — 4m agg buffers, same single shuffle
+        as m=1."""
+        m = self.num_values
         if self.source_is_rollup:
+            # stored layout: v_long=[n_j...], v_double=[s..., mn..., mx...]
+            cols = []
+            for j in range(m):
+                cols += [
+                    F.element_at("v_long", j + 1).alias(f"fn{j}"),
+                    F.element_at("v_double", j + 1).alias(f"fs{j}"),
+                    F.element_at("v_double", m + j + 1).alias(f"fmn{j}"),
+                    F.element_at("v_double", 2 * m + j + 1).alias(f"fmx{j}"),
+                ]
+            aggs = []
+            for j in range(m):
+                aggs += [
+                    F.sum(f"fn{j}").alias(f"n{j}"),
+                    F.sum(f"fs{j}").alias(f"s{j}"),
+                    F.min(f"fmn{j}").alias(f"mn{j}"),
+                    F.max(f"fmx{j}").alias(f"mx{j}"),
+                ]
             grouped = (
-                records.select(
-                    "key",
-                    self._bucket(F.col("ts")).alias("ts"),
-                    F.element_at("v_long", 1).alias("fn"),
-                    F.element_at("v_double", 1).alias("fs"),
-                    F.element_at("v_double", 2).alias("fmn"),
-                    F.element_at("v_double", 3).alias("fmx"),
-                )
+                records.select("key", self._bucket(F.col("ts")).alias("ts"), *cols)
                 .groupBy("key", "ts")
-                .agg(
-                    F.sum("fn").alias("n"),
-                    F.sum("fs").alias("s"),
-                    F.min("fmn").alias("mn"),
-                    F.max("fmx").alias("mx"),
-                )
+                .agg(*aggs)
             )
         else:
-            v = _default_value(records)
+            vals = [_value_at(j).alias(f"v{j}") for j in range(m)]
+            aggs = []
+            for j in range(m):
+                aggs += [
+                    F.count(f"v{j}").alias(f"n{j}"),
+                    F.sum(f"v{j}").alias(f"s{j}"),
+                    F.min(f"v{j}").alias(f"mn{j}"),
+                    F.max(f"v{j}").alias(f"mx{j}"),
+                ]
             grouped = (
                 records.select(
-                    "key", self._bucket(F.col("ts")).alias("ts"), v.alias("v")
+                    "key", self._bucket(F.col("ts")).alias("ts"), *vals
                 )
                 .groupBy("key", "ts")
-                .agg(
-                    F.count("v").alias("n"),
-                    F.sum("v").alias("s"),
-                    F.min("v").alias("mn"),
-                    F.max("v").alias("mx"),
-                )
+                .agg(*aggs)
             )
+        fmt = "I" * m + "F" * (3 * m)
         return grouped.select(
             "key",
             "ts",
-            F.lit(ROLLUP_FMT).alias("fmt"),
-            F.array("n").alias("v_long"),
-            F.array("s", "mn", "mx").alias("v_double"),
+            F.lit(fmt).alias("fmt"),
+            F.array(*[F.col(f"n{j}") for j in range(m)]).alias("v_long"),
+            F.array(
+                *[F.col(f"s{j}") for j in range(m)],
+                *[F.col(f"mn{j}") for j in range(m)],
+                *[F.col(f"mx{j}") for j in range(m)],
+            ).alias("v_double"),
             F.array().cast("array<string>").alias("v_str"),
             F.array().cast("array<binary>").alias("v_bin"),
         )
@@ -217,14 +271,22 @@ class ContinuousRollup:
         keys = [
             r["key"] for r in dirty.select("key").distinct().limit(cap + 1).collect()
         ]
-        small = len(keys) <= cap
+        small_keys = len(keys) <= cap
+        # The broadcast decision must gate on the dirty ROW count, not
+        # the key count: one key backfilled across millions of intervals
+        # is few keys but an unbounded (key, bucket) set — broadcasting
+        # it would blow the driver/executors. (The count is needed below
+        # for the commit-path decision anyway.)
+        n_dirty = dirty.count()
         truth = self.src.read(
-            keys=keys if small else None,  # inside read() -> bucket pruning
+            keys=keys if small_keys else None,  # inside read() -> bucket pruning
             after_ns=int(bounds["lo"]),
             before_ns=int(bounds["hi"]) + self.interval_ns,
         )
         rolled = self._aggregate(truth).join(
-            F.broadcast(dirty) if small else dirty, ["key", "ts"], "left_semi"
+            F.broadcast(dirty) if n_dirty <= 65536 else dirty,
+            ["key", "ts"],
+            "left_semi",
         )
 
         try:
@@ -233,7 +295,7 @@ class ContinuousRollup:
             # commit (same bucketed layout, same atomic rename) avoids a
             # saveAsTable round trip that is pure fixed cost at this
             # size (measured ~5 s for an 8k-row commit).
-            if dirty.count() <= 65536:
+            if n_dirty <= 65536:
                 rows = [r.asDict() for r in rolled.collect()]
                 txname = self.dst.commit_rows(rows) if rows else None
             else:
@@ -265,16 +327,21 @@ class ContinuousRollup:
 
     def read(self, **read_kwargs) -> DataFrame:
         """The rollup as (key, bucket_ts, n, sum, min, max, mean); accepts
-        Database.read filters (wildcard=, after_ns=, ...)."""
+        Database.read filters (wildcard=, after_ns=, ...). With
+        num_values=m > 1, the stat columns are suffixed per value column
+        (n1..nm, sum1..summ, ...); m=1 keeps the unsuffixed names."""
         r = self.dst.read(**read_kwargs)
-        n = F.element_at("v_long", 1)
-        s = F.element_at("v_double", 1)
-        return r.select(
-            "key",
-            F.col("ts").alias("bucket_ts"),
-            n.alias("n"),
-            s.alias("sum"),
-            F.element_at("v_double", 2).alias("min"),
-            F.element_at("v_double", 3).alias("max"),
-            (s / n).alias("mean"),
-        )
+        m = self.num_values
+        cols = ["key", F.col("ts").alias("bucket_ts")]
+        for j in range(m):
+            sfx = "" if m == 1 else str(j + 1)
+            n = F.element_at("v_long", j + 1)
+            s = F.element_at("v_double", j + 1)
+            cols += [
+                n.alias(f"n{sfx}"),
+                s.alias(f"sum{sfx}"),
+                F.element_at("v_double", m + j + 1).alias(f"min{sfx}"),
+                F.element_at("v_double", 2 * m + j + 1).alias(f"max{sfx}"),
+                (s / n).alias(f"mean{sfx}"),
+            ]
+        return r.select(*cols)

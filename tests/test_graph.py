@@ -155,3 +155,41 @@ def test_lsh_index_compact_preserves_probes(spark, sf_dir, tmp_path):
     ids2 = {r["doc_id"] for r in b2.select("doc_id").collect()}
     expected = {p for p in one_shot if p[0] in ids2 or p[1] in ids2}
     assert got == expected
+
+
+def test_lsh_index_capped_hot_bucket_suppression(spark, tmp_path):
+    """max_bucket_size on the LSH paths: a degenerate bucket (here 6
+    identical docs -> one signature) emits no pairs once its TOTAL
+    membership exceeds the cap. Capped incremental output must sit
+    between the capped one-shot set (pairs a bucket emitted before
+    outgrowing the cap may survive) and the uncapped one-shot set."""
+    from sonnerie_spark.operators import dedup
+
+    T = "the quick brown fox jumps over the lazy dog again"
+    U = "lorem ipsum dolor sit amet consectetur adipiscing elit now"
+    rows = [(i, T) for i in range(1, 7)] + [(10, U), (11, U)] + [
+        (20, "completely different text entirely here with many words")
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    def pairs(df):
+        return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+    uncapped = pairs(dedup.minhash_lsh_pairs(docs, "doc_id", "text"))
+    capped = pairs(
+        dedup.minhash_lsh_pairs(docs, "doc_id", "text", max_bucket_size=3)
+    )
+    # the 6-copy bucket (15 pairs) is suppressed; the 2-copy pair stays
+    assert capped == {(10, 11)}
+    assert (1, 2) in uncapped and len(uncapped) == 16
+
+    idx = dedup.LshIndex(spark, str(tmp_path / "lshcap"), max_bucket_size=3)
+    b1 = docs.filter(docs.doc_id.isin(1, 2, 10, 20))
+    b2 = docs.filter(docs.doc_id.isin(3, 4, 5, 6, 11))
+    got = pairs(idx.add(b1, "doc_id", "text")) | pairs(
+        idx.add(b2, "doc_id", "text")
+    )
+    # batch 1 saw the hot bucket at size 2 (under cap) -> (1,2) emitted;
+    # batch 2 sees it at 6 -> suppressed; the cross-batch (10,11) lands
+    assert got == {(1, 2), (10, 11)}
+    assert capped <= got <= uncapped

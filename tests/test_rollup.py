@@ -232,3 +232,111 @@ def test_rollup_after_transform_compaction_needs_full(src, tmp_path):
     assert _got(roll)[("k", T0)] == (1, 5.0, 5.0, 5.0)  # stale, as documented
     roll.refresh_full()
     assert _got(roll)[("k", T0)] == (1, 15.0, 15.0, 15.0)
+
+
+def test_multicol_rollup_incremental_and_cascade(src, tmp_path):
+    """num_values=2: both value columns aggregate independently through
+    an incremental refresh (LWW overwrite included) and the per-column
+    reaggregation identity holds through a cascade."""
+    tx = src.create_tx()
+    for i in range(6):
+        tx.add_record("a", T0 + i * 1800 * 10**9, "FF", [float(i), float(100 - i)])
+        tx.add_record("b", T0 + i * 1800 * 10**9, "FF", [float(10 * i), float(-i)])
+    tx.commit()
+
+    roll = ContinuousRollup(
+        src, str(tmp_path / "mc"), interval_ns=HOUR, num_values=2
+    )
+    assert roll.refresh() is not None
+
+    def expected():
+        r = src.read().select(
+            "key",
+            (F.col("ts") - F.pmod("ts", F.lit(HOUR))).alias("bucket_ts"),
+            F.element_at("v_double", 1).alias("x1"),
+            F.element_at("v_double", 2).alias("x2"),
+        )
+        return {
+            (x["key"], x["bucket_ts"]): (
+                x["n1"], x["s1"], x["mn1"], x["mx1"],
+                x["n2"], x["s2"], x["mn2"], x["mx2"],
+            )
+            for x in r.groupBy("key", "bucket_ts")
+            .agg(
+                F.count("x1").alias("n1"), F.sum("x1").alias("s1"),
+                F.min("x1").alias("mn1"), F.max("x1").alias("mx1"),
+                F.count("x2").alias("n2"), F.sum("x2").alias("s2"),
+                F.min("x2").alias("mn2"), F.max("x2").alias("mx2"),
+            )
+            .collect()
+        }
+
+    def got():
+        return {
+            (x["key"], x["bucket_ts"]): (
+                x["n1"], x["sum1"], x["min1"], x["max1"],
+                x["n2"], x["sum2"], x["min2"], x["max2"],
+            )
+            for x in roll.read().collect()
+        }
+
+    assert got() == expected()
+
+    # LWW overwrite of one record via a second tx; incremental refresh
+    tx = src.create_tx()
+    tx.add_record("a", T0, "FF", [999.0, -999.0])
+    tx.commit()
+    assert roll.refresh() is not None
+    assert got() == expected()
+
+    # cascade inherits num_values; 2-hour buckets merge per column
+    coarse = ContinuousRollup.cascade(
+        roll, str(tmp_path / "mc2"), interval_ns=2 * HOUR
+    )
+    assert coarse.num_values == 2
+    coarse.refresh()
+    direct = {
+        (x["key"], x["bucket_ts"]): (
+            x["n1"], x["s1"], x["mn1"], x["mx1"],
+            x["n2"], x["s2"], x["mn2"], x["mx2"],
+        )
+        for x in src.read()
+        .select(
+            "key",
+            (F.col("ts") - F.pmod("ts", F.lit(2 * HOUR))).alias("bucket_ts"),
+            F.element_at("v_double", 1).alias("x1"),
+            F.element_at("v_double", 2).alias("x2"),
+        )
+        .groupBy("key", "bucket_ts")
+        .agg(
+            F.count("x1").alias("n1"), F.sum("x1").alias("s1"),
+            F.min("x1").alias("mn1"), F.max("x1").alias("mx1"),
+            F.count("x2").alias("n2"), F.sum("x2").alias("s2"),
+            F.min("x2").alias("mn2"), F.max("x2").alias("mx2"),
+        )
+        .collect()
+    }
+    got_coarse = {
+        (x["key"], x["bucket_ts"]): (
+            x["n1"], x["sum1"], x["min1"], x["max1"],
+            x["n2"], x["sum2"], x["min2"], x["max2"],
+        )
+        for x in coarse.read().collect()
+    }
+    assert got_coarse == direct and direct
+
+    # num_values mismatch on reopen is rejected (cursor identity)
+    with pytest.raises(ValueError, match="num_values"):
+        ContinuousRollup(
+            src, str(tmp_path / "mc"), interval_ns=HOUR, num_values=3
+        ).refresh()
+
+    # records with FEWER columns than num_values: missing slots count 0
+    tx = src.create_tx()
+    tx.add_record("c", T0, "F", [5.0])
+    tx.commit()
+    assert roll.refresh() is not None
+    c_rows = {r["key"]: r for r in roll.read(key="c").collect()}
+    r = c_rows["c"]
+    assert (r["n1"], r["sum1"]) == (1, 5.0)
+    assert r["n2"] == 0 and r["sum2"] is None

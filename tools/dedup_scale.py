@@ -61,16 +61,27 @@ def lsh_anchor(spark, n_docs: int) -> None:
     idx_dir = tempfile.mkdtemp(prefix="lsh_scale_")
     try:
         idx = dedup.LshIndex(spark, idx_dir)
-        base = docs.filter(F.col("doc_id") < int(n_docs * 0.99))
-        batch = docs.filter(F.col("doc_id") >= int(n_docs * 0.99))
+        base = docs.filter(F.col("doc_id") < int(n_docs * 0.98))
+        batch1 = docs.filter(
+            (F.col("doc_id") >= int(n_docs * 0.98))
+            & (F.col("doc_id") < int(n_docs * 0.99))
+        )
+        batch2 = docs.filter(F.col("doc_id") >= int(n_docs * 0.99))
         idx.add(base, "doc_id", "text").count()  # build (not timed here)
         t0 = time.time()
-        batch_pairs = idx.add(batch, "doc_id", "text").count()
+        batch_pairs = idx.add(batch1, "doc_id", "text").count()
         t_inc = time.time() - t0
+        # same-size batch through the hot-bucket cap (the 100 TB knob)
+        t0 = time.time()
+        capped_pairs = idx.add(
+            batch2, "doc_id", "text", max_bucket_size=64
+        ).count()
+        t_cap = time.time() - t0
         print(
             f"lsh: {n_docs} docs, one-shot {one_shot} pairs in {t_once:.1f}s; "
             f"1% batch via index: {batch_pairs} pairs in {t_inc:.1f}s "
-            f"({t_once / t_inc:.1f}x)"
+            f"({t_once / t_inc:.1f}x); capped(64) 1% batch: "
+            f"{capped_pairs} pairs in {t_cap:.1f}s"
         )
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
