@@ -76,6 +76,12 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 - isolation is the point
             errors[d.name] = f"{type(e).__name__}: {e}"[:500]
             print(f"bench: {d.name} FAILED: {errors[d.name]}", file=sys.stderr)
+        # Evict persisted frames between queries: operators that persist
+        # intermediates (simhash signatures, LSH bands) would otherwise
+        # accumulate cache across the ~80-query session and inflate
+        # later queries' timings (the r4 outlier investigation traced
+        # the 2-3x late-session drift to exactly this).
+        spark.catalog.clearCache()
         jvm_gc()
 
     total = round(sum(timings.values()), 3)
@@ -88,7 +94,16 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # One authoritative artifact per run: write the same JSON atomically
+    # next to the repo so docs (COVERAGE.md) cite a committed file, not
+    # a number remembered from a different run.
+    dest = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    tmp = dest + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(line + "\n")
+    os.replace(tmp, dest)
 
 
 if __name__ == "__main__":

@@ -1695,6 +1695,51 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+@q(
+    "multimodal_decode_real",
+    """
+    SELECT doc_id AS media_id, 'ppm' AS codec,
+           cast(doc_id % 7 + 1 AS int) AS width,
+           cast(octet_length(encode(text)) // (3 * (doc_id % 7 + 1)) AS int)
+             AS height,
+           true AS valid
+    FROM documents
+    """,
+    "data",
+)
+def q_multimodal_decode_real(spark, sf_dir):
+    """REAL media decoding under the gate: each document is wrapped in a
+    genuine binary P6 PPM (header + the text bytes as pixel payload,
+    sized so the payload covers width*height*3), and decode_media's
+    pure-Python netpbm parser recovers width/height FROM THE BYTES. The
+    oracle recomputes the dimensions from the construction arithmetic,
+    so a parser that misreads the header (or a payload-size check that
+    lies about ``valid``) hash-mismatches. This retires the 'decode is
+    only a stub' gap for headerful formats; compressed codecs remain
+    behind the decode_features seam."""
+    from sonnerie_spark.operators import multimodal
+
+    docs = load_par(spark, sf_dir, "documents")
+    n = F.octet_length(F.col("text"))
+    w = (F.col("doc_id") % 7 + 1).cast("int")
+    h = F.floor(n / (w * 3)).cast("int")
+    header = F.concat_ws(
+        "", F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+        F.lit("\n255\n"),
+    )
+    media = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.concat(
+            F.encode(header, "UTF-8"), F.encode(F.col("text"), "UTF-8")
+        ).alias("content"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    return multimodal.decode_media(media).select(
+        "media_id", "codec", "width", "height", "valid"
+    )
+
+
 def _lsh_buckets_oracle_sql(dim: int = 64, num_planes: int = 16) -> str:
     """Bit-exact oracle for sign-LSH buckets: the plane weights are all
     +/-1.0, so each dot product is an ordered sum of sign-flipped vector
@@ -2395,8 +2440,9 @@ def q_neardup_keep_canonical(spark, sf_dir):
     m AS (SELECT min(n_s) AS n_min FROM c)
     SELECT doc_id AS id, d.lang AS source
     FROM documents d JOIN c USING (lang) CROSS JOIN m
-    WHERE ({phash_sql("cast(doc_id as varchar)")} % 1000000) * n_s
-          < n_min * 1000000
+    WHERE ({phash_sql("cast(doc_id as varchar)")} % 1000000)::HUGEINT
+          * n_s::HUGEINT
+          < n_min::HUGEINT * 1000000::HUGEINT
     """,
     "data",
 )
@@ -2480,7 +2526,7 @@ def q_quality_filter_stratified(spark, sf_dir):
     n AS (SELECT count(*) AS n_docs FROM documents)
     SELECT id, term, tf, df, tfidf, rk FROM (
       SELECT tf.doc_id AS id, tf.term, tf.tf, dfreq.df,
-             round(tf.tf * n_docs / dfreq.df, 6) AS tfidf,
+             floor(tf.tf * n_docs / dfreq.df * 1000000 + 0.5) / 1000000 AS tfidf,
              row_number() OVER (PARTITION BY tf.doc_id
                                 ORDER BY tf.tf * n_docs / dfreq.df DESC, tf.term) AS rk
       FROM tf JOIN dfreq USING (term) CROSS JOIN n

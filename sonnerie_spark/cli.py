@@ -159,6 +159,14 @@ def build_parser() -> argparse.ArgumentParser:
         "(aggregate-merge; --interval must be a multiple of the source "
         "rollup's interval, read from its cursor)",
     )
+    p_roll.add_argument(
+        "--num-values",
+        type=int,
+        default=1,
+        help="aggregate the first N numeric values of each record "
+        "independently (per-column n/sum/min/max); cascades inherit the "
+        "source rollup's value count",
+    )
 
     return ap
 
@@ -599,7 +607,8 @@ def cmd_rollup(db: Database, args) -> int:
     if getattr(args, "source_is_rollup", False):
         try:
             with open(os.path.join(db.path, CURSOR_FILE)) as f:
-                finer_interval = int(json.load(f)["interval_ns"])
+                cur = json.load(f)
+                finer_interval = int(cur["interval_ns"])
         except (OSError, ValueError, KeyError):
             raise SystemExit(
                 f"rollup: {db.path} has no readable rollup cursor "
@@ -611,10 +620,21 @@ def cmd_rollup(db: Database, args) -> int:
                 f"source rollup's {finer_interval}"
             )
         roll = ContinuousRollup(
-            db, args.dest, interval_ns=interval, source_is_rollup=True
+            db,
+            args.dest,
+            interval_ns=interval,
+            source_is_rollup=True,
+            # a cascade merges the finer rollup's records, so its value
+            # count is dictated by the source, not the flag
+            num_values=int(cur.get("num_values", 1)),
         )
     else:
-        roll = ContinuousRollup(db, args.dest, interval_ns=interval)
+        roll = ContinuousRollup(
+            db,
+            args.dest,
+            interval_ns=interval,
+            num_values=getattr(args, "num_values", 1),
+        )
     tx = roll.refresh_full() if args.full else roll.refresh()
     print(tx if tx is not None else "up-to-date")
     return 0

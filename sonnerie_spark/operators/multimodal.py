@@ -1,10 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested; the actual media decoding is stubbed
-behind clearly-marked seams because codec libraries are not available in
-this environment. Swap ``_decode_image_stub`` for a real decoder (PIL /
-torchvision / ffmpeg) without touching the plan.
+signatures) is real and tested. Decoding comes in two tiers:
+
+- ``decode_media``: REAL header-parse decoding for uncompressed formats
+  that need no codec library — netpbm images (PPM/PGM: width/height)
+  and RIFF WAV audio (channels/sample rate/frame count/duration).
+- ``decode_features``: the remaining compressed-codec seam, stubbed
+  behind a clearly-marked default because codec libraries (PIL /
+  torchvision / ffmpeg) are not available in this environment; swap the
+  ``decoder`` callable without touching the plan.
 
 Pattern at 100 TB: media bytes travel as a ``binary`` column next to
 typed metadata; decode/feature passes run as ``mapInPandas`` so each
@@ -90,6 +95,150 @@ def decode_features(df: DataFrame, *, decoder=None) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(op, FEATURE_SCHEMA)
+
+
+#: decode_media output: real header-derived metadata per media row.
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("codec", T.StringType(), True),  # ppm|pgm|wav|None
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_us", T.LongType(), True),
+        T.StructField("valid", T.BooleanType(), False),
+    ]
+)
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """REAL (not stubbed) media decoding for headerful uncompressed
+    formats — pure-Python struct/text parsing, no codec library:
+
+    - PPM/PGM (netpbm P6/P5): width, height, maxval token parse with
+      comment handling; ``valid`` checks the payload actually holds
+      width*height*bytes-per-pixel of pixel data.
+    - WAV (RIFF): fmt chunk -> channels / sample_rate / bits, data chunk
+      -> frame count and duration_us.
+
+    Unrecognized magics yield ``codec = NULL, valid = false`` — that is
+    where a compressed-codec library (PIL/ffmpeg) would plug in; only
+    THOSE formats remain stubbed (``decode_features``). Runs as
+    mapInPandas over Arrow batches like every media pass; parsers are
+    defined inside this function so cloudpickle ships them by value.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def parse_pnm(b: bytes):
+            # P6 = RGB (3 bytes/px), P5 = grayscale (1 byte/px);
+            # header tokens separated by whitespace, '#' comments to EOL,
+            # exactly one whitespace byte after maxval before pixels.
+            magic = bytes(b[:2])
+            if magic not in (b"P6", b"P5"):
+                return None
+            i, vals = 2, []
+            while len(vals) < 3 and i < len(b):
+                c = b[i : i + 1]
+                if c.isspace():
+                    i += 1
+                    continue
+                if c == b"#":
+                    j = b.find(b"\n", i)
+                    i = j + 1 if j != -1 else len(b)
+                    continue
+                j = i
+                while j < len(b) and not b[j : j + 1].isspace():
+                    j += 1
+                try:
+                    vals.append(int(b[i:j]))
+                except ValueError:
+                    return None
+                i = j
+            if len(vals) < 3 or i >= len(b):
+                return None
+            i += 1  # the single whitespace after maxval
+            w, h, maxval = vals
+            if w < 0 or h < 0 or not (0 < maxval < 65536):
+                return None
+            bpp = (3 if magic == b"P6" else 1) * (2 if maxval > 255 else 1)
+            return {
+                "codec": "ppm" if magic == b"P6" else "pgm",
+                "width": w,
+                "height": h,
+                "valid": len(b) - i >= w * h * bpp,
+            }
+
+        def parse_wav(b: bytes):
+            import struct
+
+            if len(b) < 12 or bytes(b[:4]) != b"RIFF" or bytes(b[8:12]) != b"WAVE":
+                return None
+            i = 12
+            fmt = None
+            data_size = None
+            while i + 8 <= len(b):
+                cid = bytes(b[i : i + 4])
+                (csize,) = struct.unpack_from("<I", b, i + 4)
+                if cid == b"fmt " and i + 8 + 16 <= len(b):
+                    _af, ch, rate, _br, block, _bits = struct.unpack_from(
+                        "<HHIIHH", b, i + 8
+                    )
+                    fmt = (ch, rate, block)
+                elif cid == b"data":
+                    data_size = min(csize, len(b) - i - 8)
+                i += 8 + csize + (csize & 1)  # chunks are word-aligned
+            if fmt is None or data_size is None:
+                return None
+            ch, rate, block = fmt
+            if ch <= 0 or rate <= 0 or block <= 0:
+                return None
+            n_frames = data_size // block
+            return {
+                "codec": "wav",
+                "channels": ch,
+                "sample_rate": rate,
+                "n_frames": n_frames,
+                "duration_us": n_frames * 1_000_000 // rate,
+                "valid": True,
+            }
+
+        def decode(b: bytes) -> dict:
+            got = parse_pnm(b) or parse_wav(b)
+            base = {
+                "codec": None,
+                "width": None,
+                "height": None,
+                "channels": None,
+                "sample_rate": None,
+                "n_frames": None,
+                "duration_us": None,
+                "valid": False,
+            }
+            if got:
+                base.update(got)
+            return base
+
+        for pdf in batches:
+            decoded = pdf["content"].map(decode)
+            out = {"media_id": pdf["media_id"], "kind": pdf["kind"]}
+            for fld in (
+                "codec", "width", "height", "channels", "sample_rate",
+                "n_frames", "duration_us", "valid",
+            ):
+                out[fld] = decoded.map(lambda d, f=fld: d[f])
+            o = pd.DataFrame(out)
+            o["width"] = o["width"].astype("Int32")
+            o["height"] = o["height"].astype("Int32")
+            o["channels"] = o["channels"].astype("Int32")
+            o["sample_rate"] = o["sample_rate"].astype("Int32")
+            o["n_frames"] = o["n_frames"].astype("Int64")
+            o["duration_us"] = o["duration_us"].astype("Int64")
+            yield o
+
+    return df.mapInPandas(op, DECODE_SCHEMA)
 
 
 def frame_sample(df: DataFrame, *, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:

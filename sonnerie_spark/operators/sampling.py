@@ -187,11 +187,18 @@ def mix_sources_uniform(docs: DataFrame, source_col: str, id_col: str) -> DataFr
     counts = docs.groupBy(source_col).agg(F.count("*").alias("n_s"))
     n_min = counts.agg(F.min("n_s").alias("n_min"))
     h = F.pmod(phash(F.col("id").cast("string")), F.lit(1_000_000))
+    # decimal-widened like the temperature/weighted variants: h*n_s is
+    # h (< 1e6) times a per-source ROW COUNT, which overflows int64 for
+    # sources beyond ~9.2e12 rows — in range for the claimed scale.
+    dec = "decimal(38,0)"
     return (
         docs.select(F.col(id_col).alias("id"), F.col(source_col).alias("source"))
         .join(F.broadcast(counts.withColumnRenamed(source_col, "source")), "source")
         .crossJoin(F.broadcast(n_min))
-        .filter(h.cast("long") * F.col("n_s") < F.col("n_min") * F.lit(1_000_000))
+        .filter(
+            h.cast(dec) * F.col("n_s").cast(dec)
+            < F.col("n_min").cast(dec) * F.lit(1_000_000).cast(dec)
+        )
         .select("id", "source")
     )
 

@@ -269,15 +269,23 @@ def tfidf_top_terms(
     tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
     dfreq = toks.distinct().groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.select(F.count("*").alias("n_docs"))
+    # Rank by the UNROUNDED score (bit-identical across engines: an
+    # integer ratio, and IEEE division is correctly rounded); the
+    # reported tfidf column rounds with the floor(x*1e6+0.5)/1e6
+    # formulation — exact IEEE ops on identical doubles — because
+    # HALF_UP round() disagrees between engines by 1 ulp at exact
+    # decimal ties. Ranking by the rounded value would additionally let
+    # distinct raw scores round equal and swap ranks.
+    raw = F.col("tf") * F.col("n_docs") / F.col("df")
     scored = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n_docs))
+        .withColumn("_raw", raw)
         .withColumn(
-            "tfidf",
-            F.round(F.col("tf") * F.col("n_docs") / F.col("df"), 6),
+            "tfidf", F.floor(F.col("_raw") * 1e6 + F.lit(0.5)) / F.lit(1e6)
         )
     )
-    w = Window.partitionBy("id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    w = Window.partitionBy("id").orderBy(F.col("_raw").desc(), F.col("term"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= top_n)

@@ -305,6 +305,43 @@ class ContinuousRollup:
         self._store_cursor(last_tx)
         return txname
 
+    def stream(
+        self,
+        checkpoint_dir: str,
+        *,
+        trigger_seconds: float | None = None,
+        max_files_per_trigger: int | None = None,
+    ):
+        """Continuously maintain the rollup from live commits: tail the
+        source database (``tail_records``) and run one incremental
+        ``refresh()`` per micro-batch. Returns the started
+        ``StreamingQuery`` (stop() to end).
+
+        The tail stream is the TRIGGER, not the data path: refresh()
+        reads new runs via its own durable txname cursor, so a replayed
+        or empty micro-batch is a no-op and the rollup converges to the
+        batch ``refresh()`` result regardless of how commits interleave
+        with triggers (test-asserted). Using the cursor instead of the
+        batch rows keeps one correctness contract for both the batch and
+        streaming paths — the dirty-set scan re-lists O(new runs), the
+        same cost the batch already pays.
+        """
+        from sonnerie_spark.streaming.tail import tail_records
+
+        tail = tail_records(
+            self.src, max_files_per_trigger=max_files_per_trigger
+        )
+
+        def _refresh(batch_df, batch_id) -> None:
+            self.refresh()
+
+        w = tail.writeStream.foreachBatch(_refresh).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if trigger_seconds is not None:
+            w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+        return w.start()
+
     def refresh_full(self) -> str:
         """Rebuild from scratch: an unbounded delete marker (clears every
         earlier rollup row, including buckets that no longer exist in the

@@ -395,3 +395,52 @@ def test_rollup_cascade_cli(db, tmp_path):
     )
     with pytest.raises(SystemExit, match="multiple"):
         cmd_rollup(fine_db, args)
+
+
+def test_rollup_num_values_cli(db, tmp_path):
+    """--num-values rolls up both value columns; a CLI cascade inherits
+    the value count from the source rollup's cursor."""
+    from sonnerie_spark.cli import cmd_rollup
+    from sonnerie_spark.db import Database
+    from sonnerie_spark.streaming.rollup import ContinuousRollup
+
+    stdin = (
+        "k 1000000000 1.0 10.0\n"
+        "k 2000000000 2.0 20.0\n"
+        "k 4000000000 9.0 90.0\n"
+    )
+    run_cli(db, ["add", "--format", "FF"], stdin=stdin)
+    dest = str(tmp_path / "mcroll")
+    args = build_parser().parse_args(
+        ["-d", db.path, "rollup", "--dest", dest, "--interval", "3s",
+         "--num-values", "2"]
+    )
+    assert cmd_rollup(db, args) == 0
+
+    roll = ContinuousRollup(db, dest, interval_ns=3 * 10**9, num_values=2)
+    got = {
+        (r["key"], r["bucket_ts"]): (r["n1"], r["sum1"], r["n2"], r["sum2"])
+        for r in roll.read().collect()
+    }
+    assert got == {
+        ("k", 0): (2, 3.0, 2, 30.0),
+        ("k", 3 * 10**9): (1, 9.0, 1, 90.0),
+    }
+
+    # cascade from the CLI: num_values comes from the source cursor
+    coarse_dest = str(tmp_path / "mccoarse")
+    rolldb = Database(db.spark, dest)
+    cargs = build_parser().parse_args(
+        ["-d", dest, "rollup", "--dest", coarse_dest, "--interval", "6s",
+         "--source-is-rollup"]
+    )
+    assert cmd_rollup(rolldb, cargs) == 0
+    coarse = ContinuousRollup(
+        rolldb, coarse_dest, interval_ns=6 * 10**9, num_values=2,
+        source_is_rollup=True,
+    )
+    got = {
+        (r["key"], r["bucket_ts"]): (r["n1"], r["sum1"], r["n2"], r["sum2"])
+        for r in coarse.read().collect()
+    }
+    assert got == {("k", 0): (3, 12.0, 3, 120.0)}

@@ -1,0 +1,72 @@
+"""decode_media: real header-parse decoding (netpbm, WAV) plus the
+unknown-codec fallback, driven through the mapInPandas operator."""
+
+import struct
+
+from sonnerie_spark.operators import multimodal
+
+
+def _wav_bytes(channels=2, rate=8000, bits=16, n_frames=4000, junk_chunk=True):
+    block = channels * bits // 8
+    data = b"\x00" * (n_frames * block)
+    chunks = b""
+    if junk_chunk:  # decoders must skip unknown chunks (word-aligned)
+        chunks += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    chunks += (
+        b"fmt " + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    )
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _media_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, kind, content, None) for i, (kind, content) in enumerate(rows)],
+        multimodal.MEDIA_SCHEMA,
+    )
+
+
+def test_decode_media_real_formats(spark):
+    ppm = b"P6\n# a comment\n4 3\n255\n" + b"\xab" * (4 * 3 * 3)
+    ppm_short = b"P6\n4 3\n255\n" + b"\xab" * 5  # truncated pixel payload
+    pgm16 = b"P5 2 2 65535\n" + b"\x00" * (2 * 2 * 2)  # 16-bit grayscale
+    wav = _wav_bytes(channels=2, rate=8000, n_frames=4000)
+    junk = b"\x89PNG not actually parseable here"
+
+    rows = [
+        ("image", ppm),
+        ("image", ppm_short),
+        ("image", pgm16),
+        ("audio", wav),
+        ("image", junk),
+    ]
+    got = {
+        r["media_id"]: r.asDict()
+        for r in multimodal.decode_media(_media_df(spark, rows)).collect()
+    }
+
+    assert (got[0]["codec"], got[0]["width"], got[0]["height"], got[0]["valid"]) == (
+        "ppm", 4, 3, True,
+    )
+    # header parses but payload is short -> dimensions known, valid False
+    assert (got[1]["codec"], got[1]["width"], got[1]["height"], got[1]["valid"]) == (
+        "ppm", 4, 3, False,
+    )
+    assert (got[2]["codec"], got[2]["width"], got[2]["height"], got[2]["valid"]) == (
+        "pgm", 2, 2, True,
+    )
+    w = got[3]
+    assert (w["codec"], w["channels"], w["sample_rate"]) == ("wav", 2, 8000)
+    assert w["n_frames"] == 4000
+    assert w["duration_us"] == 4000 * 1_000_000 // 8000  # 0.5 s
+    assert w["valid"] is True
+    assert got[4]["codec"] is None and got[4]["valid"] is False
+
+
+def test_decode_media_wav_without_junk_chunk(spark):
+    wav = _wav_bytes(channels=1, rate=44100, n_frames=44100, junk_chunk=False)
+    (row,) = multimodal.decode_media(_media_df(spark, [("audio", wav)])).collect()
+    assert (row["channels"], row["sample_rate"], row["duration_us"]) == (
+        1, 44100, 1_000_000,
+    )

@@ -107,3 +107,55 @@ def test_tail_replication_converges(db, spark, tmp_path):
         assert {r.v_long[0] for r in dst.read(key="alpha").collect() if r.ts == T0} == {999}
     finally:
         q.stop()
+
+
+def test_tail_drives_rollup_refresh(db, spark, tmp_path):
+    """End-to-end continuous aggregate: tail_records -> foreachBatch ->
+    ContinuousRollup.refresh(). The rollup must converge to the batch
+    ground truth under live commits, including an LWW overwrite."""
+    from pyspark.sql import functions as F
+
+    from sonnerie_spark.streaming.rollup import ContinuousRollup
+
+    HOUR = 3600 * 10**9
+
+    def expected():
+        r = db.read().select(
+            "key",
+            (F.col("ts") - F.pmod("ts", F.lit(HOUR))).alias("bucket_ts"),
+            F.element_at("v_long", 1).cast("double").alias("v"),
+        )
+        return {
+            (x["key"], x["bucket_ts"]): (x["n"], x["sum"])
+            for x in r.groupBy("key", "bucket_ts")
+            .agg(F.count("v").alias("n"), F.sum("v").alias("sum"))
+            .collect()
+        }
+
+    roll = ContinuousRollup(db, str(tmp_path / "roll"), interval_ns=HOUR)
+    _commit(db, "alpha", 4)
+    q = roll.stream(str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+        got = {
+            (x["key"], x["bucket_ts"]): (x["n"], x["sum"])
+            for x in roll.read().collect()
+        }
+        assert got == expected() and got
+
+        # live commits: a new key and an LWW overwrite of alpha's t=0
+        _commit(db, "beta", 3, base=7200)
+        tx = db.create_tx()
+        tx.add_record("alpha", T0, "u", [999])
+        tx.commit()
+        q.processAllAvailable()
+        got = {
+            (x["key"], x["bucket_ts"]): (x["n"], x["sum"])
+            for x in roll.read().collect()
+        }
+        assert got == expected()
+        # the overwrite really landed (sum includes 999, count unchanged)
+        alpha_bucket = (T0 - T0 % HOUR)
+        assert got[("alpha", alpha_bucket)][1] >= 999.0
+    finally:
+        q.stop()
