@@ -3381,6 +3381,55 @@ def q_rollup_multicol_roundtrip(spark, sf_dir):
     )
 
 
+@q(
+    "cap_per_group",
+    f"""
+    WITH c AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY lang)
+    SELECT id, grp FROM (
+      SELECT d.doc_id AS id, d.lang AS grp, c.n_g,
+             row_number() OVER (
+               PARTITION BY d.lang
+               ORDER BY {phash_sql("cast(doc_id as varchar)")}, d.doc_id
+             ) AS rk
+      FROM documents d JOIN c ON d.lang = c.lang
+    ) WHERE n_g <= 100 OR rk <= 100
+    """,
+    "data",
+)
+def q_cap_per_group(spark, sf_dir):
+    """Per-group document cap (the per-domain cap of web curation): at
+    most 100 docs per language, selected by stable hash order. Groups
+    within budget bypass the rank window entirely (sampling.py scale
+    note); at sf0.01 the cap bites 'en'/'zh'/'es'-sized groups while
+    smaller languages take the sort-free branch, so both paths are
+    under the oracle."""
+    docs = load_par(spark, sf_dir, "documents")
+    return sampling.cap_per_group(docs, "lang", "doc_id", max_per_group=100)
+
+
+@q(
+    "deterministic_shuffle",
+    f"""
+    SELECT doc_id AS id,
+           row_number() OVER (
+             ORDER BY {phash_sql("'shuffle#' || cast(doc_id as varchar)")}, doc_id
+           ) AS pos
+    FROM documents
+    """,
+    "data",
+)
+def q_deterministic_shuffle(spark, sf_dir):
+    """Reproducible global corpus shuffle: pos = rank of a seeded
+    content hash. The implementation is the distributed two-phase rank
+    (range-partitioned sort + per-partition offsets collected from ONE
+    persisted materialization) — never a single-task global window —
+    and the oracle is the literal global row_number, so the gate proves
+    the distributed rank equals the sequential one at any partition
+    count."""
+    docs = load_par(spark, sf_dir, "documents")
+    return sampling.deterministic_shuffle(docs, "doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's CORRECTNESS gate checks the FIRST
 # 50 registry rows; definition order above is pedagogical (parity ops,

@@ -343,3 +343,91 @@ def mix_sources_weighted(
         )
         .select("id", F.col("src").alias("source"))
     )
+
+
+def cap_per_group(
+    docs: DataFrame, group_col: str, id_col: str, *, max_per_group: int
+) -> DataFrame:
+    """Keep at most ``max_per_group`` documents per group, selected by
+    content-stable hash order — the per-domain/per-source cap every web
+    corpus applies so one crawl host cannot dominate training data.
+
+    Scale design: groups already within budget bypass ranking entirely —
+    one count aggregation splits the corpus into an under-cap branch
+    (kept wholesale, no sort) and an over-cap branch that alone pays the
+    per-group rank window. The sorted volume is bounded by the actual
+    overflow groups, not the corpus; selection is phash(id) order (ties
+    by id), so reruns and appends keep prior survivors until the cap
+    forces displacement.
+    """
+    cap = int(max_per_group)
+    base = docs.select(
+        F.col(id_col).alias("id"), F.col(group_col).alias("grp")
+    )
+    counts = base.groupBy("grp").agg(F.count(F.lit(1)).alias("n_g"))
+    joined = base.join(counts, "grp")
+    under = joined.filter(F.col("n_g") <= cap).select("id", "grp")
+    over = joined.filter(F.col("n_g") > cap)
+    w = Window.partitionBy("grp").orderBy(
+        phash(F.col("id").cast("string")), F.col("id")
+    )
+    kept = (
+        over.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cap)
+        .select("id", "grp")
+    )
+    return under.unionByName(kept)
+
+
+def deterministic_shuffle(
+    df: DataFrame, id_col: str, *, seed: str = "shuffle", num_partitions: int | None = None
+) -> DataFrame:
+    """Reproducible global pseudorandom ordering of a corpus:
+    ``pos`` = rank of ``phash(seed # id)`` (ties by id), 1-based — the
+    deterministic replacement for ``orderBy(rand())`` when a training
+    run must shuffle identically across reruns, partition counts and
+    engines.
+
+    Scale design: a bare ``Window.orderBy`` would drag the corpus into
+    ONE task. Instead: range-partition + in-partition sort on the hash
+    key (Spark's distributed sort), persist that single materialization,
+    collect only the per-partition ROW COUNTS (num_partitions rows) to
+    the driver, and add each partition's cumulative offset to a
+    partition-local row_number. The global rank is independent of where
+    range boundaries land, so the result is identical at any partition
+    count. The persist pins one set of sampled range boundaries — the
+    offset table and the ranked rows must come from the same shuffle.
+    """
+    key = phash(F.concat(F.lit(f"{seed}#"), F.col(id_col).cast("string")))
+    n = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    s = (
+        df.select(F.col(id_col).alias("id"), key.alias("sort_key"))
+        .repartitionByRange(n, "sort_key", "id")
+        .sortWithinPartitions("sort_key", "id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        sizes = {
+            r["pid"]: r["cnt"]
+            for r in s.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        offsets, acc = [], 0
+        for pid in sorted(sizes):
+            offsets.append((pid, acc))
+            acc += sizes[pid]
+        off = df.sparkSession.createDataFrame(
+            offsets or [(0, 0)], "pid int, off long"
+        )
+        w = Window.partitionBy("pid").orderBy("sort_key", "id")
+        out = (
+            s.join(F.broadcast(off), "pid")
+            .withColumn("pos", F.row_number().over(w) + F.col("off"))
+            .select("id", "pos")
+        )
+        # materialize before unpersist: callers get a stable frame
+        return out.localCheckpoint(eager=True)
+    finally:
+        s.unpersist()

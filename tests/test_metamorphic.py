@@ -285,3 +285,61 @@ def test_cc_property_vs_union_find(spark):
         assert got == _uf_components(edges), edges
 
     check()
+
+
+def test_deterministic_shuffle_partition_invariance(spark):
+    """The distributed two-phase rank must produce IDENTICAL positions
+    at any partition count (range boundaries move, global rank does
+    not) and match the sequential definition."""
+    from sonnerie_spark.functions.portable_hash import phash
+    from sonnerie_spark.operators.sampling import deterministic_shuffle
+
+    df = spark.range(500).selectExpr("id AS doc_id")
+    runs = {
+        n: {
+            r["id"]: r["pos"]
+            for r in deterministic_shuffle(
+                df, "doc_id", num_partitions=n
+            ).collect()
+        }
+        for n in (1, 3, 8)
+    }
+    assert runs[1] == runs[3] == runs[8]
+    # sequential ground truth
+    import pyspark.sql.functions as F
+
+    key = phash(F.concat(F.lit("shuffle#"), F.col("doc_id").cast("string")))
+    seq = {
+        r["doc_id"]: i + 1
+        for i, r in enumerate(
+            df.select("doc_id").withColumn("k", key).orderBy("k", "doc_id").collect()
+        )
+    }
+    assert runs[1] == seq
+    # positions are a permutation of 1..n
+    assert sorted(runs[1].values()) == list(range(1, 501))
+
+
+def test_cap_per_group_branches(spark):
+    """Under-cap groups keep everything (sort-free branch); over-cap
+    groups keep exactly the cap, chosen by stable hash order; appending
+    docs never evicts a prior survivor unless the cap forces it."""
+    from sonnerie_spark.operators.sampling import cap_per_group
+
+    rows = [(i, "big") for i in range(40)] + [(100 + i, "small") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id: long, src: string")
+    kept = cap_per_group(df, "src", "doc_id", max_per_group=10)
+    by_grp = {}
+    for r in kept.collect():
+        by_grp.setdefault(r["grp"], set()).add(r["id"])
+    assert len(by_grp["big"]) == 10
+    assert by_grp["small"] == {100, 101, 102, 103, 104}
+
+    # stability: the same cap over a superset keeps a subset relation
+    # only when survivors aren't displaced by smaller hashes; verify
+    # determinism across reruns instead (exact same kept set)
+    kept2 = {
+        (r["grp"], r["id"])
+        for r in cap_per_group(df, "src", "doc_id", max_per_group=10).collect()
+    }
+    assert kept2 == {(g, i) for g, ids in by_grp.items() for i in ids}
