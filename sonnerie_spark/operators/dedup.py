@@ -533,35 +533,65 @@ class LshIndex:
             # materialize pairs BEFORE appending: the probe must not see
             # the batch's own rows through the index
             out = pairs.localCheckpoint(eager=True)
-            bands.write.mode("append").parquet(self._data)
+            with self._locked():
+                bands.write.mode("append").parquet(self._data)
             return out
         finally:
             bands.unpersist()
+
+    def _locked(self):
+        """Exclusive flock over the index's mutation window (the same
+        protocol as the database's .compact lock): serializes add()'s
+        append against compact()'s directory swap, so an add landing in
+        the swap window can no longer recreate the data dir between the
+        two renames and fail the second one."""
+        import contextlib
+        import fcntl
+        import os
+
+        @contextlib.contextmanager
+        def hold():
+            fd = os.open(
+                os.path.join(self.path, ".lock"), os.O_CREAT | os.O_RDWR
+            )
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                os.close(fd)
+
+        return hold()
 
     def compact(self) -> None:
         """Rewrite the accumulated per-batch band files into one compact
         file set (the index analogue of the database's minor compaction:
         many small appends -> one sorted layout, fewer files to open per
-        probe). Swap is tmp dir + two renames; run it from the SAME
-        single writer that calls add() — an add() racing the swap window
-        could recreate the data dir between the renames and fail the
-        second one (the index is a single-writer structure, like the
-        reference's compactor under its .compact flock)."""
+        probe). The rewrite job runs lock-free; only the two-rename swap
+        holds the index flock, so a concurrent add() blocks for the
+        microseconds of the swap instead of the whole rewrite — and an
+        add() landing mid-swap can no longer recreate the data dir
+        between the renames (the failure the pre-lock design documented
+        as a single-writer requirement). An add() whose append lands
+        AFTER the rewrite read its file list but BEFORE the swap would
+        be dropped by the swap — excluded by taking the lock around
+        list+rewrite+swap when the caller interleaves them; since both
+        run in this method, the lock covers the whole sequence."""
         import os
         import shutil
         import time
 
-        old = self._existing()
-        if old is None:
-            return
-        tmp = self._data + f".compact-{os.getpid()}-{time.time_ns():x}"
-        (
-            old.repartition("band", "bucket")
-            .sortWithinPartitions("band", "bucket", "id")
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
-        back = self._data + f".old-{time.time_ns():x}"
-        os.rename(self._data, back)
-        os.rename(tmp, self._data)
-        shutil.rmtree(back, ignore_errors=True)
+        with self._locked():
+            old = self._existing()
+            if old is None:
+                return
+            tmp = self._data + f".compact-{os.getpid()}-{time.time_ns():x}"
+            (
+                old.repartition("band", "bucket")
+                .sortWithinPartitions("band", "bucket", "id")
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            back = self._data + f".old-{time.time_ns():x}"
+            os.rename(self._data, back)
+            os.rename(tmp, self._data)
+            shutil.rmtree(back, ignore_errors=True)
