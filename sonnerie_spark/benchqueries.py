@@ -3382,6 +3382,37 @@ def q_rollup_multicol_roundtrip(spark, sf_dir):
 
 
 @q(
+    "chunk_documents",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks) - 1, 0) + 1, 12)) AS st
+      FROM t
+    )
+    SELECT doc_id AS id,
+           st // 12 AS chunk_idx,
+           array_to_string(toks[st + 1 : st + 16], ' ') AS chunk_text,
+           least(len(toks) - st, 16) AS n_tokens
+    FROM s
+    """,
+    "data",
+)
+def q_chunk_documents(spark, sf_dir):
+    """Fixed-window document chunking with overlap (16-token chunks,
+    stride 12) — the pre-training/RAG chunking pass. Map-only array
+    expressions; the oracle rebuilds every window with list slicing, so
+    boundary behavior (short tail window, stride overlap, full token
+    coverage) is value-hash-checked."""
+    docs = load_par(spark, sf_dir, "documents")
+    return textops.chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=16, stride=12
+    ).select("id", F.col("chunk_idx"), "chunk_text", F.col("n_tokens").cast("long"))
+
+
+@q(
     "cap_per_group",
     f"""
     WITH c AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY lang)

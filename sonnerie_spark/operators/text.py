@@ -369,3 +369,50 @@ def repeated_spans(
         .filter(F.col("df") >= min_df)
     )
     return spans.join(freq, "span_h").select("id", "pos", "span_h", "df")
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split documents into fixed-size token windows — the standard
+    pre-training/RAG chunking pass (``stride`` < ``chunk_tokens`` gives
+    overlapping windows; default stride = chunk_tokens, disjoint).
+
+    Output: (id, chunk_idx, chunk_text, n_tokens), one row per window,
+    covering every token (the last window may be short; empty documents
+    produce one empty chunk, so no document silently disappears).
+
+    Pure Catalyst: tokenize once, build window starts with ``sequence``,
+    slice per start — all array expressions inside the row, so the
+    operator is map-only and streams at scan speed at 100 TB; the output
+    explode multiplies rows by ~n_tokens/stride, the unavoidable output
+    size. No shuffle, no Python.
+    """
+    if stride is None:
+        stride = chunk_tokens
+    if not (0 < stride and 0 < chunk_tokens):
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - F.lit(1), F.lit(0)), F.lit(stride)
+    )
+
+    def to_chunk(s):
+        return F.struct(
+            (s / F.lit(stride)).cast("long").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(toks, s + 1, chunk_tokens)).alias(
+                "chunk_text"
+            ),
+            F.least(n - s, F.lit(chunk_tokens)).alias("n_tokens"),
+        )
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.transform(starts, to_chunk)).alias("c"),
+    ).select("id", "c.chunk_idx", "c.chunk_text", "c.n_tokens")

@@ -70,3 +70,51 @@ def test_decode_media_wav_without_junk_chunk(spark):
     assert (row["channels"], row["sample_rate"], row["duration_us"]) == (
         1, 44100, 1_000_000,
     )
+
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        w=st.integers(min_value=0, max_value=500),
+        h=st.integers(min_value=0, max_value=500),
+        maxval=st.integers(min_value=1, max_value=65535),
+        channels=st.integers(min_value=1, max_value=8),
+        rate=st.integers(min_value=1, max_value=192000),
+        n_frames=st.integers(min_value=0, max_value=100000),
+        junk=st.lists(st.binary(max_size=64), max_size=4),
+    )
+    def test_decode_media_fuzz(spark, w, h, maxval, channels, rate, n_frames, junk):
+        """Constructed headers always roundtrip; arbitrary junk (and
+        truncated valid headers) never crash the parser and never claim
+        validity for payloads that are not there."""
+        bpp = 3 * (2 if maxval > 255 else 1)
+        ppm = (f"P6 {w} {h} {maxval}\n").encode() + b"\x00" * (w * h * bpp)
+        wav = _wav_bytes(channels=channels, rate=rate, n_frames=n_frames,
+                         junk_chunk=False)
+        rows = [("image", ppm), ("audio", wav), ("image", ppm[: len(ppm) // 2])]
+        rows += [("image", j) for j in junk]
+        got = {
+            r["media_id"]: r.asDict()
+            for r in multimodal.decode_media(_media_df(spark, rows)).collect()
+        }
+        p = got[0]
+        assert (p["codec"], p["width"], p["height"], p["valid"]) == (
+            "ppm", w, h, True,
+        )
+        a = got[1]
+        assert (a["codec"], a["channels"], a["sample_rate"]) == (
+            "wav", channels, rate,
+        )
+        assert a["n_frames"] == n_frames
+        assert a["duration_us"] == n_frames * 1_000_000 // rate
+        # truncated ppm: never valid unless the halved payload still covers
+        t = got[2]
+        if t["codec"] is not None and t["valid"]:
+            assert len(ppm) // 2 >= len(ppm) - w * h * bpp
+        # junk rows: parser returned a row for each, no exceptions
+        assert len(got) == len(rows)
+
+except ImportError:  # pragma: no cover - hypothesis is in the image
+    pass
