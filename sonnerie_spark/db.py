@@ -194,16 +194,33 @@ class Database:
             if not _TX_NAME_RE.match(name):
                 continue
             p = os.path.join(self.path, name)
-            if not os.path.isdir(p):
+            try:
+                entries = os.listdir(p)  # one pass: classify + data check
+            except (NotADirectoryError, OSError):
                 continue
-            is_delete = os.path.exists(os.path.join(p, DELETE_SENTINEL))
-            has_data = any(f.endswith(".parquet") for f in os.listdir(p)) or any(
-                f == "_SUCCESS" for f in os.listdir(p)
-            )
+            is_delete = False
+            has_data = False
+            for f in entries:
+                if f == DELETE_SENTINEL:
+                    is_delete = True
+                elif f == "_SUCCESS" or f.endswith(".parquet"):
+                    has_data = True
             if not has_data:
                 continue
             out.append(RunInfo(name, p, is_delete))
         return out
+
+    def run_names(self) -> list[str]:
+        """Cheap run-set fingerprint: the sorted top-level transaction
+        names, WITHOUT per-run classification (no second-level listdir).
+        Complete run dirs only ever appear/disappear via atomic renames,
+        so two equal fingerprints bracket a window with no commit or
+        compaction swap — the point reader's consistency probe."""
+        return sorted(
+            n
+            for n in os.listdir(self.path)
+            if _TX_NAME_RE.match(n) and os.path.isdir(os.path.join(self.path, n))
+        )
 
     def data_runs(self) -> list[RunInfo]:
         return [r for r in self.runs() if not r.is_delete]

@@ -42,7 +42,9 @@ class _FileMeta:
     hundreds of) statistics objects per lookup.
     """
 
-    __slots__ = ("path", "pf", "mins", "maxs", "bucket", "run_b")
+    __slots__ = (
+        "path", "pf", "mins", "maxs", "ts_mins", "ts_maxs", "bucket", "run_b",
+    )
 
     def __init__(self, path: str, pf: Any, run_b: int | None = None):
         self.path = path
@@ -56,22 +58,57 @@ class _FileMeta:
         self.bucket = parse_bucket_id(os.path.basename(path))
         self.run_b = run_b
         md = pf.metadata
-        key_idx = md.schema.to_arrow_schema().get_field_index("key")
+        arrow_schema = md.schema.to_arrow_schema()
+        key_idx = arrow_schema.get_field_index("key")
+        ts_idx = arrow_schema.get_field_index("ts")
         mins: list[str] = []
         maxs: list[str] = []
+        ts_mins: list[int] | None = []
+        ts_maxs: list[int] | None = []
         for g in range(md.num_row_groups):
             st = md.row_group(g).column(key_idx).statistics
             if st is None or not st.has_min_max:
                 # no stats anywhere in the file: disable pruning for it
                 self.mins = None  # type: ignore[assignment]
                 self.maxs = None  # type: ignore[assignment]
+                self.ts_mins = None
+                self.ts_maxs = None
                 return
             mins.append(st.min)
             maxs.append(st.max)
+            if ts_mins is not None:
+                tst = md.row_group(g).column(ts_idx).statistics
+                if tst is None or not tst.has_min_max:
+                    ts_mins = ts_maxs = None  # key pruning still works
+                else:
+                    ts_mins.append(tst.min)
+                    ts_maxs.append(tst.max)
         self.mins = mins
         self.maxs = maxs
+        self.ts_mins = ts_mins
+        self.ts_maxs = ts_maxs
 
-    def groups_for(self, key: str) -> list[int]:
+    def _ts_ok(self, g: int, after_ns: int | None, before_ns: int | None) -> bool:
+        """May row group ``g`` hold a ts in ``[after_ns, before_ns)``?
+        Per-group ts min/max are valid bounds for ANY predicate,
+        whatever key mix the group holds — so time-windowed point reads
+        prune the groups a wide-spanning key occupies outside the
+        window (the reference applies its time filter per-record,
+        main.rs:257-267; this is strictly earlier)."""
+        if self.ts_mins is None:
+            return True
+        if before_ns is not None and self.ts_mins[g] >= before_ns:
+            return False
+        if after_ns is not None and self.ts_maxs[g] < after_ns:
+            return False
+        return True
+
+    def groups_for(
+        self,
+        key: str,
+        after_ns: int | None = None,
+        before_ns: int | None = None,
+    ) -> list[int]:
         if self.mins is None:
             return list(range(self.pf.metadata.num_row_groups))
         import bisect
@@ -84,11 +121,18 @@ class _FileMeta:
         for g in range(hi - 1, -1, -1):
             if self.maxs[g] < key:
                 break
-            out.append(g)
+            if self._ts_ok(g, after_ns, before_ns):
+                out.append(g)
         out.reverse()
         return out
 
-    def groups_for_range(self, lo: str, hi: str | None) -> list[int]:
+    def groups_for_range(
+        self,
+        lo: str,
+        hi: str | None,
+        after_ns: int | None = None,
+        before_ns: int | None = None,
+    ) -> list[int]:
         """Row groups possibly containing keys in ``[lo, hi)``."""
         if self.mins is None:
             return list(range(self.pf.metadata.num_row_groups))
@@ -98,7 +142,11 @@ class _FileMeta:
         # before the first whose min >= hi.
         start = bisect.bisect_left(self.maxs, lo)
         end = bisect.bisect_left(self.mins, hi) if hi is not None else len(self.mins)
-        return list(range(start, max(start, end)))
+        return [
+            g
+            for g in range(start, max(start, end))
+            if self._ts_ok(g, after_ns, before_ns)
+        ]
 
 
 class _RunFooters:
@@ -178,7 +226,7 @@ class PointReader:
             return fm.bucket == b
 
         return self._merge(
-            lambda fm: fm.groups_for(key),
+            lambda fm: fm.groups_for(key, after_ns, before_ns),
             lambda tbl: tbl.filter(pc.equal(tbl.column("key"), key)),
             after_ns=after_ns,
             before_ns=before_ns,
@@ -214,7 +262,7 @@ class PointReader:
         def groups(fm):
             gs: set[int] = set()
             for k in kset:
-                gs.update(fm.groups_for(k))
+                gs.update(fm.groups_for(k, after_ns, before_ns))
             return sorted(gs)
 
         rows = self._merge(
@@ -253,7 +301,7 @@ class PointReader:
             if footers is None:
                 continue
             for fm in footers.files:
-                total += len(fm.groups_for_range(lo, hi))
+                total += len(fm.groups_for_range(lo, hi, after_ns, before_ns))
                 if total > max_groups:
                     return None
 
@@ -264,7 +312,7 @@ class PointReader:
             return tbl.filter(keep)
 
         return self._merge(
-            lambda fm: fm.groups_for_range(lo, hi),
+            lambda fm: fm.groups_for_range(lo, hi, after_ns, before_ns),
             flt,
             after_ns=after_ns,
             before_ns=before_ns,
@@ -279,11 +327,37 @@ class PointReader:
         for _attempt in range(5):
             merged = self._merge_once(groups_fn, filter_fn, file_ok)
             if merged is not None:
-                by_kt, markers = merged
+                tables, markers = merged
                 break
         else:
             raise RuntimeError("point read kept racing compaction swaps")
 
+        # Vectorized fast path for the compacted steady state: a single
+        # data run can hold no (key, ts) conflict (per-tx uniqueness +
+        # disjoint bucket files), so with no delete markers the result
+        # is just filter + C-level sort — no per-row Python dict/tuple
+        # work. Cuts the 2000-record warm lookup ~2x.
+        run_names = {rn for rn, _ in tables}
+        if len(run_names) <= 1 and not markers:
+            if not tables:
+                return []
+            import pyarrow as pa
+
+            t = pa.concat_tables([tb for _, tb in tables])
+            if after_ns is not None:
+                t = t.filter(pc.greater_equal(t.column("ts"), after_ns))
+            if before_ns is not None:
+                t = t.filter(pc.less(t.column("ts"), before_ns))
+            return t.sort_by(
+                [("key", "ascending"), ("ts", "ascending")]
+            ).to_pylist()
+
+        from operator import itemgetter
+
+        by_kt: dict[tuple[str, int], tuple[str, dict]] = {}
+        for rn, tb in tables:  # commit order: later runs overwrite
+            for row in tb.to_pylist():
+                by_kt[(row["key"], row["ts"])] = (rn, row)
         out = []
         for (key, ts), (txname, row) in by_kt.items():
             if after_ns is not None and ts < after_ns:
@@ -293,13 +367,14 @@ class PointReader:
             if any(_marker_hits(m, txname, key, ts) for m in markers):
                 continue
             out.append(row)
-        out.sort(key=lambda r: (r["key"], r["ts"]))
+        out.sort(key=itemgetter("key", "ts"))
         return out
 
     def _merge_once(self, groups_fn, filter_fn, file_ok=None):
         """One merge attempt; None when the run set changed mid-read.
-        On success returns ``(by_kt, markers)`` — the merged rows AND the
-        delete markers read inside the same race window.
+        On success returns ``(tables, markers)`` — the per-run filtered
+        arrow tables (commit order) AND the delete markers read inside
+        the same race window; _merge resolves LWW/deletes on top.
 
         Two race shapes with compaction's swap (db.py _compact_locked):
         a listed run vanishing mid-read (stat/open fails -> retry), and
@@ -312,10 +387,15 @@ class PointReader:
         delete-marker runs): a major compaction purges markers from disk
         while merged rows may still be pre-compaction, so fetching
         markers after the guard could resurrect deleted records — a
-        snapshot that never existed."""
+        snapshot that never existed. The probe is the cheap
+        ``run_names`` fingerprint (top-level names only — complete run
+        dirs appear/disappear solely via atomic renames), taken BEFORE
+        the full listing so the bracket covers every read this attempt
+        makes."""
+        fingerprint = self.db.run_names()
         all_runs = self.db.runs()
         runs = [r for r in all_runs if not r.is_delete]
-        by_kt: dict[tuple[str, int], tuple[str, dict]] = {}  # (key, ts) -> (txname, row)
+        tables: list[tuple[str, object]] = []  # (run name, filtered table)
         for run in runs:  # lexical order == commit order
             footers = self._run_footers(run)
             if footers is None:
@@ -330,9 +410,7 @@ class PointReader:
                     tbl = filter_fn(fm.pf.read_row_groups(groups))
                     if tbl.num_rows == 0:
                         continue
-                    for row in tbl.to_pylist():
-                        # later runs overwrite: runs iterate commit order
-                        by_kt[(row["key"], row["ts"])] = (run.name, row)
+                    tables.append((run.name, tbl))
             except OSError:
                 self._footers.pop(run.path, None)
                 return None  # file deleted mid-read: retry fresh
@@ -343,9 +421,9 @@ class PointReader:
             markers = self.db.delete_markers(all_runs)
         except OSError:
             return None  # marker run purged mid-read: retry fresh
-        if [r.name for r in self.db.runs()] != [r.name for r in all_runs]:
-            return None  # listing raced a compaction swap: retry
-        return by_kt, markers
+        if self.db.run_names() != fingerprint:
+            return None  # listing raced a commit/compaction swap: retry
+        return tables, markers
 
 
 def _marker_hits(m: dict, txname: str, key: str, ts: int) -> bool:

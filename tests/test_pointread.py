@@ -175,3 +175,44 @@ def test_get_many_matches_per_key_gets(spark, tmp_path):
     assert batch["nosuchkey"] == []
     assert batch["key07"] == []  # deleted
     assert [r["v_long"][0] for r in batch["key03"]] == [30, 999, 32]
+
+
+def test_point_read_prunes_row_groups_by_ts(spark, tmp_path):
+    """A time-windowed get() must touch only the row groups whose ts
+    stats overlap the window — a key spanning many groups pays for the
+    window, not its whole history (strictly earlier than the
+    reference's per-record time filter)."""
+    from sonnerie_spark.db import Database
+
+    db = Database(spark, str(tmp_path / "db"), buckets=1)
+    rows = [
+        {"key": "k", "ts": t, "fmt": "u", "v_long": [t], "v_double": None,
+         "v_str": None, "v_bin": None}
+        for t in range(1, 20001)
+    ]
+    # many small row groups: write driver-side with a tiny group size
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sonnerie_spark.bucketing import bucket_file_name, write_run_buckets
+    from sonnerie_spark.db import arrow_record_schema
+
+    import os
+    def write(p):
+        os.makedirs(p)
+        tbl = pa.Table.from_pylist(rows, schema=arrow_record_schema())
+        pq.write_table(tbl, os.path.join(p, bucket_file_name(0, "t")),
+                       row_group_size=1000)  # 20 groups
+        write_run_buckets(p, 1)
+
+    db._atomic_commit(write)
+
+    got = db.get("k", after_ns=5000, before_ns=5100)
+    assert [r["ts"] for r in got] == list(range(5000, 5100))
+
+    pr = db._point_reader
+    fm = pr._run_footers(db.data_runs()[0]).files[0]
+    assert fm.pf.metadata.num_row_groups >= 20
+    pruned = fm.groups_for("k", 5000, 5100)
+    assert len(pruned) <= 2  # the window spans at most 2 of 20 groups
+    assert len(fm.groups_for("k")) >= 20  # unwindowed: all groups
