@@ -367,3 +367,32 @@ def test_deterministic_shuffle_no_single_partition_exchange(spark, sf_dir):
     assert "rangepartitioning" in plan.lower(), plan
     # and the materialized result is correct-size
     assert out.count() == docs.count()
+
+
+def test_chunk_documents_is_map_only(spark, sf_dir):
+    """Chunking must stream at scan speed: no Exchange anywhere (window
+    starts + slices are row-local array expressions)."""
+    from sonnerie_spark.operators.text import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(chunk_documents(docs, "doc_id", "text", chunk_tokens=8, stride=4))
+    assert "Exchange" not in plan, plan
+
+
+def test_multicol_rollup_aggregate_single_shuffle(spark, tmp_path):
+    """num_values=m rides ONE hash aggregation: exactly one Exchange in
+    the aggregate plan however many value columns are rolled up (4m agg
+    buffers, not m passes)."""
+    from sonnerie_spark.db import Database
+    from sonnerie_spark.streaming.rollup import ContinuousRollup
+
+    db = Database(spark, str(tmp_path / "db"))
+    tx = db.create_tx()
+    for i in range(4):
+        tx.add_record("k", 1000 + i, "FFF", [1.0 * i, 2.0 * i, 3.0 * i])
+    tx.commit()
+    roll = ContinuousRollup(
+        db, str(tmp_path / "r"), interval_ns=10, num_values=3
+    )
+    plan = plan_of(roll._aggregate(db.read()))
+    assert plan.count("Exchange") == 1, plan
