@@ -3382,6 +3382,43 @@ def q_rollup_multicol_roundtrip(spark, sf_dir):
 
 
 @q(
+    "split_leakage",
+    f"""
+    WITH pairs AS ({_minhash_oracle_sql()}),
+    sp AS ({sampling.hash_split_sql("doc_id")} FROM documents)
+    SELECT p.id_a, p.id_b, sa.split AS split_a, sb.split AS split_b
+    FROM pairs p
+    JOIN sp sa ON sa.id = p.id_a
+    JOIN sp sb ON sb.id = p.id_b
+    WHERE sa.split <> sb.split
+    """,
+    "data",
+)
+def q_split_leakage(spark, sf_dir):
+    """Train/test leakage audit: near-duplicate pairs whose members land
+    in DIFFERENT hash-split partitions — the contamination a random
+    (non-content-hashed) split silently ships. Composes the gated LSH
+    pair stream with the gated deterministic split; both joins are on
+    doc id against the 2-column split projection (broadcast-eligible),
+    so the audit costs the pair enumeration plus two cheap joins at any
+    corpus size."""
+    docs = load_par(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text")
+    splits = sampling.hash_split(docs, "doc_id").select("id", "split")
+    sa = splits.withColumnRenamed("id", "id_a").withColumnRenamed("split", "split_a")
+    sb = splits.withColumnRenamed("id", "id_b").withColumnRenamed("split", "split_b")
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            F.col("id_a").cast("long"), F.col("id_b").cast("long"),
+            "split_a", "split_b",
+        )
+    )
+
+
+@q(
     "chunk_documents",
     """
     WITH t AS (
