@@ -3076,6 +3076,13 @@ def q_corpus_curation_v2(spark, sf_dir):
         .withColumn("n_lang", F.count("*").over(wp))
         .filter(F.col("rk") * 4 <= F.col("n_lang") * 3)
         .select("id", "lang", "n_chars", "text")
+        # Three downstream consumers (pair stream, canonical keep,
+        # survivor anti-join) would each recompute the quality scoring
+        # + rank window; persist the kept corpus once — the standard
+        # stage-boundary materialization a 100 TB pipeline would write
+        # to storage between curation stages (bench clears the cache
+        # between queries).
+        .persist()
     )
     pairs = dedup.minhash_lsh_pairs(keepq, "id", "text", k=3, num_hashes=16, band_size=4)
     comps = graph.connected_components(pairs, "id_a", "id_b")
