@@ -216,3 +216,61 @@ def test_point_read_prunes_row_groups_by_ts(spark, tmp_path):
     pruned = fm.groups_for("k", 5000, 5100)
     assert len(pruned) <= 2  # the window spans at most 2 of 20 groups
     assert len(fm.groups_for("k")) >= 20  # unwindowed: all groups
+
+
+def test_point_reader_matches_spark_plan_random_model(spark, tmp_path):
+    """Randomized differential check (seeded): after a random history of
+    commits, LWW overwrites, range/wildcard deletes and compactions,
+    db.get(key) must equal the Spark plan's read(key=...) for every key
+    — the two implementations of the merge semantics never diverge.
+    Exercises the r5 arrow fast path (single run, no markers) AND the
+    general dict path (multi-run + markers) across the history."""
+    import random
+
+    from sonnerie_spark.db import Database
+
+    rng = random.Random(20260814)
+    db = Database(spark, str(tmp_path / "rnd"), buckets=4)
+    keys = [f"k{i:02d}" for i in range(12)]
+
+    def check():
+        for k in rng.sample(keys, 5):
+            got = [
+                (r["ts"], tuple(r["v_long"] or []))
+                for r in db.get(k)
+            ]
+            want = [
+                (r["ts"], tuple(r["v_long"] or []))
+                for r in db.read_sorted(key=k).collect()
+            ]
+            assert got == want, (k, got, want)
+
+    t = 1000
+    for step in range(12):
+        op = rng.random()
+        if op < 0.55:
+            tx = db.create_tx()
+            for k in rng.sample(keys, rng.randrange(1, 6)):
+                for _ in range(rng.randrange(1, 4)):
+                    # mix of fresh ts and overwrites of older ts
+                    ts = rng.choice([t + rng.randrange(50), rng.randrange(900, 1000 + step * 10)])
+                    try:
+                        tx.add_record(k, ts, "u", [step * 1000 + ts])
+                    except Exception:
+                        pass  # per-tx duplicate ts for the key: skip
+            tx.commit()
+            t += 100
+        elif op < 0.8:
+            lo, hi = sorted(rng.sample(range(900, 1400), 2))
+            db.commit_deletes(
+                [{
+                    "first_key": rng.choice(keys),
+                    "last_key": rng.choice(keys + [""] * 3),
+                    "after_ns": lo,
+                    "before_ns": hi,
+                    "wildcard": rng.choice(["%", "k0%", "k1%"]),
+                }]
+            )
+        else:
+            db.compact(major=rng.random() < 0.5)
+        check()
