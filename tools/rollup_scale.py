@@ -75,6 +75,42 @@ def main() -> None:
             f"after a {m}-record tx: incremental refresh {t_inc:.1f}s, "
             f"full rebuild {t_full:.1f}s, speedup {t_full / t_inc:.1f}x"
         )
+
+        # multi-column rollup cost: the same refresh with num_values=4
+        # ("FFFF" records) — per-column stats ride ONE hash aggregation
+        # (4m buffers), so the wall time should track m=1, not 4x it.
+        gen4 = gen.select(
+            "key", "ts", F.lit("FFFF").alias("fmt"),
+            F.lit(None).cast("array<long>").alias("v_long"),
+            F.array(
+                *[
+                    F.pmod(F.xxhash64("key") + F.lit(j), F.lit(1000)).cast(
+                        "double"
+                    )
+                    for j in range(4)
+                ]
+            ).alias("v_double"),
+            F.col("v_str"), F.col("v_bin"),
+        )
+        src4 = Database(spark, os.path.join(base, "src4"))
+        src4.commit_dataframe(gen4, check_duplicates=False)
+        roll4 = ContinuousRollup(
+            src4, os.path.join(base, "roll4"), interval_ns=HOUR, num_values=4
+        )
+        roll4.refresh()
+        src4.commit_dataframe(
+            gen4.filter(
+                F.pmod(F.xxhash64(F.col("key")), F.lit(1000)) == 0
+            ).limit(m),
+            check_duplicates=False,
+        )
+        t0 = time.time()
+        roll4.refresh()
+        t_inc4 = time.time() - t0
+        print(
+            f"num_values=4 incremental refresh of the same-size tx: "
+            f"{t_inc4:.1f}s ({t_inc4 / t_inc:.2f}x the single-column cost)"
+        )
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
