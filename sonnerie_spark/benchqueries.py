@@ -3389,6 +3389,57 @@ def q_rollup_multicol_roundtrip(spark, sf_dir):
 
 
 @q(
+    "multimodal_resize_real",
+    """
+    WITH b AS (
+      SELECT doc_id, doc_id % 7 + 1 AS w,
+             octet_length(encode(text)) // (3 * (doc_id % 7 + 1)) AS h
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CASE WHEN h >= 1 THEN 'ppm' END AS codec,
+           CASE WHEN h >= 1 THEN cast((w + 1) // 2 AS int) END AS width,
+           CASE WHEN h >= 1 THEN cast((h + 1) // 2 AS int) END AS height,
+           CASE WHEN h >= 1 THEN cast(
+             9 + length(cast((w + 1) // 2 AS varchar))
+               + length(cast((h + 1) // 2 AS varchar))
+               + 3 * ((w + 1) // 2) * ((h + 1) // 2) AS bigint) END AS n_bytes
+    FROM b
+    """,
+    "data",
+)
+def q_multimodal_resize_real(spark, sf_dir):
+    """REAL image transform under the gate: every document becomes a
+    genuine P6 PPM (as in multimodal_decode_real), resize_media
+    subsamples every 2nd pixel with numpy and re-emits valid netpbm
+    bytes; the gate checks the recovered geometry AND the exact output
+    byte count (header digits + ceil(w/2)*ceil(h/2)*3 pixels) against
+    the construction arithmetic. Zero-height constructions pass through
+    as NULLs (the codec seam)."""
+    from sonnerie_spark.operators import multimodal
+
+    docs = load_par(spark, sf_dir, "documents")
+    n = F.octet_length(F.col("text"))
+    w = (F.col("doc_id") % 7 + 1).cast("int")
+    h = F.floor(n / (w * 3)).cast("int")
+    header = F.concat_ws(
+        "", F.lit("P6\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+        F.lit("\n255\n"),
+    )
+    media = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.concat(
+            F.encode(header, "UTF-8"), F.encode(F.col("text"), "UTF-8")
+        ).alias("content"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    return multimodal.resize_media(media, factor=2).select(
+        "media_id", "codec", "width", "height", "n_bytes"
+    )
+
+
+@q(
     "split_leakage",
     f"""
     WITH pairs AS ({_minhash_oracle_sql()}),

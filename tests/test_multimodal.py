@@ -118,3 +118,34 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is in the image
     pass
+
+
+def test_resize_media_roundtrips_through_decoder(spark):
+    """resize_media really moves pixels: decode(resize(img)) reports the
+    subsampled geometry, and the surviving pixels are exactly the
+    nearest-neighbor selection of the original."""
+    import numpy as np
+
+    w, h = 7, 5
+    rng = np.random.default_rng(42)
+    pix = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    ppm = f"P6\n{w} {h}\n255\n".encode() + pix.tobytes()
+    junk = b"not an image at all"
+    df = _media_df(spark, [("image", ppm), ("image", junk)])
+
+    out = {r["media_id"]: r.asDict()
+           for r in multimodal.resize_media(df, factor=2).collect()}
+    r = out[0]
+    assert (r["codec"], r["width"], r["height"]) == ("ppm", 4, 3)
+    # decode the resized bytes with the independent parser
+    dec = multimodal.decode_media(
+        _media_df(spark, [("image", bytes(r["content"]))])
+    ).collect()[0]
+    assert (dec["codec"], dec["width"], dec["height"], dec["valid"]) == (
+        "ppm", 4, 3, True,
+    )
+    got = np.frombuffer(bytes(r["content"])[len(b"P6\n4 3\n255\n"):],
+                        dtype=np.uint8).reshape(3, 4, 3)
+    assert (got == pix[::2, ::2, :]).all()
+    # undecodable input passes through as NULLs
+    assert out[1]["codec"] is None and out[1]["content"] is None
