@@ -3389,6 +3389,37 @@ def q_rollup_multicol_roundtrip(spark, sf_dir):
 
 
 @q(
+    "dedup_ngram_containment",
+    f"""
+    WITH sh AS ({{SH}}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    co AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS overlap
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           floor(overlap / least(sa.n, sb.n) * 1000000 + 0.5) / 1000000
+             AS containment
+    FROM co JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+    WHERE floor(overlap / least(sa.n, sb.n) * 1000000 + 0.5) / 1000000 >= 0.35
+    """.replace("{SH}", shingles_sql(3)),
+    "data",
+)
+def q_dedup_ngram_containment(spark, sf_dir):
+    """Asymmetric near-dup pairs by shingle containment
+    (overlap/min(|A|,|B|)): catches a document embedded inside a larger
+    one, which symmetric Jaccard's union term dilutes below threshold —
+    the companion pass CCNet-style pipelines run next to Jaccard. Same
+    posting-list plan and skew cap as the Jaccard gate."""
+    docs = load_par(spark, sf_dir, "documents")
+    return dedup.ngram_containment_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.35
+    )
+
+
+@q(
     "multimodal_resize_real",
     """
     WITH b AS (

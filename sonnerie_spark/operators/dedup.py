@@ -163,6 +163,55 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT:
+    ``overlap / min(|A|, |B|)`` — catches a document embedded inside a
+    larger one (quotes, concatenated crawls), which symmetric Jaccard
+    misses because the union term dilutes the score.
+
+    Same plan shape and skew guard as :func:`ngram_jaccard_pairs` (one
+    posting-list shuffle, broadcast size joins, ``max_df`` hot-shingle
+    cap); only the final scoring expression differs, so the quadratic
+    hot path is shared and equally bounded. Output: (id_a, id_b,
+    containment) with id_a < id_b, floor-rounded to 6 decimals for
+    engine-exact comparison.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+    pair_occ = posting_list_pairs(sh, ["shingle"], max_list_size=max_df)
+    co = pair_occ.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("overlap"))
+    sizes = df.select(
+        F.col(id_col).alias("id"),
+        F.size(word_shingles(F.col(text_col), k)).alias("n_shingles"),
+    )
+    sa = F.broadcast(
+        sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
+    )
+    sb = F.broadcast(
+        sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb"))
+    )
+    c = F.col("overlap") / F.least(F.col("na"), F.col("nb"))
+    return (
+        co.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment", F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, *, k: int = 3, num_hashes: int = 16
 ) -> DataFrame:
@@ -581,6 +630,11 @@ class LshIndex:
         import time
 
         with self._locked():
+            # reap debris from compactions that died mid-swap (the lock
+            # guarantees no LIVE compaction owns these names)
+            for name in os.listdir(self.path):
+                if name.startswith(("bands.old-", "bands.compact-")):
+                    shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
             old = self._existing()
             if old is None:
                 return
