@@ -135,6 +135,26 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p_imp.add_argument("src", help="input parquet path")
 
+    p_ej = sub.add_parser(
+        "export-jsonl",
+        help="write the merged view as JSON lines (key/ts/fmt/value "
+        "columns, binary base64'd) — the interchange off-ramp for "
+        "non-parquet consumers",
+    )
+    p_ej.add_argument("dest", help="output directory (Spark json sink)")
+    p_ej.add_argument("wildcard", nargs="?", default="%")
+    p_ej.add_argument(
+        "--as-of", dest="as_of",
+        help="export a historical snapshot (run name from `stats`)",
+    )
+
+    p_ij = sub.add_parser(
+        "import-jsonl",
+        help="commit JSON-lines records (the export-jsonl layout) as one "
+        "transaction",
+    )
+    p_ij.add_argument("src", help="input JSONL path")
+
     p_roll = sub.add_parser(
         "rollup",
         help="incrementally refresh a continuous time-bucket aggregate "
@@ -583,6 +603,44 @@ def cmd_import_parquet(db: Database, args) -> int:
     return 0
 
 
+def cmd_export_jsonl(db: Database, args) -> int:
+    """JSONL off-ramp: the merged view with binary base64'd (JSON has no
+    bytes type); ``import-jsonl`` reverses it losslessly. Stays a plain
+    distributed write — one sorted pass, the json sink shards like any
+    Spark output."""
+    from pyspark.sql import functions as F
+
+    df = db.read_sorted(
+        wildcard=args.wildcard, as_of=getattr(args, "as_of", None)
+    )
+    df = df.withColumn(
+        "v_bin_b64",
+        F.transform(F.col("v_bin"), lambda b: F.base64(b)),
+    ).drop("v_bin")
+    df.write.mode("error").json(args.dest)
+    return 0
+
+
+def cmd_import_jsonl(db: Database, args) -> int:
+    """JSONL on-ramp: reads the export-jsonl layout with an EXPLICIT
+    schema (never inferred — a batch whose sampled lines all carry null
+    arrays must not change column types) and commits one transaction."""
+    from pyspark.sql import functions as F, types as T
+
+    from sonnerie_spark.db import RECORD_SCHEMA
+
+    fields = [
+        f for f in RECORD_SCHEMA.fields if f.name != "v_bin"
+    ] + [T.StructField("v_bin_b64", T.ArrayType(T.StringType()), True)]
+    df = db.spark.read.schema(T.StructType(fields)).json(args.src)
+    df = df.withColumn(
+        "v_bin",
+        F.transform(F.col("v_bin_b64"), lambda s: F.unbase64(s)),
+    ).drop("v_bin_b64")
+    print(db.commit_dataframe(df))
+    return 0
+
+
 def cmd_stats(db: Database, args) -> int:
     s = db.stats()
     for r in s["runs"]:
@@ -654,6 +712,8 @@ def main(argv: list[str] | None = None) -> int:
         "stats": cmd_stats,
         "export-parquet": cmd_export_parquet,
         "import-parquet": cmd_import_parquet,
+        "export-jsonl": cmd_export_jsonl,
+        "import-jsonl": cmd_import_jsonl,
     }[args.cmd](db, args)
 
 

@@ -444,3 +444,37 @@ def test_rollup_num_values_cli(db, tmp_path):
         for r in coarse.read().collect()
     }
     assert got == {("k", 0): (3, 12.0, 3, 120.0)}
+
+
+def test_jsonl_roundtrip(db, tmp_path):
+    """export-jsonl -> import-jsonl reproduces the database exactly,
+    including heterogeneous formats and binary (base64) columns."""
+    from sonnerie_spark.cli import cmd_export_jsonl, cmd_import_jsonl
+    from sonnerie_spark.db import Database
+
+    tx = db.create_tx()
+    tx.add_record("a", 1000, "u", [7])
+    tx.add_record("a", 2000, "Fs", [2.5, "hi \t there"])
+    tx.add_record("b", 1500, "B", [b"\x00\xffbin"])
+    tx.commit()
+
+    dest = str(tmp_path / "out.jsonl")
+    args = build_parser().parse_args(["-d", db.path, "export-jsonl", dest])
+    assert cmd_export_jsonl(db, args) == 0
+
+    db2 = Database(db.spark, str(tmp_path / "db2"))
+    args = build_parser().parse_args(["-d", db2.path, "import-jsonl", dest])
+    old_out, sys.stdout = sys.stdout, io.StringIO()
+    try:
+        assert cmd_import_jsonl(db2, args) == 0
+    finally:
+        sys.stdout = old_out
+
+    def snap(d):
+        return sorted(
+            (r.key, r.ts, r.fmt, tuple(r.v_long or []), tuple(r.v_double or []),
+             tuple(r.v_str or []), tuple(bytes(b) for b in (r.v_bin or [])))
+            for r in d.read().collect()
+        )
+
+    assert snap(db2) == snap(db) and snap(db)
