@@ -343,3 +343,38 @@ def test_cap_per_group_branches(spark):
         for r in cap_per_group(df, "src", "doc_id", max_per_group=10).collect()
     }
     assert kept2 == {(g, i) for g, ids in by_grp.items() for i in ids}
+
+
+def test_chunk_documents_cover_and_reconstruct(spark):
+    """Disjoint chunking (stride == chunk) partitions the token stream:
+    concatenating a doc's chunks in chunk_idx order reconstructs the
+    (whitespace-normalized) text, and token counts add up. Overlapping
+    chunking keeps per-chunk sizes <= chunk and full prefix coverage."""
+    from pyspark.sql import functions as F
+
+    from sonnerie_spark.operators.text import chunk_documents
+
+    rows = [
+        (1, "a b c d e f g"),
+        (2, "one"),
+        (3, "  x   y  z "),  # messy whitespace normalizes
+        (4, "t1 t2 t3 t4 t5 t6 t7 t8 t9"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=3, stride=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["id"], []).append((r["chunk_idx"], r["chunk_text"], r["n_tokens"]))
+    for doc_id, text in rows:
+        toks = text.split()
+        chunks = sorted(got[doc_id])
+        rebuilt = " ".join(c[1] for c in chunks).split()
+        assert rebuilt == toks, (doc_id, rebuilt, toks)
+        assert sum(c[2] for c in chunks) == len(toks)
+        assert all(c[2] <= 3 for c in chunks)
+
+    # overlap: stride 2 of chunk 3 -> every token appears in >= 1 chunk
+    out2 = chunk_documents(df, "doc_id", "text", chunk_tokens=3, stride=2)
+    for r in out2.collect():
+        assert 1 <= r["n_tokens"] <= 3
