@@ -3471,6 +3471,68 @@ def q_multimodal_resize_real(spark, sf_dir):
 
 
 @q(
+    "multimodal_resample_real",
+    """
+    SELECT doc_id AS media_id,
+           'wav' AS codec,
+           1 AS channels,
+           4000 AS sample_rate,
+           cast((octet_length(encode(text)) // 2 + 1) // 2 AS bigint) AS n_frames,
+           cast(((octet_length(encode(text)) // 2 + 1) // 2) * 1000000 // 4000
+             AS bigint) AS duration_us
+    FROM documents
+    """,
+    "data",
+)
+def q_multimodal_resample_real(spark, sf_dir):
+    """REAL audio transform under the gate: each document's bytes become
+    a genuine 16-bit mono 8 kHz WAV (RIFF header built per row), and
+    resample_media decimates every 2nd frame — the gate checks the
+    recovered channel/rate/frame-count/duration against the
+    construction arithmetic (frames = ceil((bytes//2)/2), rate 4 kHz).
+    Same construction-proves-the-parser pattern as the PPM gates."""
+    import struct
+
+    from sonnerie_spark.operators import multimodal
+
+    docs = load_par(spark, sf_dir, "documents")
+
+    def build(batches):
+        import pandas as pd  # noqa: PLC0415 - worker-side import
+
+        for pdf in batches:
+            def to_wav(text: str) -> bytes:
+                raw = text.encode()
+                data = raw[: len(raw) // 2 * 2]  # whole 16-bit frames
+                return (
+                    b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                    + b"fmt " + struct.pack("<I", 16)
+                    + struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": "audio",
+                    "content": pdf["text"].map(to_wav),
+                    "meta": None,
+                }
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(build, MEDIA_SCHEMA_DDL)
+    return multimodal.resample_media(media, factor=2).select(
+        "media_id", "codec", "channels", "sample_rate", "n_frames",
+        "duration_us",
+    )
+
+
+MEDIA_SCHEMA_DDL = (
+    "media_id long, kind string, content binary, meta map<string,string>"
+)
+
+
+@q(
     "split_leakage",
     f"""
     WITH pairs AS ({_minhash_oracle_sql()}),

@@ -149,3 +149,42 @@ def test_resize_media_roundtrips_through_decoder(spark):
     assert (got == pix[::2, ::2, :]).all()
     # undecodable input passes through as NULLs
     assert out[1]["codec"] is None and out[1]["content"] is None
+
+
+def test_resample_media_roundtrips_through_decoder(spark):
+    """resample_media really strides audio frames: decode(resample(x))
+    reports rate/k and ceil(n/k) frames with duration preserved, and the
+    surviving frames are exactly the stride selection."""
+    import numpy as np
+    import struct
+
+    wav = _wav_bytes(channels=2, rate=8000, n_frames=1001, junk_chunk=True)
+    df = _media_df(spark, [("audio", wav), ("audio", b"nope")])
+    out = {r["media_id"]: r.asDict()
+           for r in multimodal.resample_media(df, factor=4).collect()}
+    r = out[0]
+    assert (r["codec"], r["channels"], r["sample_rate"]) == ("wav", 2, 2000)
+    assert r["n_frames"] == (1001 + 3) // 4  # ceil(1001/4)
+    # duration preserved within one frame: 1001/8000 s vs 251/2000 s
+    assert abs(r["duration_us"] - 1001 * 1_000_000 // 8000) <= 1_000_000 // 2000
+    dec = multimodal.decode_media(
+        _media_df(spark, [("audio", bytes(r["content"]))])
+    ).collect()[0]
+    assert (dec["codec"], dec["channels"], dec["sample_rate"], dec["n_frames"]) == (
+        "wav", 2, 2000, 251,
+    )
+    assert out[1]["codec"] is None and out[1]["content"] is None
+
+    # frame content: build a wav with recognizable per-frame bytes
+    block = 2  # 1 channel, 16-bit
+    frames = np.arange(40, dtype=np.uint8).reshape(20, block)
+    data = frames.tobytes()
+    wav2 = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 1, 1, 8000, 16000, block, 16)
+            + b"data" + struct.pack("<I", len(data)) + data)
+    (r2,) = multimodal.resample_media(
+        _media_df(spark, [("audio", wav2)]), factor=2
+    ).collect()
+    got = np.frombuffer(bytes(r2["content"])[44:], dtype=np.uint8).reshape(-1, block)
+    assert (got == frames[::2]).all()
