@@ -3180,10 +3180,11 @@ def q_sql_over_view(spark, sf_dir):
     )
     SELECT vec_id AS id,
            mx / 127.0 AS scale,
-           CASE WHEN mx = 0
-                THEN list_transform(e, x -> 0)
-                ELSE list_transform(e, x -> cast(round(x * 127.0 / mx) as int))
-           END AS qvec
+           array_to_string(
+             CASE WHEN mx = 0
+                  THEN list_transform(e, x -> 0)
+                  ELSE list_transform(e, x -> cast(round(x * 127.0 / mx) as int))
+             END, ',') AS qvec
     FROM m
     """,
     "data",
@@ -3193,13 +3194,21 @@ def q_embedding_quantize_int8(spark, sf_dir):
     4x storage/bandwidth compression applied before ANN indexing at
     corpus scale. Map-only; engine-exact because max/abs/divide are
     correctly-rounded IEEE ops and both engines round halves away from
-    zero."""
+    zero. The gate serializes qvec to a comma-joined string so every
+    output column is a scalar the correctness driver can canonicalize
+    (its pandas sort cannot order array cells); quantize_int8 itself
+    still returns the native array<int>."""
     emb = load_par(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     from sonnerie_spark.operators.similarity import quantize_int8
 
-    return quantize_int8(emb, "vec_id", "embedding")
+    qdf = quantize_int8(emb, "vec_id", "embedding")
+    return qdf.select(
+        "id",
+        "scale",
+        F.array_join(F.col("qvec").cast("array<string>"), ",").alias("qvec"),
+    )
 
 
 @q(
@@ -3656,9 +3665,9 @@ def q_deterministic_shuffle(spark, sf_dir):
 # lifecycle/composite gates outside the window. Reorder so the window
 # certifies: all 23-parity gates, the write/time-travel/rollup/LSH-index
 # lifecycle roundtrips, and the composite curation pipelines. Everything
-# not listed keeps its definition order after the window; entries listed
-# here but not (yet) defined are skipped, so planned gates can be named
-# ahead of their implementation.
+# not listed keeps its definition order after the window. A name listed
+# here that no registered gate defines is a HARD import-time error —
+# a silent skip would shrink the certified set without any signal.
 
 _DRIVER_WINDOW = [
     # sonnerie parity surface (SURVEY §2.1)
@@ -3691,7 +3700,13 @@ _DRIVER_WINDOW = [
 
 def _reorder_registry() -> None:
     by = {d.name: d for d in REGISTRY}
-    window = [by[n] for n in _DRIVER_WINDOW if n in by]
+    unknown = [n for n in _DRIVER_WINDOW if n not in by]
+    if unknown:
+        raise RuntimeError(
+            "_DRIVER_WINDOW names gates that are not registered "
+            f"(certified set would silently shrink): {unknown}"
+        )
+    window = [by[n] for n in _DRIVER_WINDOW]
     chosen = {d.name for d in window}
     REGISTRY[:] = window + [d for d in REGISTRY if d.name not in chosen]
 

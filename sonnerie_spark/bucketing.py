@@ -72,6 +72,33 @@ def read_run_buckets(run_path: str) -> int | None:
     except (OSError, ValueError):
         return None
 
+
+# Per-run uniqueness marker: present iff the writer PROVED the run holds
+# no duplicate (key, ts) — the Transaction paths enforce it row-by-row,
+# commit_dataframe's duplicate observation verifies it riding the sort
+# pass, and compaction output is LWW-merged. Reads resolve (key, ts) to
+# ONE surviving record always; the marker only lets a single-run read
+# elide the dedup aggregation (the hot steady-state scan). A run missing
+# the marker (check_duplicates=False commit that actually contained
+# duplicates, legacy layout, gegnum transform output) stays readable —
+# its single-run read plans the same LWW dedup a multi-run read would.
+RUN_UNIQUE_FILE = "_U"
+
+
+def write_run_unique(run_path: str) -> None:
+    """Record that a run directory is (key, ts)-duplicate-free."""
+    import os
+
+    with open(os.path.join(run_path, RUN_UNIQUE_FILE), "w") as f:
+        f.write("1")
+
+
+def read_run_unique(run_path: str) -> bool:
+    """Whether the run was verified duplicate-free at write time."""
+    import os
+
+    return os.path.exists(os.path.join(run_path, RUN_UNIQUE_FILE))
+
 # Spark BucketingUtils.getBucketId file-name convention: the bucket id
 # is the last _<digits> group before the (optional) extensions.
 _BUCKET_NAME_RE = re.compile(r".*_(\d+)(?:\..*)?$")

@@ -61,7 +61,9 @@ from sonnerie_spark.bucketing import (
     bucket_of,
     parse_bucket_id,
     read_run_buckets,
+    read_run_unique,
     write_run_buckets,
+    write_run_unique,
 )
 from sonnerie_spark.plans.keyfilter import (
     analyze_wildcard,
@@ -304,6 +306,14 @@ class Database:
             self._gc_stale_views(keep=view)
 
         tbl = self._view_tables.get(sig)
+        # Never trust the name cache alone: another Database handle on
+        # the same Spark session may have TTL-reaped this sig's table
+        # (_gc_stale_views DROPs by content-addressed name), so a cache
+        # hit must be revalidated against the catalog or the next
+        # spark.table() would fail on a dropped table.
+        if tbl is not None and not self.spark.catalog.tableExists(tbl):
+            self._view_tables.pop(sig, None)
+            tbl = None
         if tbl is None:
             tbl = f"snk_v_{hashlib.sha1(self.path.encode()).hexdigest()[:8]}_{sig}"
             cols = ", ".join(
@@ -449,8 +459,12 @@ class Database:
             df = df.filter(F.col("ts") < F.lit(int(before_ns)))
         df = df.withColumn("_txname", txcol)
 
-        # Last-writer-wins across runs; skipped when only one run exists.
-        if len(runs) > 1:
+        # Last-writer-wins on (key, ts): a read NEVER returns two records
+        # with the same (key, ts). The dedup is elided only for a single
+        # run verified duplicate-free at write time (``_U`` marker) —
+        # the compacted steady state — so the hot scan stays a plain
+        # parquet read.
+        if len(runs) > 1 or (runs and not read_run_unique(runs[0].path)):
             df = _lww_dedup(df)
 
         df = self._apply_delete_markers(df, as_of=as_of)
@@ -771,17 +785,26 @@ class Database:
         and per-partition sorting makes Parquet stats tight.
         """
         df = df.select([F.col(f.name).cast(f.dataType) for f in RECORD_SCHEMA.fields])
-        out, obs = self._prepare_run(df, check_duplicates=check_duplicates)
+        # The duplicate observation always rides the sort pass (no extra
+        # exchange or job); ``check_duplicates`` only decides whether a
+        # found duplicate aborts the commit. A clean verdict earns the
+        # run its ``_U`` marker either way, so check_duplicates=False
+        # writers (streaming ingest) still produce runs whose single-run
+        # reads skip the LWW dedup.
+        out, obs = self._prepare_run(df, check_duplicates=True)
 
         def write(p):
             self._write_bucketed_run(out, p, align=False)
-            if obs is not None and obs.get["dups"]:
-                # Raising before _atomic_commit's rename discards the run.
-                d = obs.get["dup"]
-                raise DuplicateRecordError(
-                    f"duplicate (key, ts) within one transaction: "
-                    f"({d['key']!r}, {d['ts']})"
-                )
+            if obs.get["dups"]:
+                if check_duplicates:
+                    # Raising before _atomic_commit's rename discards the run.
+                    d = obs.get["dup"]
+                    raise DuplicateRecordError(
+                        f"duplicate (key, ts) within one transaction: "
+                        f"({d['key']!r}, {d['ts']})"
+                    )
+            else:
+                write_run_unique(p)
 
         return self._atomic_commit(write)
 
@@ -888,6 +911,7 @@ class Database:
                 tbl = pa.Table.from_pylist(brows, schema=arrow_schema)
                 pq.write_table(tbl, os.path.join(p, bucket_file_name(b, nonce)))
             write_run_buckets(p, self.buckets)
+            write_run_unique(p)  # dup scan above raised on any conflict
 
         return self._atomic_commit(write)
 
@@ -1119,6 +1143,12 @@ class Database:
             tmp,
             align=not aligned,
         )
+        if transform is None:
+            # The merge read resolves (key, ts) to one record (LWW dedup
+            # across runs; unverified single runs dedup too), so the
+            # compacted run is duplicate-free. A gegnum transform can
+            # emit anything — its output stays unverified.
+            write_run_unique(tmp)
 
         if major:
             target_name = "main"
@@ -1174,7 +1204,7 @@ class _SubsetView:
             return spark.createDataFrame([], RECORD_SCHEMA)
         df, self.bucket_aligned, txcol = self.db._scan_data_runs(self.data)
         df = df.withColumn("_txname", txcol)
-        if len(self.data) > 1:
+        if len(self.data) > 1 or not read_run_unique(self.data[0].path):
             df = _lww_dedup(df)
         if self.dels:
             names = {r.name for r in self.dels}
@@ -1334,6 +1364,9 @@ class Transaction:
             # truthful for every file in the dir).
             self._spill_b = self.db.buckets
             write_run_buckets(self._spill_dir, self._spill_b)
+            # add_record enforces strictly-increasing ts per key, so a
+            # spilled run is duplicate-free by construction.
+            write_run_unique(self._spill_dir)
         schema = arrow_record_schema()
         by_bucket: dict[int, list[dict]] = {}
         for r in self.rows:

@@ -188,7 +188,12 @@ def decode_media(df: DataFrame) -> DataFrame:
                     )
                     fmt = (ch, rate, block)
                 elif cid == b"data":
+                    # Clamp for frame math, but remember truncation: a
+                    # data chunk whose declared size overruns the blob is
+                    # an incomplete payload, valid=False — mirroring the
+                    # netpbm w*h*bpp completeness check above.
                     data_size = min(csize, len(b) - i - 8)
+                    data_complete = csize <= len(b) - i - 8
                 i += 8 + csize + (csize & 1)  # chunks are word-aligned
             if fmt is None or data_size is None:
                 return None
@@ -202,7 +207,7 @@ def decode_media(df: DataFrame) -> DataFrame:
                 "sample_rate": rate,
                 "n_frames": n_frames,
                 "duration_us": n_frames * 1_000_000 // rate,
-                "valid": True,
+                "valid": data_complete,
             }
 
         def decode(b: bytes) -> dict:

@@ -333,10 +333,16 @@ class PointReader:
             raise RuntimeError("point read kept racing compaction swaps")
 
         # Vectorized fast path for the compacted steady state: a single
-        # data run can hold no (key, ts) conflict (per-tx uniqueness +
-        # disjoint bucket files), so with no delete markers the result
-        # is just filter + C-level sort — no per-row Python dict/tuple
-        # work. Cuts the 2000-record warm lookup ~2x.
+        # data run USUALLY holds no (key, ts) conflict (transactions
+        # written with the duplicate observation + disjoint bucket
+        # files), so with no delete markers the result is just filter +
+        # C-level sort — no per-row Python dict/tuple work. Cuts the
+        # 2000-record warm lookup ~2x. But check_duplicates=False
+        # commits (streaming ingest, rollup internals) can legally put
+        # duplicate (key, ts) rows in ONE run, so the path is guarded by
+        # a vectorized distinct-count probe; on conflict we fall through
+        # to the dict-based LWW resolve (later row in commit/file order
+        # wins — identical to the multi-run semantics).
         run_names = {rn for rn, _ in tables}
         if len(run_names) <= 1 and not markers:
             if not tables:
@@ -348,16 +354,29 @@ class PointReader:
                 t = t.filter(pc.greater_equal(t.column("ts"), after_ns))
             if before_ns is not None:
                 t = t.filter(pc.less(t.column("ts"), before_ns))
-            return t.sort_by(
-                [("key", "ascending"), ("ts", "ascending")]
-            ).to_pylist()
+            distinct = t.select(["key", "ts"]).group_by(["key", "ts"]).aggregate([])
+            if distinct.num_rows == t.num_rows:
+                return t.sort_by(
+                    [("key", "ascending"), ("ts", "ascending")]
+                ).to_pylist()
 
         from operator import itemgetter
 
         by_kt: dict[tuple[str, int], tuple[str, dict]] = {}
         for rn, tb in tables:  # commit order: later runs overwrite
             for row in tb.to_pylist():
-                by_kt[(row["key"], row["ts"])] = (rn, row)
+                kt = (row["key"], row["ts"])
+                prev = by_kt.get(kt)
+                if (
+                    prev is not None
+                    and prev[0] == rn
+                    and _payload_rank(prev[1]) >= _payload_rank(row)
+                ):
+                    # Same-run duplicate (check_duplicates=False commit):
+                    # the Spark plan resolves it by max(struct(payload)),
+                    # so keep the payload-max row, not the later-read one.
+                    continue
+                by_kt[kt] = (rn, row)
         out = []
         for (key, ts), (txname, row) in by_kt.items():
             if after_ns is not None and ts < after_ns:
@@ -424,6 +443,22 @@ class PointReader:
         if self.db.run_names() != fingerprint:
             return None  # listing raced a commit/compaction swap: retry
         return tables, markers
+
+
+def _payload_rank(row: dict):
+    """Total order on a record's payload mirroring Spark's null-first
+    struct/array comparison, used only to resolve duplicate (key, ts)
+    rows WITHIN one run (same _txid) identically to _lww_dedup's
+    ``max(struct(fmt, v_long, v_double, v_str, v_bin))``."""
+
+    def f(x):
+        if x is None:
+            return (0,)
+        if isinstance(x, list):
+            return (1, tuple(f(e) for e in x))
+        return (1, x)
+
+    return tuple(f(row[c]) for c in ("fmt", "v_long", "v_double", "v_str", "v_bin"))
 
 
 def _marker_hits(m: dict, txname: str, key: str, ts: int) -> bool:

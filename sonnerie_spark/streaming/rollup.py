@@ -60,7 +60,9 @@ def _value_at(j: int):
     MIXED per-record format like "iF" the per-array position does not
     recover declaration order; roll such sources up with num_values=1
     (first numeric value, which coalesce does resolve correctly) or
-    normalize formats upstream."""
+    normalize formats upstream. ENFORCED: _aggregate raises on any
+    mixed-format record when num_values > 1 (see the assert_true guard)
+    rather than aggregating a plausible-but-wrong column."""
     return F.coalesce(
         F.try_element_at("v_double", F.lit(j + 1)),
         F.try_element_at("v_long", F.lit(j + 1)).cast("double"),
@@ -196,6 +198,30 @@ class ContinuousRollup:
             )
         else:
             vals = [_value_at(j).alias(f"v{j}") for j in range(m)]
+            if m > 1:
+                # _value_at's per-typed-array position cannot recover
+                # declaration order for a record mixing long and double
+                # values (e.g. "iF"): enforce the docstring caveat
+                # instead of silently aggregating the wrong column. The
+                # assert rides the scan row-by-row — no extra job.
+                mixed = F.col("fmt").rlike("[iuIU]") & F.col("fmt").rlike("[fF]")
+                guard = F.assert_true(
+                    ~mixed,
+                    F.concat(
+                        F.lit(
+                            "rollup with num_values>1 cannot recover value "
+                            "declaration order for mixed long/double format '"
+                        ),
+                        F.col("fmt"),
+                        F.lit(
+                            "' (key '"),
+                        F.col("key"),
+                        F.lit(
+                            "'); normalize formats upstream or use num_values=1"
+                        ),
+                    ),
+                )
+                vals[0] = F.when(guard.isNull(), _value_at(0)).alias("v0")
             aggs = []
             for j in range(m):
                 aggs += [

@@ -64,6 +64,18 @@ def test_decode_media_real_formats(spark):
     assert got[4]["codec"] is None and got[4]["valid"] is False
 
 
+def test_decode_media_wav_truncated_data(spark):
+    """A data chunk whose declared size overruns the blob is an
+    incomplete payload: frame math uses the clamped bytes, but valid
+    must be False (mirrors the netpbm w*h*bpp completeness check)."""
+    wav = _wav_bytes(channels=2, rate=8000, n_frames=4000)
+    cut = wav[: len(wav) - 1000]  # drop the tail of the data chunk
+    (row,) = multimodal.decode_media(_media_df(spark, [("audio", cut)])).collect()
+    assert row["codec"] == "wav"
+    assert row["valid"] is False
+    assert row["n_frames"] < 4000  # frames computed from present bytes
+
+
 def test_decode_media_wav_without_junk_chunk(spark):
     wav = _wav_bytes(channels=1, rate=44100, n_frames=44100, junk_chunk=False)
     (row,) = multimodal.decode_media(_media_df(spark, [("audio", wav)])).collect()

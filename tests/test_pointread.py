@@ -274,3 +274,42 @@ def test_point_reader_matches_spark_plan_random_model(spark, tmp_path):
         else:
             db.compact(major=rng.random() < 0.5)
         check()
+
+
+def test_point_read_duplicate_key_ts_in_one_run(spark, tmp_path):
+    """check_duplicates=False commits (streaming ingest, rollup
+    internals) can legally put duplicate (key, ts) rows in ONE run; the
+    point reader must still return exactly one surviving row per
+    (key, ts) and agree with the Spark plan (which resolves same-run
+    duplicates by max(struct(payload)) in _lww_dedup)."""
+    import pyspark.sql.functions as F
+
+    db = Database(spark, str(tmp_path / "dupdb"))
+    rows = [
+        ("dup", T0, "u", [1]),
+        ("dup", T0, "u", [7]),          # same (key, ts), larger payload
+        ("dup", T0 + NS, "u", [2]),
+        ("other", T0, "u", [3]),
+    ]
+    df = spark.createDataFrame(
+        [(k, ts, f, v) for k, ts, f, v in rows],
+        "key string, ts long, fmt string, v_long array<long>",
+    ).select(
+        "key", "ts", "fmt", "v_long",
+        F.lit(None).cast("array<double>").alias("v_double"),
+        F.lit(None).cast("array<string>").alias("v_str"),
+        F.lit(None).cast("array<binary>").alias("v_bin"),
+    )
+    db.commit_dataframe(df, check_duplicates=False)
+
+    # single-run DB: the vectorized fast path must detect the conflict
+    got = db.get("dup")
+    assert [(r["ts"], r["v_long"]) for r in got] == [(T0, [7]), (T0 + NS, [2])]
+    assert _norm(_point_rows(db, "dup")) == _norm(_spark_rows(db, "dup"))
+
+    # a second run on top: multi-run dict path with the same-run dup
+    tx = db.create_tx()
+    tx.add_record("other", T0 + NS, "u", [9])
+    tx.commit()
+    assert _norm(_point_rows(db, "dup")) == _norm(_spark_rows(db, "dup"))
+    assert _norm(_point_rows(db, "other")) == _norm(_spark_rows(db, "other"))

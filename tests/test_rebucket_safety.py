@@ -138,3 +138,22 @@ def test_view_catalog_does_not_grow(spark, tmp_path):
         _seed(db, n=5, ts=1000 + i)  # each commit changes the run set
         db.read().count()  # multi-run read builds a bucketed view
         assert len(my_tables()) <= 1, my_tables()
+
+
+def test_dropped_view_table_recreated_for_cached_handle(spark, tmp_path):
+    """A second Database handle's view GC may DROP a snk_v_* table the
+    first handle still holds in its _view_tables name cache; the first
+    handle's next read must revalidate against the catalog and recreate
+    the table instead of failing on the dropped name."""
+    db = Database(spark, str(tmp_path / "db"), buckets=2)
+    _seed(db, n=5, ts=1000)
+    _seed(db, n=5, ts=2000)  # two runs -> bucketed view + catalog table
+    first = db.read().count()
+    assert db._view_tables  # the name cache is primed
+
+    other = Database(spark, db.path)
+    other._VIEW_TTL_SECONDS = 0.0
+    # GC from the other handle with nothing kept: drops db's table
+    other._gc_stale_views(keep=None)
+
+    assert db.read().count() == first  # cache revalidates, no crash

@@ -340,3 +340,26 @@ def test_multicol_rollup_incremental_and_cascade(src, tmp_path):
     r = c_rows["c"]
     assert (r["n1"], r["sum1"]) == (1, 5.0)
     assert r["n2"] == 0 and r["sum2"] is None
+
+
+def test_multicol_rollup_rejects_mixed_format(src, tmp_path):
+    """num_values>1 over a record mixing long and double values ("iF")
+    must FAIL the refresh, not aggregate a plausible-but-wrong column —
+    per-typed-array positions cannot recover declaration order."""
+    tx = src.create_tx()
+    tx.add_record("a", T0, "iF", [3, 2.5])
+    tx.add_record("a", T0 + 1800 * 10**9, "iF", [4, 1.5])
+    tx.commit()
+
+    roll = ContinuousRollup(
+        src, str(tmp_path / "mx"), interval_ns=HOUR, num_values=2
+    )
+    with pytest.raises(Exception, match="mixed long/double format 'iF'"):
+        roll.refresh()
+
+    # num_values=1 stays supported on the same source: coalesce resolves
+    # the FIRST numeric value correctly whatever the mix.
+    roll1 = ContinuousRollup(
+        src, str(tmp_path / "m1"), interval_ns=HOUR, num_values=1
+    )
+    assert roll1.refresh() is not None
