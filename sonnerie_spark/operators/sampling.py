@@ -359,6 +359,12 @@ def cap_per_group(
     overflow groups, not the corpus; selection is phash(id) order (ties
     by id), so reruns and appends keep prior survivors until the cap
     forces displacement.
+
+    Integer audit: unlike the mix keep-rules (decimal-widened products)
+    this path multiplies nothing — the only bounded integer is Spark's
+    ``row_number`` (int32), a 2.1 B-row PER-GROUP ceiling; a single
+    group that large should be pre-split upstream regardless (it would
+    also be one window partition).
     """
     cap = int(max_per_group)
     base = docs.select(

@@ -61,6 +61,15 @@ def tail_records(
         # and sentinel/_SUCCESS files
         .option("pathGlobFilter", "part-*.parquet")
         .option("recursiveFileLookup", "true")
+        # Compaction hides replaced runs with an atomic rename, so a file
+        # listed for a micro-batch can vanish before the batch reads it;
+        # without this the stream DIES mid-compaction (caught by the
+        # combined soak, tools/soak_streaming.py). Skipping is safe HERE
+        # because runs only ever disappear via compaction, whose merged
+        # output lands as new files the next listing picks up — the
+        # skipped records re-arrive, preserving at-least-once. (Delete
+        # markers never emit records in the first place.)
+        .option("ignoreMissingFiles", "true")
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))

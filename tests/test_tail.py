@@ -159,3 +159,23 @@ def test_tail_drives_rollup_refresh(db, spark, tmp_path):
         assert got[("alpha", alpha_bucket)][1] >= 999.0
     finally:
         q.stop()
+
+
+def test_combined_streaming_soak(spark, tmp_path):
+    """Short version of tools/soak_streaming.py: BOTH streaming
+    consumers (rollup refresh + incremental LSH index) against one live
+    source with minor compaction interleaved — the cross-feature races
+    (tail listing vs compaction swap, refresh cursor vs merged-run
+    replay) no single-path test hits. The 50-commit version with major
+    compaction + index compaction runs as a tool (see SCALE.md)."""
+    import importlib.util, os
+
+    spec = importlib.util.spec_from_file_location(
+        "soak_streaming",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "soak_streaming.py"),
+    )
+    soak = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(soak)
+    stats = soak.run_soak(spark, str(tmp_path), 10)
+    assert stats["rollup_batches"] >= 10 and stats["lsh_batches"] >= 10
+    assert stats["pairs"] > 0

@@ -91,6 +91,28 @@ def main() -> None:
         f"{(time.time()-t0)*1000/n_iters:.1f}ms/lookup"
     )
 
+    # Batch point read: one get_many amortizes footer bisection and the
+    # per-call Python overhead across keys — the serve-layer multi-key
+    # GET / training-loader "fetch these N series" shape.
+    many = [f"key{k:06d}" for k in range(100, 200)]
+    db.get_many(many[:2])  # warm footers
+    t0 = time.time()
+    n_iters = 5
+    for _ in range(n_iters):
+        got = db.get_many(many)
+    n_many = sum(len(v) for v in got.values())
+    dt = (time.time() - t0) * 1000 / n_iters
+    t0 = time.time()
+    for k in many:
+        db.get(k)
+    dt_loop = (time.time() - t0) * 1000
+    print(
+        f"batch point read (warm):   {n_many} records across {len(many)} keys "
+        f"in {dt:.1f}ms/batch = {dt/len(many):.2f}ms/key "
+        f"(get() loop: {dt_loop:.1f}ms; batch amortizes listing/footer/"
+        f"marker passes — at 2000 rec/key both are row-materialization-bound)"
+    )
+
     t0 = time.time()
     n_iters = 20
     pr = None
