@@ -396,3 +396,39 @@ def test_multicol_rollup_aggregate_single_shuffle(spark, tmp_path):
     )
     plan = plan_of(roll._aggregate(db.read()))
     assert plan.count("Exchange") == 1, plan
+
+
+def test_driver_window_unknown_name_is_hard_error():
+    """A _DRIVER_WINDOW name with no registered gate must raise at
+    reorder time — a silent skip would shrink the driver-certified set
+    with no signal (ADVICE r5)."""
+    import pytest
+
+    from sonnerie_spark import benchqueries as bq
+
+    assert len(bq._DRIVER_WINDOW) == 50
+    assert [d.name for d in bq.REGISTRY[:50]] == list(bq._DRIVER_WINDOW)
+    saved = list(bq._DRIVER_WINDOW)
+    try:
+        bq._DRIVER_WINDOW.append("gate_that_does_not_exist")
+        with pytest.raises(RuntimeError, match="gate_that_does_not_exist"):
+            bq._reorder_registry()
+    finally:
+        bq._DRIVER_WINDOW[:] = saved
+        bq._reorder_registry()
+
+
+def test_single_run_dedup_elided_only_with_unique_marker(db, spark, tmp_path):
+    """The hot single-run scan plans NO aggregation when the run carries
+    the _U duplicate-free marker; stripping the marker (legacy or
+    unverified check_duplicates=False run) plans the same LWW dedup a
+    multi-run read would — reads never return two rows per (key, ts)."""
+    import os
+
+    plan = plan_of(db.read())
+    assert "Aggregate" not in plan, plan  # _U present: plain scan
+
+    run = db.data_runs()[0]
+    os.remove(os.path.join(run.path, "_U"))
+    plan2 = plan_of(db.read())
+    assert "Aggregate" in plan2, plan2  # unverified: LWW dedup planned
