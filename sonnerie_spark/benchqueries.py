@@ -1865,6 +1865,64 @@ def q_write_path_roundtrip(spark, sf_dir):
     )
 
 
+@q(
+    "fold_series",
+    f"""
+    WITH s AS (
+      SELECT key, cast(floor(value * 1000) AS bigint) AS v
+      FROM ({SERIES_SQL})
+    )
+    SELECT key,
+           count(v) AS n,
+           cast(sum(v) AS double) AS sum,
+           cast(min(v) AS double) AS min,
+           cast(max(v) AS double) AS max
+    FROM s GROUP BY key
+    """,
+    "parity",
+    gate_only=True,
+)
+def q_fold_series(spark, sf_dir):
+    """Database.agg_series — the reference's per-key fold (README.md:
+    39-40) as a first-class read, exercised through its driver-side
+    Arrow path: commit the series as records, MAJOR-compact (so the
+    single-`_U`-run steady state engages the Spark-free fold), then
+    fold count/sum/min/max per key. Values are floor(value*1000) —
+    integer-valued doubles whose sums are order-independent-exact, so
+    the Arrow hash-aggregate, the Spark fallback, and the DuckDB oracle
+    agree bit-for-bit."""
+    import tempfile
+
+    from sonnerie_spark.db import Database
+
+    ev = load(spark, sf_dir, "events")
+    recs = ev.select(
+        F.concat_ws(
+            "-", F.col("event_type"), F.lpad(F.col("user_id").cast("string"), 4, "0")
+        ).alias("key"),
+        # event_id-derived ts: unique per (key, ts) by construction, so
+        # no LWW collapse anywhere and the fold counts every event —
+        # exactly what the oracle counts.
+        (F.col("event_id") * 1000).cast("long").alias("ts"),
+        F.lit("i").alias("fmt"),
+        F.array(F.floor(F.col("value") * 1000).cast("long")).alias("v_long"),
+        F.lit(None).cast("array<double>").alias("v_double"),
+        F.lit(None).cast("array<string>").alias("v_str"),
+        F.lit(None).cast("array<binary>").alias("v_bin"),
+    )
+    db = Database(spark, tempfile.mkdtemp(prefix="fold_gate_"))
+    db.commit_dataframe(recs, check_duplicates=False)
+    db.compact(major=True)
+    rows = db.agg_series()
+    from sonnerie_spark.pointread import arrow_agg_series
+
+    assert arrow_agg_series(db) is not None, "steady state must take the Arrow fold"
+    return spark.createDataFrame(
+        [(r["key"], r["n"], r["sum"], r["min"], r["max"]) for r in rows],
+        "key string, n long, sum double, min double, max double",
+    )
+
+
 # ===========================================================================
 # Deterministic sampling / splitting (training-pipeline operators):
 # content-stable hash assignment, reproducible bit-for-bit in the oracle.

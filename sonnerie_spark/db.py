@@ -599,6 +599,61 @@ class Database:
             self._point_reader = PointReader(self)
         return self._point_reader.get(key, after_ns=after_ns, before_ns=before_ns)
 
+    def agg_series(
+        self,
+        *,
+        key: str | None = None,
+        wildcard: str | None = None,
+        after_ns: int | None = None,
+        before_ns: int | None = None,
+        value_index: int = 0,
+    ) -> list[dict]:
+        """Per-key count/sum/min/max of one numeric value — the
+        reference's per-core fold (README.md:39-40) as a first-class
+        read. Value semantics match the rollup's `_value_at`: position
+        ``value_index`` of v_double if present, else v_long, as double.
+
+        On the compacted steady state (one ``_U`` run, no delete
+        markers) this runs as a driver-side multi-threaded Arrow scan +
+        hash group_by — no Spark job, ~8 M rec/s/core — and falls back
+        to the (identical-answer) Spark plan for every other state.
+        Returns [{key, n, sum, min, max}] sorted by key.
+        """
+        from sonnerie_spark.pointread import arrow_agg_series
+
+        fast = arrow_agg_series(
+            self, key=key, wildcard=wildcard, after_ns=after_ns,
+            before_ns=before_ns, value_index=value_index,
+        )
+        if fast is not None:
+            return fast
+        i = value_index + 1
+        v = F.coalesce(
+            F.try_element_at("v_double", F.lit(i)),
+            F.try_element_at("v_long", F.lit(i)).cast("double"),
+        )
+        rows = (
+            self.read(
+                key=key, wildcard=wildcard, after_ns=after_ns,
+                before_ns=before_ns,
+            )
+            .select("key", v.alias("v"))
+            .groupBy("key")
+            .agg(
+                F.count("v").alias("n"),
+                F.sum("v").alias("sum"),
+                F.min("v").alias("min"),
+                F.max("v").alias("max"),
+            )
+            .orderBy("key")
+            .collect()
+        )
+        return [
+            {"key": r["key"], "n": r["n"], "sum": r["sum"], "min": r["min"],
+             "max": r["max"]}
+            for r in rows
+        ]
+
     def get_many(
         self,
         keys: list[str],

@@ -313,3 +313,63 @@ def test_point_read_duplicate_key_ts_in_one_run(spark, tmp_path):
     tx.commit()
     assert _norm(_point_rows(db, "dup")) == _norm(_spark_rows(db, "dup"))
     assert _norm(_point_rows(db, "other")) == _norm(_spark_rows(db, "other"))
+
+
+def _spark_fold(db, **kw):
+    """Ground truth for agg_series via the Spark plan."""
+    import pyspark.sql.functions as F
+
+    v = F.coalesce(
+        F.try_element_at("v_double", F.lit(1)),
+        F.try_element_at("v_long", F.lit(1)).cast("double"),
+    )
+    return [
+        {"key": r["key"], "n": r["n"], "sum": r["sum"], "min": r["min"],
+         "max": r["max"]}
+        for r in db.read(**kw)
+        .select("key", v.alias("v"))
+        .groupBy("key")
+        .agg(F.count("v").alias("n"), F.sum("v").alias("sum"),
+             F.min("v").alias("min"), F.max("v").alias("max"))
+        .orderBy("key").collect()
+    ]
+
+
+def test_agg_series_arrow_fold_matches_spark(spark, tmp_path):
+    """agg_series: the driver-side Arrow fold on the compacted steady
+    state must equal the Spark plan, across heterogeneous formats,
+    filters, and time windows; pre-compaction (multi-run, markers) it
+    declines and the fallback answers identically."""
+    from sonnerie_spark.pointread import arrow_agg_series
+
+    db = Database(spark, str(tmp_path / "db"), buckets=4)
+    tx = db.create_tx()
+    for i in range(50):
+        tx.add_record(f"s{i % 5}", T0 + i * NS, "u", [i])
+        tx.add_record(f"f{i % 3}", T0 + i * NS, "F", [i * 0.5])
+    tx.add_record("novals", T0, "s", ["text-only"])
+    tx.commit()
+    tx2 = db.create_tx()
+    tx2.add_record("s0", T0, "u", [999])  # LWW overwrite
+    tx2.commit()
+    db.commit_deletes([{"wildcard": "f2"}])
+
+    # multi-run + markers: arrow path must decline, fallback must match
+    assert arrow_agg_series(db) is None
+    assert db.agg_series() == _spark_fold(db)
+
+    db.compact(major=True)
+    # steady state: arrow path engages and matches the Spark plan
+    assert arrow_agg_series(db) is not None
+    for kw in [
+        {},
+        {"key": "s0"},
+        {"wildcard": "s%"},
+        {"after_ns": T0 + 10 * NS, "before_ns": T0 + 30 * NS},
+        {"wildcard": "f%", "after_ns": T0 + 5 * NS},
+        {"key": "missing"},
+    ]:
+        assert db.agg_series(**kw) == _spark_fold(db, **kw), kw
+    # mid-pattern wildcard: declines (Spark fallback still correct)
+    assert arrow_agg_series(db, wildcard="s%0") is None
+    assert db.agg_series(wildcard="s%0") == _spark_fold(db, wildcard="s%0")
