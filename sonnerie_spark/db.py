@@ -153,6 +153,7 @@ class Database:
         self.path = os.path.abspath(path)
         self._point_reader = None  # lazy PointReader (exact-key fast path)
         self._view_tables: dict[str, str] = {}  # run-set sig -> table name
+        self._last_view_gc = 0.0  # rate limit for the reuse-path sweep
         os.makedirs(self.path, exist_ok=True)
         self.buckets = self._resolve_buckets(buckets)
 
@@ -292,18 +293,44 @@ class Database:
         ).hexdigest()[:12]
         cache = os.path.join(self.path, ".cache")
         view = os.path.join(cache, f"view-{sig}")
-        if not os.path.isdir(view):
-            os.makedirs(cache, exist_ok=True)
-            tmp = os.path.join(cache, f".build-{os.getpid()}-{time.time_ns():x}")
-            os.makedirs(tmp)
-            by_run = {r.name: r.path for r in runs}
-            for rn, fn in files:
-                os.link(os.path.join(by_run[rn], fn), os.path.join(tmp, f"{rn}+{fn}"))
+        for _ in range(3):
+            if not os.path.isdir(view):
+                os.makedirs(cache, exist_ok=True)
+                tmp = os.path.join(cache, f".build-{os.getpid()}-{time.time_ns():x}")
+                os.makedirs(tmp)
+                by_run = {r.name: r.path for r in runs}
+                for rn, fn in files:
+                    os.link(
+                        os.path.join(by_run[rn], fn), os.path.join(tmp, f"{rn}+{fn}")
+                    )
+                try:
+                    os.rename(tmp, view)
+                except OSError:  # concurrent builder won
+                    shutil.rmtree(tmp, ignore_errors=True)
+                self._gc_stale_views(keep=view)
+            # Mark the view in-use: the TTL reaper keys on mtime, so an
+            # actively-read view never ages into reapability while
+            # queries keep planning against it (a reaped dir makes the
+            # table's scan SILENTLY list zero files — worse than an
+            # error; caught by the concurrent-handle churn test). A
+            # failed touch means a concurrent reaper beat us between the
+            # isdir probe and here — rebuild, don't plan on a dead dir.
             try:
-                os.rename(tmp, view)
-            except OSError:  # concurrent builder won
-                shutil.rmtree(tmp, ignore_errors=True)
-            self._gc_stale_views(keep=view)
+                os.utime(view)
+            except OSError:
+                continue
+            # Steady-state reads reuse one view forever; without an
+            # occasional sweep here, tables for long-replaced run sets
+            # would only be dropped when the NEXT new view is built.
+            # Rate-limited to one sweep per TTL so the per-read cost is
+            # a clock comparison.
+            now = time.time()
+            if now - self._last_view_gc > self._VIEW_TTL_SECONDS:
+                self._last_view_gc = now
+                self._gc_stale_views(keep=view)
+            break
+        else:
+            raise RuntimeError(f"bucketed view kept racing the reaper: {view}")
 
         tbl = self._view_tables.get(sig)
         # Never trust the name cache alone: another Database handle on
@@ -328,11 +355,20 @@ class Database:
         return self.spark.table(tbl)
 
     def _gc_stale_views(self, keep: str | None = None) -> None:
-        """Reap view dirs not rebuilt within the TTL (their run set was
-        replaced), and DROP their catalog tables — without the drop a
+        """Reap view dirs not USED within the TTL (reads touch their
+        mtime), and DROP their catalog tables — without the drop a
         long-lived session/metastore accumulates dead ``snk_v_*`` names
         without bound. Hard links mean this only frees names, never data
-        another run dir still owns."""
+        another run dir still owns.
+
+        Safety against concurrent handles: besides ``keep`` (the
+        caller's just-built view), the CURRENT run set's view is never
+        reaped regardless of age — another handle may be mid-query on it
+        (its reads refresh the mtime, but a commit can land between that
+        handle's listing and this GC). The residual window — a query
+        whose execution starts more than TTL after its last view touch,
+        on a sig that is no longer current — is the same re-plan-on-loss
+        contract compaction already imposes on readers."""
         import hashlib
 
         cache = os.path.join(self.path, ".cache")
@@ -342,9 +378,20 @@ class Database:
             return
         now = time.time()
         phash = hashlib.sha1(self.path.encode()).hexdigest()[:8]
+        current_sig = None
+        try:
+            runs = self.data_runs()
+            files = self._bucketed_files(runs) if len(runs) > 1 else None
+            if files is not None:
+                current_sig = hashlib.sha1(
+                    ("\n".join(f"{rn}/{fn}" for rn, fn in files)
+                     + f"#{self.buckets}").encode()
+                ).hexdigest()[:12]
+        except OSError:
+            pass
         for name in names:
             p = os.path.join(cache, name)
-            if p == keep:
+            if p == keep or (current_sig and name == f"view-{current_sig}"):
                 continue
             try:
                 if now - os.stat(p).st_mtime > self._VIEW_TTL_SECONDS:

@@ -157,3 +157,48 @@ def test_dropped_view_table_recreated_for_cached_handle(spark, tmp_path):
     other._gc_stale_views(keep=None)
 
     assert db.read().count() == first  # cache revalidates, no crash
+
+
+def test_concurrent_handles_view_churn(spark, tmp_path):
+    """Two Database handles on one Spark session, concurrently
+    committing, reading (bucketed views), and TTL-GC-ing with a SHORT
+    REAL TTL: every read must see full data (a reaped view dir would
+    silently list zero files — the bug this pins), and after the churn
+    the catalog must shrink back to the live views. The design contract
+    is "a view lives at least TTL past its last use" (reads touch the
+    dir mtime; the current run-set's view is never reaped), so TTL=0
+    is outside the contract — 2 s is inside it with huge margin for the
+    ms-scale plan->execute gap."""
+    import hashlib
+    import threading
+    import time as _time
+
+    db1 = Database(spark, str(tmp_path / "db"), buckets=2)
+    _seed(db1, n=5, ts=1000)
+    _seed(db1, n=5, ts=2000)
+    db2 = Database(spark, db1.path)
+    db1._VIEW_TTL_SECONDS = 2.0
+    db2._VIEW_TTL_SECONDS = 2.0
+    errs = []
+
+    def churn(db, base):
+        try:
+            for i in range(6):
+                _seed(db, n=3, ts=base + i)
+                n = db.read().count()
+                assert n > 0, "read raced a view reap to zero rows"
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=churn, args=(db1, 10_000))
+    t2 = threading.Thread(target=churn, args=(db2, 20_000))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+
+    # age every view past the TTL, then one more read + GC cycle
+    _time.sleep(2.2)
+    assert db1.read().count() > 0
+    phash = hashlib.sha1(db1.path.encode()).hexdigest()[:8]
+    alive = [t.name for t in spark.catalog.listTables()
+             if t.name.startswith(f"snk_v_{phash}_")]
+    assert len(alive) <= 2, alive  # current view (+ the one just touched)
