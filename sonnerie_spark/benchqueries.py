@@ -3716,6 +3716,125 @@ def q_deterministic_shuffle(spark, sf_dir):
     return sampling.deterministic_shuffle(docs, "doc_id")
 
 
+def _png_pixels_sql(w_sql: str, h_sql: str) -> str:
+    """The gate's pixel-source arithmetic, shared by both engines: pixel
+    bytes are the ASCII prefix of repeat(md5(text), 9) sized w*h*3 —
+    ASCII so DuckDB's VARCHAR md5/substring digest the same BYTES the
+    Spark-side decoder sees (DuckDB cannot slice BLOBs)."""
+    return f"substring(repeat(md5(text), 9), 1, ({w_sql}) * ({h_sql}) * 3)"
+
+
+def _png_media(spark, sf_dir, w_mod: int, w_add: int, h_mod: int, h_add: int):
+    """documents -> MEDIA-shaped frame of REAL zlib-compressed PNGs.
+
+    Per row: w = doc_id % w_mod + w_add, h = doc_id % h_mod + h_add,
+    RGB pixels = ASCII bytes of repeat(md5(text), 9)[: w*h*3], scanline
+    filter = doc_id % 5 so all five PNG filter types are exercised
+    under the oracle. Runs as mapInPandas; pngcodec ships by value.
+    """
+    from sonnerie_spark.operators import pngcodec
+
+    enc = pngcodec.encode_png
+    docs = load_par(spark, sf_dir, "documents")
+
+    def build(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd  # noqa: PLC0415 - worker-side import
+
+        for pdf in batches:
+            def to_png(doc_id: int, text: str) -> bytes:
+                w = doc_id % w_mod + w_add
+                h = doc_id % h_mod + h_add
+                need = w * h * 3
+                src = (hashlib.md5(text.encode()).hexdigest() * 9)[:need]
+                px = np.frombuffer(src.encode("ascii"), np.uint8).reshape(
+                    h, w, 3
+                )
+                return enc(px, filter_type=doc_id % 5)
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": "image",
+                    "content": [
+                        to_png(int(i), t)
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                    "meta": None,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(build, MEDIA_SCHEMA_DDL)
+
+
+@q(
+    "multimodal_decode_png",
+    f"""
+    SELECT doc_id AS media_id, 'png' AS codec,
+           cast(doc_id % 12 + 1 AS int) AS width,
+           cast(doc_id % 8 + 1 AS int) AS height,
+           3 AS channels, true AS valid,
+           md5({_png_pixels_sql("doc_id % 12 + 1", "doc_id % 8 + 1")})
+             AS pixel_md5
+    FROM documents
+    """,
+    "data",
+)
+def q_multimodal_decode_png(spark, sf_dir):
+    """COMPRESSED image decode under the gate: each document becomes a
+    genuine zlib-compressed PNG (all five scanline filters across the
+    corpus), and decode_media recovers geometry AND the md5 of the
+    defiltered pixel matrix FROM THE COMPRESSED BYTES. The oracle
+    recomputes both from the construction arithmetic, so a decoder that
+    skims headers without really inflating/defiltering hash-mismatches
+    on pixel_md5. This retires the 'compressed formats are stubbed'
+    seam for PNG; lossy codecs (JPEG/MP3) remain behind
+    decode_features. No reference analogue (njaard/sonnerie has no
+    media ops); training-data-pipeline extension surface."""
+    from sonnerie_spark.operators import multimodal
+
+    media = _png_media(spark, sf_dir, 12, 1, 8, 1)
+    return multimodal.decode_media(media).select(
+        "media_id", "codec", "width", "height", "channels", "valid",
+        "pixel_md5",
+    )
+
+
+@q(
+    "multimodal_resize_png",
+    """
+    SELECT doc_id AS media_id, 'png' AS codec,
+           cast((doc_id % 11 + 3) // 2 AS int) AS width,
+           cast((doc_id % 7 + 3) // 2 AS int) AS height,
+           3 AS channels, true AS valid
+    FROM documents
+    """,
+    "data",
+)
+def q_multimodal_resize_png(spark, sf_dir):
+    """Compressed-format resize roundtrip: build real PNGs (w in 2..12,
+    h in 2..8), nearest-neighbor downsample by 2 through resize_media
+    (decode -> stride -> re-encode), then RE-DECODE the emitted bytes
+    with decode_media in the same plan — the gate certifies the
+    re-encoded PNG is standards-decodable with ceil(w/2) x ceil(h/2)
+    geometry. Pixel-exactness of the stride subsample is pinned by
+    tests/test_multimodal_png.py against numpy slicing."""
+    from sonnerie_spark.operators import multimodal
+
+    media = _png_media(spark, sf_dir, 11, 2, 7, 2)
+    resized = multimodal.resize_media(media, factor=2).select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        "content",
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+    return multimodal.decode_media(resized).select(
+        "media_id", "codec", "width", "height", "channels", "valid"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's CORRECTNESS gate checks the FIRST
 # 50 registry rows; definition order above is pedagogical (parity ops,
