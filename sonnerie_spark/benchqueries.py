@@ -3835,6 +3835,73 @@ def q_multimodal_resize_png(spark, sf_dir):
     )
 
 
+@q(
+    "multimodal_decode_gif",
+    r"""
+    SELECT doc_id AS media_id, 'gif' AS codec,
+           cast(doc_id % 10 + 1 AS int) AS width,
+           cast(doc_id % 6 + 1 AS int) AS height,
+           3 AS channels, true AS valid,
+           md5(regexp_replace(
+                 substring(repeat(md5(text), 2), 1,
+                           (doc_id % 10 + 1) * (doc_id % 6 + 1)),
+                 '(.)', '\1\1\1', 'g')) AS pixel_md5
+    FROM documents
+    """,
+    "data",
+)
+def q_multimodal_decode_gif(spark, sf_dir):
+    """GIF (LZW) decode under the gate: each document becomes a genuine
+    GIF89a (palette indices = ASCII bytes of repeat(md5(text), 2),
+    identity grayscale palette i -> (i,i,i), alternating interlaced /
+    sequential row order), and decode_media recovers geometry AND the
+    md5 of the palette-expanded RGB matrix from the LZW stream. The
+    oracle triples every source character (the identity palette makes
+    RGB = each index byte three times), so a decoder that skims the
+    screen descriptor without really running LZW hash-mismatches.
+    Together with multimodal_decode_png this leaves only lossy codecs
+    (JPEG/MP3/video) behind the decode_features seam. No reference
+    analogue; training-data-pipeline extension surface."""
+    from sonnerie_spark.operators import gifcodec, multimodal
+
+    enc = gifcodec.encode_gif
+    docs = load_par(spark, sf_dir, "documents")
+
+    def build(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd  # noqa: PLC0415 - worker-side import
+
+        pal = np.stack([np.arange(128)] * 3, axis=1).astype(np.uint8)
+
+        def to_gif(doc_id: int, text: str) -> bytes:
+            w = doc_id % 10 + 1
+            h = doc_id % 6 + 1
+            src = (hashlib.md5(text.encode()).hexdigest() * 2)[: w * h]
+            idx = np.frombuffer(src.encode("ascii"), np.uint8).reshape(h, w)
+            return enc(idx, pal, interlace=bool(doc_id % 2))
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": "image",
+                    "content": [
+                        to_gif(int(i), t)
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                    "meta": None,
+                }
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(build, MEDIA_SCHEMA_DDL)
+    return multimodal.decode_media(media).select(
+        "media_id", "codec", "width", "height", "channels", "valid",
+        "pixel_md5",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's CORRECTNESS gate checks the FIRST
 # 50 registry rows; definition order above is pedagogical (parity ops,

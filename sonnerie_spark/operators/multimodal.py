@@ -5,10 +5,11 @@ signatures) is real and tested. Decoding comes in two tiers:
 
 - ``decode_media``: REAL decoding with no codec library — netpbm images
   (PPM/PGM: width/height), RIFF WAV audio (channels/sample rate/frame
-  count/duration), and compressed PNG images (full inflate + defilter +
-  palette expansion via the pure-stdlib ``pngcodec`` module; the
-  ``pixel_md5`` column digests the actual decoded pixels, so the gate
-  proves the decompression is real, not a header skim).
+  count/duration), and compressed PNG + GIF images (full inflate /
+  defilter / LZW / palette expansion via the pure-stdlib ``pngcodec``
+  and ``gifcodec`` modules; the ``pixel_md5`` column digests the
+  actual decoded pixels, so the gate proves the decompression is real,
+  not a header skim).
 - ``decode_features``: the residual codec seam — LOSSY codecs
   (JPEG/MP3/video) whose decoders genuinely need external libraries
   (PIL / torchvision / ffmpeg) not present in this environment; the
@@ -30,7 +31,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from . import pngcodec
+from . import gifcodec, pngcodec
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -162,6 +163,9 @@ def decode_media(df: DataFrame) -> DataFrame:
       ``pixel_md5`` digests the decoded matrix. Recognized-but-
       unsupported variants (16-bit, Adam7) report codec='png',
       valid=false.
+    - GIF: first-frame LZW decode via ``gifcodec`` (pure-Python LZW,
+      palette -> RGB, interlace reorder); same valid/pixel_md5
+      contract as PNG.
     - WAV (RIFF): fmt chunk -> channels / sample_rate / bits, data chunk
       -> frame count and duration_us.
 
@@ -175,6 +179,8 @@ def decode_media(df: DataFrame) -> DataFrame:
     """
     _parse_ihdr = pngcodec.parse_ihdr
     _decode_png = pngcodec.decode_png
+    _parse_screen = gifcodec.parse_screen
+    _decode_gif = gifcodec.decode_gif
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -247,6 +253,29 @@ def decode_media(df: DataFrame) -> DataFrame:
                 "pixel_md5": hashlib.md5(px.tobytes()).hexdigest(),
             }
 
+        def parse_gif(b: bytes):
+            scr = _parse_screen(b)
+            if scr is None:
+                return None
+            got = _decode_gif(b)
+            if got is None:  # truncated/corrupt LZW or palette
+                return {
+                    "codec": "gif",
+                    "width": scr["width"],
+                    "height": scr["height"],
+                    "channels": 3,
+                    "valid": False,
+                }
+            w, h, ch, px = got
+            return {
+                "codec": "gif",
+                "width": w,
+                "height": h,
+                "channels": ch,
+                "valid": True,
+                "pixel_md5": hashlib.md5(px.tobytes()).hexdigest(),
+            }
+
         def parse_wav(b: bytes):
             import struct
 
@@ -287,7 +316,7 @@ def decode_media(df: DataFrame) -> DataFrame:
             }
 
         def decode(b: bytes) -> dict:
-            got = parse_pnm(b) or parse_png(b) or parse_wav(b)
+            got = parse_pnm(b) or parse_png(b) or parse_gif(b) or parse_wav(b)
             base = {
                 "codec": None,
                 "width": None,
@@ -340,9 +369,11 @@ def resize_media(df: DataFrame, *, factor: int = 2) -> DataFrame:
     """REAL image downsampling for every decodable image format:
     nearest-neighbor subsample every ``factor``-th pixel (numpy stride
     slicing over the pixel matrix) and re-emit valid bytes with the new
-    geometry — netpbm P6/P5 in and out, and PNG in and out (full
+    geometry — netpbm P6/P5 in and out, PNG in and out (full
     inflate/defilter through ``pngcodec``, re-encoded as a
-    standards-valid PNG; palette images come back as plain RGB).
+    standards-valid PNG; palette images come back as plain RGB), and
+    GIF in and out (LZW decode through ``gifcodec``, re-encoded with a
+    palette rebuilt from the subsample's unique colors).
     Undecodable rows pass through with NULL codec/content — the seam
     where a codec library would handle the lossy formats (JPEG etc.).
 
@@ -357,6 +388,8 @@ def resize_media(df: DataFrame, *, factor: int = 2) -> DataFrame:
         raise ValueError("factor must be >= 1")
     _decode_png = pngcodec.decode_png
     _encode_png = pngcodec.encode_png
+    _decode_gif = gifcodec.decode_gif
+    _encode_gif = gifcodec.encode_gif
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def resize_png(b: bytes):
@@ -368,10 +401,25 @@ def resize_media(df: DataFrame, *, factor: int = 2) -> DataFrame:
             out = _encode_png(sub)
             return ("png", sub.shape[1], sub.shape[0], out, len(out))
 
+        def resize_gif(b: bytes):
+            got = _decode_gif(b)
+            if got is None:
+                return None
+            _w, _h, _ch, px = got
+            sub = np.ascontiguousarray(px[::k, ::k, :])
+            # a stride subsample of a paletted image stays paletted:
+            # rebuild the (<= original-size) palette from unique colors
+            pal, inv = np.unique(
+                sub.reshape(-1, 3), axis=0, return_inverse=True
+            )
+            idx = inv.astype(np.uint8).reshape(sub.shape[0], sub.shape[1])
+            out = _encode_gif(idx, pal.astype(np.uint8))
+            return ("gif", sub.shape[1], sub.shape[0], out, len(out))
+
         def resize_one(b: bytes):
             magic = bytes(b[:2])
             if magic not in (b"P6", b"P5"):
-                return resize_png(b)
+                return resize_png(b) or resize_gif(b)
             i, vals = 2, []
             while len(vals) < 3 and i < len(b):
                 c = b[i : i + 1]
