@@ -3902,6 +3902,92 @@ def q_multimodal_decode_gif(spark, sf_dir):
     )
 
 
+@q(
+    "multimodal_decode_jpeg",
+    """
+    WITH m AS (
+      SELECT doc_id, md5(text) AS hx,
+             doc_id % 4 + 1 AS wb, doc_id % 3 + 1 AS hb
+      FROM documents
+    ),
+    cells AS (
+      SELECT doc_id, hx, wb, hb, unnest(range(hb * wb)) AS cell FROM m
+    ),
+    segs AS (
+      SELECT doc_id, wb, hb, cell // wb AS by, cell % wb AS bx,
+             repeat(chr(ascii(substring(hx, cell + 1, 1))
+                        - ascii(substring(hx, cell + 1, 1)) % 2), 8) AS seg
+      FROM cells
+    ),
+    rws AS (
+      SELECT doc_id, by, any_value(wb) AS wb, any_value(hb) AS hb,
+             string_agg(seg, '' ORDER BY bx) AS rowstr
+      FROM segs GROUP BY doc_id, by
+    )
+    SELECT doc_id AS media_id, 'jpeg' AS codec,
+           cast(any_value(wb) * 8 AS int) AS width,
+           cast(any_value(hb) * 8 AS int) AS height,
+           1 AS channels, true AS valid,
+           md5(string_agg(repeat(rowstr, 8), '' ORDER BY by)) AS pixel_md5
+    FROM rws GROUP BY doc_id
+    """,
+    "data",
+)
+def q_multimodal_decode_jpeg(spark, sf_dir):
+    """Baseline JPEG decode under an EXACT gate despite the codec being
+    lossy: each document becomes a genuine DCT/Huffman-coded grayscale
+    JPEG whose image is uniform 8x8 blocks with even sample values
+    (block b = md5(text)[b] rounded down to even) — for such images
+    every AC coefficient is zero and the DC (8c) quantizes by 16 to
+    round(c/2), exact for even c, so encode->decode is LOSSLESS and
+    decode_media's pixel_md5 is value-hash-checkable. The oracle
+    reassembles the block matrix in SQL and digests the same bytes; a
+    decoder that skims SOF0 without really running Huffman + IDCT
+    mismatches. With PNG and GIF gated the same way, every still-image
+    format common in crawled corpora now decodes for real; the
+    remaining seam is audio/video codecs. No reference analogue;
+    training-data-pipeline extension surface."""
+    from sonnerie_spark.operators import jpegcodec, multimodal
+
+    enc = jpegcodec.encode_jpeg
+    docs = load_par(spark, sf_dir, "documents")
+
+    def build(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd  # noqa: PLC0415 - worker-side import
+
+        def to_jpeg(doc_id: int, text: str) -> bytes:
+            wb = doc_id % 4 + 1
+            hb = doc_id % 3 + 1
+            hx = hashlib.md5(text.encode()).hexdigest()[: wb * hb]
+            vals = np.array(
+                [ord(c) - ord(c) % 2 for c in hx], np.uint8
+            ).reshape(hb, wb)
+            img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+            return enc(img, quality=50)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": "image",
+                    "content": [
+                        to_jpeg(int(i), t)
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                    "meta": None,
+                }
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(build, MEDIA_SCHEMA_DDL)
+    return multimodal.decode_media(media).select(
+        "media_id", "codec", "width", "height", "channels", "valid",
+        "pixel_md5",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's CORRECTNESS gate checks the FIRST
 # 50 registry rows; definition order above is pedagogical (parity ops,

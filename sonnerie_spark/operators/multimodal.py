@@ -5,17 +5,17 @@ signatures) is real and tested. Decoding comes in two tiers:
 
 - ``decode_media``: REAL decoding with no codec library — netpbm images
   (PPM/PGM: width/height), RIFF WAV audio (channels/sample rate/frame
-  count/duration), and compressed PNG + GIF images (full inflate /
-  defilter / LZW / palette expansion via the pure-stdlib ``pngcodec``
-  and ``gifcodec`` modules; the ``pixel_md5`` column digests the
-  actual decoded pixels, so the gate proves the decompression is real,
-  not a header skim).
-- ``decode_features``: the residual codec seam — LOSSY codecs
-  (JPEG/MP3/video) whose decoders genuinely need external libraries
-  (PIL / torchvision / ffmpeg) not present in this environment; the
-  default is a clearly-marked stub, and ``png_feature_decoder`` shows
-  the seam filled with a real decoder. Swap the ``decoder`` callable
-  without touching the plan.
+  count/duration), and compressed PNG + GIF + baseline JPEG images
+  (full inflate / defilter / LZW / Huffman+IDCT / palette expansion
+  via the pure-Python ``pngcodec`` / ``gifcodec`` / ``jpegcodec``
+  modules; the ``pixel_md5`` column digests the actual decoded pixels,
+  so the gate proves the decompression is real, not a header skim).
+- ``decode_features``: the residual codec seam — audio/video codecs
+  (MP3/AAC/H.264) whose decoders genuinely need external libraries
+  (ffmpeg / torchaudio) not present in this environment; the default
+  is a clearly-marked stub, and ``png_feature_decoder`` shows the seam
+  filled with a real decoder. Swap the ``decoder`` callable without
+  touching the plan.
 
 Pattern at 100 TB: media bytes travel as a ``binary`` column next to
 typed metadata; decode/feature passes run as ``mapInPandas`` so each
@@ -31,7 +31,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from . import gifcodec, pngcodec
+from . import gifcodec, jpegcodec, pngcodec
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -166,6 +166,9 @@ def decode_media(df: DataFrame) -> DataFrame:
     - GIF: first-frame LZW decode via ``gifcodec`` (pure-Python LZW,
       palette -> RGB, interlace reorder); same valid/pixel_md5
       contract as PNG.
+    - JPEG: baseline-sequential decode via ``jpegcodec`` (Huffman +
+      dequant + IDCT + chroma upsampling + YCbCr->RGB, pure numpy);
+      progressive/12-bit report codec='jpeg', valid=false.
     - WAV (RIFF): fmt chunk -> channels / sample_rate / bits, data chunk
       -> frame count and duration_us.
 
@@ -181,6 +184,8 @@ def decode_media(df: DataFrame) -> DataFrame:
     _decode_png = pngcodec.decode_png
     _parse_screen = gifcodec.parse_screen
     _decode_gif = gifcodec.decode_gif
+    _parse_sof = jpegcodec.parse_sof
+    _decode_jpeg = jpegcodec.decode_jpeg
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -276,6 +281,29 @@ def decode_media(df: DataFrame) -> DataFrame:
                 "pixel_md5": hashlib.md5(px.tobytes()).hexdigest(),
             }
 
+        def parse_jpeg(b: bytes):
+            sof = _parse_sof(b)
+            if sof is None:
+                return None
+            got = _decode_jpeg(b) if sof["baseline"] else None
+            if got is None:  # truncated/corrupt, or progressive/12-bit
+                return {
+                    "codec": "jpeg",
+                    "width": sof["width"],
+                    "height": sof["height"],
+                    "channels": sof["channels"],
+                    "valid": False,
+                }
+            w, h, ch, px = got
+            return {
+                "codec": "jpeg",
+                "width": w,
+                "height": h,
+                "channels": ch,
+                "valid": True,
+                "pixel_md5": hashlib.md5(px.tobytes()).hexdigest(),
+            }
+
         def parse_wav(b: bytes):
             import struct
 
@@ -316,7 +344,10 @@ def decode_media(df: DataFrame) -> DataFrame:
             }
 
         def decode(b: bytes) -> dict:
-            got = parse_pnm(b) or parse_png(b) or parse_gif(b) or parse_wav(b)
+            got = (
+                parse_pnm(b) or parse_png(b) or parse_gif(b)
+                or parse_jpeg(b) or parse_wav(b)
+            )
             base = {
                 "codec": None,
                 "width": None,
@@ -373,9 +404,11 @@ def resize_media(df: DataFrame, *, factor: int = 2) -> DataFrame:
     inflate/defilter through ``pngcodec``, re-encoded as a
     standards-valid PNG; palette images come back as plain RGB), and
     GIF in and out (LZW decode through ``gifcodec``, re-encoded with a
-    palette rebuilt from the subsample's unique colors).
-    Undecodable rows pass through with NULL codec/content — the seam
-    where a codec library would handle the lossy formats (JPEG etc.).
+    palette rebuilt from the subsample's unique colors), and baseline
+    JPEG in and out (``jpegcodec`` decode, quality-90 re-encode — the
+    one inherently lossy hop). Undecodable rows pass through with NULL
+    codec/content — the residue is audio/video codecs (MP3/H.264 etc.)
+    that genuinely need external libraries.
 
     Arrow-batched mapInPandas like every media pass; per-row cost is one
     numpy reshape + strided copy (plus DEFLATE for PNG), no Python
@@ -390,6 +423,8 @@ def resize_media(df: DataFrame, *, factor: int = 2) -> DataFrame:
     _encode_png = pngcodec.encode_png
     _decode_gif = gifcodec.decode_gif
     _encode_gif = gifcodec.encode_gif
+    _decode_jpeg = jpegcodec.decode_jpeg
+    _encode_jpeg = jpegcodec.encode_jpeg
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def resize_png(b: bytes):
@@ -416,10 +451,23 @@ def resize_media(df: DataFrame, *, factor: int = 2) -> DataFrame:
             out = _encode_gif(idx, pal.astype(np.uint8))
             return ("gif", sub.shape[1], sub.shape[0], out, len(out))
 
+        def resize_jpeg(b: bytes):
+            got = _decode_jpeg(b)
+            if got is None:
+                return None
+            _w, _h, _ch, px = got
+            sub = np.ascontiguousarray(px[::k, ::k, :])
+            # re-encoding is lossy by nature (the JPEG trade); high
+            # quality keeps the pass usable as a pipeline step
+            out = _encode_jpeg(
+                sub if sub.shape[2] == 3 else sub[:, :, 0], quality=90
+            )
+            return ("jpeg", sub.shape[1], sub.shape[0], out, len(out))
+
         def resize_one(b: bytes):
             magic = bytes(b[:2])
             if magic not in (b"P6", b"P5"):
-                return resize_png(b) or resize_gif(b)
+                return resize_png(b) or resize_gif(b) or resize_jpeg(b)
             i, vals = 2, []
             while len(vals) < 3 and i < len(b):
                 c = b[i : i + 1]
