@@ -3988,6 +3988,174 @@ def q_multimodal_decode_jpeg(spark, sf_dir):
     )
 
 
+def _build_avi_batches(batches):
+    """mapInPandas builder shared by the AVI gates: each document becomes
+    a genuine RIFF AVI container holding ``doc_id % 3 + 2`` MJPEG frames
+    at 25 fps; frame f's image is the same uniform even-valued 8x8-block
+    construction the JPEG gate proves lossless, with the block->hex-char
+    mapping rotated by f (block b reads md5(text)[(b+f) % 32]) so every
+    frame of every video has distinct, SQL-reproducible pixels."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd  # noqa: PLC0415 - worker-side import
+
+    from sonnerie_spark.operators import avicodec, jpegcodec
+
+    def to_avi(doc_id: int, text: str) -> bytes:
+        wb = doc_id % 4 + 1
+        hb = doc_id % 3 + 1
+        nf = doc_id % 3 + 2
+        hx = hashlib.md5(text.encode()).hexdigest()
+        frames = []
+        for f in range(nf):
+            vals = np.array(
+                [
+                    ord(hx[(b + f) % 32]) - ord(hx[(b + f) % 32]) % 2
+                    for b in range(wb * hb)
+                ],
+                np.uint8,
+            ).reshape(hb, wb)
+            img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+            frames.append(jpegcodec.encode_jpeg(img, quality=50))
+        return avicodec.encode_avi_mjpeg(
+            frames, width=wb * 8, height=hb * 8, fps=25
+        )
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["doc_id"].astype("int64"),
+                "kind": "video",
+                "content": [
+                    to_avi(int(i), t)
+                    for i, t in zip(pdf["doc_id"], pdf["text"])
+                ],
+                "meta": None,
+            }
+        )
+
+
+_AVI_PIXEL_CTE = """
+    WITH m AS (
+      SELECT doc_id, md5(text) AS hx,
+             doc_id % 4 + 1 AS wb, doc_id % 3 + 1 AS hb,
+             doc_id % 3 + 2 AS nf
+      FROM documents
+    )
+"""
+
+
+@q(
+    "multimodal_decode_avi",
+    _AVI_PIXEL_CTE
+    + """,
+    cells AS (
+      SELECT doc_id, hx, wb, hb, nf, unnest(range(hb * wb)) AS cell FROM m
+    ),
+    segs AS (
+      SELECT doc_id, wb, hb, nf, cell // wb AS by, cell % wb AS bx,
+             repeat(chr(ascii(substring(hx, (cell % 32) + 1, 1))
+                        - ascii(substring(hx, (cell % 32) + 1, 1)) % 2), 8)
+               AS seg
+      FROM cells
+    ),
+    rws AS (
+      SELECT doc_id, by, any_value(wb) AS wb, any_value(hb) AS hb,
+             any_value(nf) AS nf,
+             string_agg(seg, '' ORDER BY bx) AS rowstr
+      FROM segs GROUP BY doc_id, by
+    )
+    SELECT doc_id AS media_id, 'mjpeg' AS codec,
+           cast(any_value(wb) * 8 AS int) AS width,
+           cast(any_value(hb) * 8 AS int) AS height,
+           1 AS channels,
+           cast(any_value(nf) AS bigint) AS n_frames,
+           cast(any_value(nf) * 40000 AS bigint) AS duration_us,
+           true AS valid,
+           md5(string_agg(repeat(rowstr, 8), '' ORDER BY by)) AS pixel_md5
+    FROM rws GROUP BY doc_id
+    """,
+    "data",
+)
+def q_multimodal_decode_avi(spark, sf_dir):
+    """Video-container decode under an EXACT gate: each document becomes
+    a real RIFF AVI (avih/strh/strf headers + movi MJPEG frame chunks,
+    built by ``avicodec``), and decode_media walks the container for
+    geometry/frame-count/duration then REALLY decodes frame 0 through
+    the baseline JPEG codec — pixel_md5 digests the decoded pixels, so
+    a parser that skims avih without running Huffman+IDCT on the frame
+    bytes mismatches. The frame images reuse the even-valued-block
+    construction the JPEG gate proves lossless; the oracle reassembles
+    frame 0's pixel matrix in SQL and digests the same bytes. With this
+    the multimodal surface covers image + audio + video containers for
+    real; the residual seam is inter-frame codecs (H.264 etc.). No
+    reference analogue; training-data-pipeline extension surface."""
+    from sonnerie_spark.operators import multimodal
+
+    docs = load_par(spark, sf_dir, "documents")
+    media = docs.select("doc_id", "text").mapInPandas(
+        _build_avi_batches, MEDIA_SCHEMA_DDL
+    )
+    return multimodal.decode_media(media).select(
+        "media_id", "codec", "width", "height", "channels", "n_frames",
+        "duration_us", "valid", "pixel_md5",
+    )
+
+
+@q(
+    "multimodal_frame_sample",
+    _AVI_PIXEL_CTE
+    + """,
+    fr AS (
+      SELECT doc_id, hx, wb, hb, unnest(range(nf)) AS f FROM m
+    ),
+    kept AS (SELECT * FROM fr WHERE f % 2 = 0),
+    cells AS (
+      SELECT doc_id, f, hx, wb, hb, unnest(range(hb * wb)) AS cell
+      FROM kept
+    ),
+    segs AS (
+      SELECT doc_id, f, wb, cell // wb AS by, cell % wb AS bx,
+             repeat(chr(ascii(substring(hx, ((cell + f) % 32) + 1, 1))
+                        - ascii(substring(hx, ((cell + f) % 32) + 1, 1)) % 2),
+                    8) AS seg
+      FROM cells
+    ),
+    rws AS (
+      SELECT doc_id, f, by, any_value(wb) AS wb,
+             string_agg(seg, '' ORDER BY bx) AS rowstr
+      FROM segs GROUP BY doc_id, f, by
+    )
+    SELECT doc_id AS media_id, cast(f AS int) AS frame_idx,
+           cast(any_value(wb) * 8 AS int) AS width,
+           cast(count(*) * 8 AS int) AS height,
+           1 AS channels, true AS valid,
+           md5(string_agg(repeat(rowstr, 8), '' ORDER BY by)) AS pixel_md5
+    FROM rws GROUP BY doc_id, f
+    """,
+    "data",
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    """REAL video frame sampling (the task's 'frame-sample' op, no
+    longer plumbing-only): keep every 2nd frame of each AVI and decode
+    the kept frames — one row per kept frame, pixel_md5 over the
+    DECODED pixels. The container walk is a chunk-header skip, so
+    decode cost tracks the SAMPLED frame count, not video length
+    (the 100 TB story: sampling 1-in-30 frames costs 1/30th of the
+    Huffman+IDCT, the dominant term). Rows fan out (video -> frames);
+    the oracle regenerates every kept frame's pixel matrix in SQL.
+    Composition: avicodec (container) x jpegcodec (frames) — no new
+    codec was needed for video."""
+    from sonnerie_spark.operators import multimodal
+
+    docs = load_par(spark, sf_dir, "documents")
+    media = docs.select("doc_id", "text").mapInPandas(
+        _build_avi_batches, MEDIA_SCHEMA_DDL
+    )
+    return multimodal.sample_frames(media, every=2)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's CORRECTNESS gate checks the FIRST
 # 50 registry rows; definition order above is pedagogical (parity ops,

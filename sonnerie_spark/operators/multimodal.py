@@ -31,7 +31,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from . import gifcodec, jpegcodec, pngcodec
+from . import avicodec, gifcodec, jpegcodec, pngcodec
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -171,6 +171,12 @@ def decode_media(df: DataFrame) -> DataFrame:
       progressive/12-bit report codec='jpeg', valid=false.
     - WAV (RIFF): fmt chunk -> channels / sample_rate / bits, data chunk
       -> frame count and duration_us.
+    - AVI/MJPEG (RIFF): container walk via ``avicodec`` (avih/strh
+      headers -> width/height/frame count/duration), then a REAL
+      baseline-JPEG decode of the first frame through ``jpegcodec`` —
+      ``pixel_md5`` digests those decoded pixels, and ``valid``
+      additionally requires every frame chunk the header promises to be
+      present in ``movi`` (truncated containers report valid=false).
 
     Unrecognized magics yield ``codec = NULL, valid = false`` — the
     residue is LOSSY codecs (JPEG/MP3/video) whose libraries are absent
@@ -186,6 +192,8 @@ def decode_media(df: DataFrame) -> DataFrame:
     _decode_gif = gifcodec.decode_gif
     _parse_sof = jpegcodec.parse_sof
     _decode_jpeg = jpegcodec.decode_jpeg
+    _parse_avi = avicodec.parse_avi
+    _frame_offsets = avicodec.frame_offsets
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -304,6 +312,34 @@ def decode_media(df: DataFrame) -> DataFrame:
                 "pixel_md5": hashlib.md5(px.tobytes()).hexdigest(),
             }
 
+        def parse_avi_mjpeg(b: bytes):
+            hdr = _parse_avi(b)
+            if hdr is None:
+                return None
+            spans = _frame_offsets(b) or []
+            n = hdr["n_frames"]
+            usec = hdr["usec_per_frame"]
+            first = None
+            if spans:
+                off, size = spans[0]
+                first = _decode_jpeg(b[off : off + size])
+            return {
+                "codec": "mjpeg",
+                "width": hdr["width"],
+                "height": hdr["height"],
+                "channels": first[2] if first else None,
+                "n_frames": n,
+                "duration_us": n * usec,
+                # header-promised frames all present AND the first one
+                # actually reconstructs through the real JPEG decode.
+                "valid": len(spans) == n and n > 0 and first is not None,
+                "pixel_md5": (
+                    hashlib.md5(first[3].tobytes()).hexdigest()
+                    if first
+                    else None
+                ),
+            }
+
         def parse_wav(b: bytes):
             import struct
 
@@ -346,7 +382,7 @@ def decode_media(df: DataFrame) -> DataFrame:
         def decode(b: bytes) -> dict:
             got = (
                 parse_pnm(b) or parse_png(b) or parse_gif(b)
-                or parse_jpeg(b) or parse_wav(b)
+                or parse_jpeg(b) or parse_avi_mjpeg(b) or parse_wav(b)
             )
             base = {
                 "codec": None,
@@ -634,3 +670,84 @@ def frame_sample(df: DataFrame, *, every_n_bytes: int = 64, max_frames: int = 8)
         "kind",
         F.filter(frames, lambda fr: F.length(fr) > 0).alias("frames"),
     )
+
+
+#: sample_frames output: one row per KEPT video frame, really decoded.
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("valid", T.BooleanType(), False),
+        T.StructField("pixel_md5", T.StringType(), True),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, *, every: int = 2) -> DataFrame:
+    """REAL video frame sampling: keep every ``every``-th frame of each
+    AVI/MJPEG container and decode the kept frames through the baseline
+    JPEG codec — one output row per kept frame with its true geometry
+    and a digest of the DECODED pixels.
+
+    The retired `frame_sample` byte-stride stub is superseded by this
+    for AVI inputs: the container walk (``avicodec.frame_offsets``) is
+    a chunk-header skip, so the pass reads headers for every frame but
+    runs Huffman+IDCT only on the 1/``every`` frames it keeps — at
+    corpus scale the decode cost tracks the SAMPLED frame count, not
+    the video length. mapInPandas over Arrow batches like every media
+    pass; rows fan out (one input video -> ceil(n/every) frames), so
+    downstream sizing should budget bytes-per-output-row, not input
+    row count. Non-AVI rows yield a single valid=false row at
+    frame_idx -1 (auditable residue, same convention as decode_media's
+    codec=NULL rows).
+    """
+    if every < 1:
+        raise ValueError(f"every must be >= 1, got {every}")
+    _frame_offsets = avicodec.frame_offsets
+    _decode_jpeg = jpegcodec.decode_jpeg
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = {
+                "media_id": [], "frame_idx": [], "width": [], "height": [],
+                "channels": [], "valid": [], "pixel_md5": [],
+            }
+
+            def emit(mid, idx, w, h, ch, ok, md5):
+                rows["media_id"].append(mid)
+                rows["frame_idx"].append(idx)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(ch)
+                rows["valid"].append(ok)
+                rows["pixel_md5"].append(md5)
+
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                spans = _frame_offsets(b)
+                if not spans:
+                    emit(int(mid), -1, None, None, None, False, None)
+                    continue
+                for idx in range(0, len(spans), every):
+                    off, size = spans[idx]
+                    got = _decode_jpeg(b[off : off + size])
+                    if got is None:
+                        emit(int(mid), idx, None, None, None, False, None)
+                    else:
+                        w, h, ch, px = got
+                        emit(
+                            int(mid), idx, w, h, ch, True,
+                            hashlib.md5(px.tobytes()).hexdigest(),
+                        )
+            o = pd.DataFrame(rows)
+            o["frame_idx"] = o["frame_idx"].astype("int32")
+            o["width"] = o["width"].astype("Int32")
+            o["height"] = o["height"].astype("Int32")
+            o["channels"] = o["channels"].astype("Int32")
+            yield o
+
+    return df.mapInPandas(op, FRAME_SAMPLE_SCHEMA)
