@@ -3988,6 +3988,75 @@ def q_multimodal_decode_jpeg(spark, sf_dir):
     )
 
 
+@q(
+    "multimodal_decode_mp3",
+    """
+    SELECT doc_id AS media_id, 'mp3' AS codec,
+           cast(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS int)
+             AS channels,
+           cast([44100, 48000, 32000][doc_id % 3 + 1] AS int)
+             AS sample_rate,
+           cast(doc_id % 20 + 5 AS bigint) AS n_frames,
+           (doc_id % 20 + 5) * 1152 * 1000000
+             // [44100, 48000, 32000][doc_id % 3 + 1] AS duration_us,
+           true AS valid
+    FROM documents
+    """,
+    "data",
+)
+def q_multimodal_decode_mp3(spark, sf_dir):
+    """MP3 bitstream metadata under an exact gate: each document becomes
+    a syntactically valid MPEG-1 Layer III CBR stream (real headers from
+    the published bitrate/sample-rate tables, doc-dependent frame count
+    / bitrate / rate / channel mode, ID3v2 tag prefixed on every 4th
+    doc), and decode_media walks it frame by frame — a parser that
+    reads one header and guesses from the byte length gets the
+    per-bitrate frame sizes and the tag skip wrong and desyncs, so
+    n_frames/duration only match if the walk is real. PCM synthesis
+    stays honestly behind the decode_features seam (codec libraries are
+    absent here). No reference analogue; training-data-pipeline
+    extension surface."""
+    from sonnerie_spark.operators import multimodal
+
+    docs = load_par(spark, sf_dir, "documents")
+
+    def build(batches):
+        import pandas as pd  # noqa: PLC0415 - worker-side import
+
+        from sonnerie_spark.operators import mp3codec
+
+        def to_mp3(doc_id: int, text: str) -> bytes:
+            s = mp3codec.encode_mp3_frames(
+                doc_id % 20 + 5,
+                bitrate_kbps=[64, 128, 320][doc_id % 3],
+                sample_rate=[44100, 48000, 32000][doc_id % 3],
+                mono=doc_id % 2 == 0,
+                fill=text.encode()[:16] or b"\x55",
+            )
+            if doc_id % 4 == 0:
+                s = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 12]) + b"x" * 12 + s
+            return s
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": "audio",
+                    "content": [
+                        to_mp3(int(i), t)
+                        for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
+                    "meta": None,
+                }
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(build, MEDIA_SCHEMA_DDL)
+    return multimodal.decode_media(media).select(
+        "media_id", "codec", "channels", "sample_rate", "n_frames",
+        "duration_us", "valid",
+    )
+
+
 def _build_avi_batches(batches):
     """mapInPandas builder shared by the AVI gates: each document becomes
     a genuine RIFF AVI container holding ``doc_id % 3 + 2`` MJPEG frames

@@ -31,7 +31,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
-from . import avicodec, gifcodec, jpegcodec, pngcodec
+from . import avicodec, gifcodec, jpegcodec, mp3codec, pngcodec
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -171,6 +171,12 @@ def decode_media(df: DataFrame) -> DataFrame:
       progressive/12-bit report codec='jpeg', valid=false.
     - WAV (RIFF): fmt chunk -> channels / sample_rate / bits, data chunk
       -> frame count and duration_us.
+    - MP3: real frame-by-frame bitstream walk via ``mp3codec`` (sync +
+      version/layer bits, published bitrate/sample-rate index tables,
+      ID3v2/ID3v1 tag skip) -> channels / sample_rate / MPEG frame
+      count / exact duration_us; ``valid`` requires the framing to be
+      consistent to EOF (truncated or garbage-tailed streams report
+      valid=false). PCM synthesis stays behind ``decode_features``.
     - AVI/MJPEG (RIFF): container walk via ``avicodec`` (avih/strh
       headers -> width/height/frame count/duration), then a REAL
       baseline-JPEG decode of the first frame through ``jpegcodec`` —
@@ -194,6 +200,7 @@ def decode_media(df: DataFrame) -> DataFrame:
     _decode_jpeg = jpegcodec.decode_jpeg
     _parse_avi = avicodec.parse_avi
     _frame_offsets = avicodec.frame_offsets
+    _parse_mp3 = mp3codec.parse_mp3
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -379,10 +386,24 @@ def decode_media(df: DataFrame) -> DataFrame:
                 "valid": data_complete,
             }
 
+        def parse_mp3(b: bytes):
+            got = _parse_mp3(b)
+            if got is None:
+                return None
+            return {
+                "codec": "mp3",
+                "channels": got["channels"],
+                "sample_rate": got["sample_rate"],
+                "n_frames": got["n_frames"],
+                "duration_us": got["duration_us"],
+                "valid": got["complete"],
+            }
+
         def decode(b: bytes) -> dict:
             got = (
                 parse_pnm(b) or parse_png(b) or parse_gif(b)
                 or parse_jpeg(b) or parse_avi_mjpeg(b) or parse_wav(b)
+                or parse_mp3(b)
             )
             base = {
                 "codec": None,
