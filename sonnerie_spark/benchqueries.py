@@ -4057,6 +4057,51 @@ def q_multimodal_decode_mp3(spark, sf_dir):
     )
 
 
+@q(
+    "normalize_text",
+    r"""
+    WITH dirty AS (
+      SELECT doc_id,
+             'Cafe' || chr(769) || ' ' || chr(7) || text || '  fin'
+               AS raw
+      FROM documents
+    )
+    SELECT doc_id AS id,
+           nfc_normalize(
+             trim(regexp_replace(
+               regexp_replace(raw, '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+               '[ \t]+', ' ', 'g'))) AS text,
+           nfc_normalize(
+             trim(regexp_replace(
+               regexp_replace(raw, '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+               '[ \t]+', ' ', 'g'))) <> raw AS changed
+    FROM dirty
+    """,
+    "data",
+)
+def q_normalize_text(spark, sf_dir):
+    """Unicode text normalization (NFC + control strip + whitespace
+    collapse), the canonical cleaning pass before dedup — un-normalized
+    text silently splits duplicate groups because 'Café' composed and
+    decomposed hash differently. The gate injects a decomposed accent
+    (e + U+0301), a BEL control byte, and doubled spaces into every
+    document in BOTH engines and value-hashes the full normalized
+    string, so the NFC recomposition and the regex semantics must agree
+    exactly with DuckDB's nfc_normalize. Strip/collapse/trim are
+    Catalyst regexp_replace (scan speed); NFC is the one Arrow-batched
+    pandas UDF, computed once via a two-step projection. No reference
+    analogue; training-data-pipeline extension surface."""
+    from sonnerie_spark.operators.text import normalize_text
+
+    docs = load_par(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("Cafe\u0301 \x07"), F.col("text"), F.lit("  fin")
+        ).alias("text"),
+    )
+    return normalize_text(docs, "doc_id", "text")
+
+
 def _build_avi_batches(batches):
     """mapInPandas builder shared by the AVI gates: each document becomes
     a genuine RIFF AVI container holding ``doc_id % 3 + 2`` MJPEG frames

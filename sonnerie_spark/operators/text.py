@@ -416,3 +416,52 @@ def chunk_documents(
         F.col(id_col).alias("id"),
         F.explode(F.transform(starts, to_chunk)).alias("c"),
     ).select("id", "c.chunk_idx", "c.chunk_text", "c.n_tokens")
+
+
+def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus text normalization: strip C0 control characters (except
+    tab/newline, which the collapse then folds), collapse ASCII
+    whitespace runs to one space, trim, and apply Unicode NFC so
+    visually identical strings (decomposed vs precomposed accents)
+    compare and hash equal — the canonical first pass before exact/
+    near dedup, where un-normalized text silently splits duplicate
+    groups.
+
+    The strip/collapse/trim run as Catalyst ``regexp_replace`` (JVM,
+    scan speed). NFC has no Catalyst builtin, so it runs as one
+    Arrow-batched pandas UDF over the already-cleaned column — the only
+    Python in the pass, and str.map(unicodedata.normalize) per Arrow
+    batch, not per-row serialization. Ordering is safe: the regexes
+    touch only ASCII classes, which every NFC normalization leaves
+    fixed. Emits (id, text, changed) — ``changed`` lets a pipeline
+    route only rewritten docs to a re-dedup pass.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(col):  # type: ignore[misc]
+        import unicodedata
+
+        return col.map(
+            lambda s: unicodedata.normalize("NFC", s) if s is not None else None
+        )
+
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.col(text_col), "[\\x00-\\x08\\x0B-\\x1F\\x7F]", ""
+            ),
+            "[ \\t]+",
+            " ",
+        )
+    )
+    # Two-step projection so the UDF column is computed once and the
+    # changed flag compares against it, not a second UDF evaluation.
+    step = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_orig"),
+        nfc(cleaned).alias("text"),
+    )
+    return step.select(
+        "id", "text", (F.col("text") != F.col("_orig")).alias("changed")
+    )

@@ -378,3 +378,35 @@ def test_chunk_documents_cover_and_reconstruct(spark):
     out2 = chunk_documents(df, "doc_id", "text", chunk_tokens=3, stride=2)
     for r in out2.collect():
         assert 1 <= r["n_tokens"] <= 3
+
+
+def test_normalize_text_idempotent_and_exact(spark):
+    """normalize_text: NFC recomposition, control strip, whitespace
+    collapse, trim — pinned outputs on constructed cases, idempotence
+    (normalizing a normalized corpus is the identity, changed=false),
+    and null passthrough."""
+    from sonnerie_spark.operators.text import normalize_text
+
+    rows = [
+        (1, "Café du  Parc"),         # decomposed accent + run
+        (2, "tab\tand\x07bell\x00ctl"),      # tab folds, controls strip
+        (3, "  already clean  "),            # trim only
+        (4, "Café"),                         # pre-composed: unchanged
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["id"]: (r["text"], r["changed"])
+           for r in normalize_text(df, "doc_id", "text").collect()}
+    assert got[1] == ("Café du Parc", True)
+    assert got[2] == ("tab andbellctl", True)
+    assert got[3] == ("already clean", True)
+    assert got[4] == ("Café", False)
+    assert got[5] == (None, None)
+
+    # Idempotence: a second pass changes nothing.
+    once = normalize_text(df, "doc_id", "text").filter("text IS NOT NULL")
+    twice = normalize_text(once, "id", "text")
+    assert twice.filter("changed").count() == 0
+    assert {r["text"] for r in twice.collect()} == {
+        t for t, _ in got.values() if t is not None
+    }
