@@ -4102,6 +4102,77 @@ def q_normalize_text(spark, sf_dir):
     return normalize_text(docs, "doc_id", "text")
 
 
+@q(
+    "strip_boilerplate",
+    """
+    WITH dirty AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0
+                   THEN 'ACCEPT COOKIES' || chr(10) ELSE '' END)
+             || text ||
+             (CASE WHEN doc_id % 2 = 0
+                   THEN chr(10) || '(c) 2020 Example Corp' ELSE '' END) AS t
+      FROM documents
+    ),
+    params AS (
+      SELECT greatest(2, cast(floor(0.01 * count(*)) AS int)) AS thr
+      FROM dirty
+    ),
+    lines AS (
+      SELECT doc_id,
+             unnest(range(len(string_split(t, chr(10))))) AS pos,
+             unnest(string_split(t, chr(10))) AS line
+      FROM dirty
+    ),
+    hot AS (
+      SELECT trim(line) AS k FROM lines, params
+      WHERE trim(line) <> ''
+      GROUP BY trim(line), thr HAVING count(DISTINCT doc_id) >= thr
+    ),
+    kept AS (
+      SELECT doc_id, pos, line FROM lines
+      WHERE trim(line) NOT IN (SELECT k FROM hot)
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id),
+    agg AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id AS id, coalesce(a.text, '') AS text,
+           t.n_lines - coalesce(a.n_kept, 0) AS n_removed
+    FROM tot t LEFT JOIN agg a USING (doc_id)
+    """,
+    "data",
+)
+def q_strip_boilerplate(spark, sf_dir):
+    """Corpus-frequency boilerplate removal (CCNet-style paragraph
+    dedup): lines repeated across >= max(2, 1% of docs) distinct
+    documents are stripped and each document reassembled in order. The
+    gate injects a cookie banner into every 3rd doc and a license
+    footer into every 2nd in BOTH engines — those lines' document
+    frequency puts them over the threshold, the real text lines stay
+    under it — and value-hashes the full cleaned text. Plan: one
+    explode + two-phase distinct-doc count, then a BROADCAST anti-join
+    of the line stream against the (tiny by construction) hot set —
+    the corpus shuffles once, at line granularity, and never joins
+    against itself. No reference analogue; training-data-pipeline
+    extension surface."""
+    from sonnerie_spark.operators.text import strip_boilerplate
+
+    docs = load_par(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("ACCEPT COOKIES\n"))
+            .otherwise(F.lit("")),
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("\n(c) 2020 Example Corp"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return strip_boilerplate(docs, "doc_id", "text", min_doc_frac=0.01)
+
+
 def _build_avi_batches(batches):
     """mapInPandas builder shared by the AVI gates: each document becomes
     a genuine RIFF AVI container holding ``doc_id % 3 + 2`` MJPEG frames

@@ -465,3 +465,66 @@ def normalize_text(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return step.select(
         "id", "text", (F.col("text") != F.col("_orig")).alias("changed")
     )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_doc_frac: float = 0.01,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the CCNet-style paragraph
+    dedup pass): a line whose trimmed form occurs in at least
+    ``max(min_docs, min_doc_frac * n_docs)`` DISTINCT documents is
+    boilerplate (cookie banners, nav menus, license footers); strip
+    those lines from every document and reassemble the rest in order.
+
+    Plan shape at corpus scale: one explode + two-phase distinct-doc
+    count per line key (map-side partials; the hot keys are exactly the
+    high-frequency ones, and their partial counts collapse to one row
+    per partition), then a BROADCAST anti-join of the line stream
+    against the hot set — by construction the hot set is tiny (lines
+    repeated across >=1% of docs), so no second shuffle of the corpus.
+    Reassembly sorts each doc's surviving lines by position inside one
+    aggregation. Emits (id, text, n_removed); documents whose every
+    line was boilerplate come back with empty text, not dropped.
+    """
+    n_docs = df.count()
+    threshold = max(min_docs, int(min_doc_frac * n_docs))
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    hot = (
+        lines.filter(F.trim("line") != "")
+        .groupBy(F.trim("line").alias("k"))
+        .agg(F.countDistinct("id").alias("df"))
+        .filter(F.col("df") >= threshold)
+        .select("k")
+    )
+    kept = lines.join(
+        F.broadcast(hot), F.trim(lines["line"]) == hot["k"], "left_anti"
+    )
+    per_doc = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = lines.groupBy("id").agg(F.count("*").alias("n_lines"))
+    return (
+        totals.join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )

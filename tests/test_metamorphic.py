@@ -410,3 +410,31 @@ def test_normalize_text_idempotent_and_exact(spark):
     assert {r["text"] for r in twice.collect()} == {
         t for t, _ in got.values() if t is not None
     }
+
+
+def test_strip_boilerplate_exact_and_broadcast(spark):
+    """strip_boilerplate: injected high-frequency lines are removed,
+    unique lines survive in order, an all-boilerplate doc comes back
+    empty (not dropped), and the anti-join against the hot set is a
+    BROADCAST join (the corpus must not shuffle against itself)."""
+    from sonnerie_spark.operators.text import strip_boilerplate
+
+    banner, footer = "ACCEPT COOKIES", "(c) footer"
+    rows = [
+        (1, f"{banner}\nalpha one\n{footer}"),
+        (2, f"{banner}\nbeta two\nbeta three\n{footer}"),
+        (3, f"{banner}\ngamma four\n{footer}"),
+        (4, f"{banner}\n{footer}"),          # all boilerplate
+        (5, "delta five"),                   # untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = strip_boilerplate(df, "doc_id", "text", min_doc_frac=0.5)
+    got = {r["id"]: (r["text"], r["n_removed"]) for r in out.collect()}
+    assert got[1] == ("alpha one", 2)
+    assert got[2] == ("beta two\nbeta three", 2)
+    assert got[3] == ("gamma four", 2)
+    assert got[4] == ("", 2)
+    assert got[5] == ("delta five", 0)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
