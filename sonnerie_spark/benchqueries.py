@@ -4173,6 +4173,57 @@ def q_strip_boilerplate(spark, sf_dir):
     return strip_boilerplate(docs, "doc_id", "text", min_doc_frac=0.01)
 
 
+@q(
+    "dedup_exact_incremental",
+    """
+    WITH dup AS (
+      SELECT d.doc_id, md5(a.text) AS h, d.doc_id % 2 AS b
+      FROM documents d
+      JOIN documents a ON a.doc_id = d.doc_id - d.doc_id % 3
+    ),
+    fb AS (SELECT h, min(b) AS mb FROM dup GROUP BY h),
+    keep AS (
+      SELECT dup.h AS h, min(dup.doc_id) AS id
+      FROM dup JOIN fb ON dup.h = fb.h AND dup.b = fb.mb
+      GROUP BY dup.h
+    )
+    SELECT id, h FROM keep
+    """,
+    "data",
+)
+def q_dedup_exact_incremental(spark, sf_dir):
+    """Incremental exact dedup via the persistent ExactIndex — the
+    exact-match sibling of the LSH index lifecycle gate: a duplicate-
+    rich corpus (every 3 docs share one text) arrives as two batches
+    (even ids, then odd ids); each batch dedups against everything
+    already ingested WITHOUT rescanning it (md5-hash index partitioned
+    by 2-hex-char prefix; the probe reads only the batch's own prefix
+    partitions — partition pruning from the directory layout). The
+    union of the two adds must equal a global first-occurrence dedup
+    ordered by (batch, id), which the oracle computes set-wise in SQL.
+    No reference analogue; training-data-pipeline extension surface."""
+    import tempfile
+
+    from sonnerie_spark.operators.dedup import ExactIndex
+
+    docs = load_par(spark, sf_dir, "documents")
+    anchors = docs.select(
+        F.col("doc_id").alias("aid"), F.col("text").alias("atext")
+    )
+    dup = (
+        docs.select(
+            "doc_id",
+            (F.col("doc_id") - F.col("doc_id") % 3).alias("aid"),
+        )
+        .join(anchors, "aid")
+        .select("doc_id", F.col("atext").alias("text"))
+    )
+    idx = ExactIndex(spark, tempfile.mkdtemp(prefix="exidx_gate_"))
+    k1 = idx.add(dup.filter(F.col("doc_id") % 2 == 0), "doc_id", "text")
+    k2 = idx.add(dup.filter(F.col("doc_id") % 2 == 1), "doc_id", "text")
+    return k1.union(k2)
+
+
 def _build_avi_batches(batches):
     """mapInPandas builder shared by the AVI gates: each document becomes
     a genuine RIFF AVI container holding ``doc_id % 3 + 2`` MJPEG frames

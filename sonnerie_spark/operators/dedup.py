@@ -649,3 +649,123 @@ class LshIndex:
             os.rename(self._data, back)
             os.rename(tmp, self._data)
             shutil.rmtree(back, ignore_errors=True)
+
+
+class ExactIndex:
+    """Persistent content-hash index for INCREMENTAL exact dedup — the
+    exact-match sibling of :class:`LshIndex`. A growing corpus dedups
+    each arriving batch against everything already ingested WITHOUT
+    rescanning the corpus: the index stores md5(text) hashes partitioned
+    by a 2-hex-char prefix (256 partitions), and a batch probe reads
+    ONLY the partitions its own hashes land in — partition pruning the
+    planner applies from the parquet directory layout, so a small batch
+    touches a small corpus fraction and per-batch cost is
+    O(batch + matching partitions), not O(corpus).
+
+    ``add()`` returns the batch rows that survive: first occurrence per
+    hash within the batch (smallest id — deterministic), minus anything
+    already indexed. Union over batches equals a global
+    first-occurrence-by-(batch, id) dedup (oracle-gated). Appends are
+    flock-serialized against ``compact()``'s directory swap, same
+    protocol as LshIndex.
+    """
+
+    def __init__(self, spark, path: str):
+        import os
+
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        os.makedirs(self.path, exist_ok=True)
+        self._data = os.path.join(self.path, "hashes")
+
+    def _existing(self) -> DataFrame | None:
+        import os
+
+        if not os.path.isdir(self._data):
+            return None
+        return (
+            self.spark.read.schema("h string, pfx string")
+            .option("basePath", self._data)
+            .parquet(self._data)
+        )
+
+    def add(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        """Dedup ``docs`` against the index AND within the batch, index
+        the survivors' hashes, and return the survivors as (id, h)."""
+        batch = (
+            docs.select(
+                F.col(id_col).cast("long").alias("id"),
+                F.md5(F.col(text_col)).alias("h"),
+            )
+            .groupBy("h")
+            .agg(F.min("id").alias("id"))
+            .withColumn("pfx", F.substring("h", 1, 2))
+            .persist()
+        )
+        try:
+            prefixes = [r["pfx"] for r in batch.select("pfx").distinct().collect()]
+            old = self._existing()
+            if old is not None and prefixes:
+                # .where on the partition column prunes to the batch's
+                # own prefix directories — the incremental cost story.
+                probe = old.where(F.col("pfx").isin(prefixes)).select("h")
+                fresh = batch.join(probe, "h", "left_anti")
+            else:
+                fresh = batch
+            # Truncate lineage BEFORE the append mutates the directory:
+            # the returned frame must not recompute against an index
+            # that now contains this very batch (and a plain persist()
+            # would be dropped by the batch.unpersist() cascade below).
+            fresh = fresh.localCheckpoint(eager=True)
+            with self._locked():
+                fresh.select("h", "pfx").write.mode("append").partitionBy(
+                    "pfx"
+                ).parquet(self._data)
+            return fresh.select("id", "h")
+        finally:
+            batch.unpersist()
+
+    def compact(self) -> None:
+        """Coalesce the per-batch file accumulation into one sorted file
+        per prefix partition (row-group stats then prune within a
+        partition probe too). Same lock protocol as LshIndex.compact."""
+        import os
+        import shutil
+        import time
+
+        with self._locked():
+            for name in os.listdir(self.path):
+                if name.startswith(("hashes.old-", "hashes.compact-")):
+                    shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+            old = self._existing()
+            if old is None:
+                return
+            tmp = self._data + f".compact-{os.getpid()}-{time.time_ns():x}"
+            (
+                old.repartition("pfx")
+                .sortWithinPartitions("h")
+                .write.partitionBy("pfx")
+                .parquet(tmp)
+            )
+            back = self._data + f".old-{time.time_ns():x}"
+            os.rename(self._data, back)
+            os.rename(tmp, self._data)
+            shutil.rmtree(back, ignore_errors=True)
+
+    def _locked(self):
+        import contextlib
+        import fcntl
+        import os
+
+        @contextlib.contextmanager
+        def hold():
+            fd = os.open(
+                os.path.join(self.path, ".lock"), os.O_CREAT | os.O_RDWR
+            )
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                os.close(fd)
+
+        return hold()

@@ -256,3 +256,43 @@ def test_streaming_lsh_index_dedup(spark, tmp_path):
         for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text").collect()
     }
     assert seen_pairs == one_shot and one_shot
+
+
+def test_exact_index_lifecycle(spark, tmp_path):
+    """ExactIndex: within-batch dedup keeps min id, cross-batch dedup
+    drops already-indexed content, compact() preserves the answer, and
+    the probe plan prunes to the batch's own prefix partitions."""
+    from pyspark.sql import functions as F
+
+    from sonnerie_spark.operators.dedup import ExactIndex
+
+    idx = ExactIndex(spark, str(tmp_path / "exidx"))
+    b1 = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa"), (4, "cc")],
+        "doc_id: long, text: string",
+    )
+    assert sorted(
+        r["id"] for r in idx.add(b1, "doc_id", "text").collect()
+    ) == [1, 2, 4]
+    b2 = spark.createDataFrame(
+        [(5, "bb"), (6, "dd"), (7, "dd"), (8, "aa")],
+        "doc_id: long, text: string",
+    )
+    assert sorted(
+        r["id"] for r in idx.add(b2, "doc_id", "text").collect()
+    ) == [6]
+    idx.compact()
+    b3 = spark.createDataFrame(
+        [(9, "dd"), (10, "ee")], "doc_id: long, text: string"
+    )
+    assert sorted(
+        r["id"] for r in idx.add(b3, "doc_id", "text").collect()
+    ) == [10]
+    # Re-adding indexed content is a no-op (idempotent downstream).
+    assert idx.add(b3, "doc_id", "text").count() == 0
+
+    # The probe is partition-pruned: a one-prefix filter plans exactly
+    # that prefix directory, not the whole index.
+    probe = idx._existing().where(F.col("pfx") == F.lit("aa"))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "(pfx" in plan, plan
