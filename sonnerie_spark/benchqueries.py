@@ -4175,6 +4175,11 @@ def q_strip_boilerplate(spark, sf_dir):
 
 @q(
     "dedup_exact_incremental",
+    # gate_only like the other stateful-lifecycle roundtrips
+    # (write_path, lsh_index_incremental): each execution creates and
+    # mutates a fresh on-disk index, so repeat-timing it benches tempdir
+    # churn, not a query; batch-ingest cost is measured by the scale
+    # tools instead.
     """
     WITH dup AS (
       SELECT d.doc_id, md5(a.text) AS h, d.doc_id % 2 AS b
@@ -4190,6 +4195,7 @@ def q_strip_boilerplate(spark, sf_dir):
     SELECT id, h FROM keep
     """,
     "data",
+    gate_only=True,
 )
 def q_dedup_exact_incremental(spark, sf_dir):
     """Incremental exact dedup via the persistent ExactIndex — the

@@ -717,10 +717,17 @@ class ExactIndex:
             # that now contains this very batch (and a plain persist()
             # would be dropped by the batch.unpersist() cascade below).
             fresh = fresh.localCheckpoint(eager=True)
+            # Size the append by row count, not shuffle parallelism: a
+            # partitionBy write from every shuffle partition emits
+            # tasks x 256 tiny files (measured 20 s for a 20k-row batch
+            # at 32 tasks); hashing pfx into ceil(rows/250k) tasks
+            # bounds the add at ~256 files total while big ingests
+            # still fan out.
+            n_tasks = min(256, max(1, fresh.count() // 250_000 + 1))
             with self._locked():
-                fresh.select("h", "pfx").write.mode("append").partitionBy(
-                    "pfx"
-                ).parquet(self._data)
+                fresh.select("h", "pfx").repartition(
+                    n_tasks, "pfx"
+                ).write.mode("append").partitionBy("pfx").parquet(self._data)
             return fresh.select("id", "h")
         finally:
             batch.unpersist()
