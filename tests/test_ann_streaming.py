@@ -296,3 +296,62 @@ def test_exact_index_lifecycle(spark, tmp_path):
     probe = idx._existing().where(F.col("pfx") == F.lit("aa"))
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "(pfx" in plan, plan
+
+
+def test_streaming_exact_index_dedup(spark, tmp_path):
+    """Exact dedup as a STREAMING pipeline: duplicate-rich micro-batches
+    (every 3 docs share one text) flow through ExactIndex.add in
+    foreachBatch. The accumulated keeper set must equal a global
+    first-occurrence dedup in stream order, computed independently."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    anchors = docs.select(
+        F.col("doc_id").alias("aid"), F.col("text").alias("atext")
+    )
+    dup = (
+        docs.select(
+            "doc_id", (F.col("doc_id") - F.col("doc_id") % 3).alias("aid")
+        )
+        .join(anchors, "aid")
+        .select("doc_id", F.col("atext").alias("text"))
+    )
+    src = str(tmp_path / "arrivals")
+    # File-source ordering is by path: b0 then b1.
+    dup.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(src + "/b0")
+    dup.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(src + "/b1")
+
+    idx = dedup.ExactIndex(spark, str(tmp_path / "exidx"))
+    kept = set()
+
+    def on_batch(batch_df, _bid):
+        for r in idx.add(batch_df, "doc_id", "text").collect():
+            kept.add((r["id"], r["h"]))
+
+    stream = (
+        spark.readStream.schema(dup.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(on_batch).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+
+    import hashlib
+
+    rows = sorted(
+        (r["doc_id"], r["text"]) for r in dup.collect()
+    )
+    seen, want = set(), set()
+    for parity in (0, 1):
+        first = {}
+        for i, t in rows:
+            if i % 2 != parity:
+                continue
+            h = hashlib.md5(t.encode()).hexdigest()
+            if h not in seen and (h not in first or i < first[h][0]):
+                first[h] = (i, h)
+        for h, pair in first.items():
+            seen.add(h)
+            want.add(pair)
+    assert kept == want and want
