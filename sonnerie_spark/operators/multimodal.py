@@ -10,12 +10,13 @@ signatures) is real and tested. Decoding comes in two tiers:
   via the pure-Python ``pngcodec`` / ``gifcodec`` / ``jpegcodec``
   modules; the ``pixel_md5`` column digests the actual decoded pixels,
   so the gate proves the decompression is real, not a header skim).
-- ``decode_features``: the residual codec seam — audio/video codecs
-  (MP3/AAC/H.264) whose decoders genuinely need external libraries
-  (ffmpeg / torchaudio) not present in this environment; the default
-  is a clearly-marked stub, and ``png_feature_decoder`` shows the seam
-  filled with a real decoder. Swap the ``decoder`` callable without
-  touching the plan.
+- ``decode_features``: the pluggable feature-extraction seam.
+  ``real_feature_decoder()`` fills it for every format this package
+  really decodes (netpbm/PNG/GIF/JPEG/AVI-MJPEG pixel stats, WAV
+  sample stats); the clearly-marked stub default remains only for
+  content whose payload decode genuinely needs an external library
+  (MP3/AAC audio samples, inter-frame video) — swap the ``decoder``
+  callable without touching the plan.
 
 Pattern at 100 TB: media bytes travel as a ``binary`` column next to
 typed metadata; decode/feature passes run as ``mapInPandas`` so each
@@ -772,3 +773,109 @@ def sample_frames(df: DataFrame, *, every: int = 2) -> DataFrame:
             yield o
 
     return df.mapInPandas(op, FRAME_SAMPLE_SCHEMA)
+
+
+def real_feature_decoder():
+    """The ``decode_features`` seam filled for EVERY format this package
+    really decodes: dispatches on content to the netpbm / PNG / GIF /
+    JPEG / AVI-MJPEG pixel decoders (per-channel mean/std of the decoded
+    matrix; AVI uses frame 0) or the WAV sample parser (per-channel
+    mean/std of the PCM samples), zero-padded to 8 dims. Bytes no codec
+    here can decode yield (0, 0, zeros) — distinguishable from any real
+    media, and the only content left for the deliberately-stub default
+    (lossy audio payloads, inter-frame video). Built as a factory so the
+    closure ships by value through cloudpickle.
+
+    Usage: ``decode_features(media, decoder=real_feature_decoder())``.
+    """
+    import struct
+
+    _png = pngcodec.decode_png
+    _gif = gifcodec.decode_gif
+    _jpeg = jpegcodec.decode_jpeg
+    _spans = avicodec.frame_offsets
+
+    def _pixel_stats(got):
+        w, h, _ch, px = got[0], got[1], got[2], got[3]
+        f = px.reshape(-1, px.shape[2]).astype("float64")
+        stats = list(f.mean(axis=0)) + list(f.std(axis=0))
+        return w, h, [float(x) for x in (stats + [0.0] * 8)[:8]]
+
+    def _pnm(b: bytes):
+        magic = bytes(b[:2])
+        if magic not in (b"P6", b"P5"):
+            return None
+        import numpy as np
+
+        i, vals = 2, []
+        while len(vals) < 3 and i < len(b):
+            c = b[i : i + 1]
+            if c.isspace():
+                i += 1
+                continue
+            if c == b"#":
+                j = b.find(b"\n", i)
+                i = j + 1 if j != -1 else len(b)
+                continue
+            j = i
+            while j < len(b) and not b[j : j + 1].isspace():
+                j += 1
+            try:
+                vals.append(int(b[i:j]))
+            except ValueError:
+                return None
+            i = j
+        if len(vals) < 3 or i >= len(b):
+            return None
+        i += 1
+        w, h, maxval = vals
+        ch = 3 if magic == b"P6" else 1
+        if not (0 < maxval < 256) or len(b) - i < w * h * ch:
+            return None
+        px = np.frombuffer(b[i : i + w * h * ch], np.uint8).reshape(h, w, ch)
+        return w, h, ch, px
+
+    def _wav_stats(b: bytes):
+        if len(b) < 12 or bytes(b[:4]) != b"RIFF" or bytes(b[8:12]) != b"WAVE":
+            return None
+        import numpy as np
+
+        i, fmt, data = 12, None, None
+        while i + 8 <= len(b):
+            cid = bytes(b[i : i + 4])
+            (csize,) = struct.unpack_from("<I", b, i + 4)
+            if cid == b"fmt " and i + 8 + 16 <= len(b):
+                _af, ch, _rate, _br, _block, bits = struct.unpack_from(
+                    "<HHIIHH", b, i + 8
+                )
+                fmt = (ch, bits)
+            elif cid == b"data":
+                data = b[i + 8 : i + 8 + min(csize, len(b) - i - 8)]
+            i += 8 + csize + (csize & 1)
+        if fmt is None or data is None or fmt[1] != 16 or fmt[0] <= 0:
+            return None
+        ch = fmt[0]
+        s = np.frombuffer(data[: len(data) // (2 * ch) * 2 * ch], "<i2")
+        if not len(s):
+            return None
+        m = s.reshape(-1, ch).astype("float64")
+        stats = list(m.mean(axis=0)) + list(m.std(axis=0))
+        return 0, 0, [float(x) for x in (stats + [0.0] * 8)[:8]]
+
+    def decoder(content: bytes) -> tuple[int, int, list[float]]:
+        for dec in (_pnm, _png, _gif, _jpeg):
+            got = dec(content)
+            if got is not None:
+                return _pixel_stats(got)
+        spans = _spans(content)
+        if spans:
+            off, size = spans[0]
+            got = _jpeg(content[off : off + size])
+            if got is not None:
+                return _pixel_stats(got)
+        got = _wav_stats(content)
+        if got is not None:
+            return got
+        return 0, 0, [0.0] * 8
+
+    return decoder

@@ -200,3 +200,57 @@ def test_resample_media_roundtrips_through_decoder(spark):
     ).collect()
     got = np.frombuffer(bytes(r2["content"])[44:], dtype=np.uint8).reshape(-1, block)
     assert (got == frames[::2]).all()
+
+
+def test_real_feature_decoder_dispatch(spark):
+    """real_feature_decoder: per-channel stats from ACTUALLY decoded
+    pixels/samples for every real-codec format, (0,0,zeros) for content
+    only the stub default can fake (MP3 payload, junk)."""
+    import struct
+
+    import numpy as np
+
+    from sonnerie_spark.operators import (
+        avicodec, jpegcodec, mp3codec,
+    )
+
+    dec = multimodal.real_feature_decoder()
+
+    pgm = b"P5 4 2 255\n" + bytes(range(8))
+    w, h, feat = dec(pgm)
+    assert (w, h) == (4, 2) and abs(feat[0] - 3.5) < 1e-9
+
+    vals = (np.arange(6, dtype=np.uint8).reshape(2, 3) * 2)
+    img = np.repeat(np.repeat(vals, 8, 0), 8, 1)
+    jp = jpegcodec.encode_jpeg(img, quality=50)
+    w, h, feat = dec(jp)
+    assert (w, h) == (24, 16) and abs(feat[0] - img.mean()) < 1e-9
+
+    avi = avicodec.encode_avi_mjpeg([jp], width=24, height=16)
+    assert dec(avi)[:2] == (24, 16)  # frame-0 pixels, really decoded
+
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 8)
+        + struct.pack("<4h", 100, -100, 200, -200)
+    )
+    w, h, feat = dec(wav)
+    assert (w, h) == (0, 0) and abs(feat[0]) < 1e-9 and feat[1] > 0
+
+    assert dec(mp3codec.encode_mp3_frames(4)) == (0, 0, [0.0] * 8)
+    assert dec(b"junk") == (0, 0, [0.0] * 8)
+
+    # Spark path: one pass, mixed formats, real features out.
+    media = spark.createDataFrame(
+        [(1, "image", jp, None), (2, "audio", wav, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {
+        r["media_id"]: r
+        for r in multimodal.decode_features(
+            media, decoder=multimodal.real_feature_decoder()
+        ).collect()
+    }
+    assert rows[1]["width"] == 24 and abs(rows[1]["feature"][0] - 5.0) < 1e-5
+    assert rows[2]["width"] == 0 and rows[2]["feature"][1] > 0
