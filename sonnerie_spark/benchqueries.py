@@ -4230,6 +4230,52 @@ def q_dedup_exact_incremental(spark, sf_dir):
     return k1.union(k2)
 
 
+@q(
+    "ivf_index_incremental",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    probes AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < 5),
+    scored AS (
+      SELECT probe_id, vec_id AS cand_id,
+             round({_cos_sql("pe", "e")}, 6) AS cosine
+      FROM probes JOIN v ON vec_id != probe_id
+    ),
+    ranked AS (
+      SELECT probe_id, cand_id, cosine,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, cand_id) AS rank
+      FROM scored
+    )
+    SELECT probe_id, cand_id, cosine, cast(rank as int) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+    "data",
+    gate_only=True,
+)
+def q_ivf_index_incremental(spark, sf_dir):
+    """Persistent incremental ANN index lifecycle (IvfIndex, the
+    embedding-space sibling of the LSH/exact index gates): centroids
+    train once on the even-id half of the corpus (integer-exact Lloyd's
+    round), the odd-id half arrives later and is assigned against the
+    STORED centroids — a map-only broadcast fold, no retraining — and
+    the query reads only probed inverted lists (the storage is
+    partitioned by centroid_id; unprobed lists prune at the directory
+    level, plan-asserted in tests). With nprobe == num_centroids the
+    search is EXACT, so the oracle is brute-force cosine top-k over the
+    whole corpus — any drift in the build/add/append/prune plumbing
+    (lost rows, wrong list, stale centroids) breaks the identity. No
+    reference analogue; training-data-pipeline extension surface."""
+    import tempfile
+
+    from sonnerie_spark.operators.similarity import IvfIndex
+
+    emb = load_par(spark, sf_dir, "embeddings")
+    idx = IvfIndex(spark, tempfile.mkdtemp(prefix="ivfidx_gate_"))
+    idx.build(emb.filter(F.col("vec_id") % 2 == 0), num_centroids=4)
+    idx.add(emb.filter(F.col("vec_id") % 2 == 1))
+    return idx.topk(emb.filter(F.col("vec_id") < 5), nprobe=4, k=5)
+
+
 def _build_avi_batches(batches):
     """mapInPandas builder shared by the AVI gates: each document becomes
     a genuine RIFF AVI container holding ``doc_id % 3 + 2`` MJPEG frames

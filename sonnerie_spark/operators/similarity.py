@@ -406,3 +406,148 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         scale,
         q.alias("qvec"),
     )
+
+
+class IvfIndex:
+    """Persistent IVF index for INCREMENTAL approximate nearest-neighbor
+    search — the embedding-space sibling of ``dedup.LshIndex`` /
+    ``dedup.ExactIndex``. ``build()`` trains the coarse centroids once
+    (integer-exact Lloyd's refinement, :func:`ivf_train`) and stores
+    them with the corpus assignments; ``add()`` assigns arriving vectors
+    against the STORED centroids — a map-only broadcast fold, no
+    retraining, cost O(batch) — and appends them to their inverted
+    lists; ``topk()`` reads only the probed lists (the parquet layout
+    is partitioned by ``centroid_id``, so unprobed lists are pruned at
+    the directory level).
+
+    At corpus scale this is the write-once/search-many ANN shape: the
+    expensive global pass (centroid training) happens once, each batch
+    pays one scan of itself, and a query touches ~nprobe/C of the
+    corpus. With ``nprobe == num_centroids`` results are EXACT (equal
+    to brute-force cosine top-k) regardless of where the centroids
+    landed — the oracle gate pins that identity.
+    """
+
+    def __init__(self, spark, path: str):
+        import os
+
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        os.makedirs(self.path, exist_ok=True)
+        self._meta = os.path.join(self.path, "centroids.json")
+        self._data = os.path.join(self.path, "lists")
+
+    def _centroids(self) -> tuple[list[list[float]], list[int]]:
+        import json
+        import os
+
+        if not os.path.exists(self._meta):
+            raise ValueError(f"index at {self.path} has no centroids; build() first")
+        with open(self._meta) as f:
+            m = json.load(f)
+        return m["vectors"], m["ids"]
+
+    def build(
+        self,
+        df: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        *,
+        num_centroids: int = 8,
+        iters: int = 1,
+    ) -> DataFrame:
+        """Train centroids on ``df`` and index it. Returns assignments."""
+        import json
+        import os
+
+        cvs, cids = ivf_train(
+            df,
+            id_col=id_col,
+            vec_col=vec_col,
+            num_centroids=num_centroids,
+            iters=iters,
+        )
+        tmp = self._meta + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump({"vectors": cvs, "ids": cids}, f)
+        os.replace(tmp, self._meta)
+        return self.add(df, id_col, vec_col)
+
+    def add(
+        self, df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> DataFrame:
+        """Assign ``df`` against the stored centroids (map-only) and
+        append to the inverted lists. Returns the assignments."""
+        cvs, cids = self._centroids()
+        assigned = ivf_assign(
+            df, id_col=id_col, vec_col=vec_col, centroids=(cvs, cids)
+        ).join(
+            df.select(
+                F.col(id_col).cast("long").alias("id"),
+                F.col(vec_col).cast("array<double>").alias("vec"),
+            ),
+            "id",
+        )
+        out = assigned.localCheckpoint(eager=True)  # pin before the append
+        # One task per populated list bounds the small-file count (same
+        # rationale as ExactIndex's count-sized append).
+        out.select("id", "vec", "centroid_id").repartition(
+            "centroid_id"
+        ).write.mode("append").partitionBy("centroid_id").parquet(self._data)
+        return out.select("id", "centroid_id", "centroid_cosine")
+
+    def topk(
+        self, probes: DataFrame, *, nprobe: int = 2, k: int = 5,
+        id_col: str = "vec_id", vec_col: str = "embedding",
+        round_digits: int = 6,
+    ) -> DataFrame:
+        """Search the index: rank centroids per probe, read ONLY the
+        probed lists (partition-pruned scan), exact cosine inside them."""
+        cvs, cids = self._centroids()
+        spark = self.spark
+        cent_rows = spark.createDataFrame(
+            list(zip(cids, cvs)), "cid int, cv array<double>"
+        )
+        p = probes.select(
+            F.col(id_col).cast("long").alias("probe_id"),
+            F.col(vec_col).cast("array<double>").alias("probe_vec"),
+        )
+        pc_w = Window.partitionBy("probe_id").orderBy(
+            F.desc("c_cos"), F.asc("cid")
+        )
+        probe_cents = (
+            p.crossJoin(F.broadcast(cent_rows))
+            .withColumn(
+                "c_cos",
+                F.round(cosine(F.col("probe_vec"), F.col("cv")), round_digits),
+            )
+            .withColumn("crank", F.row_number().over(pc_w))
+            .filter(F.col("crank") <= nprobe)
+            .select("probe_id", "probe_vec", F.col("cid").alias("p_centroid_id"))
+        )
+        probed = [
+            r["p_centroid_id"]
+            for r in probe_cents.select("p_centroid_id").distinct().collect()
+        ]
+        lists = self.spark.read.schema(
+            "id long, vec array<double>, centroid_id int"
+        ).option("basePath", self._data).parquet(self._data)
+        # .where on the partition column prunes unprobed list dirs.
+        cands = lists.where(F.col("centroid_id").isin(probed))
+        w = Window.partitionBy("probe_id").orderBy(
+            F.desc("cosine"), F.asc("cand_id")
+        )
+        return (
+            cands.join(
+                F.broadcast(probe_cents),
+                (F.col("centroid_id") == F.col("p_centroid_id"))
+                & (F.col("id") != F.col("probe_id")),
+            )
+            .withColumn(
+                "cosine",
+                F.round(cosine(F.col("probe_vec"), F.col("vec")), round_digits),
+            )
+            .select("probe_id", F.col("id").alias("cand_id"), "cosine")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )

@@ -355,3 +355,35 @@ def test_streaming_exact_index_dedup(spark, tmp_path):
             seen.add(h)
             want.add(pair)
     assert kept == want and want
+
+
+def test_ivf_index_lifecycle(spark, tmp_path, emb):
+    """IvfIndex: build on half the corpus, add the rest against stored
+    centroids (no retraining), full-probe search equals brute force,
+    partial-probe results come only from probed lists, and the list
+    scan is partition-pruned to the probed centroid directories."""
+    import re
+
+    from sonnerie_spark.operators.similarity import IvfIndex, cosine_topk
+
+    idx = IvfIndex(spark, str(tmp_path / "ivf"))
+    idx.build(emb.filter(F.col("vec_id") % 2 == 0), num_centroids=4)
+    before = {r["id"]: r["centroid_id"]
+              for r in idx.add(emb.filter(F.col("vec_id") % 2 == 1)).collect()}
+    probes = emb.filter(F.col("vec_id") < 3)
+
+    got = sorted(map(tuple, idx.topk(probes, nprobe=4, k=3).collect()))
+    brute = sorted(map(tuple, cosine_topk(emb, probes, k=3).collect()))
+    assert got == brute
+
+    # Partial probe: every candidate belongs to a probed list.
+    out = idx.topk(probes, nprobe=1, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[[^,\]]*centroid_id[^\]]*\]", plan)
+    assert m, plan
+
+    # Adding MORE vectors must not have moved the stored centroids:
+    # re-adding a vector assigns it identically.
+    again = {r["id"]: r["centroid_id"]
+             for r in idx.add(emb.filter(F.col("vec_id") % 2 == 1)).collect()}
+    assert again == before
