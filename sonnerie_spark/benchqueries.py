@@ -3330,6 +3330,213 @@ def q_embedding_topk_int8(spark, sf_dir):
     )
 
 
+_PQ_SQL_CTES = """
+    sv AS (
+      SELECT vec_id,
+             list_transform(e, x -> cast(round(x * 10000000) as bigint)) AS se
+      FROM v
+    ),
+    cbs AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+             list_transform(e, x -> cast(round(x * 10000000) as bigint)) AS ce
+      FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16)
+    ),
+    d AS (
+      SELECT sv.vec_id, r.s, cbs.code,
+             list_sum(list_transform(range(1, 17),
+               i -> (sv.se[r.s*16+i] - cbs.ce[r.s*16+i])
+                  * (sv.se[r.s*16+i] - cbs.ce[r.s*16+i]))) AS dist
+      FROM sv CROSS JOIN (SELECT unnest(range(0, 4)) AS s) r CROSS JOIN cbs
+    ),
+    enc AS (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rk
+        FROM d
+      ) WHERE rk = 1
+    )
+"""
+
+_PQ_ORACLE_PRELUDE = (
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+"""
+    + _PQ_SQL_CTES
+)
+
+_PQ_PROBE_DIST_SQL = """
+      SELECT p.vec_id AS probe_id, r.s, cbs.code,
+             list_sum(list_transform(range(1, 17),
+               i -> (p.se[r.s*16+i] - cbs.ce[r.s*16+i])
+                  * (p.se[r.s*16+i] - cbs.ce[r.s*16+i]))) AS pdist
+      FROM sv p CROSS JOIN (SELECT unnest(range(0, 4)) AS s) r CROSS JOIN cbs
+      WHERE p.vec_id < 5
+"""
+
+
+@q(
+    "pq_encode",
+    _PQ_ORACLE_PRELUDE
+    + """
+    SELECT vec_id AS id,
+           string_agg(code::VARCHAR, ',' ORDER BY s) AS pq_code
+    FROM enc GROUP BY vec_id
+    """,
+    "data",
+)
+def q_pq_encode(spark, sf_dir):
+    """Product-quantization encode (m=4 subspaces x ksub=16 codewords
+    over the 64-dim embeddings): the Faiss-style compression that stores
+    m bytes per vector before ADC search — the 100 TB ANN storage shape.
+    Codebooks are the 16 smallest-id vectors split into contiguous
+    subvectors (deterministic seed; pq_train's integer-exact Lloyd's is
+    the production path, pytest-pinned). Assignment is argmin of
+    scaled-integer squared L2 — exact 64-bit arithmetic, bit-identical
+    in the SQL oracle. Map-only: one broadcast codebook literal + a
+    per-row fold, no shuffle at any corpus size. Codes emit as a
+    comma-joined string so every gate column is driver-sortable."""
+    from sonnerie_spark.operators.similarity import pq_codebook_data, pq_encode
+
+    emb = load_par(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    enc = pq_encode(emb, codebooks=pq_codebook_data(emb, m=4, ksub=16))
+    return enc.select(
+        "id",
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias("pq_code"),
+    )
+
+
+@q(
+    "pq_ann_topk",
+    _PQ_ORACLE_PRELUDE
+    + f"""
+    , pd AS ({_PQ_PROBE_DIST_SQL}),
+    ad AS (
+      SELECT pd.probe_id, enc.vec_id AS id, cast(sum(pd.pdist) AS BIGINT) AS adist
+      FROM enc JOIN pd ON pd.s = enc.s AND pd.code = enc.code
+      WHERE enc.vec_id <> pd.probe_id
+      GROUP BY pd.probe_id, enc.vec_id
+    )
+    SELECT probe_id, id, adist, rk FROM (
+      SELECT probe_id, id, adist,
+             row_number() OVER (PARTITION BY probe_id ORDER BY adist, id) AS rk
+      FROM ad
+    ) WHERE rk <= 5
+    """,
+    "data",
+)
+def q_pq_ann_topk(spark, sf_dir):
+    """ADC (asymmetric-distance) top-5 per probe over the PQ-encoded
+    corpus: each probe precomputes its (m x ksub) integer distance table
+    once, then every corpus vector costs m table LOOKUPS instead of a
+    64-dim dot product — the classic PQ scan that makes billion-vector
+    search memory-bandwidth-bound. Distance tables ride a broadcast of
+    a tiny probe-batch job; the corpus side is one map-only pass over
+    the codes + a per-probe rank window. Ranking is exact 64-bit
+    integer arithmetic with an (adist, id) tie-break — no float
+    flakiness in either engine."""
+    from sonnerie_spark.operators.similarity import pq_adc_topk, pq_codebook_data
+
+    emb = load_par(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    books = pq_codebook_data(emb, m=4, ksub=16)
+    probes = emb.filter(F.col("vec_id") < 5)
+    return pq_adc_topk(emb, probes, codebooks=books, k=5)
+
+
+@q(
+    "ivf_pq_topk",
+    _IVF_ASSIGN_SQL
+    + ",\n    assign AS (SELECT vec_id, cid FROM r WHERE rn = 1),\n"
+    + _PQ_SQL_CTES
+    + f"""
+    , pc AS (
+      SELECT vec_id AS probe_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cid ASC) AS crank
+      FROM scored WHERE vec_id < 5
+    ),
+    probe_cents AS (SELECT probe_id, cid FROM pc WHERE crank <= 2),
+    pd AS ({_PQ_PROBE_DIST_SQL}),
+    adsum AS (
+      SELECT pd.probe_id, e2.vec_id AS id, cast(sum(pd.pdist) AS BIGINT) AS adist
+      FROM enc e2
+      JOIN assign a ON a.vec_id = e2.vec_id
+      JOIN probe_cents p ON p.cid = a.cid
+      JOIN pd ON pd.probe_id = p.probe_id AND pd.s = e2.s AND pd.code = e2.code
+      WHERE e2.vec_id <> p.probe_id
+      GROUP BY pd.probe_id, e2.vec_id
+    )
+    SELECT probe_id, id, adist, rk FROM (
+      SELECT probe_id, id, adist,
+             row_number() OVER (PARTITION BY probe_id ORDER BY adist, id) AS rk
+      FROM adsum
+    ) WHERE rk <= 5
+    """,
+    "data",
+)
+def q_ivf_pq_topk(spark, sf_dir):
+    """IVF+PQ top-5 (nprobe=2 of 8 lists, m=4 x ksub=16 codes) — the
+    full Faiss-style billion-vector recipe: the coarse quantizer prunes
+    the corpus to ~nprobe/C, the PQ codes make each surviving candidate
+    cost m integer table lookups instead of a 64-dim dot product, and
+    the corpus is never touched at full precision at query time. Both
+    stages are the independently-gated building blocks (ivf_assign +
+    pq_encode/ADC) composed; ranking is exact 64-bit integer arithmetic
+    with an (adist, id) tie-break, so the value hash pins the whole
+    pipeline cross-engine."""
+    from sonnerie_spark.operators.similarity import ivf_pq_topk, pq_codebook_data
+
+    emb = load_par(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    books = pq_codebook_data(emb, m=4, ksub=16)
+    probes = emb.filter(F.col("vec_id") < 5)
+    return ivf_pq_topk(
+        emb, probes, num_centroids=8, nprobe=2, codebooks=books, k=5
+    )
+
+
+@q(
+    "semdedup_keep",
+    _IVF_ASSIGN_SQL
+    + f""",
+    assign AS (SELECT vec_id, cid, cos AS ccos FROM r WHERE rn = 1),
+    dropped AS (
+      SELECT DISTINCT b.vec_id AS id
+      FROM assign a
+      JOIN assign b ON a.cid = b.cid
+       AND (a.ccos < b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
+      JOIN v va ON va.vec_id = a.vec_id
+      JOIN v vb ON vb.vec_id = b.vec_id
+      WHERE round({_cos_sql("va.e", "vb.e")}, 6) >= 0.2
+    )
+    SELECT a.vec_id AS id, cast(a.cid as int) AS centroid_id,
+           a.ccos AS centroid_cosine
+    FROM assign a LEFT JOIN dropped d ON d.id = a.vec_id
+    WHERE d.id IS NULL
+    """,
+    "data",
+)
+def q_semdedup_keep(spark, sf_dir):
+    """SemDeDup semantic deduplication (public arXiv 2303.09540):
+    cluster with the coarse quantizer, drop within-cluster cosine
+    near-duplicates keeping the item farthest from its centroid —
+    the embedding-space curation pass LLM pipelines run between exact
+    dedup and mixing. The pair probe is an equi-join on centroid_id
+    (never all-pairs; cluster count bounds the quadratic work, same
+    contract as the LSH band buckets); the one-shot higher-priority-
+    witness drop rule makes the result exactly SQL-expressible."""
+    from sonnerie_spark.operators.similarity import semdedup
+
+    emb = load_par(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return semdedup(emb, num_centroids=8, tau=0.2)
+
+
 @q(
     "time_travel_roundtrip",
     """

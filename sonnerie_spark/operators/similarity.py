@@ -251,7 +251,18 @@ def ivf_assign(
     cents = spark.createDataFrame(
         [(cvs, cids)], "cents array<array<double>>, cids array<int>"
     )
-    v = F.col(vec_col)
+    best = _ivf_best_expr(F.col(vec_col), round_digits)
+    return df.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col).alias("id"),
+        (-best["negid"]).cast("int").alias("centroid_id"),
+        best["cos"].alias("centroid_cosine"),
+    )
+
+
+def _ivf_best_expr(v: Column, round_digits: int) -> Column:
+    """Argmax-cosine centroid fold over the broadcast ``cents``/``cids``
+    literal columns: max of (rounded cosine, -centroid_id) structs —
+    ties to the lowest centroid id. Map-only at any corpus size."""
     scored = F.zip_with(
         F.col("cents"),
         F.col("cids"),
@@ -260,17 +271,12 @@ def ivf_assign(
             (-i).cast("int").alias("negid"),
         ),
     )
-    best = F.aggregate(
+    return F.aggregate(
         scored,
         F.struct(
             F.lit(-2.0).alias("cos"), F.lit(-(2**31 - 1)).cast("int").alias("negid")
         ),
         lambda acc, s: F.greatest(acc, s),
-    )
-    return df.crossJoin(F.broadcast(cents)).select(
-        F.col(id_col).alias("id"),
-        (-best["negid"]).cast("int").alias("centroid_id"),
-        best["cos"].alias("centroid_cosine"),
     )
 
 
@@ -405,6 +411,501 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         F.col(id_col).alias("id"),
         scale,
         q.alias("qvec"),
+    )
+
+
+def pq_codebook_data(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    ksub: int = 16,
+) -> list[list[list[float]]]:
+    """Deterministic PQ seed codebooks: the ``ksub`` smallest-id vectors,
+    each split into ``m`` contiguous subvectors; codeword j of subspace s
+    is the s-th slice of the j-th seed vector (codes are POSITIONS in id
+    order, 0-based, independent of the actual id values). A real
+    deployment k-means-refines these (:func:`pq_train`); the seed keeps
+    the oracle gate cross-engine checkable, and the encode/ADC mechanics
+    are identical either way. Driver-side collect of ksub rows —
+    codebooks are dimension data, like the IVF centroids."""
+    rows = (
+        df.select(
+            F.col(id_col).cast("long").alias("i"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy("i")
+        .limit(ksub)
+        .collect()
+    )
+    if len(rows) < ksub:
+        raise ValueError(f"need >= {ksub} vectors to seed the codebooks")
+    vecs = [list(r.v) for r in rows]
+    dim = len(vecs[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [[v[s * dsub : (s + 1) * dsub] for v in vecs] for s in range(m)]
+
+
+def pq_encode(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]] | None = None,
+    m: int = 4,
+    ksub: int = 16,
+    scale: int = 10**7,
+) -> DataFrame:
+    """Product-quantization encode: each vector -> ``m`` codeword indices
+    (one per contiguous subspace), the Faiss-style compression that turns
+    a 64-dim float corpus into m bytes/vector before ADC search — THE
+    100 TB ANN storage shape (256x smaller than float64, scanned with
+    table lookups instead of FLOPs).
+
+    Assignment is argmin of SCALED-INTEGER squared L2 (ties to the
+    lowest code): round(x*scale) longs make every distance exact 64-bit
+    arithmetic, so Spark's fold and the SQL oracle agree bit-for-bit —
+    no float-summation-order hazard. Plan: one broadcast of the
+    (m x ksub x dsub) codebook literal + a per-row fold — map-only, no
+    shuffle, no Python, at any corpus size.
+
+    Returns (id, codes array<int>).
+    """
+    spark = df.sparkSession
+    if codebooks is None:
+        codebooks = pq_codebook_data(
+            df, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub
+        )
+    dsub = len(codebooks[0][0])
+    cbdf = spark.createDataFrame([(codebooks,)], "cb array<array<array<double>>>")
+    sv = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * scale).cast("long"),
+    )
+    base = df.crossJoin(F.broadcast(cbdf)).select(
+        F.col(id_col).alias("id"), sv.alias("se"), "cb"
+    )
+    return base.select("id", _pq_codes_expr(dsub, scale).alias("codes"))
+
+
+def _pq_codes_expr(dsub: int, scale: int) -> Column:
+    """PQ code-assignment expression over columns ``se`` (scaled long
+    vector) and ``cb`` (broadcast codebook literal): per subspace, the
+    argmin-distance codeword via a struct-min fold — exact 64-bit
+    integer arithmetic, ties to the lowest code."""
+
+    def best_code(book, s):
+        scored = F.transform(
+            book,
+            lambda cw, j: F.struct(
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(dsub - 1)),
+                    F.lit(0).cast("long"),
+                    lambda acc, i: acc
+                    + (
+                        F.element_at(F.col("se"), (s * dsub + i + 1).cast("int"))
+                        - F.round(F.element_at(cw, (i + 1).cast("int")) * scale).cast(
+                            "long"
+                        )
+                    )
+                    * (
+                        F.element_at(F.col("se"), (s * dsub + i + 1).cast("int"))
+                        - F.round(F.element_at(cw, (i + 1).cast("int")) * scale).cast(
+                            "long"
+                        )
+                    ),
+                ).alias("dist"),
+                j.cast("int").alias("code"),
+            ),
+        )
+        init = F.struct(
+            F.lit(2**62).cast("long").alias("dist"),
+            F.lit(2**31 - 1).cast("int").alias("code"),
+        )
+        return F.aggregate(scored, init, lambda acc, x: F.least(acc, x))["code"]
+
+    return F.transform(F.col("cb"), best_code)
+
+
+def pq_train(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 1,
+    scale: int = 10**7,
+) -> list[list[list[float]]]:
+    """Lloyd's k-means refinement of the PQ seed codebooks, per subspace
+    — the recall story for real deployments. Deterministic and
+    cross-engine reproducible by the same construction as
+    :func:`ivf_train`: assignment is the integer-exact argmin of
+    :func:`pq_encode`, the update is the per-(subspace, code, dim) mean
+    computed in INTEGER space (``floor(sum(round(val*scale)) / n) /
+    scale`` — long sums are order-independent), and an empty cell keeps
+    its previous codeword. Per iteration: one map-only encode pass + one
+    (m x ksub x dsub)-group hash agg with tiny shuffle output."""
+    import math
+
+    books = pq_codebook_data(df, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub)
+    dsub = len(books[0][0])
+    for _ in range(iters):
+        enc = pq_encode(
+            df, id_col=id_col, vec_col=vec_col, codebooks=books, scale=scale
+        )
+        stats = (
+            enc.join(
+                df.select(
+                    F.col(id_col).alias("id"),
+                    F.col(vec_col).cast("array<double>").alias("v"),
+                ),
+                "id",
+            )
+            .select(
+                "codes", F.posexplode(F.col("v")).alias("pos", "val")
+            )
+            .select(
+                (F.col("pos") / dsub).cast("int").alias("sub"),
+                F.element_at(
+                    F.col("codes"), ((F.col("pos") / dsub).cast("int") + 1)
+                ).alias("code"),
+                (F.col("pos") % dsub).alias("dim"),
+                F.round(F.col("val") * scale).cast("long").alias("sval"),
+            )
+            .groupBy("sub", "code", "dim")
+            .agg(F.sum("sval").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        cell: dict[tuple[int, int], dict[int, float]] = {}
+        for r in stats:
+            cell.setdefault((r.sub, r.code), {})[r.dim] = (
+                math.floor(r.s / r.n) / scale
+            )
+        books = [
+            [
+                [cell[(s, j)][d] for d in range(dsub)]
+                if (s, j) in cell
+                else cw
+                for j, cw in enumerate(book)
+            ]
+            for s, book in enumerate(books)
+        ]
+    return books
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    scale: int = 10**7,
+) -> DataFrame:
+    """Asymmetric-distance top-k over a PQ-encoded corpus: each probe
+    precomputes its (m x ksub) distance table against the codebooks,
+    then every corpus vector costs m TABLE LOOKUPS (not FLOPs) — the
+    classic ADC scan. All distances are the scaled-integer squared L2
+    of :func:`pq_encode`, so ranking is exact 64-bit arithmetic with a
+    full (adist, id) tie-break — no float flakiness in any engine.
+
+    Plan shape at 100 TB: the distance tables are built by a tiny
+    Spark job over the probe batch (probes x m x ksub longs — query-
+    batch dimension data) and BROADCAST; the corpus side is one
+    map-only pass over the encoded vectors + a per-probe top-k window.
+    No shuffle touches the corpus except the final per-probe rank.
+
+    Returns (probe_id, id, adist, rk) with rk <= k, self-pairs excluded.
+    """
+    spark = corpus.sparkSession
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cbdf = spark.createDataFrame([(codebooks,)], "cb array<array<array<double>>>")
+    psv = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * scale).cast("long"),
+    )
+
+    def sub_dists(book, s):
+        return F.transform(
+            book,
+            lambda cw: F.aggregate(
+                F.sequence(F.lit(0), F.lit(dsub - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, i: acc
+                + (
+                    F.element_at(F.col("pse"), (s * dsub + i + 1).cast("int"))
+                    - F.round(F.element_at(cw, (i + 1).cast("int")) * scale).cast(
+                        "long"
+                    )
+                )
+                * (
+                    F.element_at(F.col("pse"), (s * dsub + i + 1).cast("int"))
+                    - F.round(F.element_at(cw, (i + 1).cast("int")) * scale).cast(
+                        "long"
+                    )
+                ),
+            ),
+        )
+
+    dtab = (
+        probes.crossJoin(F.broadcast(cbdf))
+        .select(F.col(id_col).alias("probe_id"), psv.alias("pse"), "cb")
+        .select(
+            "probe_id", F.transform(F.col("cb"), sub_dists).alias("dtab")
+        )
+    )
+    enc = pq_encode(
+        corpus, id_col=id_col, vec_col=vec_col, codebooks=codebooks, scale=scale
+    )
+    adist = F.aggregate(
+        F.transform(
+            F.col("codes"),
+            lambda c, s: F.element_at(
+                F.element_at(F.col("dtab"), (s + 1).cast("int")),
+                (c + 1).cast("int"),
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("probe_id").orderBy("adist", "id")
+    return (
+        enc.crossJoin(F.broadcast(dtab))
+        .filter(F.col("id") != F.col("probe_id"))
+        .select("probe_id", "id", adist.alias("adist"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    scale: int = 10**7,
+    round_digits: int = 6,
+    centroids: tuple[list[list[float]], list[int]] | None = None,
+) -> DataFrame:
+    """IVF+PQ approximate top-k — the full Faiss-style recipe for
+    billion-vector search: the coarse quantizer (:func:`ivf_assign`)
+    restricts each probe to its ``nprobe`` most promising inverted
+    lists, and within those lists ranking is the ADC table-lookup scan
+    of :func:`pq_adc_topk` over the m-byte PQ codes — the corpus is
+    never touched at full precision at query time.
+
+    Plan shape at 100 TB: the stored index is (centroid_id, codes) —
+    both map-only passes at write time, laid out partitioned by
+    ``centroid_id`` so unprobed lists prune at the directory level
+    (``IvfIndex`` demonstrates that storage layout); the probe side
+    (nprobe list picks + the (m x ksub) distance tables) is a tiny
+    broadcast job; the candidate join is an equi-join on
+    ``centroid_id`` with the probe side broadcast. Only ~nprobe/C of
+    the corpus reaches the per-probe rank window, and each candidate
+    costs m integer lookups. Ranking is exact 64-bit arithmetic with
+    an (adist, id) tie-break.
+    """
+    spark = corpus.sparkSession
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+
+    if centroids is not None:
+        cvs, cids = centroids
+    else:
+        cvs, cids = ivf_centroid_data(
+            corpus, id_col=id_col, vec_col=vec_col, num_centroids=num_centroids
+        )
+
+    # stored index rows (centroid_id, codes): BOTH assignments are
+    # per-row folds over broadcast literals, so they ride ONE map-only
+    # pass — a join of pq_encode with ivf_assign would shuffle the whole
+    # corpus on id twice for no reason
+    cbdf = spark.createDataFrame([(codebooks,)], "cb array<array<array<double>>>")
+    cents_df = spark.createDataFrame(
+        [(cvs, cids)], "cents array<array<double>>, cids array<int>"
+    )
+    sv = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * scale).cast("long"),
+    )
+    lists = (
+        corpus.crossJoin(F.broadcast(cbdf))
+        .crossJoin(F.broadcast(cents_df))
+        .select(
+            F.col(id_col).alias("id"),
+            sv.alias("se"),
+            F.col(vec_col).cast("array<double>").alias("fv"),
+            "cb",
+            "cents",
+            "cids",
+        )
+        .select(
+            "id",
+            _pq_codes_expr(dsub, scale).alias("codes"),
+            (-_ivf_best_expr(F.col("fv"), round_digits)["negid"])
+            .cast("int")
+            .alias("centroid_id"),
+        )
+    )
+
+    cent_rows = spark.createDataFrame(
+        list(zip(cids, cvs)), "cid int, cv array<double>"
+    )
+    pc_w = Window.partitionBy("probe_id").orderBy(F.desc("c_cos"), F.asc("cid"))
+    probe_cents = (
+        probes.select(
+            F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+        )
+        .crossJoin(F.broadcast(cent_rows))
+        .withColumn(
+            "c_cos", F.round(cosine(F.col("probe_vec"), F.col("cv")), round_digits)
+        )
+        .withColumn("crank", F.row_number().over(pc_w))
+        .filter(F.col("crank") <= nprobe)
+        .select("probe_id", F.col("cid").alias("p_centroid_id"))
+    )
+
+    cbdf = spark.createDataFrame([(codebooks,)], "cb array<array<array<double>>>")
+    psv = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * scale).cast("long"),
+    )
+
+    def sub_dists(book, s):
+        return F.transform(
+            book,
+            lambda cw: F.aggregate(
+                F.sequence(F.lit(0), F.lit(dsub - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, i: acc
+                + (
+                    F.element_at(F.col("pse"), (s * dsub + i + 1).cast("int"))
+                    - F.round(F.element_at(cw, (i + 1).cast("int")) * scale).cast(
+                        "long"
+                    )
+                )
+                * (
+                    F.element_at(F.col("pse"), (s * dsub + i + 1).cast("int"))
+                    - F.round(F.element_at(cw, (i + 1).cast("int")) * scale).cast(
+                        "long"
+                    )
+                ),
+            ),
+        )
+
+    dtab = (
+        probes.crossJoin(F.broadcast(cbdf))
+        .select(F.col(id_col).alias("probe_id"), psv.alias("pse"), "cb")
+        .select("probe_id", F.transform(F.col("cb"), sub_dists).alias("dtab"))
+    )
+    # both sides are probe-batch-sized — broadcast instead of letting a
+    # sort-merge join shuffle them on probe_id
+    probe_side = probe_cents.join(F.broadcast(dtab), "probe_id")
+
+    adist = F.aggregate(
+        F.transform(
+            F.col("codes"),
+            lambda c, s: F.element_at(
+                F.element_at(F.col("dtab"), (s + 1).cast("int")),
+                (c + 1).cast("int"),
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("probe_id").orderBy("adist", "id")
+    return (
+        lists.join(
+            F.broadcast(probe_side),
+            (F.col("centroid_id") == F.col("p_centroid_id"))
+            & (F.col("id") != F.col("probe_id")),
+        )
+        .select("probe_id", "id", adist.alias("adist"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 8,
+    tau: float = 0.2,
+    round_digits: int = 6,
+    centroids: tuple[list[list[float]], list[int]] | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    arXiv 2303.09540): cluster the embeddings with the coarse quantizer,
+    then WITHIN each cluster drop every vector that has a near-duplicate
+    (rounded cosine >= tau) of higher keep-priority — priority is
+    (centroid_cosine asc, id asc), i.e. the survivor of a duplicate
+    group is the item FARTHEST from its centroid (the paper's
+    low-centroid-similarity keep rule), ties broken by id. One-shot
+    rule: x is dropped iff SOME higher-priority y in its cluster is
+    tau-similar to it — deterministic, non-iterative, and exactly
+    expressible in SQL (no recursive component chase).
+
+    Scale shape: clustering is the map-only :func:`ivf_assign` fold; the
+    pair probe is an EQUI-join on ``centroid_id`` (never all-pairs —
+    with C sized so clusters fit memory, each cluster's quadratic work
+    is bounded, the same contract as the LSH band buckets), and the
+    drop set comes back via one anti-join. Returns the kept rows
+    (id, centroid_id, centroid_cosine).
+    """
+    assign = ivf_assign(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        num_centroids=num_centroids,
+        round_digits=round_digits,
+        centroids=centroids,
+    )
+    # per-row norm computed ONCE on the map side: the pair probe then
+    # pays a single dot-product fold per pair instead of cosine()'s
+    # three folds — same float expression tree (dot / (sqrt(aa) *
+    # sqrt(bb))), so the rounded value stays bit-identical to the oracle
+    base = assign.join(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "id"
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    a = base.select(
+        F.col("id").alias("id_a"),
+        F.col("centroid_id").alias("cid_a"),
+        F.col("centroid_cosine").alias("ccos_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        F.col("id").alias("id_b"),
+        F.col("centroid_id").alias("cid_b"),
+        F.col("centroid_cosine").alias("ccos_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    higher_priority = (F.col("ccos_a") < F.col("ccos_b")) | (
+        (F.col("ccos_a") == F.col("ccos_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    pair_cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    dropped = (
+        a.join(b, (F.col("cid_a") == F.col("cid_b")) & higher_priority)
+        .filter(F.round(pair_cos, round_digits) >= tau)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return assign.join(dropped, "id", "left_anti").select(
+        "id", "centroid_id", "centroid_cosine"
     )
 
 
