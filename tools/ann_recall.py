@@ -96,15 +96,36 @@ def main():
         )
 
     seed = pq_codebook_data(emb, m=4, ksub=16)
-    run("pq_adc_seed", pq_adc_topk(emb, probes, codebooks=seed, k=K))
+    run("pq_adc_seed_m4", pq_adc_topk(emb, probes, codebooks=seed, k=K))
     trained = pq_train(emb, m=4, ksub=16, iters=2)
-    run("pq_adc_trained2", pq_adc_topk(emb, probes, codebooks=trained, k=K))
+    run("pq_adc_trained2_m4", pq_adc_topk(emb, probes, codebooks=trained, k=K))
     run(
-        "ivfpq_nprobe2_trained2",
+        "ivfpq_nprobe2_trained2_m4",
         ivf_pq_topk(
             emb, probes, num_centroids=8, nprobe=2, codebooks=trained, k=K
         ),
     )
+
+    # L2-normalized input makes PQ's L2 ranking cosine-equivalent
+    # (cos(a,b) = 1 - ||a^ - b^||^2 / 2, monotone), and finer subspaces
+    # (m=16 -> 4 dims per subquantizer) cut quantization error — the two
+    # production knobs for recall, each costing nothing at query time
+    # beyond a bigger (m x ksub) table
+    from sonnerie_spark.operators.similarity import l2_norm
+
+    nemb = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda x: x / l2_norm(F.col("embedding"))
+        ).alias("embedding"),
+    ).cache()
+    nprobes = nemb.filter(F.col("vec_id") < N_PROBES)
+    for m, ksub in ((8, 16), (16, 16), (16, 64)):
+        tb = pq_train(nemb, m=m, ksub=ksub, iters=2)
+        run(
+            f"pq_adc_trained2_m{m}k{ksub}_normalized",
+            pq_adc_topk(nemb, nprobes, codebooks=tb, k=K),
+        )
     spark.stop()
 
 
