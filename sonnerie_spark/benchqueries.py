@@ -3500,6 +3500,53 @@ def q_ivf_pq_topk(spark, sf_dir):
 
 
 @q(
+    "ivfpq_index_incremental",
+    _PQ_ORACLE_PRELUDE
+    + f"""
+    , pd AS ({_PQ_PROBE_DIST_SQL}),
+    ad AS (
+      SELECT pd.probe_id, enc.vec_id AS id, cast(sum(pd.pdist) AS BIGINT) AS adist
+      FROM enc JOIN pd ON pd.s = enc.s AND pd.code = enc.code
+      WHERE enc.vec_id <> pd.probe_id
+      GROUP BY pd.probe_id, enc.vec_id
+    )
+    SELECT probe_id, id, adist, rk FROM (
+      SELECT probe_id, id, adist,
+             row_number() OVER (PARTITION BY probe_id ORDER BY adist, id) AS rk
+      FROM ad
+    ) WHERE rk <= 5
+    """,
+    "data",
+    gate_only=True,
+)
+def q_ivfpq_index_incremental(spark, sf_dir):
+    """Persistent IVF+PQ index lifecycle (IvfPqIndex): build() trains
+    centroids + codebooks on the FIRST batch (vec_id < 250) and indexes
+    it, add() encodes+assigns the rest against the STORED parameters
+    (one map-only pass, no retraining), topk() reads the partition-
+    pruned code lists and ranks by ADC. With nprobe == num_centroids
+    the result must equal the FLAT ADC scan over everything ever added
+    — and because the first batch contains the 16 smallest ids, its
+    seed codebooks equal the whole-corpus seed, so the oracle is the
+    same flat-ADC SQL as pq_ann_topk (centroid placement provably
+    cancels out of a full probe). Lossy-search fidelity is measured
+    separately (tools/ann_recall.py); THIS gate pins the index
+    machinery: param persistence, incremental encode, list layout."""
+    import tempfile
+
+    from sonnerie_spark.operators.similarity import IvfPqIndex
+
+    emb = load_par(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    idx = IvfPqIndex(spark, tempfile.mkdtemp(prefix="ivfpq_gate_"))
+    idx.build(emb.filter(F.col("vec_id") < 250), num_centroids=8, pq_iters=0)
+    idx.add(emb.filter(F.col("vec_id") >= 250))
+    probes = emb.filter(F.col("vec_id") < 5)
+    return idx.topk(probes, nprobe=8, k=5)
+
+
+@q(
     "semdedup_keep",
     _IVF_ASSIGN_SQL
     + f""",

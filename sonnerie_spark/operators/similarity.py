@@ -622,8 +622,34 @@ def pq_adc_topk(
 
     Returns (probe_id, id, adist, rk) with rk <= k, self-pairs excluded.
     """
-    spark = corpus.sparkSession
-    m = len(codebooks)
+    dtab = _pq_dtab(
+        probes, id_col=id_col, vec_col=vec_col, codebooks=codebooks, scale=scale
+    )
+    enc = pq_encode(
+        corpus, id_col=id_col, vec_col=vec_col, codebooks=codebooks, scale=scale
+    )
+    w = Window.partitionBy("probe_id").orderBy("adist", "id")
+    return (
+        enc.crossJoin(F.broadcast(dtab))
+        .filter(F.col("id") != F.col("probe_id"))
+        .select("probe_id", "id", _pq_adist_expr().alias("adist"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def _pq_dtab(
+    probes: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    scale: int,
+) -> DataFrame:
+    """Per-probe ADC distance tables (probe_id, dtab array<array<long>>):
+    a tiny probe-batch job over the broadcast codebook literal —
+    query-batch dimension data, meant to be broadcast downstream."""
+    spark = probes.sparkSession
     dsub = len(codebooks[0][0])
     cbdf = spark.createDataFrame([(codebooks,)], "cb array<array<array<double>>>")
     psv = F.transform(
@@ -653,17 +679,17 @@ def pq_adc_topk(
             ),
         )
 
-    dtab = (
+    return (
         probes.crossJoin(F.broadcast(cbdf))
         .select(F.col(id_col).alias("probe_id"), psv.alias("pse"), "cb")
-        .select(
-            "probe_id", F.transform(F.col("cb"), sub_dists).alias("dtab")
-        )
+        .select("probe_id", F.transform(F.col("cb"), sub_dists).alias("dtab"))
     )
-    enc = pq_encode(
-        corpus, id_col=id_col, vec_col=vec_col, codebooks=codebooks, scale=scale
-    )
-    adist = F.aggregate(
+
+
+def _pq_adist_expr() -> Column:
+    """ADC distance over columns ``codes`` and ``dtab``: m table lookups
+    + an exact long sum."""
+    return F.aggregate(
         F.transform(
             F.col("codes"),
             lambda c, s: F.element_at(
@@ -673,14 +699,6 @@ def pq_adc_topk(
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("probe_id").orderBy("adist", "id")
-    return (
-        enc.crossJoin(F.broadcast(dtab))
-        .filter(F.col("id") != F.col("probe_id"))
-        .select("probe_id", "id", adist.alias("adist"))
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
     )
 
 
@@ -717,7 +735,6 @@ def ivf_pq_topk(
     an (adist, id) tie-break.
     """
     spark = corpus.sparkSession
-    m = len(codebooks)
     dsub = len(codebooks[0][0])
 
     if centroids is not None:
@@ -776,54 +793,13 @@ def ivf_pq_topk(
         .select("probe_id", F.col("cid").alias("p_centroid_id"))
     )
 
-    cbdf = spark.createDataFrame([(codebooks,)], "cb array<array<array<double>>>")
-    psv = F.transform(
-        F.col(vec_col).cast("array<double>"),
-        lambda x: F.round(x * scale).cast("long"),
-    )
-
-    def sub_dists(book, s):
-        return F.transform(
-            book,
-            lambda cw: F.aggregate(
-                F.sequence(F.lit(0), F.lit(dsub - 1)),
-                F.lit(0).cast("long"),
-                lambda acc, i: acc
-                + (
-                    F.element_at(F.col("pse"), (s * dsub + i + 1).cast("int"))
-                    - F.round(F.element_at(cw, (i + 1).cast("int")) * scale).cast(
-                        "long"
-                    )
-                )
-                * (
-                    F.element_at(F.col("pse"), (s * dsub + i + 1).cast("int"))
-                    - F.round(F.element_at(cw, (i + 1).cast("int")) * scale).cast(
-                        "long"
-                    )
-                ),
-            ),
-        )
-
-    dtab = (
-        probes.crossJoin(F.broadcast(cbdf))
-        .select(F.col(id_col).alias("probe_id"), psv.alias("pse"), "cb")
-        .select("probe_id", F.transform(F.col("cb"), sub_dists).alias("dtab"))
+    dtab = _pq_dtab(
+        probes, id_col=id_col, vec_col=vec_col, codebooks=codebooks, scale=scale
     )
     # both sides are probe-batch-sized — broadcast instead of letting a
     # sort-merge join shuffle them on probe_id
     probe_side = probe_cents.join(F.broadcast(dtab), "probe_id")
 
-    adist = F.aggregate(
-        F.transform(
-            F.col("codes"),
-            lambda c, s: F.element_at(
-                F.element_at(F.col("dtab"), (s + 1).cast("int")),
-                (c + 1).cast("int"),
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
     w = Window.partitionBy("probe_id").orderBy("adist", "id")
     return (
         lists.join(
@@ -831,7 +807,7 @@ def ivf_pq_topk(
             (F.col("centroid_id") == F.col("p_centroid_id"))
             & (F.col("id") != F.col("probe_id")),
         )
-        .select("probe_id", "id", adist.alias("adist"))
+        .select("probe_id", "id", _pq_adist_expr().alias("adist"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )
@@ -1051,4 +1027,200 @@ class IvfIndex:
             .select("probe_id", F.col("id").alias("cand_id"), "cosine")
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
+        )
+
+
+class IvfPqIndex:
+    """Persistent IVF+PQ index — the at-rest form of :func:`ivf_pq_topk`
+    and the completion of the incremental-index family (``LshIndex`` /
+    ``ExactIndex`` / ``IvfIndex``): the inverted lists hold m PQ CODES
+    per vector instead of the vector itself, so at 100 TB the index is
+    ~(8*dim)/m smaller than the corpus (64-dim float64 at m=4: 128x) and
+    a query scans bytes, not floats.
+
+    ``build()`` trains the coarse centroids (integer-exact Lloyd's) and
+    the PQ codebooks (``pq_iters`` of per-subspace Lloyd's; 0 keeps the
+    deterministic seed) once and stores both in the index metadata;
+    ``add()`` assigns AND encodes arriving vectors against the STORED
+    parameters in one map-only pass (no retraining, cost O(batch)) and
+    appends to the lists; ``topk()`` reads only the probed lists (the
+    parquet layout is partitioned by ``centroid_id``) and ranks by ADC —
+    m integer lookups per candidate. With ``nprobe == num_centroids``
+    results equal the flat ADC scan over everything ever added, which is
+    what the oracle gate pins (brute-force-equality can't hold here: PQ
+    is lossy by design; fidelity is measured in tools/ann_recall.py).
+    """
+
+    def __init__(self, spark, path: str):
+        import os
+
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        os.makedirs(self.path, exist_ok=True)
+        self._meta = os.path.join(self.path, "params.json")
+        self._data = os.path.join(self.path, "lists")
+
+    def _params(self):
+        import json
+        import os
+
+        if not os.path.exists(self._meta):
+            raise ValueError(f"index at {self.path} has no params; build() first")
+        with open(self._meta) as f:
+            m = json.load(f)
+        return m["centroid_vectors"], m["centroid_ids"], m["codebooks"], m["scale"]
+
+    def build(
+        self,
+        df: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        *,
+        num_centroids: int = 8,
+        iters: int = 1,
+        pq_m: int = 4,
+        pq_ksub: int = 16,
+        pq_iters: int = 0,
+        scale: int = 10**7,
+    ) -> DataFrame:
+        """Train centroids + codebooks on ``df`` and index it."""
+        import json
+        import os
+
+        cvs, cids = ivf_train(
+            df,
+            id_col=id_col,
+            vec_col=vec_col,
+            num_centroids=num_centroids,
+            iters=iters,
+        )
+        if pq_iters > 0:
+            books = pq_train(
+                df,
+                id_col=id_col,
+                vec_col=vec_col,
+                m=pq_m,
+                ksub=pq_ksub,
+                iters=pq_iters,
+                scale=scale,
+            )
+        else:
+            books = pq_codebook_data(
+                df, id_col=id_col, vec_col=vec_col, m=pq_m, ksub=pq_ksub
+            )
+        tmp = self._meta + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "centroid_vectors": cvs,
+                    "centroid_ids": cids,
+                    "codebooks": books,
+                    "scale": scale,
+                },
+                f,
+            )
+        os.replace(tmp, self._meta)
+        return self.add(df, id_col, vec_col)
+
+    def add(
+        self, df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    ) -> DataFrame:
+        """Encode + assign ``df`` against the stored parameters — ONE
+        map-only pass (codes and centroid ride the same projection, the
+        same single-pass shape :func:`ivf_pq_topk` plan-asserts) — and
+        append to the inverted lists."""
+        cvs, cids, books, scale = self._params()
+        dsub = len(books[0][0])
+        spark = df.sparkSession
+        cbdf = spark.createDataFrame([(books,)], "cb array<array<array<double>>>")
+        cents_df = spark.createDataFrame(
+            [(cvs, cids)], "cents array<array<double>>, cids array<int>"
+        )
+        sv = F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.round(x * scale).cast("long"),
+        )
+        rows = (
+            df.crossJoin(F.broadcast(cbdf))
+            .crossJoin(F.broadcast(cents_df))
+            .select(
+                F.col(id_col).cast("long").alias("id"),
+                sv.alias("se"),
+                F.col(vec_col).cast("array<double>").alias("fv"),
+                "cb",
+                "cents",
+                "cids",
+            )
+            .select(
+                "id",
+                _pq_codes_expr(dsub, scale).alias("codes"),
+                (-_ivf_best_expr(F.col("fv"), 6)["negid"])
+                .cast("int")
+                .alias("centroid_id"),
+            )
+        )
+        out = rows.localCheckpoint(eager=True)  # pin before the append
+        out.repartition("centroid_id").write.mode("append").partitionBy(
+            "centroid_id"
+        ).parquet(self._data)
+        return out
+
+    def topk(
+        self,
+        probes: DataFrame,
+        *,
+        nprobe: int = 2,
+        k: int = 5,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        round_digits: int = 6,
+    ) -> DataFrame:
+        """ADC search over the probed lists only: the scan reads the
+        partition-pruned code files (never a vector), each candidate
+        costs m integer table lookups."""
+        cvs, cids, books, scale = self._params()
+        spark = self.spark
+        cent_rows = spark.createDataFrame(
+            list(zip(cids, cvs)), "cid int, cv array<double>"
+        )
+        p = probes.select(
+            F.col(id_col).cast("long").alias("probe_id"),
+            F.col(vec_col).cast("array<double>").alias("probe_vec"),
+        )
+        pc_w = Window.partitionBy("probe_id").orderBy(F.desc("c_cos"), F.asc("cid"))
+        probe_cents = (
+            p.crossJoin(F.broadcast(cent_rows))
+            .withColumn(
+                "c_cos",
+                F.round(cosine(F.col("probe_vec"), F.col("cv")), round_digits),
+            )
+            .withColumn("crank", F.row_number().over(pc_w))
+            .filter(F.col("crank") <= nprobe)
+            .select("probe_id", F.col("cid").alias("p_centroid_id"))
+        )
+        dtab = _pq_dtab(
+            probes, id_col=id_col, vec_col=vec_col, codebooks=books, scale=scale
+        )
+        probe_side = probe_cents.join(F.broadcast(dtab), "probe_id")
+        probed = [
+            r["p_centroid_id"]
+            for r in probe_cents.select("p_centroid_id").distinct().collect()
+        ]
+        lists = (
+            self.spark.read.schema("id long, codes array<int>, centroid_id int")
+            .option("basePath", self._data)
+            .parquet(self._data)
+        )
+        # .where on the partition column prunes unprobed list dirs.
+        cands = lists.where(F.col("centroid_id").isin(probed))
+        w = Window.partitionBy("probe_id").orderBy("adist", "id")
+        return (
+            cands.join(
+                F.broadcast(probe_side),
+                (F.col("centroid_id") == F.col("p_centroid_id"))
+                & (F.col("id") != F.col("probe_id")),
+            )
+            .select("probe_id", "id", _pq_adist_expr().alias("adist"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
         )

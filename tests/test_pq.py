@@ -242,6 +242,47 @@ def test_ivfpq_plan_never_shuffles_the_corpus(emb):
     assert set(keys) <= {"probe_id"}, keys
 
 
+def test_ivfpq_index_build_add_equals_flat_adc(emb, tmp_path):
+    from sonnerie_spark.operators.similarity import IvfPqIndex
+
+    idx = IvfPqIndex(emb.sparkSession, str(tmp_path / "idx"))
+    idx.build(
+        emb.filter(F.col("vec_id") < 200), num_centroids=4, pq_iters=2
+    )
+    idx.add(emb.filter(F.col("vec_id") >= 200))
+    probes = emb.filter(F.col("vec_id") < 3)
+    got = sorted(map(tuple, idx.topk(probes, nprobe=4, k=5).collect()))
+    # flat ADC with the SAME stored (trained-on-batch-1) codebooks
+    _, _, books, scale = idx._params()
+    want = sorted(
+        map(tuple, pq_adc_topk(emb, probes, codebooks=books, k=5).collect())
+    )
+    assert got == want
+
+
+def test_ivfpq_index_partial_probe_reads_only_probed_lists(emb, tmp_path):
+    from sonnerie_spark.operators.similarity import IvfPqIndex
+
+    idx = IvfPqIndex(emb.sparkSession, str(tmp_path / "idx"))
+    idx.build(emb, num_centroids=4, pq_iters=0)
+    probes = emb.filter(F.col("vec_id") < 2)
+    df = idx.topk(probes, nprobe=1, k=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # partition pruning reaches the scan: the centroid_id filter appears
+    # as a partition filter, and candidates come only from probed lists
+    assert "PartitionFilters" in plan
+    part_filters = plan.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+    assert "centroid_id" in part_filters
+    rows = df.collect()
+    assert rows
+    full = {
+        (r.probe_id, r.id): r.adist
+        for r in idx.topk(probes, nprobe=4, k=10**6).collect()
+    }
+    for r in rows:
+        assert full[(r.probe_id, r.id)] == r.adist
+
+
 def test_semdedup_matches_python_model(emb):
     from sonnerie_spark.operators.similarity import semdedup
 
