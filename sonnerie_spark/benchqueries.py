@@ -4718,12 +4718,19 @@ _DRIVER_WINDOW = [
     "write_path_roundtrip", "time_travel_roundtrip", "sql_over_view",
     "continuous_rollup_roundtrip", "rollup_cascade_roundtrip",
     "rollup_multicol_roundtrip", "lsh_index_incremental",
-    # dedup / similarity scale paths
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
+    # dedup / similarity scale paths (r6: pq_encode, ivf_pq_topk and
+    # semdedup_keep take the window slots of ivf_assign,
+    # embedding_neardup_pairs and dedup_ngram_jaccard — each dropped
+    # gate is subsumed by a stricter window sibling (kmeans_assign runs
+    # the same assignment plan + a Lloyd's round; neardup_components
+    # consumes the pair stream; the capped jaccard is the corpus-scale
+    # variant of the uncapped baseline) and all three stay verified by
+    # the local three-SF sweep
+    "dedup_exact", "semdedup_keep", "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh", "dedup_minhash_lsh_capped", "dedup_simhash",
     "simhash_near_pairs", "neardup_components", "neardup_keep_canonical",
-    "embedding_topk", "embedding_neardup_pairs",
-    "embedding_neardup_components", "ann_lsh_buckets", "ivf_assign",
+    "embedding_topk", "pq_encode",
+    "embedding_neardup_components", "ann_lsh_buckets", "ivf_pq_topk",
     "ivf_kmeans_assign", "ivf_ann_topk", "embedding_quantize_int8",
     "embedding_topk_int8",
     # text / sampling / multimodal pipeline
