@@ -3109,6 +3109,153 @@ def _curation_v2_oracle() -> str:
     )
 
 
+def _curation_v3_oracle() -> str:
+    """v2 with a SemDeDup stage between cluster dedup and mixing: the
+    surviving docs' embeddings are clustered and within-cluster cosine
+    near-dups dropped (higher-priority-witness rule, tau=0.25) before
+    the temperature mix. Assembled from the v2 oracle by swapping its
+    mixing tail; centroid seeds are the surviving ids < 8, restricted
+    identically on both engines."""
+    base = _curation_v2_oracle()
+    marker = "sc AS (SELECT lang, count(*) AS n_g FROM survivors GROUP BY lang)"
+    cut = base.index(marker)
+    head = base[:cut]
+    ph = phash_sql("cast(id as varchar)")
+    u = f"({ph} % 1000000)"
+    return (
+        head
+        + f"""sv_e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      WHERE vec_id IN (SELECT id FROM survivors)
+    ),
+    sem_c AS (
+      SELECT vec_id AS cid, e AS ce
+      FROM (SELECT vec_id, e FROM sv_e ORDER BY vec_id LIMIT 8)
+    ),
+    sem_scored AS (
+      SELECT sv_e.vec_id, sem_c.cid,
+             round({_cos_sql("sv_e.e", "sem_c.ce")}, 6) AS cos
+      FROM sv_e CROSS JOIN sem_c
+    ),
+    sem_r AS (
+      SELECT vec_id, cid, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cid ASC) AS rn
+      FROM sem_scored
+    ),
+    sem_assign AS (SELECT vec_id, cid, cos AS ccos FROM sem_r WHERE rn = 1),
+    sem_dropped AS (
+      SELECT DISTINCT b.vec_id AS id
+      FROM sem_assign a
+      JOIN sem_assign b ON a.cid = b.cid
+       AND (a.ccos < b.ccos OR (a.ccos = b.ccos AND a.vec_id < b.vec_id))
+      JOIN sv_e va ON va.vec_id = a.vec_id
+      JOIN sv_e vb ON vb.vec_id = b.vec_id
+      WHERE round({_cos_sql("va.e", "vb.e")}, 6) >= 0.25
+    ),
+    final AS (
+      SELECT id, lang FROM survivors
+      WHERE id NOT IN (SELECT id FROM sem_dropped)
+    ),
+    sc AS (SELECT lang, count(*) AS n_g FROM final GROUP BY lang),
+    sm AS (SELECT min(n_g) AS n_min FROM sc),
+    mixed3 AS (
+      SELECT id, f.lang FROM final f JOIN sc USING (lang) CROSS JOIN sm
+      WHERE {u}::HUGEINT * {u}::HUGEINT * n_g::HUGEINT < n_min::HUGEINT * 1000000000000::HUGEINT
+    )
+    SELECT id, lang,
+           {ph} % 100 AS bucket,
+           CASE WHEN {ph} % 100 < 80 THEN 'train'
+                WHEN {ph} % 100 < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM mixed3
+    """
+    )
+
+
+@q("corpus_curation_v3", _curation_v3_oracle(), "data")
+def q_corpus_curation_v3(spark, sf_dir):
+    """The flagship composite extended with this round's semantic
+    stage: quality gate -> MinHash-LSH near-dup clustering -> keep
+    longest per cluster -> SEMDEDUP over the survivors' embeddings
+    (cluster-bounded cosine near-dup drop, tau=0.25 — the
+    embedding-space pass that catches paraphrases lexical dedup
+    misses) -> temperature mix -> hash split. Every stage is the
+    oracle-gated operator it reuses; the doc corpus joins its
+    embedding table 1:1 on id. Plan adds one equi-join pair probe and
+    a broadcast of the survivor ids — no new corpus shuffle class."""
+    docs = load_par(spark, sf_dir, "documents")
+    scored = textops.quality_score(docs, "doc_id", "text").select(
+        "id", "quality_score"
+    )
+    base = docs.select(
+        F.col("doc_id").alias("id"), "lang", "n_chars", "text"
+    ).join(scored, "id")
+    wp = Window.partitionBy("lang")
+    w = wp.orderBy(F.col("quality_score").desc(), F.col("id"))
+    keepq = (
+        base.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_lang", F.count("*").over(wp))
+        .filter(F.col("rk") * 4 <= F.col("n_lang") * 3)
+        .select("id", "lang", "n_chars", "text")
+        .persist()
+    )
+    pairs = dedup.minhash_lsh_pairs(
+        keepq, "id", "text", k=3, num_hashes=16, band_size=4
+    )
+    comps = graph.connected_components(pairs, "id_a", "id_b")
+    canon = sampling.keep_canonical_per_component(
+        comps, keepq, id_col="id", len_col="n_chars"
+    )
+    removed = (
+        comps.join(canon, "comp")
+        .filter(F.col("id") != F.col("keep_id"))
+        .select("id")
+    )
+    # SemDeDup references the survivor set from BOTH sides of its pair
+    # probe plus the final keep join — persist the stage boundary once
+    # (same materialization rationale as keepq above) or each branch
+    # re-runs quality + LSH + CC
+    survivors = (
+        keepq.select("id", "lang").join(removed, "id", "left_anti").persist()
+    )
+    emb = load_par(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    surv_emb = emb.join(survivors.select("id"), "id")
+    # centroid seeds must come from the SURVIVING set (ids < 8 may all
+    # have been dropped upstream): the 8 smallest surviving ids, a
+    # bounded dimension-data collect mirrored by the oracle's LIMIT 8
+    seeds = surv_emb.orderBy("id").limit(8).collect()
+    cents = ([list(r.embedding) for r in seeds], [int(r.id) for r in seeds])
+    kept_sem = similarity.semdedup(
+        surv_emb,
+        id_col="id",
+        vec_col="embedding",
+        tau=0.25,
+        centroids=cents,
+    ).select("id")
+    # drop only PROVEN near-duplicates: docs without an embedding row
+    # (embeddings cover a subset of documents at some SFs) pass through
+    # — an inner join on the kept set would silently discard them
+    sem_dropped = surv_emb.select("id").join(kept_sem, "id", "left_anti")
+    final = survivors.join(sem_dropped, "id", "left_anti")
+    mixed = sampling.temperature_sample_sqrt(final, "lang", "id").select(
+        "id", F.col("grp").alias("lang")
+    )
+    bucket = F.pmod(phash(F.col("id").cast("string")), F.lit(100))
+    return mixed.select(
+        "id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 @q("corpus_curation_v2", _curation_v2_oracle(), "data")
 def q_corpus_curation_v2(spark, sf_dir):
     """The round-4 flagship composite: the full training-data curation
@@ -4738,8 +4885,10 @@ _DRIVER_WINDOW = [
     "decontaminate_benchmark", "redact_pii", "pack_sequences",
     "train_test_split", "corpus_mix_uniform", "corpus_mix_temperature",
     "corpus_mix_weighted", "multimodal_meta", "multimodal_decode_real",
-    # composite end-to-end
-    "corpus_curation_v2",
+    # composite end-to-end (r6: v3 takes v2's slot — it runs every v2
+    # stage plus the SemDeDup pass, so the window certifies a strict
+    # superset; v2 stays verified by the local three-SF sweep)
+    "corpus_curation_v3",
 ]
 # (exactly 50 names once every planned gate exists — decode_stub and the
 # remaining analytics keep definition order after the window)

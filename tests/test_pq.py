@@ -330,6 +330,23 @@ def test_semdedup_matches_python_model(emb):
         assert top[1] in got
 
 
+def test_semdedup_pair_probe_is_equi_join(emb):
+    # the within-cluster pair probe must be an equi-join on centroid_id
+    # (cluster count bounds the quadratic work) — never a cartesian
+    # product over the corpus
+    from sonnerie_spark.operators.similarity import semdedup
+
+    plan = (
+        semdedup(emb, num_centroids=8, tau=0.2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    # only the tiny one-row centroid literals ride nested-loop joins
+    assert plan.count("BroadcastNestedLoopJoin BuildRight, Cross") <= 3
+
+
 def test_adc_plan_has_no_corpus_shuffle_before_rank(emb):
     # corpus side must reach the rank window through map-only stages:
     # the only Exchange below the Window is the per-probe hash partition
