@@ -4846,6 +4846,161 @@ def q_multimodal_frame_sample(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Language-model scoring + importance resampling (operators/lm.py)
+# ---------------------------------------------------------------------------
+
+_LM_VOCAB = 24  # < the corpus's 31 token types, so the <unk> path is live
+_DSIR_B = 64
+
+
+def _lm_oracle() -> str:
+    """Add-½ bigram LM trained on the English slice, scoring every doc.
+
+    Mirrors operators/lm.py exactly: case-folded whitespace tokens,
+    top-24 vocab by (count desc, token asc), OOV -> '<unk>', per-gram
+    integer score (2·c2+1)·1e9 // (2·c1+v_eff) summed per doc. All
+    arithmetic integral -> bitwise cross-engine equality at any SF.
+    """
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(lower(text)), ' ') AS t, lang
+      FROM documents
+    ),
+    reft AS (SELECT t FROM toks WHERE lang = 'en'),
+    runi AS (SELECT unnest(t) AS tok FROM reft),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok,
+               row_number() OVER (ORDER BY count(*) DESC, tok) AS rk
+        FROM runi GROUP BY tok
+      ) WHERE rk <= {_LM_VOCAB}
+    ),
+    veff AS (SELECT count(*) + 1 AS v FROM vocab),
+    runim AS (
+      SELECT CASE WHEN tok IN (SELECT tok FROM vocab)
+                  THEN tok ELSE '<unk>' END AS w
+      FROM runi
+    ),
+    uni AS (SELECT w, count(*) AS c1 FROM runim GROUP BY w),
+    rbig AS (
+      SELECT t[pos+1] AS t1, t[pos+2] AS t2
+      FROM (SELECT unnest(range(len(t)-1)) AS pos, t
+            FROM reft WHERE len(t) >= 2)
+    ),
+    rbigm AS (
+      SELECT CASE WHEN t1 IN (SELECT tok FROM vocab)
+                  THEN t1 ELSE '<unk>' END AS w1,
+             CASE WHEN t2 IN (SELECT tok FROM vocab)
+                  THEN t2 ELSE '<unk>' END AS w2
+      FROM rbig
+    ),
+    bi AS (SELECT w1, w2, count(*) AS c2 FROM rbigm GROUP BY w1, w2),
+    dbig AS (
+      SELECT doc_id AS id, t[pos+1] AS t1, t[pos+2] AS t2
+      FROM (SELECT doc_id, unnest(range(len(t)-1)) AS pos, t
+            FROM toks WHERE len(t) >= 2)
+    ),
+    dbigm AS (
+      SELECT id,
+             CASE WHEN t1 IN (SELECT tok FROM vocab)
+                  THEN t1 ELSE '<unk>' END AS w1,
+             CASE WHEN t2 IN (SELECT tok FROM vocab)
+                  THEN t2 ELSE '<unk>' END AS w2
+      FROM dbig
+    ),
+    sc AS (
+      SELECT id,
+             (2*coalesce(c2, 0) + 1) * 1000000000
+               // (2*coalesce(c1, 0) + (SELECT v FROM veff)) AS score_q
+      FROM dbigm
+      LEFT JOIN uni ON uni.w = dbigm.w1
+      LEFT JOIN bi ON bi.w1 = dbigm.w1 AND bi.w2 = dbigm.w2
+    )
+    SELECT id, count(*) AS n_bigrams,
+           cast(sum(score_q) AS BIGINT) AS score_sum,
+           cast(sum(score_q) // count(*) AS BIGINT) AS score_mean_q
+    FROM sc GROUP BY id
+    """
+
+
+@q("lm_score_bigram", _lm_oracle(), "data")
+def q_lm_score_bigram(spark, sf_dir):
+    """CCNet-style LM fluency scoring: train add-½ bigram statistics on
+    the trusted slice (lang='en'), score EVERY document by its mean
+    smoothed bigram probability (integer 1e-9 units). The float
+    log-perplexity twin (lm.lm_perplexity) is the interactive variant;
+    this integer path is the oracle gate. Plan: map-only array-native
+    bigram formation, broadcast vocab/unigram joins, one equi-join on
+    the bigram key, one hash agg on id — no window shuffle, no UDF."""
+    from sonnerie_spark.operators import lm
+
+    docs = load_par(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("lang") == "en")
+    vocab, uni, bi, v_eff = lm.lm_bigram_counts(
+        ref, "text", vocab_size=_LM_VOCAB
+    )
+    return lm.lm_doc_score(
+        docs, "doc_id", "text", vocab=vocab, uni=uni, bi=bi, v_eff=v_eff
+    )
+
+
+def _dsir_oracle() -> str:
+    """DSIR hashed-feature importance weights, top-200 selection.
+
+    target = lang='en' slice, raw = whole corpus, 64 hash buckets;
+    per-token smoothed target/raw ratio in exact integer 1e-6 units,
+    mean per doc; deterministic top-k by (w_mean_q desc, id).
+    """
+    b = _DSIR_B
+    return f"""
+    WITH tokex AS (
+      SELECT doc_id, lang, unnest(string_split(trim(lower(text)), ' ')) AS tok
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id, lang, {phash_sql("tok")} % {b} AS b FROM tokex
+    ),
+    ct AS (SELECT b, count(*) AS ct FROM feat WHERE lang = 'en' GROUP BY b),
+    cr AS (SELECT b, count(*) AS cr FROM feat GROUP BY b),
+    tt AS (SELECT count(*) AS n_t FROM feat WHERE lang = 'en'),
+    tr AS (SELECT count(*) AS n_r FROM feat),
+    sc AS (
+      SELECT doc_id AS id,
+             (coalesce(ct, 0) + 1) * ((SELECT n_r FROM tr) + {b}) * 1000000
+               // ((coalesce(cr, 0) + 1) * ((SELECT n_t FROM tt) + {b})) AS w_q
+      FROM feat LEFT JOIN ct USING (b) LEFT JOIN cr USING (b)
+    ),
+    agg AS (
+      SELECT id, count(*) AS n_tokens,
+             cast(sum(w_q) AS BIGINT) AS w_sum,
+             cast(sum(w_q) // count(*) AS BIGINT) AS w_mean_q
+      FROM sc GROUP BY id
+    )
+    SELECT id, n_tokens, w_sum, w_mean_q
+    FROM agg ORDER BY w_mean_q DESC, id LIMIT 200
+    """
+
+
+@q("dsir_select", _dsir_oracle(), "data")
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection: hash tokens into 64 feature buckets, weight
+    each document by its mean smoothed target/raw likelihood ratio
+    (target = the English slice), keep the top 200 by (weight desc,
+    id). Both distribution tables are 64 rows — broadcast no matter the
+    corpus size; totals ride 1-row broadcast cross-joins; top-k is
+    TakeOrderedAndProject. The whole scoring pass is map-only plus one
+    hash agg on id."""
+    from sonnerie_spark.operators import lm
+
+    docs = load_par(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    w = lm.dsir_doc_weights(
+        docs, "doc_id", "text", target=target, num_buckets=_DSIR_B
+    )
+    return lm.dsir_topk(w, 200)
+
+
+# ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's CORRECTNESS gate checks the FIRST
 # 50 registry rows; definition order above is pedagogical (parity ops,
 # then analytics, then composites), which left the most load-bearing

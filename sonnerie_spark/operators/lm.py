@@ -1,0 +1,417 @@
+"""N-gram language-model scoring and importance resampling.
+
+Two corpus-curation stages every large-scale training-data pipeline
+runs between dedup and mixing:
+
+- **Bigram-LM fluency scoring** (the CCNet / KenLM pattern): train
+  add-k-smoothed bigram statistics on a trusted reference slice (e.g.
+  one language or one vetted source), score every document by its mean
+  smoothed bigram probability, and filter/bucket on the score. The
+  reference pipeline buckets documents into head/middle/tail by LM
+  perplexity; the same train-on-slice / score-everything shape is
+  implemented here.
+- **DSIR importance reweighting** (Data Selection via Importance
+  Resampling): hash tokens into a fixed number of feature buckets,
+  estimate target vs raw feature distributions, and weight each
+  document by its mean target/raw likelihood ratio; select the top-k.
+
+Both expose an *integer-exact* score so the DuckDB oracle comparison is
+bitwise: every per-gram probability is a ratio of integer counts, scaled
+by ``LM_SCALE`` and floor-divided (Spark ``div`` == DuckDB ``//`` on
+integers), then summed as BIGINT — order-independent, no float
+summation anywhere on the gated path. A conventional float
+log-perplexity is also provided for interactive use
+(:func:`lm_perplexity`).
+
+Scale design (100 TB corpus):
+- LM training is one explode + hash-aggregate per n-gram order
+  (map-side partial combine; shuffle keyed on the gram).
+- Vocabulary is capped at ``vocab_size`` types (rank by count desc,
+  token asc), OOV folds to ``<unk>`` — so the unigram/prefix table is
+  always broadcastable. The bigram table is bounded by the observed
+  bigrams of a *capped* vocabulary; at extreme scale pass
+  ``hash_buckets`` to fold bigrams into a fixed-width hashed table
+  (hash-gram LM) that broadcasts no matter the corpus size.
+- Scoring is map-only bigram formation (array slice + zip — no
+  per-document window/lag shuffle) + broadcast joins + one final
+  hash-aggregate on doc id.
+- DSIR tables are ``num_buckets`` rows by construction — broadcast
+  always; corpus totals ride 1-row broadcast cross-joins. Top-k uses
+  orderBy().limit() (TakeOrderedAndProject — per-partition heaps + a
+  driver merge of k rows, never a single-task global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from sonnerie_spark.functions.portable_hash import phash, phash_sql
+
+__all__ = [
+    "LM_SCALE",
+    "UNK",
+    "lm_tokens",
+    "lm_vocab",
+    "lm_bigram_counts",
+    "lm_doc_score",
+    "lm_perplexity",
+    "dsir_bucket_counts",
+    "dsir_doc_weights",
+    "dsir_topk",
+]
+
+LM_SCALE = 1_000_000_000  # per-gram probabilities in 1e-9 units
+# DSIR ratios multiply three counts before the scale factor; 1e-6 units
+# keep the BIGINT product exact to corpus sizes ~9e12 token·bucket-count
+DSIR_SCALE = 1_000_000
+UNK = "<unk>"
+
+
+def lm_tokens(text: Column) -> Column:
+    """Case-folded whitespace tokens (the LM's token convention)."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def lm_tokens_sql(expr: str) -> str:
+    """DuckDB mirror of :func:`lm_tokens`."""
+    return f"string_split(trim(lower({expr})), ' ')"
+
+
+def _bigrams(toks: Column) -> Column:
+    """Adjacent-token pairs as array<struct<w1,w2>> — array-native
+    (slice + zip), so bigram formation is map-only: no posexplode /
+    window-lag shuffle per document."""
+    n = F.size(toks)
+    return F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("w1"),
+        F.slice(toks, 2, n - 1).alias("w2"),
+    )
+
+
+def lm_vocab(
+    ref: DataFrame, text_col: str, *, vocab_size: int
+) -> DataFrame:
+    """Top-``vocab_size`` token types of the reference slice.
+
+    Rank is (count desc, token asc) — fully deterministic. Returns
+    ``(tok)``; always ≤ vocab_size rows, hence broadcastable.
+    """
+    counts = (
+        ref.select(F.explode(lm_tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .count()
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("count").desc(), F.col("tok"))
+    # vocab ranking is a sort of |types| rows (already aggregated), a
+    # dimension-sized single partition — not a corpus-sized window
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= vocab_size)
+        .select("tok")
+    )
+
+
+def lm_bigram_counts(
+    ref: DataFrame,
+    text_col: str,
+    *,
+    vocab_size: int,
+) -> tuple[DataFrame, DataFrame, DataFrame, int]:
+    """Train the LM: returns (vocab, unigram_counts, bigram_counts,
+    v_eff).
+
+    - vocab: ≤ vocab_size rows of ``(tok)``.
+    - unigram_counts: ``(w, c1)`` — occurrences of each *mapped* token
+      (OOV folded to ``<unk>``) across the reference; broadcastable.
+    - bigram_counts: ``(w1, w2, c2)`` — mapped adjacent-pair counts.
+    - v_eff: smoothing vocabulary size = |vocab| + 1 (the ``<unk>``
+      type is always reserved), used as the add-k denominator term.
+    """
+    vocab = lm_vocab(ref, text_col, vocab_size=vocab_size)
+    v_eff = vocab.count() + 1
+
+    toks = lm_tokens(F.col(text_col))
+    ex = ref.select(F.explode(toks).alias("tok"))
+    mapped = (
+        ex.join(
+            F.broadcast(vocab.withColumn("_v", F.lit(1))), "tok", "left"
+        )
+        .select(
+            F.when(F.col("_v").isNotNull(), F.col("tok"))
+            .otherwise(UNK)
+            .alias("w")
+        )
+    )
+    uni = mapped.groupBy("w").agg(F.count("*").alias("c1"))
+
+    bg = ref.select(F.explode(_bigrams(toks)).alias("g")).select(
+        F.col("g.w1").alias("t1"), F.col("g.w2").alias("t2")
+    )
+    v1 = vocab.select(F.col("tok").alias("t1"), F.lit(1).alias("_v1"))
+    v2 = vocab.select(F.col("tok").alias("t2"), F.lit(1).alias("_v2"))
+    bi = (
+        bg.join(F.broadcast(v1), "t1", "left")
+        .join(F.broadcast(v2), "t2", "left")
+        .select(
+            F.when(F.col("_v1").isNotNull(), F.col("t1"))
+            .otherwise(UNK)
+            .alias("w1"),
+            F.when(F.col("_v2").isNotNull(), F.col("t2"))
+            .otherwise(UNK)
+            .alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+    )
+    return vocab, uni, bi, v_eff
+
+
+def lm_doc_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    vocab: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    v_eff: int,
+) -> DataFrame:
+    """Integer-exact add-½ bigram score per document.
+
+    Per bigram (w1, w2) after OOV folding, the smoothed probability
+    p = (c2 + ½) / (c1 + ½·v_eff) is scored as the exact integer
+    ``(2·c2 + 1) · LM_SCALE div (2·c1 + v_eff)`` — Spark ``div`` and
+    DuckDB ``//`` are both exact floor division on BIGINT, and the
+    per-document sum of integers is order-independent, so the oracle
+    comparison is bitwise at any scale factor.
+
+    Returns ``(id, n_bigrams, score_sum, score_mean_q)`` for documents
+    with ≥ 1 bigram; score_mean_q = score_sum div n_bigrams is the mean
+    smoothed bigram probability in 1e-9 units (higher = more fluent
+    under the reference LM).
+
+    Scale: bigram formation is array-native (map-only); vocab and
+    unigram joins broadcast (≤ vocab_size rows); the bigram-count join
+    keys on (w1, w2) — broadcast when small, hash-partitioned equi-join
+    otherwise; one final hash agg on id. Counts beyond ~4·10⁹ need the
+    DECIMAL(38,0) widening of the numerator product (2·c2+1)·LM_SCALE;
+    BIGINT is exact through c2 ≈ 4.6e9.
+    """
+    toks = lm_tokens(F.col(text_col))
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(_bigrams(toks)).alias("g")
+    ).select("id", F.col("g.w1").alias("t1"), F.col("g.w2").alias("t2"))
+
+    v1 = vocab.select(F.col("tok").alias("t1"), F.lit(1).alias("_v1"))
+    v2 = vocab.select(F.col("tok").alias("t2"), F.lit(1).alias("_v2"))
+    mapped = (
+        ex.join(F.broadcast(v1), "t1", "left")
+        .join(F.broadcast(v2), "t2", "left")
+        .select(
+            "id",
+            F.when(F.col("_v1").isNotNull(), F.col("t1"))
+            .otherwise(UNK)
+            .alias("w1"),
+            F.when(F.col("_v2").isNotNull(), F.col("t2"))
+            .otherwise(UNK)
+            .alias("w2"),
+        )
+    )
+    j = (
+        mapped.join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), "c1")),
+            "w1",
+            "left",
+        )
+        .join(bi, ["w1", "w2"], "left")
+        .select(
+            "id",
+            F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
+            F.coalesce(F.col("c2"), F.lit(0)).alias("c2"),
+        )
+    )
+    score_q = F.expr(
+        f"(2*c2 + 1) * {LM_SCALE}L div (2*c1 + {v_eff})"
+    ).alias("score_q")
+    return (
+        j.select("id", score_q)
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("score_q").alias("score_sum"),
+        )
+        .withColumn(
+            "score_mean_q", F.expr("score_sum div n_bigrams")
+        )
+    )
+
+
+def lm_perplexity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    vocab: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    v_eff: int,
+) -> DataFrame:
+    """Conventional float log-perplexity under the same add-½ bigram
+    model: exp(−mean log p). Float sums are order-dependent across
+    engines, so this variant is for interactive filtering (CCNet-style
+    head/middle/tail bucketing); the oracle-gated path is
+    :func:`lm_doc_score`."""
+    scored = lm_doc_score(
+        df, id_col, text_col, vocab=vocab, uni=uni, bi=bi, v_eff=v_eff
+    )
+    # mean log p over the quantized per-doc aggregate is NOT recoverable
+    # (sum of probabilities ≠ sum of logs); recompute with logs.
+    toks = lm_tokens(F.col(text_col))
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(_bigrams(toks)).alias("g")
+    ).select("id", F.col("g.w1").alias("t1"), F.col("g.w2").alias("t2"))
+    v1 = vocab.select(F.col("tok").alias("t1"), F.lit(1).alias("_v1"))
+    v2 = vocab.select(F.col("tok").alias("t2"), F.lit(1).alias("_v2"))
+    mapped = (
+        ex.join(F.broadcast(v1), "t1", "left")
+        .join(F.broadcast(v2), "t2", "left")
+        .select(
+            "id",
+            F.when(F.col("_v1").isNotNull(), F.col("t1"))
+            .otherwise(UNK)
+            .alias("w1"),
+            F.when(F.col("_v2").isNotNull(), F.col("t2"))
+            .otherwise(UNK)
+            .alias("w2"),
+        )
+    )
+    j = (
+        mapped.join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), "c1")),
+            "w1",
+            "left",
+        )
+        .join(bi, ["w1", "w2"], "left")
+        .select(
+            "id",
+            F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
+            F.coalesce(F.col("c2"), F.lit(0)).alias("c2"),
+        )
+    )
+    logp = F.log((2 * F.col("c2") + 1) / (2 * F.col("c1") + F.lit(v_eff)))
+    per_doc = j.groupBy("id").agg(
+        F.count("*").alias("n_bigrams"), F.sum(logp).alias("logp_sum")
+    )
+    return per_doc.select(
+        "id",
+        "n_bigrams",
+        F.exp(-F.col("logp_sum") / F.col("n_bigrams")).alias("ppl"),
+    ).join(scored.select("id", "score_mean_q"), "id")
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection via importance resampling (hashed features)
+# ---------------------------------------------------------------------------
+
+
+def _bucket(tok: Column, num_buckets: int) -> Column:
+    return F.pmod(phash(tok), F.lit(num_buckets))
+
+
+def dsir_bucket_counts(
+    df: DataFrame, text_col: str, *, num_buckets: int
+) -> DataFrame:
+    """Hashed-unigram feature counts: ``(b, c)`` for b in
+    [0, num_buckets). Exactly ≤ num_buckets rows — broadcastable
+    regardless of corpus size (this fixed-width table is the point of
+    DSIR's hashed features)."""
+    return (
+        df.select(F.explode(lm_tokens(F.col(text_col))).alias("tok"))
+        .select(_bucket(F.col("tok"), num_buckets).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def dsir_doc_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    target: DataFrame,
+    num_buckets: int,
+) -> DataFrame:
+    """Per-document importance weight: the mean smoothed target/raw
+    likelihood ratio over the document's hashed token features.
+
+    Per token with feature bucket b, the add-1-smoothed ratio
+    r = [(ct+1)/(Ct+B)] / [(cr+1)/(Cr+B)] is scored as the exact
+    integer ``(ct+1)·(Cr+B)·DSIR_SCALE div ((cr+1)·(Ct+B))`` — pure
+    BIGINT arithmetic, identical in Spark and DuckDB, so the gate
+    compares bitwise. (Classical DSIR weights are the *product* of
+    ratios — a log-sum float; the mean-ratio variant ranks similarly
+    and stays integer-exact. :func:`lm_perplexity` shows the float
+    pattern if log-products are wanted interactively.)
+
+    ``df`` is the raw corpus (also the denominator distribution);
+    ``target`` is the slice whose distribution we want more of.
+    Returns ``(id, n_tokens, w_sum, w_mean_q)``.
+
+    Scale: both count tables are ≤ num_buckets rows (broadcast); totals
+    are 1-row broadcast cross-joins; scoring is map-only + one hash agg
+    on id. BIGINT stays exact while (ct+1)·(Cr+B)·DSIR_SCALE < 2⁶³ ≈
+    9.2e18, i.e. count products to ~9.2e12; beyond that widen the
+    numerator to DECIMAL(38,0).
+    """
+    ct = dsir_bucket_counts(target, text_col, num_buckets=num_buckets)
+    cr = dsir_bucket_counts(df, text_col, num_buckets=num_buckets)
+    # totals named distinctly from the per-bucket counts: Spark resolves
+    # case-insensitively, so `Ct` next to `ct` would be ambiguous
+    tot_t = target.select(
+        F.sum(F.size(lm_tokens(F.col(text_col)))).alias("n_t")
+    )
+    tot_r = df.select(
+        F.sum(F.size(lm_tokens(F.col(text_col)))).alias("n_r")
+    )
+
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(lm_tokens(F.col(text_col))).alias("tok"),
+    ).select("id", _bucket(F.col("tok"), num_buckets).alias("b"))
+    j = (
+        ex.join(F.broadcast(ct.withColumnRenamed("c", "ct")), "b", "left")
+        .join(F.broadcast(cr.withColumnRenamed("c", "cr")), "b", "left")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
+        .select(
+            "id",
+            F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
+            F.coalesce(F.col("cr"), F.lit(0)).alias("cr"),
+            "n_t",
+            "n_r",
+        )
+    )
+    b = num_buckets
+    w_q = F.expr(
+        f"(ct + 1) * (n_r + {b}) * {DSIR_SCALE}L div ((cr + 1) * (n_t + {b}))"
+    ).alias("w_q")
+    return (
+        j.select("id", w_q)
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("w_q").alias("w_sum"),
+        )
+        .withColumn("w_mean_q", F.expr("w_sum div n_tokens"))
+    )
+
+
+def dsir_topk(weights: DataFrame, k: int) -> DataFrame:
+    """Deterministic top-k selection by (w_mean_q desc, id asc).
+
+    orderBy().limit() compiles to TakeOrderedAndProject: per-partition
+    k-heaps and a k-row driver merge — never a one-task global sort.
+    """
+    return weights.orderBy(F.col("w_mean_q").desc(), F.col("id")).limit(k)
