@@ -4944,6 +4944,51 @@ def q_lm_score_bigram(spark, sf_dir):
     )
 
 
+def _lm_bucket_oracle() -> str:
+    """Head/middle/tail CCNet split over the LM scores: rank per lang
+    by (score desc, id), integer third cuts. Wraps the full LM oracle
+    as a nested-WITH subquery."""
+    return f"""
+    WITH scored AS ({_lm_oracle()}),
+    j AS (
+      SELECT s.id, d.lang, s.score_mean_q
+      FROM scored s JOIN documents d ON d.doc_id = s.id
+    ),
+    r AS (
+      SELECT id, lang, score_mean_q,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY score_mean_q DESC, id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM j
+    )
+    SELECT id, lang, score_mean_q,
+           CASE WHEN rk*3 <= n THEN 'head'
+                WHEN rk*3 <= n*2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM r
+    """
+
+
+@q("lm_bucket_split", _lm_bucket_oracle(), "data")
+def q_lm_bucket_split(spark, sf_dir):
+    """CCNet's final stage: bucket every document into head/middle/tail
+    thirds per language by its LM fluency score — the standard
+    perplexity-stratified corpus layout downstream samplers draw from.
+    Integer keep-rules only (3·rk vs n), so the gate is exact; the rank
+    window is over the per-document score table, not token rows."""
+    from sonnerie_spark.operators import lm
+
+    docs = load_par(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("lang") == "en")
+    vocab, uni, bi, v_eff = lm.lm_bigram_counts(
+        ref, "text", vocab_size=_LM_VOCAB
+    )
+    scored = lm.lm_doc_score(
+        docs, "doc_id", "text", vocab=vocab, uni=uni, bi=bi, v_eff=v_eff
+    ).join(docs.select(F.col("doc_id").alias("id"), "lang"), "id")
+    return lm.lm_bucket_split(scored)
+
+
 def _dsir_oracle() -> str:
     """DSIR hashed-feature importance weights, top-200 selection.
 

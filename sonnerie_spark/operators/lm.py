@@ -55,6 +55,7 @@ __all__ = [
     "lm_bigram_counts",
     "lm_doc_score",
     "lm_perplexity",
+    "lm_bucket_split",
     "dsir_bucket_counts",
     "dsir_doc_weights",
     "dsir_topk",
@@ -405,6 +406,44 @@ def dsir_doc_weights(
             F.sum("w_q").alias("w_sum"),
         )
         .withColumn("w_mean_q", F.expr("w_sum div n_tokens"))
+    )
+
+
+def lm_bucket_split(
+    scored: DataFrame,
+    *,
+    group_col: str = "lang",
+    score_col: str = "score_mean_q",
+    id_col: str = "id",
+) -> DataFrame:
+    """CCNet's head/middle/tail split: within each group (language),
+    rank documents by LM score (desc, id tie-break) and cut into exact
+    thirds — ``head`` = most fluent under the reference LM.
+
+    Integer keep-rule (3·rk ≤ n, 3·rk ≤ 2n) — no float quantiles, so
+    the oracle gate is exact. The rank window runs over the *per-doc
+    score table* (one row per document, partitioned by group), the same
+    shuffle class as the quality-gate window in the curation composite;
+    at extreme per-group cardinality swap in a range-partitioned
+    two-phase rank (see sampling.deterministic_shuffle for the
+    pattern).
+    """
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy(group_col)
+    w = wp.orderBy(F.col(score_col).desc(), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(wp))
+        .select(
+            id_col,
+            group_col,
+            score_col,
+            F.when(F.col("rk") * 3 <= F.col("n"), "head")
+            .when(F.col("rk") * 3 <= F.col("n") * 2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
     )
 
 

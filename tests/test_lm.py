@@ -154,6 +154,29 @@ def test_dsir_weights_match_python_model(spark, docs):
     assert min(got, key=lambda i: got[i][2]) == 4
 
 
+def test_lm_bucket_split_exact_thirds(spark, docs):
+    ref = docs.filter(F.col("lang") == "en")
+    vocab, uni, bi, v_eff = lm.lm_bigram_counts(ref, "text", vocab_size=3)
+    scored = lm.lm_doc_score(
+        docs, "id", "text", vocab=vocab, uni=uni, bi=bi, v_eff=v_eff
+    ).join(docs.select("id", "lang"), "id")
+    rows = lm.lm_bucket_split(scored).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        n = len(rs)
+        heads = sum(1 for r in rs if r["bucket"] == "head")
+        assert heads == n // 3  # exact integer third (floor)
+        # bucket order must follow score order: every head score >=
+        # every middle score >= every tail score
+        order = {"head": 0, "middle": 1, "tail": 2}
+        srt = sorted(rs, key=lambda r: (-r["score_mean_q"], r["id"]))
+        assert [order[r["bucket"]] for r in srt] == sorted(
+            order[r["bucket"]] for r in srt
+        )
+
+
 def test_dsir_topk_deterministic_tiebreak(spark, docs):
     target = docs.filter(F.col("lang") == "en")
     w = lm.dsir_doc_weights(docs, "id", "text", target=target, num_buckets=8)
