@@ -5076,6 +5076,100 @@ def q_distinct_sketch_hll(spark, sf_dir):
     )
 
 
+def _cms_oracle() -> str:
+    from sonnerie_spark.operators.sketch import cms_sketch_sql
+
+    body = cms_sketch_sql("v", "tok", depth=4, width=1024)
+    h = phash_sql("cast(row AS varchar) || '#' || v")
+    salts = ", ".join(f"({i})" for i in range(4))
+    return f"""
+    WITH tok AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS v FROM documents
+    ),
+    sk AS ({body}),
+    cand AS (SELECT DISTINCT v FROM tok),
+    probe AS (
+      SELECT v, row, cast({h} % 1024 AS INTEGER) AS col
+      FROM cand CROSS JOIN (VALUES {salts}) AS s(row)
+    ),
+    est AS (
+      SELECT v, min(coalesce(c, 0)) AS est
+      FROM probe LEFT JOIN sk USING (row, col) GROUP BY v
+    )
+    SELECT v, est FROM est ORDER BY est DESC, v LIMIT 20
+    """
+
+
+@q("heavy_hitters_cms", _cms_oracle(), "data")
+def q_heavy_hitters_cms(spark, sf_dir):
+    """Heavy hitters via Count-Min: build the d=4 x w=1024 integer
+    sketch over all document tokens (one map-side-combined agg, ≤ 4096
+    counters per task on the wire), broadcast it, and rank the
+    candidate tokens by their min-over-rows estimate. Deterministic
+    salted portable hashes -> the oracle reproduces sketch AND
+    estimates exactly. At 100 TB the sketch build touches each token
+    once and the query side never shuffles the corpus."""
+    from sonnerie_spark.operators import sketch
+
+    docs = load_par(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("v")
+    )
+    sk = sketch.cms_sketch(tok, "v", depth=4, width=1024)
+    cand = tok.distinct()
+    return sketch.cms_topk(cand, sk, k=20, depth=4, width=1024)
+
+
+def _kmv_oracle() -> str:
+    ph = phash_sql("v")
+    return f"""
+    WITH ta AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS v
+      FROM documents WHERE lang = 'en'
+    ),
+    tb AS (
+      SELECT unnest(string_split(trim(text), ' ')) AS v
+      FROM documents WHERE lang = 'de'
+    ),
+    ka AS (SELECT DISTINCT {ph} AS h FROM ta ORDER BY h LIMIT 256),
+    kb AS (SELECT DISTINCT {ph} AS h FROM tb ORDER BY h LIMIT 256),
+    un AS (
+      SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+      ORDER BY h LIMIT 256
+    )
+    SELECT (SELECT count(*) FROM un) AS k_eff,
+           (SELECT count(*) FROM un
+            WHERE h IN (SELECT h FROM ka)
+              AND h IN (SELECT h FROM kb)) AS inter,
+           (SELECT count(*) FROM un
+            WHERE h IN (SELECT h FROM ka)
+              AND h IN (SELECT h FROM kb)) * 1000000
+             // (SELECT count(*) FROM un) AS jaccard_q
+    """
+
+
+@q("kmv_source_overlap", _kmv_oracle(), "data")
+def q_kmv_source_overlap(spark, sf_dir):
+    """Corpus-overlap estimation without materializing either token
+    set: KMV bottom-k sketches of the English vs German token domains,
+    Jaccard from the bottom-k of their union — the integer estimator
+    (inter·1e6 div k_eff) is a deterministic function of the sketches,
+    so even the ESTIMATE is oracle-checked bitwise. The pattern scales
+    to source-vs-source contamination matrices: each sketch is ≤ k
+    rows, pairwise overlap costs k-row joins, never corpus joins."""
+    from sonnerie_spark.operators import sketch
+
+    docs = load_par(spark, sf_dir, "documents")
+    tok = lambda lang: docs.filter(F.col("lang") == lang).select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("v")
+    )
+    ka = sketch.kmv_sketch(tok("en"), "v", k=256)
+    kb = sketch.kmv_sketch(tok("de"), "v", k=256)
+    return sketch.kmv_overlap(ka, kb, k=256).select(
+        "k_eff", "inter", "jaccard_q"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's CORRECTNESS gate checks the FIRST
 # 50 registry rows; definition order above is pedagogical (parity ops,

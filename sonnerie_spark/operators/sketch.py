@@ -26,6 +26,12 @@ __all__ = [
     "hll_estimate",
     "hll_rho_sql",
     "hll_sketch_sql",
+    "cms_sketch",
+    "cms_sketch_sql",
+    "cms_topk",
+    "kmv_sketch",
+    "kmv_sketch_sql",
+    "kmv_overlap",
 ]
 
 
@@ -91,6 +97,126 @@ def hll_sketch_sql(
       FROM (SELECT {h} AS h FROM {from_clause})
     ) GROUP BY bucket
     """
+
+
+def cms_sketch(
+    df: DataFrame,
+    value: Column | str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-Min sketch: ``(row, col, c)`` — at most depth·width rows of
+    integer counts, built by one map-side-combined aggregate (the
+    explode multiplies rows by ``depth`` before the combine, but only
+    ≤ depth·width partial counters per task reach the shuffle).
+    Deterministic: row i uses the salted portable hash h_i."""
+    c = F.col(value) if isinstance(value, str) else value
+    ex = df.select(c.alias("v")).select(
+        "v", F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
+    )
+    col = F.pmod(
+        phash(F.concat(F.col("row").cast("string"), F.lit("#"), F.col("v"))),
+        F.lit(width),
+    ).cast("int")
+    return (
+        ex.select("row", col.alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_sketch_sql(
+    value_expr: str, from_clause: str, *, depth: int = 4, width: int = 1024
+) -> str:
+    """DuckDB oracle for the identical Count-Min sketch."""
+    salts = ", ".join(f"({i})" for i in range(depth))
+    h = phash_sql(f"cast(row AS varchar) || '#' || v")
+    return f"""
+    SELECT row, col, count(*) AS c FROM (
+      SELECT row, cast({h} % {width} AS INTEGER) AS col
+      FROM (SELECT {value_expr} AS v FROM {from_clause})
+      CROSS JOIN (VALUES {salts}) AS s(row)
+    ) GROUP BY row, col
+    """
+
+
+def cms_topk(
+    candidates: DataFrame,
+    sketch: DataFrame,
+    *,
+    k: int,
+    depth: int = 4,
+    width: int = 1024,
+    value_col: str = "v",
+) -> DataFrame:
+    """Estimate candidate frequencies against a CMS and keep the top-k
+    by (est desc, value asc). The sketch (≤ depth·width rows) is
+    broadcast; candidates fan out ``depth`` ways map-side, take a
+    per-candidate min, then TakeOrderedAndProject — no corpus-side
+    shuffle beyond the candidate aggregate."""
+    ex = candidates.select(F.col(value_col).alias("v")).select(
+        "v", F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
+    )
+    col = F.pmod(
+        phash(F.concat(F.col("row").cast("string"), F.lit("#"), F.col("v"))),
+        F.lit(width),
+    ).cast("int")
+    est = (
+        ex.select("v", "row", col.alias("col"))
+        .join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy("v")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+    )
+    return est.orderBy(F.col("est").desc(), F.col("v")).limit(k)
+
+
+def kmv_sketch(
+    df: DataFrame, value: Column | str, *, k: int = 256
+) -> DataFrame:
+    """KMV (bottom-k) distinct sketch: the k smallest distinct portable
+    hash values of the column — ``(h)``, ≤ k rows. Distinct is one hash
+    agg; bottom-k is TakeOrderedAndProject (per-partition heaps)."""
+    c = F.col(value) if isinstance(value, str) else value
+    return (
+        df.select(phash(c).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_sketch_sql(value_expr: str, from_clause: str, *, k: int = 256) -> str:
+    h = phash_sql(value_expr)
+    return (
+        f"SELECT DISTINCT {h} AS h FROM {from_clause} ORDER BY h LIMIT {k}"
+    )
+
+
+def kmv_overlap(
+    a: DataFrame, b: DataFrame, *, k: int = 256
+) -> DataFrame:
+    """Jaccard estimate between two KMV sketches, exact-integer output:
+    one row ``(k_eff, inter, jaccard_q)`` where k_eff = |bottom-k of
+    the union|, inter = members of that bottom-k present in BOTH
+    sketches, jaccard_q = inter·10⁶ div k_eff. All three integers are
+    deterministic functions of the sketches, so the estimator itself is
+    oracle-checkable bit-for-bit."""
+    au = a.select("h").unionByName(b.select("h")).distinct()
+    union_k = au.orderBy("h").limit(k)
+    inter = (
+        union_k.join(a.select("h"), "h", "left_semi")
+        .join(b.select("h"), "h", "left_semi")
+    )
+    return (
+        union_k.agg(F.count("*").alias("k_eff"))
+        .crossJoin(inter.agg(F.count("*").alias("inter")))
+        .select(
+            "k_eff",
+            "inter",
+            F.expr("inter * 1000000L div k_eff").alias("jaccard_q"),
+        )
+    )
 
 
 def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:

@@ -59,6 +59,50 @@ def test_sketch_is_duplicate_insensitive(spark, ids):
     )
 
 
+def test_cms_estimates_are_upper_bounds_and_tight_for_heavy(spark):
+    # zipf-ish corpus: token t_i appears ~ 2000/i times
+    import pyspark.sql.functions as F2
+
+    spark_range = spark.range(0, 2000)
+    vals = spark_range.select(
+        F2.explode(
+            F2.array(*[F2.lit(f"t{i}") for i in range(1, 11)])
+        ).alias("v"),
+        "id",
+    ).filter(F2.col("id") % F2.expr("cast(substring(v, 2, 5) as int)") == 0)
+    exact = {r["v"]: r["c"] for r in vals.groupBy("v").agg(
+        F2.count("*").alias("c")).collect()}
+    sk = sketch.cms_sketch(vals, "v", depth=4, width=256)
+    top = sketch.cms_topk(
+        vals.select("v").distinct(), sk, k=10, depth=4, width=256
+    ).collect()
+    for r in top:
+        assert r["est"] >= exact[r["v"]]  # CMS never under-counts
+    # with 10 distinct tokens in 4x256 counters there are no
+    # collisions: estimates are exact and the ranking matches
+    assert {r["v"]: r["est"] for r in top} == exact
+
+
+def test_kmv_overlap_exact_on_small_domain(spark):
+    a = spark.range(0, 300).selectExpr("concat('x', id) AS v")
+    b = spark.range(150, 450).selectExpr("concat('x', id) AS v")
+    ka = sketch.kmv_sketch(a, "v", k=1000)  # k > domain: degenerates
+    kb = sketch.kmv_sketch(b, "v", k=1000)  # to the exact h-sets
+    row = sketch.kmv_overlap(ka, kb, k=1000).collect()[0]
+    assert row["k_eff"] == 450 and row["inter"] == 150
+    assert row["jaccard_q"] == 150 * 1_000_000 // 450
+
+
+def test_kmv_estimate_accuracy_large_domain(spark):
+    a = spark.range(0, 20000).selectExpr("concat('x', id) AS v")
+    b = spark.range(10000, 30000).selectExpr("concat('x', id) AS v")
+    ka = sketch.kmv_sketch(a, "v", k=256)
+    kb = sketch.kmv_sketch(b, "v", k=256)
+    row = sketch.kmv_overlap(ka, kb, k=256).collect()[0]
+    true_j = 10000 / 30000
+    assert abs(row["jaccard_q"] / 1e6 - true_j) < 0.12  # ~3 sigma @ k=256
+
+
 def test_sketch_plan_is_single_agg_no_udf(spark, ids):
     plan = (
         sketch.hll_sketch(ids, "v")
