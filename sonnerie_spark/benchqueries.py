@@ -5076,6 +5076,36 @@ def q_distinct_sketch_hll(spark, sf_dir):
     )
 
 
+def _hll_grouped_oracle() -> str:
+    ph = phash_sql("cast(user_id AS varchar)")
+    from sonnerie_spark.operators.sketch import hll_rho_sql
+
+    return f"""
+    SELECT grp, bucket, max(rho) AS max_rho FROM (
+      SELECT event_type AS grp,
+             cast(h % 256 AS INTEGER) AS bucket,
+             {hll_rho_sql("(h // 256)", 52)} AS rho
+      FROM (SELECT event_type, {ph} AS h FROM events)
+    ) GROUP BY grp, bucket
+    """
+
+
+@q("distinct_sketch_by_group", _hll_grouped_oracle(), "analytics")
+def q_distinct_sketch_by_group(spark, sf_dir):
+    """Per-group HLL: distinct users per event type in one grouped
+    sketch pass — the table HllStore maintains incrementally under
+    streaming ingest (per-bucket max merge is idempotent, so
+    at-least-once replays leave the store unchanged; pinned in
+    tests/test_sketch.py). Deterministic integers, oracle-checked
+    bitwise."""
+    from sonnerie_spark.operators import sketch
+
+    ev = load_par(spark, sf_dir, "events")
+    return sketch.hll_sketch_grouped(
+        ev, "event_type", F.col("user_id").cast("string"), bucket_bits=8
+    )
+
+
 def _cms_oracle() -> str:
     from sonnerie_spark.operators.sketch import cms_sketch_sql
 

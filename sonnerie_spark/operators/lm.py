@@ -169,6 +169,54 @@ def lm_bigram_counts(
     return vocab, uni, bi, v_eff
 
 
+def _doc_gram_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    vocab: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+) -> DataFrame:
+    """Per-bigram model counts for every document: ``(id, c1, c2)`` —
+    one row per bigram occurrence after OOV folding, with the model's
+    prefix and pair counts attached (0 when unseen). Shared by the
+    integer score and the float perplexity."""
+    toks = lm_tokens(F.col(text_col))
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(_bigrams(toks)).alias("g")
+    ).select("id", F.col("g.w1").alias("t1"), F.col("g.w2").alias("t2"))
+
+    v1 = vocab.select(F.col("tok").alias("t1"), F.lit(1).alias("_v1"))
+    v2 = vocab.select(F.col("tok").alias("t2"), F.lit(1).alias("_v2"))
+    mapped = (
+        ex.join(F.broadcast(v1), "t1", "left")
+        .join(F.broadcast(v2), "t2", "left")
+        .select(
+            "id",
+            F.when(F.col("_v1").isNotNull(), F.col("t1"))
+            .otherwise(UNK)
+            .alias("w1"),
+            F.when(F.col("_v2").isNotNull(), F.col("t2"))
+            .otherwise(UNK)
+            .alias("w2"),
+        )
+    )
+    return (
+        mapped.join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), "c1")),
+            "w1",
+            "left",
+        )
+        .join(bi, ["w1", "w2"], "left")
+        .select(
+            "id",
+            F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
+            F.coalesce(F.col("c2"), F.lit(0)).alias("c2"),
+        )
+    )
+
+
 def lm_doc_score(
     df: DataFrame,
     id_col: str,
@@ -200,39 +248,7 @@ def lm_doc_score(
     DECIMAL(38,0) widening of the numerator product (2·c2+1)·LM_SCALE;
     BIGINT is exact through c2 ≈ 4.6e9.
     """
-    toks = lm_tokens(F.col(text_col))
-    ex = df.select(
-        F.col(id_col).alias("id"), F.explode(_bigrams(toks)).alias("g")
-    ).select("id", F.col("g.w1").alias("t1"), F.col("g.w2").alias("t2"))
-
-    v1 = vocab.select(F.col("tok").alias("t1"), F.lit(1).alias("_v1"))
-    v2 = vocab.select(F.col("tok").alias("t2"), F.lit(1).alias("_v2"))
-    mapped = (
-        ex.join(F.broadcast(v1), "t1", "left")
-        .join(F.broadcast(v2), "t2", "left")
-        .select(
-            "id",
-            F.when(F.col("_v1").isNotNull(), F.col("t1"))
-            .otherwise(UNK)
-            .alias("w1"),
-            F.when(F.col("_v2").isNotNull(), F.col("t2"))
-            .otherwise(UNK)
-            .alias("w2"),
-        )
-    )
-    j = (
-        mapped.join(
-            F.broadcast(uni.select(F.col("w").alias("w1"), "c1")),
-            "w1",
-            "left",
-        )
-        .join(bi, ["w1", "w2"], "left")
-        .select(
-            "id",
-            F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
-            F.coalesce(F.col("c2"), F.lit(0)).alias("c2"),
-        )
-    )
+    j = _doc_gram_counts(df, id_col, text_col, vocab=vocab, uni=uni, bi=bi)
     score_q = F.expr(
         f"(2*c2 + 1) * {LM_SCALE}L div (2*c1 + {v_eff})"
     ).alias("score_q")
@@ -269,38 +285,7 @@ def lm_perplexity(
     )
     # mean log p over the quantized per-doc aggregate is NOT recoverable
     # (sum of probabilities ≠ sum of logs); recompute with logs.
-    toks = lm_tokens(F.col(text_col))
-    ex = df.select(
-        F.col(id_col).alias("id"), F.explode(_bigrams(toks)).alias("g")
-    ).select("id", F.col("g.w1").alias("t1"), F.col("g.w2").alias("t2"))
-    v1 = vocab.select(F.col("tok").alias("t1"), F.lit(1).alias("_v1"))
-    v2 = vocab.select(F.col("tok").alias("t2"), F.lit(1).alias("_v2"))
-    mapped = (
-        ex.join(F.broadcast(v1), "t1", "left")
-        .join(F.broadcast(v2), "t2", "left")
-        .select(
-            "id",
-            F.when(F.col("_v1").isNotNull(), F.col("t1"))
-            .otherwise(UNK)
-            .alias("w1"),
-            F.when(F.col("_v2").isNotNull(), F.col("t2"))
-            .otherwise(UNK)
-            .alias("w2"),
-        )
-    )
-    j = (
-        mapped.join(
-            F.broadcast(uni.select(F.col("w").alias("w1"), "c1")),
-            "w1",
-            "left",
-        )
-        .join(bi, ["w1", "w2"], "left")
-        .select(
-            "id",
-            F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
-            F.coalesce(F.col("c2"), F.lit(0)).alias("c2"),
-        )
-    )
+    j = _doc_gram_counts(df, id_col, text_col, vocab=vocab, uni=uni, bi=bi)
     logp = F.log((2 * F.col("c2") + 1) / (2 * F.col("c1") + F.lit(v_eff)))
     per_doc = j.groupBy("id").agg(
         F.count("*").alias("n_bigrams"), F.sum(logp).alias("logp_sum")

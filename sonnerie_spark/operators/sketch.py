@@ -32,6 +32,9 @@ __all__ = [
     "kmv_sketch",
     "kmv_sketch_sql",
     "kmv_overlap",
+    "hll_sketch_grouped",
+    "hll_estimates_grouped",
+    "HllStore",
 ]
 
 
@@ -227,6 +230,152 @@ def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
         .groupBy("bucket")
         .agg(F.max("max_rho").alias("max_rho"))
     )
+
+
+def hll_sketch_grouped(
+    df: DataFrame,
+    group: Column | str,
+    value: Column | str,
+    *,
+    bucket_bits: int = 8,
+) -> DataFrame:
+    """Per-group HLL sketches: ``(grp, bucket, max_rho)`` — ≤ 2^b rows
+    per group, one map-side-combined aggregate keyed on (grp,
+    bucket)."""
+    m = 1 << bucket_bits
+    field_bits = HASH_BITS - bucket_bits
+    g = F.col(group) if isinstance(group, str) else group
+    c = F.col(value) if isinstance(value, str) else value
+    withy = df.select(g.alias("grp"), phash(c).alias("h")).select(
+        "grp",
+        F.pmod(F.col("h"), F.lit(m)).cast("int").alias("bucket"),
+        F.expr(f"h div {m}").alias("y"),
+    )
+    rho = F.expr(hll_rho_sql("y", field_bits)).alias("rho")
+    return (
+        withy.select("grp", "bucket", rho)
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimates_grouped(
+    sketches: DataFrame, *, bucket_bits: int = 8
+) -> DataFrame:
+    """Per-group cardinality estimates from grouped sketches:
+    ``(grp, est)``. Pure Spark expression (one agg over ≤ 2^b rows per
+    group); the float sums here are estimates, not an oracle surface.
+    Applies the classic alpha_m estimator with linear-counting
+    correction for the small range."""
+    m = 1 << bucket_bits
+    alpha = 0.7213 / (1 + 1.079 / m)
+    per = sketches.groupBy("grp").agg(
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("max_rho")))
+            + (F.lit(m) - F.count("*"))  # absent buckets: rho 0 -> 2^0
+        ).alias("z"),
+        (F.lit(m) - F.count("*")).alias("zeros"),
+    )
+    raw = F.lit(alpha * m * m) / F.col("z")
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros"))
+    return per.select(
+        "grp",
+        F.when(
+            (raw <= 2.5 * m) & (F.col("zeros") > 0), lc
+        )
+        .otherwise(raw)
+        .alias("est"),
+    )
+
+
+class HllStore:
+    """Persistent, incrementally-merged per-group HLL sketches — the
+    streaming/multi-run face of :func:`hll_sketch`: "distinct users per
+    day", "distinct tokens per source" maintained forever without ever
+    rescanning history.
+
+    ``add()`` sketches the arriving batch per group and max-merges it
+    into the stored table under a file lock with an atomic
+    tmp+rename swap. Because per-bucket max is idempotent, associative,
+    and commutative, replaying a batch (at-least-once streaming
+    delivery, foreachBatch retries) leaves the store EXACTLY unchanged
+    — no transactional sink is needed for correctness, only the swap's
+    atomicity. The store is ≤ groups·2^b integer rows: rewriting it per
+    add is a bounded dimension-table write, not a corpus cost.
+    """
+
+    def __init__(self, spark, path: str, *, bucket_bits: int = 8):
+        import os
+
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.bucket_bits = bucket_bits
+        os.makedirs(self.path, exist_ok=True)
+        self._data = os.path.join(self.path, "sketches")
+
+    def sketches(self) -> DataFrame:
+        """The current merged sketch table ``(grp, bucket, max_rho)``
+        (empty frame if nothing was added yet)."""
+        import os
+
+        if not os.path.isdir(self._data):
+            return self.spark.createDataFrame(
+                [], "grp string, bucket int, max_rho int"
+            )
+        return self.spark.read.schema(
+            "grp string, bucket int, max_rho int"
+        ).parquet(self._data)
+
+    def add(self, df: DataFrame, group: Column | str, value: Column | str) -> None:
+        """Sketch the batch per group and merge into the store."""
+        import os
+        import shutil
+        import time
+
+        g = F.col(group) if isinstance(group, str) else group
+        batch = hll_sketch_grouped(
+            df, g.cast("string"), value, bucket_bits=self.bucket_bits
+        )
+        with self._locked():
+            merged = (
+                self.sketches()
+                .unionByName(batch)
+                .groupBy("grp", "bucket")
+                .agg(F.max("max_rho").alias("max_rho"))
+            )
+            tmp = self._data + f".tmp-{os.getpid()}-{time.time_ns():x}"
+            merged.coalesce(1).write.parquet(tmp)
+            if os.path.isdir(self._data):
+                back = self._data + f".old-{time.time_ns():x}"
+                os.rename(self._data, back)
+                os.rename(tmp, self._data)
+                shutil.rmtree(back, ignore_errors=True)
+            else:
+                os.rename(tmp, self._data)
+
+    def estimates(self) -> DataFrame:
+        """Per-group cardinality estimates ``(grp, est)``."""
+        return hll_estimates_grouped(
+            self.sketches(), bucket_bits=self.bucket_bits
+        )
+
+    def _locked(self):
+        import contextlib
+        import fcntl
+        import os
+
+        @contextlib.contextmanager
+        def hold():
+            fd = os.open(
+                os.path.join(self.path, ".lock"), os.O_CREAT | os.O_RDWR
+            )
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX)
+                yield
+            finally:
+                os.close(fd)
+
+        return hold()
 
 
 def hll_estimate(sketch: DataFrame, *, bucket_bits: int = 8) -> float:

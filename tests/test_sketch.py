@@ -103,6 +103,81 @@ def test_kmv_estimate_accuracy_large_domain(spark):
     assert abs(row["jaccard_q"] / 1e6 - true_j) < 0.12  # ~3 sigma @ k=256
 
 
+def test_grouped_sketch_equals_per_group_sketches(spark, ids):
+    grouped = sketch.hll_sketch_grouped(
+        ids, F.col("half").cast("string"), "v"
+    )
+    got = {
+        (r["grp"], r["bucket"], r["max_rho"]) for r in grouped.collect()
+    }
+    exp = set()
+    for h in (0, 1):
+        for r in sketch.hll_sketch(
+            ids.filter(F.col("half") == h), "v"
+        ).collect():
+            exp.add((str(h), r["bucket"], r["max_rho"]))
+    assert got == exp
+
+
+def test_hll_store_incremental_equals_oneshot_and_replay_safe(
+    spark, ids, tmp_path
+):
+    store = sketch.HllStore(spark, str(tmp_path / "hll"))
+    grp = F.col("half").cast("string")
+    first = ids.filter(F.col("v").substr(-1, 1).isin("0", "1", "2"))
+    rest = ids.subtract(first)
+    store.add(first, grp, "v")
+    store.add(rest, grp, "v")
+    rows = lambda df: {
+        (r["grp"], r["bucket"], r["max_rho"]) for r in df.collect()
+    }
+    oneshot = rows(sketch.hll_sketch_grouped(ids, grp, "v"))
+    assert rows(store.sketches()) == oneshot
+    # at-least-once replay: re-adding an already-merged batch is a
+    # no-op (per-bucket max is idempotent)
+    store.add(first, grp, "v")
+    assert rows(store.sketches()) == oneshot
+    # estimates: each half holds 10k distinct values
+    ests = {r["grp"]: r["est"] for r in store.estimates().collect()}
+    for g in ("0", "1"):
+        assert abs(ests[g] - 10000) / 10000 < 0.20
+
+
+def test_hll_store_under_streaming_ingest(spark, ids, tmp_path):
+    """foreachBatch micro-batches merging into the store converge to
+    the whole-corpus grouped sketch — the 'distinct per day maintained
+    forever' shape."""
+    src = str(tmp_path / "arrivals")
+    for i in range(3):
+        ids.filter(F.crc32(F.col("v")) % 3 == i).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+    store = sketch.HllStore(spark, str(tmp_path / "hll_s"))
+
+    def on_batch(batch_df, _bid):
+        store.add(batch_df, F.col("half").cast("string"), "v")
+
+    stream = (
+        spark.readStream.schema(ids.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = lambda df: {
+        (r["grp"], r["bucket"], r["max_rho"]) for r in df.collect()
+    }
+    assert rows(store.sketches()) == rows(
+        sketch.hll_sketch_grouped(ids, F.col("half").cast("string"), "v")
+    )
+
+
 def test_sketch_plan_is_single_agg_no_udf(spark, ids):
     plan = (
         sketch.hll_sketch(ids, "v")
