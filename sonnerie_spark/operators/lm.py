@@ -102,14 +102,13 @@ def lm_vocab(
         .groupBy("tok")
         .count()
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("count").desc(), F.col("tok"))
-    # vocab ranking is a sort of |types| rows (already aggregated), a
-    # dimension-sized single partition — not a corpus-sized window
+    # top-V of the aggregated type table via orderBy+limit =
+    # TakeOrderedAndProject (per-partition heaps + a V-row driver
+    # merge) — never a single-task global rank, even at web-corpus
+    # type cardinalities
     return (
-        counts.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= vocab_size)
+        counts.orderBy(F.col("count").desc(), F.col("tok"))
+        .limit(vocab_size)
         .select("tok")
     )
 
