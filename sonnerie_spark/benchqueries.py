@@ -5200,6 +5200,177 @@ def q_kmv_source_overlap(spark, sf_dir):
     )
 
 
+@q(
+    "gopher_quality_filter",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ' ## # ... # ... #' ELSE '' END
+             || CASE WHEN doc_id % 3 = 0
+                     THEN chr(10) || '- bullet one' || chr(10)
+                          || '- bullet two' ELSE '' END
+             || CASE WHEN doc_id % 4 = 0
+                     THEN chr(10) || 'to be continued...' ELSE '' END
+             || CASE WHEN doc_id % 2 = 0
+                     THEN ' and that have with the' ELSE '' END AS t
+      FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(t), '\s+') AS w,
+             string_split(t, chr(10)) AS ln,
+             len(regexp_extract_all(t, '#'))
+               + len(regexp_extract_all(t, '\.\.\.')) AS nsym
+      FROM base
+    ),
+    m AS (
+      SELECT doc_id,
+             len(w) AS n_words,
+             list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w)
+               AS mean_wl,
+             nsym * 1.0 / len(w) AS symbol_ratio,
+             len(list_filter(ln, l -> regexp_matches(ltrim(l), '^[-*•]')))
+               * 1.0 / len(ln) AS bullet_frac,
+             len(list_filter(ln,
+                 l -> regexp_matches(rtrim(l), '(\.\.\.|…)$')))
+               * 1.0 / len(ln) AS ellipsis_frac,
+             len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+               * 1.0 / len(w) AS alpha_frac,
+             len(list_filter(
+                 ['the','be','to','of','and','that','have','with'],
+                 s -> list_contains(list_transform(w, x -> lower(x)), s)))
+               AS stop_hits
+      FROM feat
+    )
+    SELECT doc_id AS id, n_words,
+           floor(mean_wl * 1e6 + 0.5) / 1e6 AS mean_word_len,
+           floor(symbol_ratio * 1e6 + 0.5) / 1e6 AS symbol_ratio,
+           floor(bullet_frac * 1e6 + 0.5) / 1e6 AS bullet_frac,
+           floor(ellipsis_frac * 1e6 + 0.5) / 1e6 AS ellipsis_frac,
+           floor(alpha_frac * 1e6 + 0.5) / 1e6 AS alpha_frac,
+           stop_hits,
+           (n_words >= 50 AND n_words <= 100000
+            AND mean_wl >= 3.0 AND mean_wl <= 10.0
+            AND symbol_ratio < 0.1 AND bullet_frac < 0.9
+            AND ellipsis_frac < 0.3 AND alpha_frac >= 0.8
+            AND stop_hits >= 2) AS keep
+    FROM m
+    """,
+    "data",
+)
+def q_gopher_quality_filter(spark, sf_dir):
+    """Gopher quality rules (Rae et al. 2021, published appendix A) —
+    the standard pre-training document filter: word-count bounds, mean
+    word length, symbol-to-word ratio, bullet/ellipsis line fractions,
+    alphabetic-word fraction, and a distinct-stopword floor, with
+    ``keep`` their conjunction. The gate injects doc-dependent rule
+    triggers in BOTH engines (symbol runs into every 5th doc, bullet
+    lines into every 3rd, an ellipsis line into every 4th, stopwords
+    into every 2nd — odd docs mostly fail the 2-stopword floor, short
+    docs fail the word floor) so every rule branch discriminates, and
+    value-hashes all seven feature columns plus the verdict. Pure
+    Catalyst array ops — no explode, no shuffle, no Python; scan-speed
+    per-document cost at any corpus size. No reference analogue;
+    training-data-pipeline extension surface."""
+    from sonnerie_spark.operators.text import gopher_quality
+
+    docs = load_par(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" ## # ... # ... #"))
+            .otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("\n- bullet one\n- bullet two"),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("\nto be continued..."))
+            .otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit(" and that have with the")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return gopher_quality(docs, "doc_id", "text")
+
+
+@q(
+    "c4_line_clean",
+    r"""
+    WITH page AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || '.' || chr(10)
+             || 'Too short.' || chr(10)
+             || substr(text, 41, 80) || ' end of part two!' || chr(10)
+             || CASE WHEN doc_id % 4 = 0
+                     THEN 'Enable JavaScript to view this page.' || chr(10)
+                     ELSE '' END
+             || substr(text, 121, 60) || ' is this a question? Yes it is?'
+             || CASE WHEN doc_id % 7 = 0
+                     THEN chr(10) || 'lorem ipsum dolor' ELSE '' END
+             || CASE WHEN doc_id % 9 = 0
+                     THEN chr(10) || 'var x = { a: 1 };' ELSE '' END AS t
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, t,
+             string_split(t, chr(10)) AS ln,
+             list_filter(string_split(t, chr(10)),
+               l -> regexp_matches(rtrim(l), '[.!?"]$')
+                    AND len(regexp_split_to_array(trim(l), '\s+')) >= 5
+                    AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM page
+    )
+    SELECT doc_id AS id,
+           array_to_string(kept, chr(10)) AS text,
+           len(kept) AS n_kept,
+           len(ln) - len(kept) AS n_removed,
+           (len(kept) >= 3
+            AND NOT contains(lower(t), 'lorem ipsum')
+            AND NOT contains(t, '{')) AS keep
+    FROM f
+    """,
+    "data",
+)
+def q_c4_line_clean(spark, sf_dir):
+    """C4 line-level cleaning (Raffel et al. 2020, published section
+    2.2): keep lines ending in terminal punctuation with >= 5 words and
+    no 'javascript' mention; drop the whole page when < 3 lines survive
+    or it contains 'lorem ipsum' or '{'. The gate builds a multi-line
+    page from each document in BOTH engines — a sentence-terminated
+    head, a too-short line, a javascript line on every 4th doc, a
+    lorem-ipsum tail on every 7th, a code line with '{' on every 9th —
+    so each rule kills a known line/page subset, and value-hashes the
+    full cleaned text. Entirely map-side Catalyst (split -> filter ->
+    array_join): no explode, no shuffle, no Python — scan-speed at any
+    corpus size. No reference analogue; training-data-pipeline
+    extension surface."""
+    from sonnerie_spark.operators.text import c4_clean
+
+    docs = load_par(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring(F.col("text"), 1, 40),
+            F.lit(".\nToo short.\n"),
+            F.substring(F.col("text"), 41, 80),
+            F.lit(" end of part two!\n"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("Enable JavaScript to view this page.\n"),
+            ).otherwise(F.lit("")),
+            F.substring(F.col("text"), 121, 60),
+            F.lit(" is this a question? Yes it is?"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("\nlorem ipsum dolor"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 9 == 0, F.lit("\nvar x = { a: 1 };"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return c4_clean(docs, "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's CORRECTNESS gate checks the FIRST
 # 50 registry rows; definition order above is pedagogical (parity ops,

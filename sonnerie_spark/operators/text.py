@@ -528,3 +528,158 @@ def strip_boilerplate(
             ),
         )
     )
+
+
+# Gopher quality-rule stopword set (Rae et al. 2021, appendix A1.1):
+# a document must contain at least two of these to pass the rule.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _r6(c: Column) -> Column:
+    """6-decimal rounding via floor(x*1e6 + 0.5)/1e6 — multiply/add/
+    floor are exact IEEE ops on identical doubles, so Spark and DuckDB
+    agree on the tie resolution (round(x, 6) can differ by 1 ulp in the
+    last digit between the engines' decimal paths)."""
+    return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wl: float = 3.0,
+    max_mean_wl: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, published appendix A):
+    the standard pre-training document filter. Per document: word count
+    in [min_words, max_words]; mean word length in [min_mean_wl,
+    max_mean_wl]; symbol-to-word ratio ('#' or '...') below
+    max_symbol_ratio; under max_bullet_frac of lines starting with a
+    bullet; under max_ellipsis_frac of lines ending in an ellipsis; at
+    least min_alpha_frac of words containing an alphabetic character;
+    and at least min_stop_hits distinct GOPHER_STOPWORDS present.
+
+    Pure Catalyst (split/filter/aggregate on arrays — no explode, no
+    shuffle, no Python), so it runs at scan speed and composes with
+    column pruning: the scan reads only (id, text). ``keep`` is decided
+    on the UNROUNDED fractions; the emitted fraction columns are
+    6-decimal-rounded for stable cross-engine hashing. No reference
+    analogue; training-data-pipeline extension surface.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    toks_lower = F.transform(toks, F.lower)
+    n = F.size(toks)
+    nd = n.cast("double")
+    sum_wl = F.aggregate(
+        F.transform(toks, F.length),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mean_wl = sum_wl.cast("double") / nd
+    n_symbols = F.size(F.regexp_extract_all(t, F.lit("#"), 0)) + F.size(
+        F.regexp_extract_all(t, F.lit(r"\.\.\."), 0)
+    )
+    symbol_ratio = n_symbols.cast("double") / nd
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines).cast("double")
+    bullet_frac = (
+        F.size(F.filter(lines, lambda x: F.ltrim(x).rlike("^[-*•]")))
+        .cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(lines, lambda x: F.rtrim(x).rlike(r"(\.\.\.|…)$"))
+        ).cast("double")
+        / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))).cast("double")
+        / nd
+    )
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(toks_lower, s),
+        )
+    )
+    keep = (
+        (n >= min_words)
+        & (n <= max_words)
+        & (mean_wl >= min_mean_wl)
+        & (mean_wl <= max_mean_wl)
+        & (symbol_ratio < max_symbol_ratio)
+        & (bullet_frac < max_bullet_frac)
+        & (ellipsis_frac < max_ellipsis_frac)
+        & (alpha_frac >= min_alpha_frac)
+        & (stop_hits >= min_stop_hits)
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n.alias("n_words"),
+        _r6(mean_wl).alias("mean_word_len"),
+        _r6(symbol_ratio).alias("symbol_ratio"),
+        _r6(bullet_frac).alias("bullet_frac"),
+        _r6(ellipsis_frac).alias("ellipsis_frac"),
+        _r6(alpha_frac).alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        keep.alias("keep"),
+    )
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_line_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, published
+    section 2.2): keep only lines that end in a terminal punctuation
+    mark (. ! ? or a closing quote) and have at least min_line_words
+    words, drop any line mentioning 'javascript'; then flag the whole
+    document as dropped (``keep`` = false) when fewer than
+    min_kept_lines lines survive, or the page contains 'lorem ipsum'
+    or a curly brace '{' (code/boilerplate tells).
+
+    Entirely map-side Catalyst array ops (split -> filter ->
+    array_join): no explode, no shuffle, no Python — per-document cost
+    is linear in its own text, so the pass runs at scan speed at any
+    corpus size. Emits the cleaned text plus kept/removed line counts
+    so downstream mixing can weight by surviving content. No reference
+    analogue; training-data-pipeline extension surface.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+
+    def line_ok(x: Column) -> Column:
+        return (
+            F.rtrim(x).rlike('[.!?"]$')
+            & (F.size(F.split(F.trim(x), r"\s+")) >= min_line_words)
+            & ~F.lower(x).contains("javascript")
+        )
+
+    kept = F.filter(lines, line_ok)
+    n_kept = F.size(kept)
+    keep = (
+        (n_kept >= min_kept_lines)
+        & ~F.lower(t).contains("lorem ipsum")
+        & ~t.contains("{")
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array_join(kept, "\n").alias("text"),
+        n_kept.alias("n_kept"),
+        (F.size(lines) - n_kept).alias("n_removed"),
+        keep.alias("keep"),
+    )

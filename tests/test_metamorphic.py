@@ -438,3 +438,74 @@ def test_strip_boilerplate_exact_and_broadcast(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_gopher_quality_rules_per_branch(spark):
+    """gopher_quality: each published rule is exercised by a document
+    constructed to fail exactly that rule, and the good document
+    passes. Hand-computed feature values pin the arithmetic."""
+    from sonnerie_spark.operators.text import gopher_quality
+
+    good = "the cat sat with all of them and that was fine " * 6  # 66 words
+    rows = [
+        (1, good),
+        (2, "the and short"),  # word count 3 < 50
+        (3, ("a " * 59) + "extraordinarily"),  # mean word len < 3
+        (4, good + " " + "# " * 10),  # symbol ratio 10/80 > 0.1
+        (5, "\n".join(["- " + good] * 10)),  # 100% bullet lines
+        (6, "\n".join([good + "..."] * 10)),  # 100% ellipsis lines
+        (7, ("42 " * 55) + "the and"),  # alpha frac 2/57 < 0.8
+        (8, "zz yy xx ww vv uu tt ss rr qq " * 6),  # 0 stopwords
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r for r in gopher_quality(df, "doc_id", "text").collect()}
+    assert out[1]["keep"] is True
+    for i in range(2, 9):
+        assert out[i]["keep"] is False, i
+    assert out[1]["n_words"] == 66
+    assert out[2]["n_words"] == 3
+    assert out[4]["symbol_ratio"] > 0.1
+    assert out[5]["bullet_frac"] == 1.0
+    assert out[6]["ellipsis_frac"] == 1.0
+    assert out[7]["alpha_frac"] < 0.8
+    assert out[8]["stop_hits"] == 0
+    # ''the'' appears (stopword) plus with/of/and/that -> 5 distinct
+    assert out[1]["stop_hits"] == 5
+
+
+def test_c4_line_clean_rules_and_reassembly(spark):
+    """c4_clean: terminal-punctuation, min-word, and javascript line
+    rules each drop the right line; lorem-ipsum / curly-brace / too-few-
+    surviving-lines page rules set keep=false; surviving lines are
+    reassembled in order."""
+    from sonnerie_spark.operators.text import c4_clean
+
+    page = (
+        "The first sentence has enough words here.\n"
+        "Too short.\n"
+        "no terminal punctuation on this line at all\n"
+        "Please enable javascript to continue browsing now.\n"
+        "The final sentence also has enough words!"
+    )
+    rows = [
+        (1, page),
+        (2, page + "\nAnd a third good line ends properly.\n"
+            "this page has lorem ipsum in it."),
+        (3, page + "\nAnd a third good line ends properly.\n"
+            "function f() { return 1; }"),
+        (4, page + "\nAnd a third good line ends properly."),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["id"]: r for r in c4_clean(df, "doc_id", "text").collect()}
+    # doc 1: only 2 lines survive -> keep false, text preserves order
+    assert out[1]["n_kept"] == 2 and out[1]["keep"] is False
+    assert out[1]["text"] == (
+        "The first sentence has enough words here.\n"
+        "The final sentence also has enough words!"
+    )
+    assert out[1]["n_removed"] == 3
+    # doc 4: 3 surviving lines -> keep
+    assert out[4]["n_kept"] == 3 and out[4]["keep"] is True
+    # page-level tells: lorem ipsum / '{' kill the page even with 3+ lines
+    assert out[2]["keep"] is False and out[2]["n_kept"] >= 3
+    assert out[3]["keep"] is False and out[3]["n_kept"] >= 3
