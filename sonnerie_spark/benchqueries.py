@@ -5371,6 +5371,87 @@ def q_c4_line_clean(spark, sf_dir):
     return c4_clean(docs, "doc_id", "text")
 
 
+@q(
+    "dedup_substrings",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN 'this work is licensed under the creative '
+                       || 'commons attribution license ' || text
+                  ELSE text END AS tx
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, string_split(trim(tx), ' ') AS t FROM base),
+    spans AS (
+      SELECT doc_id, unnest(range(greatest(len(t) - 7, 0))) AS pos, t
+      FROM toks WHERE len(t) >= 8
+    ),
+    hashed AS (
+      SELECT doc_id, pos,
+             {phash_sql("array_to_string(t[pos+1:pos+8], ' ')")} AS span_h
+      FROM spans
+    ),
+    freq AS (
+      SELECT span_h FROM (SELECT DISTINCT doc_id, span_h FROM hashed)
+      GROUP BY span_h HAVING count(*) >= 2
+    ),
+    fl AS (
+      SELECT doc_id, list_sort(list(pos)) AS fp
+      FROM hashed JOIN freq USING (span_h) GROUP BY doc_id
+    ),
+    j AS (
+      SELECT t.doc_id, t.t, coalesce(f.fp, []) AS fp
+      FROM toks t LEFT JOIN fl f USING (doc_id)
+    ),
+    r AS (
+      SELECT doc_id, t,
+             list_filter(range(len(t)),
+               i -> len(list_filter(fp,
+                        p -> p <= i AND i <= p + 7)) = 0) AS ki
+      FROM j
+    )
+    SELECT doc_id AS id,
+           -- duckdb: array_to_string([]) is NULL, not '' (spark's '')
+           coalesce(
+             array_to_string(list_transform(ki, i -> t[i+1]), ' '), ''
+           ) AS text,
+           len(t) - len(ki) AS n_removed
+    FROM r
+    """,
+    "data",
+)
+def q_dedup_substrings(spark, sf_dir):
+    """ExactSubstr substring dedup (Lee et al. 2021, arXiv 2107.06499):
+    REMOVE every token covered by an 8-token span occurring in >= 2
+    distinct documents — the removal pass on top of repeated_spans'
+    flagging pass, the published method that strips licence headers and
+    copy-pasted passages while keeping each document's unique
+    remainder. The gate prepends a shared 10-token licence header to
+    every 3rd doc in BOTH engines: spans fully inside the header become
+    corpus-frequent, so exactly the header tokens (plus any naturally
+    repeated spans) must vanish, and the full cleaned text is
+    value-hashed. Plan: repeated_spans' span-hash stream + map-side df
+    agg (no pair path), one per-doc flagged-position array, one
+    map-side index filter."""
+    docs = load_par(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(
+                    "this work is licensed under the creative "
+                    "commons attribution license "
+                ),
+                F.col("text"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return textops.dedup_substrings(docs, "doc_id", "text", k=8, min_df=2)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's CORRECTNESS gate checks the FIRST
 # 50 registry rows; definition order above is pedagogical (parity ops,

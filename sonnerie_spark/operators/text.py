@@ -683,3 +683,54 @@ def c4_clean(
         (F.size(lines) - n_kept).alias("n_removed"),
         keep.alias("keep"),
     )
+
+
+def dedup_substrings(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 8, min_df: int = 2
+) -> DataFrame:
+    """ExactSubstr-style substring deduplication (Lee et al. 2021,
+    public arXiv 2107.06499 "Deduplicating Training Data Makes Language
+    Models Better"): REMOVE every token covered by a k-token span that
+    occurs in >= min_df distinct documents. This is the removal pass on
+    top of :func:`repeated_spans` (the flagging pass): where that
+    operator maps duplication, this one edits it out — licence headers,
+    quoted boilerplate, and copy-pasted passages vanish from every
+    document while each document keeps its unique remainder.
+
+    Plan shape: the span-hash stream and distinct-doc frequency agg are
+    exactly repeated_spans' (one row per span occurrence, map-side
+    partial agg, no pair enumeration — no quadratic path); the removal
+    adds one per-doc flagged-position array (collect_set per id — size
+    bounded by the doc's own span count) and a map-side index filter,
+    linear in document length. Output text is whitespace-normalized
+    (tokens rejoined with single spaces) for EVERY document so edited
+    and untouched docs serialize consistently. Emits
+    (id, text, n_removed).
+    """
+    flagged = repeated_spans(df, id_col, text_col, k=k, min_df=min_df)
+    fp = flagged.groupBy("id").agg(
+        F.sort_array(F.collect_set("pos")).alias("fp")
+    )
+    toks_df = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("t")
+    )
+    j = toks_df.join(fp, "id", "left").withColumn(
+        "fp", F.coalesce("fp", F.array().cast("array<int>"))
+    )
+    # token index i is covered iff some flagged span start p satisfies
+    # p <= i <= p+k-1; k is a plain Python int (constant-folded), NOT a
+    # lambda default arg (the pyspark (element, index) two-param trap)
+    idx = F.sequence(F.lit(0), F.size("t") - 1)
+    kept_idx = F.filter(
+        idx,
+        lambda i: ~F.exists(
+            F.col("fp"), lambda p: (p <= i) & (i <= p + (k - 1))
+        ),
+    )
+    return j.select(
+        "id",
+        F.array_join(
+            F.transform(kept_idx, lambda i: F.get(F.col("t"), i)), " "
+        ).alias("text"),
+        (F.size("t") - F.size(kept_idx)).alias("n_removed"),
+    )

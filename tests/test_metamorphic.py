@@ -509,3 +509,42 @@ def test_c4_line_clean_rules_and_reassembly(spark):
     # page-level tells: lorem ipsum / '{' kill the page even with 3+ lines
     assert out[2]["keep"] is False and out[2]["n_kept"] >= 3
     assert out[3]["keep"] is False and out[3]["n_kept"] >= 3
+
+
+def test_dedup_substrings_vs_model(spark):
+    """dedup_substrings (ExactSubstr removal): output equals an
+    independent Python model on a corpus mixing a shared span, a
+    partially-shared doc, a unique doc, and a doc shorter than k."""
+    from collections import defaultdict
+
+    from sonnerie_spark.operators.text import dedup_substrings
+
+    K, MINDF = 4, 2
+    docs = [
+        (1, "aa bb cc dd unique one two three"),
+        (2, "aa bb cc dd other tail words here"),
+        (3, "totally distinct text with nothing shared at all"),
+        (4, "short doc"),
+        (5, "aa bb cc dd"),  # doc that is ENTIRELY a shared span
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r["id"]: r
+        for r in dedup_substrings(
+            df, "doc_id", "text", k=K, min_df=MINDF
+        ).collect()
+    }
+    toks = {i: t.split() for i, t in docs}
+    occ = defaultdict(set)
+    for i, t in toks.items():
+        for p in range(len(t) - K + 1):
+            occ[tuple(t[p : p + K])].add(i)
+    for i, t in toks.items():
+        cov = set()
+        for p in range(len(t) - K + 1):
+            if len(occ[tuple(t[p : p + K])]) >= MINDF:
+                cov.update(range(p, p + K))
+        kept = [w for j, w in enumerate(t) if j not in cov]
+        assert out[i]["text"] == " ".join(kept), i
+        assert out[i]["n_removed"] == len(t) - len(kept), i
+    assert out[5]["text"] == "" and out[5]["n_removed"] == 4
