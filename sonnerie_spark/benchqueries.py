@@ -5452,6 +5452,61 @@ def q_dedup_substrings(spark, sf_dir):
     return textops.dedup_substrings(docs, "doc_id", "text", k=8, min_df=2)
 
 
+# A small valid BPE merge table (each multi-char operand produced by an
+# earlier merge) over the corpus' English function-word characters.
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "u"), ("c", "o"),
+]
+
+
+def _bpe_oracle() -> str:
+    """DuckDB mirror of text.bpe_encode's replace chain (chr(1)/chr(2)
+    token open/close marks) for the _BPE_MERGES table."""
+    s = (
+        "regexp_replace(trim(regexp_replace(text, '\\s+', ' ', 'g')),"
+        " '(.)', chr(1) || '\\1' || chr(2), 'g')"
+    )
+    s = f"replace({s}, chr(1) || ' ' || chr(2), ' ')"
+    for a, b in _BPE_MERGES:
+        pat = f"chr(1)||'{a}'||chr(2)||chr(1)||'{b}'||chr(2)"
+        s = f"replace({s}, {pat}, chr(1)||'{a}{b}'||chr(2))"
+    s = f"replace({s}, chr(2)||' '||chr(1), chr(2)||chr(1))"
+    s = f"regexp_replace({s}, '^\\x01|\\x02$', '', 'g')"
+    return f"""
+    WITH enc AS (
+      SELECT doc_id, string_split({s}, chr(2)||chr(1)) AS toks
+      FROM documents
+    )
+    SELECT doc_id AS id,
+           array_to_string(toks, '+') AS toks,
+           len(toks) AS n_tokens
+    FROM enc
+    """
+
+
+@q("bpe_encode", _bpe_oracle(), "data")
+def q_bpe_encode(spark, sf_dir):
+    """BPE tokenizer APPLICATION (Sennrich et al. 2016): encode every
+    document with a fixed 8-merge table — the downstream half of the
+    tokenizer story whose training half is bpe_pair_counts. The
+    operator exploits the merge-table validity invariant to express the
+    classic iterative encoder as one replace-all pass per merge over
+    open/close-delimited tokens (map-side Catalyst chain, no Python, no
+    shuffle; pytest-pinned against an independent iterative-BPE model).
+    The gate value-hashes the full '+'-joined token stream of every
+    document plus the token count, with the identical replace chain
+    mirrored in DuckDB."""
+    enc = textops.bpe_encode(
+        load_par(spark, sf_dir, "documents"), "doc_id", "text", _BPE_MERGES
+    )
+    return enc.select(
+        "id",
+        F.array_join("tokens", "+").alias("toks"),
+        "n_tokens",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's CORRECTNESS gate checks the FIRST
 # 50 registry rows; definition order above is pedagogical (parity ops,

@@ -734,3 +734,54 @@ def dedup_substrings(
         ).alias("text"),
         (F.size("t") - F.size(kept_idx)).alias("n_removed"),
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Apply a learned BPE merge table (rank order) to encode text —
+    the application side of the tokenizer story whose training side is
+    :func:`bpe_pair_counts` (count pairs -> learn merges -> ENCODE).
+
+    For a valid BPE merge table (every multi-character merge operand
+    was itself produced by an earlier-ranked merge), applying each
+    merge with one left-to-right non-overlapping replace-all pass, in
+    rank order, is EXACTLY the classic iterative lowest-rank-first BPE
+    encoder (Sennrich et al. 2016, public arXiv 1508.07909): a later
+    merge cannot create an earlier merge's operand, and merging (a,b)
+    can never create a new adjacent (a,b) pair, so one pass per merge
+    is exhaustive. That equivalence makes the encoder a pure Catalyst
+    string-replace chain — map-side, no Python, no shuffle, linear in
+    text size; pinned against an independent iterative-BPE Python model
+    in the tests.
+
+    Mechanics: every token is wrapped in OPEN (\x01) / CLOSE (\x02)
+    control marks (assumed absent from the text) so a merge pattern
+    ``OPEN a CLOSE OPEN b CLOSE`` can only match two complete adjacent
+    tokens — a bare separator scheme would falsely match ``a`` as the
+    suffix of a longer token (e.g. merge (e,r) inside "the|r"), and
+    adjacent same-pair occurrences would share the separator and escape
+    a single replace pass. Spaces keep word boundaries unmergeable.
+    Returns (id, tokens array<string>, n_tokens).
+    """
+    op, cl = "\x01", "\x02"
+    t = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    s = F.regexp_replace(t, "(.)", op + "$1" + cl)
+    s = F.replace(s, F.lit(op + " " + cl), F.lit(" "))
+    for a, b in merges:
+        s = F.replace(
+            s, F.lit(op + a + cl + op + b + cl), F.lit(op + a + b + cl)
+        )
+    # token boundary within a word is CLOSE+OPEN, across words
+    # CLOSE+space+OPEN; unify, strip the outer marks, split
+    s = F.replace(s, F.lit(cl + " " + op), F.lit(cl + op))
+    s = F.regexp_replace(s, "^" + op + "|" + cl + "$", "")
+    toks = F.split(s, cl + op)
+    return df.select(
+        F.col(id_col).alias("id"),
+        toks.alias("tokens"),
+        F.size(toks).alias("n_tokens"),
+    )

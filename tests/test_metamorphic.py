@@ -548,3 +548,56 @@ def test_dedup_substrings_vs_model(spark):
         assert out[i]["text"] == " ".join(kept), i
         assert out[i]["n_removed"] == len(t) - len(kept), i
     assert out[5]["text"] == "" and out[5]["n_removed"] == 4
+
+
+def test_bpe_encode_equals_iterative_bpe(spark):
+    """bpe_encode (replace-chain): output equals the classic iterative
+    lowest-rank-first BPE encoder on every word, including cascading
+    merges (t+h -> th+e), adjacent same-pair runs, and words with no
+    applicable merge. Also pins whitespace normalization."""
+    from sonnerie_spark.operators.text import bpe_encode
+
+    merges = [
+        ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+        ("an", "d"), ("e", "r"), ("o", "u"), ("c", "o"),
+    ]
+
+    def true_bpe(word):
+        rank = {m: i for i, m in enumerate(merges)}
+        w = list(word)
+        while len(w) > 1:
+            best = min(
+                (rank.get((w[i], w[i + 1]), 10**9), i)
+                for i in range(len(w) - 1)
+            )
+            if best[0] >= 10**9:
+                break
+            a, b = merges[best[0]]
+            out, i = [], 0
+            while i < len(w):
+                if i < len(w) - 1 and w[i] == a and w[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(w[i])
+                    i += 1
+            w = out
+        return w
+
+    docs = [
+        (1, "the thin other hand and round counter"),
+        (2, "in the beginning there was and"),
+        (3, "zzz qqq"),
+        (4, "a"),
+        (5, "thththe ananand"),
+        (6, "thth anan erer inin"),
+        (7, "  doubled   spaces  here "),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r["id"]: r for r in bpe_encode(df, "doc_id", "text", merges).collect()
+    }
+    for i, t in docs:
+        exp = [tok for w in t.split() for tok in true_bpe(w)]
+        assert list(out[i]["tokens"]) == exp, i
+        assert out[i]["n_tokens"] == len(exp)
