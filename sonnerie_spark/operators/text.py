@@ -340,6 +340,14 @@ def repeated_spans(
     the df agg is map-side partial. Skew lives in hot spans and is
     bounded the same way as posting lists (min_df only FLAGS; no pair
     enumeration exists at all, so there is no quadratic path).
+
+    The span stream feeds BOTH the frequency agg and the join probe —
+    without materialization Spark computes the expensive build (one
+    concat+md5 per span occurrence) twice, once per join side; the
+    persist halves the dominant cost (measured 2.1x end-to-end at 50 M
+    tokens, tools/substr_scale.py). Same persist-an-intermediate
+    contract as dedup.simhash_near_pairs; callers (and bench) clear
+    cache per query.
     """
     toks = tokens(F.col(text_col))
     spans = (
@@ -360,6 +368,7 @@ def repeated_spans(
             ).alias("s"),
         )
         .select("id", "s.pos", "s.span_h")
+        .persist()
     )
     freq = (
         spans.select("id", "span_h")
