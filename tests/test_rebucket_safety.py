@@ -202,3 +202,44 @@ def test_concurrent_handles_view_churn(spark, tmp_path):
     alive = [t.name for t in spark.catalog.listTables()
              if t.name.startswith(f"snk_v_{phash}_")]
     assert len(alive) <= 2, alive  # current view (+ the one just touched)
+
+
+def test_concurrent_sessions_view_churn(spark, tmp_path):
+    """Two Database handles on two SEPARATE SparkSessions (newSession:
+    isolated SQL conf/temp views, SHARED external catalog — where
+    snk_v_* tables live): churning run sets from both sessions must not
+    accumulate dead catalog tables (growth bound), one session's TTL GC
+    must not break the other's reads (the catalog-revalidation path,
+    cross-session this time), and both sessions must read full data
+    throughout."""
+    import hashlib
+
+    s1 = spark.newSession()
+    s2 = spark.newSession()
+    db1 = Database(s1, str(tmp_path / "db"), buckets=2)
+    _seed(db1, n=5, ts=1000)
+    _seed(db1, n=5, ts=2000)  # two runs -> bucketed view + catalog table
+    db2 = Database(s2, db1.path)
+    db1._VIEW_TTL_SECONDS = 0.0  # reap aggressively from session 1
+    phash = hashlib.sha1(db1.path.encode()).hexdigest()[:8]
+
+    def my_tables(s):
+        return [
+            t.name
+            for t in s.catalog.listTables()
+            if t.name.startswith(f"snk_v_{phash}_")
+        ]
+
+    n = db2.read().count()
+    assert n > 0
+    for i in range(4):
+        _seed(db1, n=3, ts=3000 + i)  # churn the run set from session 1
+        assert db1.read().count() > n  # read + TTL-GC from session 1
+        # session 2's cached table name may have been dropped by session
+        # 1's GC — its read must revalidate against the shared catalog
+        assert db2.read().count() > n
+        n = db2.read().count()
+        # the shared catalog stays bounded: both sessions see the same
+        # table namespace, and dead sigs are dropped as views churn
+        assert len(my_tables(s1)) <= 2, my_tables(s1)
+        assert len(my_tables(s2)) <= 2, my_tables(s2)
