@@ -794,3 +794,93 @@ def bpe_encode(
         toks.alias("tokens"),
         F.size(toks).alias("n_tokens"),
     )
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    q_id_col: str = "q_id",
+    q_text_col: str = "q_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 lexical retrieval (Robertson & Zaragoza 2009, the public
+    Okapi BM25 formula): top-k corpus documents per query — the lexical
+    complement to the embedding ANN family (similarity.py), and the
+    retrieval pass a curation pipeline uses to find reference-like
+    documents without embeddings.
+
+    Integer-exact ranking: each matched term's contribution
+    ``idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))`` is a deterministic
+    IEEE expression of exact integers (tf, df, dl, N) and the exact
+    ratio avgdl = sum(dl)/N — it is rounded to a 1e-6-scaled BIGINT
+    before the per-(query, doc) sum, so the sum is order-independent
+    and the ranking bit-exact in any engine (the same contract as the
+    int8 dot-product ranking). idf is the standard
+    ln(1 + (N - df + 0.5)/(df + 0.5)) — always positive.
+
+    Scale shape: postings (term, doc, tf, dl) are one shuffle of the
+    token stream; corpus stats (N, sum dl) ride ONE 1-row aggregate
+    broadcast via crossJoin; the query term table is tiny by definition
+    and arrives BROADCAST, so the corpus never reshuffles for the
+    match; the matched stream (bounded by the query terms' postings)
+    pays one (q, doc) agg and a per-query top-k window over queries'
+    own candidates. Emits (q_id, id, score_q6, rk).
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    docs = corpus.select(
+        F.col(id_col).alias("id"), toks.alias("t"), F.size(toks).alias("dl")
+    )
+    postings = (
+        docs.select("id", "dl", F.explode("t").alias("term"))
+        .groupBy("id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    qterms = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.explode(F.array_distinct(tokens(F.col(q_text_col)))).alias("term"),
+    )
+    # restrict postings to the query vocabulary BEFORE the df agg: df
+    # per term is unchanged by the restriction, and it keeps every
+    # broadcast side query-bounded (a full-vocabulary df table would
+    # not be broadcastable at corpus scale)
+    qvocab = qterms.select("term").distinct()
+    p_q = postings.join(F.broadcast(qvocab), "term")
+    dfreq = p_q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / avgdl))
+    contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    matched = (
+        p_q.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "q_id",
+            "id",
+            F.floor(contrib * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("c_q6"),
+        )
+    )
+    scored = matched.groupBy("q_id", "id").agg(F.sum("c_q6").alias("score_q6"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score_q6").desc(), F.col("id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+        .select("q_id", "id", "score_q6", "rk")
+    )

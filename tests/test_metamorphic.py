@@ -601,3 +601,54 @@ def test_bpe_encode_equals_iterative_bpe(spark):
         exp = [tok for w in t.split() for tok in true_bpe(w)]
         assert list(out[i]["tokens"]) == exp, i
         assert out[i]["n_tokens"] == len(exp)
+
+
+def test_bm25_topk_vs_model(spark):
+    """bm25_topk: ranking and integer-exact scores equal an independent
+    Python BM25 on a small corpus; a query matching nothing returns no
+    rows; tf saturation and length normalization both discriminate."""
+    import math
+
+    from sonnerie_spark.operators.text import bm25_topk
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown cat sleeps"),
+        (3, "a fox and a dog play"),
+        (4, "completely unrelated text about spark plans"),
+        (5, "dog dog dog dog"),
+    ]
+    qs = [(100, "quick fox"), (200, "lazy dog"), (300, "nomatch zz")]
+    out = bm25_topk(
+        spark.createDataFrame(docs, ["doc_id", "text"]),
+        spark.createDataFrame(qs, ["q_id", "q_text"]),
+        top_k=3,
+    ).collect()
+    got = {(r["q_id"], r["rk"]): (r["id"], r["score_q6"]) for r in out}
+
+    K1, B = 1.2, 0.75
+    toks = {i: t.split() for i, t in docs}
+    N = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / N
+
+    def score(qtext, d):
+        t, dl, s = toks[d], len(toks[d]), 0
+        for term in set(qtext.split()):
+            tf = t.count(term)
+            if not tf:
+                continue
+            df = sum(1 for tt in toks.values() if term in tt)
+            idf = math.log(1 + (N - df + 0.5) / (df + 0.5))
+            c = idf * tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl / avgdl))
+            s += math.floor(c * 1e6 + 0.5)
+        return s
+
+    for qid, qtext in qs:
+        exp = sorted(
+            ((score(qtext, d), d) for d, _ in docs if score(qtext, d) > 0),
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+        for rk, (sc, d) in enumerate(exp, 1):
+            assert got.get((qid, rk)) == (d, sc), (qid, rk)
+        assert (qid, len(exp) + 1) not in got
+    assert not any(q == 300 for q, _ in got)  # no-match query: zero rows
