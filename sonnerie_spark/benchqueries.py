@@ -5580,6 +5580,62 @@ def q_bm25_topk(spark, sf_dir):
     return bm25_topk(docs, qdf, top_k=5)
 
 
+@q(
+    "corpus_mix_budget",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    w(src, w) AS (VALUES ('src0', 5), ('src1', 3), ('src2', 2),
+                         ('src3', 1), ('src4', 40)),
+    tot AS (
+      SELECT source AS src, sum(n_tokens) AS t_s
+      FROM tok JOIN w ON tok.source = w.src GROUP BY source
+    ),
+    b AS (SELECT sum(t_s) // 2 AS budget FROM tot)
+    SELECT t.doc_id AS id, t.source, t.n_tokens
+    FROM tok t JOIN tot ON t.source = tot.src
+    JOIN w ON t.source = w.src, b
+    WHERE cast({phash_sql("cast(t.doc_id AS varchar)")} % 1000000 AS hugeint)
+            * cast(tot.t_s AS hugeint) * 51
+          < cast(1000000 AS hugeint) * cast(b.budget AS hugeint)
+            * cast(w.w AS hugeint)
+    """,
+    "data",
+)
+def q_corpus_mix_budget(spark, sf_dir):
+    """Token-budget mixture sampling: draw ~half the five weighted
+    sources' tokens at 5:3:2:1:40 proportions — the "sample N tokens at
+    these mixture weights" pass that sizes a training run. src4's
+    weight pushes its target past its total, exercising the branchless
+    keep-everything cap; the other four keep hash-stable fractions.
+    The keep rule is pure integer arithmetic (decimal(38,0) /
+    hugeint-widened), so membership is bit-exact cross-engine at every
+    SF. Budget is derived from the data (sum of weighted sources'
+    tokens // 2) via a 1-row bounded collect, mirrored by the oracle's
+    subquery. Plan: one tiny token-total agg broadcast, then a map-only
+    corpus filter — no corpus shuffle."""
+    from sonnerie_spark.operators.text import tokens
+
+    W = {"src0": 5, "src1": 3, "src2": 2, "src3": 1, "src4": 40}
+    docs = load_par(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+    )
+    total = (
+        docs.filter(F.col("source").isin(*W))
+        .agg(F.sum("n_tokens"))
+        .collect()[0][0]
+    )
+    return sampling.budget_mix(
+        docs, "source", "doc_id", "n_tokens",
+        budget=int(total) // 2, weights=W,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The driver's CORRECTNESS gate checks the FIRST
 # 50 registry rows; definition order above is pedagogical (parity ops,

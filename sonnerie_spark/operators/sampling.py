@@ -437,3 +437,65 @@ def deterministic_shuffle(
         return out.localCheckpoint(eager=True)
     finally:
         s.unpersist()
+
+
+def budget_mix(
+    docs: DataFrame,
+    source_col: str,
+    id_col: str,
+    tokens_col: str,
+    *,
+    budget: int,
+    weights: dict[str, int],
+) -> DataFrame:
+    """Token-budget mixture sampling: draw approximately ``budget``
+    tokens from the corpus at the given integer source ``weights`` —
+    the "sample 1T tokens at these mixture proportions" pass that sizes
+    a training run. Each source s targets budget * w_s / sum(w) tokens
+    and keeps a min(1, target_s / T_s) document fraction (T_s = the
+    source's total tokens), selected by content-stable hash so the
+    sample is reproducible and refresh-stable.
+
+    The keep rule is pure integer arithmetic (the family contract of
+    mix_sources_weighted / temperature_sample_sqrt): with u = hash(id)
+    % 1e6, keep iff u * T_s * sum(w) < 1e6 * budget * w_s, all
+    decimal(38,0)-widened (u*T_s*W reaches ~1e26 at 100 T corpus
+    tokens). The cap at 1 needs no branch: when target_s >= T_s the
+    inequality holds for every u < 1e6, so under-budget sources keep
+    everything. Sources missing from ``weights`` are dropped. Expected
+    kept tokens per source = min(T_s, budget * w_s / W) under the
+    uniform-hash model; exactness is per-document determinism, not a
+    hard token count (documents are atomic).
+
+    Plan: one tiny per-source token-total agg joined to the weight
+    literal (broadcast), then a map-only corpus filter — no corpus
+    shuffle at any scale. Emits (id, source, n_tokens) for the kept
+    documents.
+    """
+    spark = docs.sparkSession
+    wsum = sum(int(w) for w in weights.values())
+    wdf = spark.createDataFrame(
+        [(s, int(w)) for s, w in sorted(weights.items())], "src string, w long"
+    )
+    totals = (
+        docs.groupBy(F.col(source_col).alias("src"))
+        .agg(F.sum(tokens_col).alias("t_s"))
+        .join(wdf, "src")
+    )
+    u = F.pmod(phash(F.col("id").cast("string")), F.lit(1_000_000))
+    dec = "decimal(38,0)"
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.col(source_col).alias("src"),
+            F.col(tokens_col).alias("n_tokens"),
+        )
+        .join(F.broadcast(totals), "src")
+        .filter(
+            u.cast(dec) * F.col("t_s").cast(dec) * F.lit(wsum).cast(dec)
+            < F.lit(1_000_000).cast(dec)
+            * F.lit(int(budget)).cast(dec)
+            * F.col("w").cast(dec)
+        )
+        .select("id", F.col("src").alias("source"), "n_tokens")
+    )

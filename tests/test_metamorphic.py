@@ -652,3 +652,57 @@ def test_bm25_topk_vs_model(spark):
             assert got.get((qid, rk)) == (d, sc), (qid, rk)
         assert (qid, len(exp) + 1) not in got
     assert not any(q == 300 for q, _ in got)  # no-match query: zero rows
+
+
+def test_budget_mix_vs_model_and_cap(spark):
+    """budget_mix: kept set equals an independent Python model of the
+    integer keep rule; a source whose target exceeds its total keeps
+    every document (the branchless cap); achieved per-source tokens
+    track targets."""
+    import hashlib
+
+    from sonnerie_spark.operators.sampling import budget_mix
+
+    rows = [
+        (i, ["web", "books", "code"][i % 3], 50 + (i * 37) % 200)
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_tokens"])
+    weights = {"web": 5, "books": 3, "code": 2}
+    budget = 120_000
+    got = {
+        (r["id"], r["source"], r["n_tokens"])
+        for r in budget_mix(
+            df, "source", "doc_id", "n_tokens",
+            budget=budget, weights=weights,
+        ).collect()
+    }
+
+    def phash_py(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    tot: dict[str, int] = {}
+    for _i, s, n in rows:
+        tot[s] = tot.get(s, 0) + n
+    wsum = sum(weights.values())
+    exp = {
+        (i, s, n)
+        for i, s, n in rows
+        if phash_py(str(i)) % 1_000_000 * tot[s] * wsum
+        < 1_000_000 * budget * weights[s]
+    }
+    assert got == exp
+    ach: dict[str, int] = {}
+    for _i, s, n in got:
+        ach[s] = ach.get(s, 0) + n
+    for s, w in weights.items():
+        target = min(tot[s], budget * w / wsum)
+        assert 0.85 < ach[s] / target < 1.15, (s, ach[s], target)
+
+    # cap: give books an overwhelming weight -> target >> total
+    out2 = budget_mix(
+        df, "source", "doc_id", "n_tokens",
+        budget=10**9, weights={"web": 1, "books": 1000},
+    ).collect()
+    assert sum(1 for r in out2 if r["source"] == "books") == 1000
+    assert not any(r["source"] == "code" for r in out2)  # unweighted drop
