@@ -432,3 +432,51 @@ def test_single_run_dedup_elided_only_with_unique_marker(db, spark, tmp_path):
     os.remove(os.path.join(run.path, "_U"))
     plan2 = plan_of(db.read())
     assert "Aggregate" in plan2, plan2  # unverified: LWW dedup planned
+
+
+def test_bm25_broadcasts_query_sides_no_corpus_smj(spark, sf_dir):
+    """bm25_topk: every query-bounded side (query terms, query
+    vocabulary, per-term df, corpus stats) arrives BROADCAST — the
+    corpus postings stream is never sort-merge-joined, so the only
+    corpus shuffles are the postings agg and the matched (q, doc)
+    agg."""
+    from pyspark.sql import functions as F
+
+    from sonnerie_spark.benchqueries import load_par
+    from sonnerie_spark.operators.text import bm25_topk, tokens
+
+    docs = load_par(spark, sf_dir, "documents")
+    qdf = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("q_id"),
+        F.array_join(F.slice(tokens(F.col("text")), 1, 5), " ").alias(
+            "q_text"
+        ),
+    )
+    plan = plan_of(bm25_topk(docs, qdf, top_k=5))
+    assert plan.count("BroadcastExchange") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_budget_mix_is_map_only_past_totals_agg(spark, sf_dir):
+    """budget_mix: the per-source token totals are the only aggregation,
+    they arrive broadcast, and the corpus stream is never repartitioned
+    for the join — the keep filter is map-side."""
+    from pyspark.sql import functions as F
+
+    from sonnerie_spark.benchqueries import load_par
+    from sonnerie_spark.operators.sampling import budget_mix
+    from sonnerie_spark.operators.text import tokens
+
+    docs = load_par(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    plan = plan_of(
+        budget_mix(
+            docs, "source", "doc_id", "n_tokens",
+            budget=10_000, weights={"src0": 1, "src1": 1},
+        )
+    )
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the corpus stream itself must not be hash-repartitioned
+    assert "Exchange hashpartitioning(doc_id" not in plan, plan
