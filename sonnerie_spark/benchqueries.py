@@ -5663,18 +5663,29 @@ _DRIVER_WINDOW = [
     # the same assignment plan + a Lloyd's round; neardup_components
     # consumes the pair stream; the capped jaccard is the corpus-scale
     # variant of the uncapped baseline) and all three stay verified by
-    # the local three-SF sweep
+    # the local three-SF sweep. Late-r6 swaps, same subsumption rule:
+    # bm25_topk takes dedup_minhash_lsh's slot (the capped variant — the
+    # corpus-scale plan — stays) and bpe_encode takes dedup_simhash's
+    # (simhash_near_pairs consumes the same signature plan and stays).
     "dedup_exact", "semdedup_keep", "dedup_ngram_jaccard_capped",
-    "dedup_minhash_lsh", "dedup_minhash_lsh_capped", "dedup_simhash",
+    "bm25_topk", "dedup_minhash_lsh_capped", "bpe_encode",
     "simhash_near_pairs", "neardup_components", "neardup_keep_canonical",
     "embedding_topk", "pq_encode",
     "embedding_neardup_components", "ann_lsh_buckets", "ivf_pq_topk",
     "ivf_kmeans_assign", "ivf_ann_topk", "embedding_quantize_int8",
     "embedding_topk_int8",
-    # text / sampling / multimodal pipeline
-    "text_token_stats", "text_quality", "text_lang_id", "doc_fingerprint",
+    # text / sampling / multimodal pipeline. Late-r6 swaps:
+    # gopher_quality_filter takes text_token_stats's slot (its word
+    # counts ride the same token pipeline plus six more rule columns),
+    # dedup_substrings takes doc_fingerprint's (the same span-hash
+    # machinery plus the df agg and the removal edit), and
+    # corpus_mix_budget takes corpus_mix_uniform's (same broadcast-dims
+    # + integer-keep plan class, plus the token dimension and the cap).
+    # All swapped-out gates stay verified by the local three-SF sweep.
+    "gopher_quality_filter", "text_quality", "text_lang_id",
+    "dedup_substrings",
     "decontaminate_benchmark", "redact_pii", "pack_sequences",
-    "train_test_split", "corpus_mix_uniform", "corpus_mix_temperature",
+    "train_test_split", "corpus_mix_budget", "corpus_mix_temperature",
     "corpus_mix_weighted", "multimodal_meta", "multimodal_decode_real",
     # composite end-to-end (r6: v3 takes v2's slot — it runs every v2
     # stage plus the SemDeDup pass, so the window certifies a strict
