@@ -70,6 +70,10 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
         print(f"{name}: {dt:.1f}s = {n_tokens / dt / 1e6:.1f}M tok/s")
+        # operators that persist intermediates (dedup_substrings' span
+        # stream) must not bleed cache pressure into the next row
+        spark.catalog.clearCache()
+        docs.persist(); docs.count()
         return dt
 
     run("dedup_substrings k=8",
@@ -88,6 +92,25 @@ def main() -> None:
             ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
             ("an", "d"), ("e", "r"), ("o", "u"), ("c", "o"),
         ]))
+
+    qdf = docs.limit(16).select(
+        F.col("id").alias("q_id"),
+        F.concat(F.lit("w0 w1 "), F.substring("text", 1, 30)).alias("q_text"),
+    )
+    run("bm25_topk 16 queries",
+        textops.bm25_topk(docs, qdf, id_col="id", top_k=10))
+
+    from sonnerie_spark.operators.sampling import budget_mix
+
+    src = docs.select(
+        "id", "text",
+        F.concat(F.lit("s"), F.pmod("id", F.lit(8))).alias("source"),
+        F.lit(tpd).alias("n_tokens"),
+    )
+    run("budget_mix 8 sources", budget_mix(
+        src, "source", "id", "n_tokens",
+        budget=n_tokens // 3, weights={f"s{i}": i + 1 for i in range(8)},
+    ))
 
 
 if __name__ == "__main__":
