@@ -706,3 +706,137 @@ def test_budget_mix_vs_model_and_cap(spark):
     ).collect()
     assert sum(1 for r in out2 if r["source"] == "books") == 1000
     assert not any(r["source"] == "code" for r in out2)  # unweighted drop
+
+
+def test_bpe_encode_property_trained_tables(spark):
+    """Property test: for random corpora and merge tables produced by
+    REAL BPE training (hence valid by construction — every multi-char
+    operand comes from an earlier merge), the replace-chain encoder
+    must equal the classic iterative lowest-rank-first encoder on every
+    word. This pins the validity-invariant argument the operator's
+    one-pass-per-merge design rests on."""
+    from collections import Counter
+
+    from hypothesis import given, settings, strategies as st
+
+    from sonnerie_spark.operators.text import bpe_encode
+
+    def train_merges(words, n_merges):
+        seqs = [list(w) for w in words]
+        merges = []
+        for _ in range(n_merges):
+            pairs = Counter()
+            for s in seqs:
+                for i in range(len(s) - 1):
+                    pairs[(s[i], s[i + 1])] += 1
+            if not pairs:
+                break
+            best = max(pairs, key=lambda p: (pairs[p], p))
+            merges.append(best)
+            a, b = best
+            for j, s in enumerate(seqs):
+                out, i = [], 0
+                while i < len(s):
+                    if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                seqs[j] = out
+        return merges
+
+    def iterative_encode(word, merges):
+        rank = {m: i for i, m in enumerate(merges)}
+        w = list(word)
+        while len(w) > 1:
+            best = min(
+                (rank.get((w[i], w[i + 1]), 10**9), i)
+                for i in range(len(w) - 1)
+            )
+            if best[0] >= 10**9:
+                break
+            a, b = merges[best[0]]
+            out, i = [], 0
+            while i < len(w):
+                if i < len(w) - 1 and w[i] == a and w[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(w[i])
+                    i += 1
+            w = out
+        return w
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=8),
+            min_size=3, max_size=12,
+        ),
+        st.integers(min_value=1, max_value=10),
+    )
+    def check(words, n_merges):
+        merges = train_merges(words, n_merges)
+        if not merges:
+            return
+        docs = [(i, " ".join(words)) for i in range(2)]
+        out = {
+            r["id"]: list(r["tokens"])
+            for r in bpe_encode(
+                spark.createDataFrame(docs, ["doc_id", "text"]),
+                "doc_id", "text", merges,
+            ).collect()
+        }
+        exp = [t for w in words for t in iterative_encode(w, merges)]
+        for i in range(2):
+            assert out[i] == exp, (words, merges, out[i], exp)
+
+    check()
+
+
+def test_dedup_substrings_property(spark):
+    """Property test: dedup_substrings equals the independent Python
+    model on random low-alphabet corpora (high natural span collision
+    rates) for k in {2, 3}."""
+    from collections import defaultdict
+
+    from hypothesis import given, settings, strategies as st
+
+    from sonnerie_spark.operators.text import dedup_substrings
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from(["x", "y", "z"]), min_size=1, max_size=10
+            ),
+            min_size=2, max_size=8,
+        ),
+        st.integers(min_value=2, max_value=3),
+    )
+    def check(corpora, k):
+        docs = [(i, " ".join(ws)) for i, ws in enumerate(corpora)]
+        out = {
+            r["id"]: (r["text"], r["n_removed"])
+            for r in dedup_substrings(
+                spark.createDataFrame(docs, ["doc_id", "text"]),
+                "doc_id", "text", k=k, min_df=2,
+            ).collect()
+        }
+        occ = defaultdict(set)
+        toks = {i: t.split() for i, t in docs}
+        for i, t in toks.items():
+            for p in range(len(t) - k + 1):
+                occ[tuple(t[p : p + k])].add(i)
+        for i, t in toks.items():
+            cov = set()
+            for p in range(len(t) - k + 1):
+                if len(occ[tuple(t[p : p + k])]) >= 2:
+                    cov.update(range(p, p + k))
+            kept = [w for j, w in enumerate(t) if j not in cov]
+            assert out[i] == (" ".join(kept), len(t) - len(kept)), (
+                docs, k, i, out[i],
+            )
+
+    check()
