@@ -840,3 +840,27 @@ def test_dedup_substrings_property(spark):
             )
 
     check()
+
+
+def test_curation_example_end_to_end(spark, capsys):
+    """The runnable example (examples/curation_pipeline.py) composes
+    ten oracle-gated operators into the published curation recipe; it
+    must run end-to-end on the smallest SF and show a monotone
+    document funnel through the drop stages."""
+    import re
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(
+        0, str(Path(__file__).resolve().parent.parent / "examples")
+    )
+    import curation_pipeline
+
+    curation_pipeline.main("/root/testdata/sf0.001")
+    out = capsys.readouterr().out
+    counts = [int(m.replace(",", ""))
+              for m in re.findall(r"(\d[\d,]*) docs", out)]
+    assert len(counts) >= 8
+    assert counts[0] == 500
+    assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+    assert "packed examples" in out
