@@ -864,3 +864,28 @@ def test_curation_example_end_to_end(spark, capsys):
     assert counts[0] == 500
     assert all(a >= b for a, b in zip(counts, counts[1:])), counts
     assert "packed examples" in out
+
+
+def test_timeseries_tour_end_to_end(spark, capsys, tmp_path):
+    """The runnable reference-parity tour (examples/timeseries_tour.py)
+    must exercise ingest, reads, LWW, time travel, CDC, delete, rollup
+    cascade, compaction, and the Arrow fold with the expected observable
+    numbers."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(
+        0, str(Path(__file__).resolve().parent.parent / "examples")
+    )
+    import timeseries_tour
+
+    timeseries_tour.main(str(tmp_path))
+    out = capsys.readouterr().out
+    assert "73 records" in out
+    assert "%.paris=48" in out
+    assert "-> 99.9 (1 record for the slot)" in out
+    assert "as_of tx2 reads 20.0" in out
+    assert "temp.tokyo reads 0 rows" in out
+    assert "1h buckets=49  6h buckets=9" in out
+    assert "49 -> 49 rows, 1 run" in out
+    assert "max=99.9 mean=26.08" in out
