@@ -615,10 +615,14 @@ def gopher_quality(
         F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))).cast("double")
         / nd
     )
+    # array_intersect, NOT filter(stops, s -> array_contains(lowered, s)):
+    # a lambda body re-evaluates per element, so the filter form lowers
+    # the whole token array once PER STOPWORD (measured 8x slower at
+    # 50 M tokens); intersect lowers it once and counts the distinct
+    # stopwords present — the same value.
     stop_hits = F.size(
-        F.filter(
-            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
-            lambda s: F.array_contains(toks_lower, s),
+        F.array_intersect(
+            toks_lower, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
         )
     )
     keep = (
