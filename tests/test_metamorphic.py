@@ -889,3 +889,61 @@ def test_timeseries_tour_end_to_end(spark, capsys, tmp_path):
     assert "1h buckets=49  6h buckets=9" in out
     assert "49 -> 49 rows, 1 run" in out
     assert "max=99.9 mean=26.08" in out
+
+
+def test_bm25_property_vs_model(spark):
+    """Property test: bm25_topk's integer-exact scores and ranking
+    equal an independent Python BM25 on random low-alphabet corpora
+    (dense tf/df collisions, deliberate tie pressure)."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from sonnerie_spark.operators.text import bm25_topk
+
+    word = st.sampled_from(["p", "q", "r", "pp"])
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(st.lists(word, min_size=1, max_size=6),
+                 min_size=2, max_size=6),
+        st.lists(word, min_size=1, max_size=3),
+    )
+    def check(corpora, query):
+        docs = [(i, " ".join(ws)) for i, ws in enumerate(corpora)]
+        qs = [(0, " ".join(query))]
+        got = {
+            r["rk"]: (r["id"], r["score_q6"])
+            for r in bm25_topk(
+                spark.createDataFrame(docs, ["doc_id", "text"]),
+                spark.createDataFrame(qs, ["q_id", "q_text"]),
+                top_k=4,
+            ).collect()
+        }
+        K1, B = 1.2, 0.75
+        toks = {i: t.split() for i, t in docs}
+        N = len(docs)
+        avgdl = sum(len(t) for t in toks.values()) / N
+
+        def score(d):
+            t, dl, s = toks[d], len(toks[d]), 0
+            for term in set(query):
+                tf = t.count(term)
+                if not tf:
+                    continue
+                df = sum(1 for tt in toks.values() if term in tt)
+                idf = math.log(1 + (N - df + 0.5) / (df + 0.5))
+                c = (idf * tf * (K1 + 1)
+                     / (tf + K1 * (1 - B + B * dl / avgdl)))
+                s += math.floor(c * 1e6 + 0.5)
+            return s
+
+        exp = sorted(
+            ((score(d), d) for d, _ in docs if score(d) > 0),
+            key=lambda x: (-x[0], x[1]),
+        )[:4]
+        assert got == {rk: (d, sc) for rk, (sc, d) in enumerate(exp, 1)}, (
+            corpora, query, got, exp,
+        )
+
+    check()
