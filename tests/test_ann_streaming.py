@@ -387,3 +387,77 @@ def test_ivf_index_lifecycle(spark, tmp_path, emb):
     again = {r["id"]: r["centroid_id"]
              for r in idx.add(emb.filter(F.col("vec_id") % 2 == 1)).collect()}
     assert again == before
+
+
+def test_streaming_curation_composite(spark, tmp_path):
+    """A streaming curation pipeline: documents arrive in micro-batches,
+    each batch is gopher-filtered then deduped against EVERYTHING seen
+    (incremental ExactIndex), and survivors accumulate in a kept table.
+    The final kept set must equal the one-shot batch computation (filter
+    first, then global first-occurrence dedup) — stateless filters and
+    the stateful index must compose correctly across batch boundaries."""
+    from sonnerie_spark.operators.text import gopher_quality
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            # ensure a sizeable pass-rate and cross-batch duplicates:
+            # every 2nd doc gets the stopword suffix (passes gopher);
+            # every 5th doc's text is replaced by a shared constant
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit(" and that have with the")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    ).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("duplicate body and that have with the "
+                  * 8),
+        ).otherwise(F.col("text")),
+    )
+    src = str(tmp_path / "arrivals")
+    for b in range(3):
+        docs.filter(F.col("doc_id") % 3 == b).coalesce(1).write.parquet(
+            f"{src}/b{b}"
+        )
+
+    idx = dedup.ExactIndex(spark, str(tmp_path / "exact"))
+    kept: set[int] = set()
+
+    def on_batch(batch_df, _bid):
+        gq = gopher_quality(batch_df, "doc_id", "text", min_stop_hits=1)
+        passed = batch_df.join(
+            gq.filter("keep").select(F.col("id").alias("doc_id")), "doc_id"
+        )
+        for r in idx.add(passed, "doc_id", "text").collect():
+            kept.add(r["id"])
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(on_batch).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(300)
+
+    # one-shot truth: same filter, then global first-occurrence dedup,
+    # with first-occurrence order = (arrival batch, id) — the stream
+    # delivers batches b0,b1,b2 (doc_id % 3), ids ascending within each
+    gq = gopher_quality(docs, "doc_id", "text", min_stop_hits=1)
+    passed = docs.join(
+        gq.filter("keep").select(F.col("id").alias("doc_id")), "doc_id"
+    )
+    rows = passed.select(
+        "doc_id", F.md5("text").alias("h"),
+        F.pmod("doc_id", F.lit(3)).alias("b"),
+    ).collect()
+    first: dict[str, int] = {}
+    for r in sorted(rows, key=lambda r: (r["b"], r["doc_id"])):
+        first.setdefault(r["h"], r["doc_id"])
+    assert kept == set(first.values())
+    assert kept, "empty kept set would make the test vacuous"
