@@ -300,12 +300,25 @@ def temperature_sample_sqrt(
 
 
 def mix_sources_weighted(
-    docs: DataFrame, source_col: str, id_col: str, weights: dict[str, int]
+    docs: DataFrame,
+    source_col: str,
+    id_col: str,
+    weights: dict[str, int],
+    *,
+    strict: bool = True,
 ) -> DataFrame:
     """Corpus mixing to arbitrary integer target proportions: the output
     is the LARGEST corpus whose source mix is exactly ``weights`` (no
     source oversampled past its actual size). Sources missing from
     ``weights`` are dropped.
+
+    ``strict`` (default): raise if ``weights`` names a source absent
+    from the corpus — otherwise the requested mix is silently
+    unachievable (a typo'd source contributes nothing, and because the
+    binding-source rule keeps proportions exact, every OTHER source is
+    scaled down to preserve a ratio against a phantom). Costs one tiny
+    job over the already-aggregated per-source counts; pass
+    strict=False on hot paths that guarantee the key set.
 
     With m = argmin(n_s / w_s) (the binding source; deterministic
     tie-break by source name), source s keeps a (n_m * w_s)/(w_m * n_s)
@@ -326,6 +339,14 @@ def mix_sources_weighted(
         .agg(F.count("*").alias("n_s"))
         .join(wdf, "src")
     )
+    if strict:
+        present = {r["src"] for r in counts.select("src").collect()}
+        missing = sorted(set(weights) - present)
+        if missing:
+            raise ValueError(
+                f"mix_sources_weighted: weights name sources absent from "
+                f"the corpus: {missing} (pass strict=False to allow)"
+            )
     binding = (
         counts.orderBy((F.col("n_s") / F.col("w")).asc(), F.col("src"))
         .limit(1)
@@ -447,6 +468,7 @@ def budget_mix(
     *,
     budget: int,
     weights: dict[str, int],
+    strict: bool = True,
 ) -> DataFrame:
     """Token-budget mixture sampling: draw approximately ``budget``
     tokens from the corpus at the given integer source ``weights`` —
@@ -462,7 +484,10 @@ def budget_mix(
     decimal(38,0)-widened (u*T_s*W reaches ~1e26 at 100 T corpus
     tokens). The cap at 1 needs no branch: when target_s >= T_s the
     inequality holds for every u < 1e6, so under-budget sources keep
-    everything. Sources missing from ``weights`` are dropped. Expected
+    everything. Sources missing from ``weights`` are dropped; ``strict``
+    (default) raises when ``weights`` names a source ABSENT from the
+    corpus — that source's budget share would silently never be
+    delivered (one tiny job over the aggregated totals). Expected
     kept tokens per source = min(T_s, budget * w_s / W) under the
     uniform-hash model; exactness is per-document determinism, not a
     hard token count (documents are atomic).
@@ -482,6 +507,15 @@ def budget_mix(
         .agg(F.sum(tokens_col).alias("t_s"))
         .join(wdf, "src")
     )
+    if strict:
+        present = {r["src"] for r in totals.select("src").collect()}
+        missing = sorted(set(weights) - present)
+        if missing:
+            raise ValueError(
+                f"budget_mix: weights name sources absent from the "
+                f"corpus: {missing} (their budget share would silently "
+                f"never be delivered; pass strict=False to allow)"
+            )
     u = F.pmod(phash(F.col("id").cast("string")), F.lit(1_000_000))
     dec = "decimal(38,0)"
     return (

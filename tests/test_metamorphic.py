@@ -947,3 +947,38 @@ def test_bm25_property_vs_model(spark):
         )
 
     check()
+
+
+def test_mix_weights_reject_phantom_sources(spark):
+    """Weighted/budget mixing: weights naming a source absent from the
+    corpus raise by default (the phantom's share would silently never
+    be delivered and other sources would scale against it);
+    strict=False restores the permissive behavior."""
+    import pytest
+
+    from sonnerie_spark.operators.sampling import (
+        budget_mix,
+        mix_sources_weighted,
+    )
+
+    df = spark.createDataFrame(
+        [(i, ["web", "books"][i % 2], 10) for i in range(40)],
+        ["doc_id", "source", "n_tokens"],
+    )
+    with pytest.raises(ValueError, match="typo"):
+        mix_sources_weighted(
+            df, "source", "doc_id", {"web": 1, "typo": 1}
+        ).count()
+    with pytest.raises(ValueError, match="typo"):
+        budget_mix(
+            df, "source", "doc_id", "n_tokens",
+            budget=100, weights={"web": 1, "typo": 1},
+        ).count()
+    # strict=False: permissive, phantom contributes nothing
+    out = budget_mix(
+        df, "source", "doc_id", "n_tokens",
+        budget=100, weights={"web": 1, "typo": 1}, strict=False,
+    )
+    assert {r["source"] for r in out.collect()} <= {"web"}
+    ok = mix_sources_weighted(df, "source", "doc_id", {"web": 1, "books": 2})
+    assert ok.count() > 0
