@@ -330,6 +330,12 @@ def mix_sources_weighted(
     binding source via a 1-row orderBy/limit (broadcast), then a
     map-only corpus filter.
     """
+    if not weights or any(int(w) <= 0 for w in weights.values()):
+        raise ValueError(
+            "mix_sources_weighted: weights must be non-empty and "
+            f"strictly positive, got {weights!r} (a zero weight makes "
+            "the binding-source ratio n_s/w undefined)"
+        )
     spark = docs.sparkSession
     wdf = spark.createDataFrame(
         [(s, int(w)) for s, w in sorted(weights.items())], "src string, w long"
@@ -497,6 +503,13 @@ def budget_mix(
     shuffle at any scale. Emits (id, source, n_tokens) for the kept
     documents.
     """
+    if not weights or any(int(w) <= 0 for w in weights.values()):
+        raise ValueError(
+            "budget_mix: weights must be non-empty and strictly "
+            f"positive, got {weights!r}"
+        )
+    if int(budget) <= 0:
+        raise ValueError(f"budget_mix: budget must be positive, got {budget}")
     spark = docs.sparkSession
     wsum = sum(int(w) for w in weights.values())
     wdf = spark.createDataFrame(

@@ -720,6 +720,8 @@ def dedup_substrings(
     and untouched docs serialize consistently. Emits
     (id, text, n_removed).
     """
+    if k < 1:
+        raise ValueError(f"dedup_substrings: k must be >= 1, got {k}")
     flagged = repeated_spans(df, id_col, text_col, k=k, min_df=min_df)
     fp = flagged.groupBy("id").agg(
         F.sort_array(F.collect_set("pos")).alias("fp")
@@ -781,6 +783,15 @@ def bpe_encode(
     Returns (id, tokens array<string>, n_tokens).
     """
     op, cl = "\x01", "\x02"
+    for a, b in merges:
+        for part in (a, b):
+            if not part or any(c.isspace() or c in (op, cl) for c in part):
+                raise ValueError(
+                    f"bpe_encode: merge operand {part!r} contains "
+                    "whitespace/control marks or is empty - not a valid "
+                    "BPE table entry (tokenization splits on whitespace, "
+                    "and \\x01/\\x02 delimit tokens internally)"
+                )
     t = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
     s = F.regexp_replace(t, "(.)", op + "$1" + cl)
     s = F.replace(s, F.lit(op + " " + cl), F.lit(" "))

@@ -982,3 +982,36 @@ def test_mix_weights_reject_phantom_sources(spark):
     assert {r["source"] for r in out.collect()} <= {"web"}
     ok = mix_sources_weighted(df, "source", "doc_id", {"web": 1, "books": 2})
     assert ok.count() > 0
+
+
+def test_operator_argument_guards(spark):
+    """Malformed arguments raise immediately instead of producing
+    plausible-but-wrong results: BPE operands with whitespace/control
+    marks (they would corrupt the token delimiter scheme), non-positive
+    mixture weights (undefined binding ratio), non-positive budgets,
+    and k < 1 span windows."""
+    import pytest
+
+    from sonnerie_spark.operators.sampling import (
+        budget_mix,
+        mix_sources_weighted,
+    )
+    from sonnerie_spark.operators.text import bpe_encode, dedup_substrings
+
+    df = spark.createDataFrame(
+        [(1, "a b", "s", 2)], ["doc_id", "text", "source", "n_tokens"]
+    )
+    with pytest.raises(ValueError, match="merge operand"):
+        bpe_encode(df, "doc_id", "text", [("a b", "c")])
+    with pytest.raises(ValueError, match="merge operand"):
+        bpe_encode(df, "doc_id", "text", [("a", "")])
+    with pytest.raises(ValueError, match="k must be"):
+        dedup_substrings(df, "doc_id", "text", k=0)
+    with pytest.raises(ValueError, match="strictly positive"):
+        mix_sources_weighted(df, "source", "doc_id", {"s": 0})
+    with pytest.raises(ValueError, match="strictly positive"):
+        budget_mix(df, "source", "doc_id", "n_tokens",
+                   budget=10, weights={"s": -1})
+    with pytest.raises(ValueError, match="budget must be"):
+        budget_mix(df, "source", "doc_id", "n_tokens",
+                   budget=0, weights={"s": 1})
