@@ -5221,8 +5221,8 @@ def q_kmv_source_overlap(spark, sf_dir):
       SELECT doc_id,
              regexp_split_to_array(trim(t), '\s+') AS w,
              string_split(t, chr(10)) AS ln,
-             len(regexp_extract_all(t, '#'))
-               + len(regexp_extract_all(t, '\.\.\.')) AS nsym
+             len(regexp_extract_all(t, '#')) AS nhash,
+             len(regexp_extract_all(t, '\.\.\.')) AS nell
       FROM base
     ),
     m AS (
@@ -5230,7 +5230,8 @@ def q_kmv_source_overlap(spark, sf_dir):
              len(w) AS n_words,
              list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w)
                AS mean_wl,
-             nsym * 1.0 / len(w) AS symbol_ratio,
+             nhash * 1.0 / len(w) AS hash_ratio,
+             nell * 1.0 / len(w) AS ell_ratio,
              len(list_filter(ln, l -> regexp_matches(ltrim(l), '^[-*•]')))
                * 1.0 / len(ln) AS bullet_frac,
              len(list_filter(ln,
@@ -5246,14 +5247,16 @@ def q_kmv_source_overlap(spark, sf_dir):
     )
     SELECT doc_id AS id, n_words,
            floor(mean_wl * 1e6 + 0.5) / 1e6 AS mean_word_len,
-           floor(symbol_ratio * 1e6 + 0.5) / 1e6 AS symbol_ratio,
+           floor(hash_ratio * 1e6 + 0.5) / 1e6 AS hash_word_ratio,
+           floor(ell_ratio * 1e6 + 0.5) / 1e6 AS ellipsis_word_ratio,
            floor(bullet_frac * 1e6 + 0.5) / 1e6 AS bullet_frac,
            floor(ellipsis_frac * 1e6 + 0.5) / 1e6 AS ellipsis_frac,
            floor(alpha_frac * 1e6 + 0.5) / 1e6 AS alpha_frac,
            stop_hits,
            (n_words >= 50 AND n_words <= 100000
             AND mean_wl >= 3.0 AND mean_wl <= 10.0
-            AND symbol_ratio < 0.1 AND bullet_frac < 0.9
+            AND hash_ratio < 0.1 AND ell_ratio < 0.1
+            AND bullet_frac < 0.9
             AND ellipsis_frac < 0.3 AND alpha_frac >= 0.8
             AND stop_hits >= 2) AS keep
     FROM m
@@ -5270,7 +5273,7 @@ def q_gopher_quality_filter(spark, sf_dir):
     lines into every 3rd, an ellipsis line into every 4th, stopwords
     into every 2nd — odd docs mostly fail the 2-stopword floor, short
     docs fail the word floor) so every rule branch discriminates, and
-    value-hashes all seven feature columns plus the verdict. Pure
+    value-hashes all eight feature columns plus the verdict. Pure
     Catalyst array ops — no explode, no shuffle, no Python; scan-speed
     per-document cost at any corpus size. No reference analogue;
     training-data-pipeline extension surface."""

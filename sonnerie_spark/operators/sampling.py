@@ -316,9 +316,11 @@ def mix_sources_weighted(
     from the corpus — otherwise the requested mix is silently
     unachievable (a typo'd source contributes nothing, and because the
     binding-source rule keeps proportions exact, every OTHER source is
-    scaled down to preserve a ratio against a phantom). Costs one tiny
-    job over the already-aggregated per-source counts; pass
-    strict=False on hot paths that guarantee the key set.
+    scaled down to preserve a ratio against a phantom). The guard
+    collects the tiny per-source counts once and reuses them as the
+    broadcast side, so strict mode runs the corpus aggregation exactly
+    once (at call time); pass strict=False to keep the operator fully
+    lazy on hot paths that guarantee the key set.
 
     With m = argmin(n_s / w_s) (the binding source; deterministic
     tie-break by source name), source s keeps a (n_m * w_s)/(w_m * n_s)
@@ -346,13 +348,18 @@ def mix_sources_weighted(
         .join(wdf, "src")
     )
     if strict:
-        present = {r["src"] for r in counts.select("src").collect()}
-        missing = sorted(set(weights) - present)
+        # collect the tiny per-source rows ONCE and rebuild the counts
+        # table from them: a bare guard collect would run the full
+        # corpus aggregation here AND AGAIN when the returned plan
+        # materializes (the broadcast side is not cached)
+        rows = counts.collect()
+        missing = sorted(set(weights) - {r["src"] for r in rows})
         if missing:
             raise ValueError(
                 f"mix_sources_weighted: weights name sources absent from "
                 f"the corpus: {missing} (pass strict=False to allow)"
             )
+        counts = spark.createDataFrame(rows, counts.schema)
     binding = (
         counts.orderBy((F.col("n_s") / F.col("w")).asc(), F.col("src"))
         .limit(1)
@@ -493,7 +500,9 @@ def budget_mix(
     everything. Sources missing from ``weights`` are dropped; ``strict``
     (default) raises when ``weights`` names a source ABSENT from the
     corpus — that source's budget share would silently never be
-    delivered (one tiny job over the aggregated totals). Expected
+    delivered. The guard collects the tiny totals once and reuses them
+    as the broadcast side (the corpus aggregation runs exactly once, at
+    call time); strict=False keeps the operator fully lazy. Expected
     kept tokens per source = min(T_s, budget * w_s / W) under the
     uniform-hash model; exactness is per-document determinism, not a
     hard token count (documents are atomic).
@@ -521,14 +530,18 @@ def budget_mix(
         .join(wdf, "src")
     )
     if strict:
-        present = {r["src"] for r in totals.select("src").collect()}
-        missing = sorted(set(weights) - present)
+        # collect the tiny per-source totals ONCE and rebuild the
+        # broadcast side from them — a bare guard collect would run the
+        # full corpus aggregation twice (once here, once at action)
+        rows = totals.collect()
+        missing = sorted(set(weights) - {r["src"] for r in rows})
         if missing:
             raise ValueError(
                 f"budget_mix: weights name sources absent from the "
                 f"corpus: {missing} (their budget share would silently "
                 f"never be delivered; pass strict=False to allow)"
             )
+        totals = spark.createDataFrame(rows, totals.schema)
     u = F.pmod(phash(F.col("id").cast("string")), F.lit(1_000_000))
     dec = "decimal(38,0)"
     return (

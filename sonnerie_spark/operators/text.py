@@ -66,23 +66,16 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + (F.lit(1.0) - F.least(stop_ratio * 2, F.lit(1.0))) * 0.25
         + distinct_ratio * 0.25
     )
-    # 6-decimal rounding via floor(x*1e6 + 0.5)/1e6, NOT round(x, 6):
-    # at an exact decimal tie Spark's HALF_UP (on the binary double's
-    # exact BigDecimal) and DuckDB's round() can disagree by 1 in the
-    # last digit (observed at sf0.1), while multiply/add/floor are all
-    # exact IEEE ops on identical doubles — both engines agree on
-    # whatever the tie resolves to.
-    def r6(c):
-        return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-
+    # 6-decimal rounding via _r6 (module-level; see its docstring for
+    # why floor(x*1e6 + 0.5)/1e6 and NOT round(x, 6)).
     return df.select(
         F.col(id_col).alias("id"),
         n.alias("n_words"),
-        r6(mean_wl).alias("mean_word_len"),
-        r6(stop_ratio).alias("stopword_ratio"),
-        r6(distinct_ratio).alias("distinct_ratio"),
-        r6(punct_ratio).alias("punct_ratio"),
-        r6(score).alias("quality_score"),
+        _r6(mean_wl).alias("mean_word_len"),
+        _r6(stop_ratio).alias("stopword_ratio"),
+        _r6(distinct_ratio).alias("distinct_ratio"),
+        _r6(punct_ratio).alias("punct_ratio"),
+        _r6(score).alias("quality_score"),
     )
 
 
@@ -345,9 +338,11 @@ def repeated_spans(
     without materialization Spark computes the expensive build (one
     concat+md5 per span occurrence) twice, once per join side; the
     persist halves the dominant cost (same-session A/B 91.8 -> 35.6 s
-    at 50 M tokens, tools/substr_scale.py). Same persist-an-intermediate
-    contract as dedup.simhash_near_pairs; callers (and bench) clear
-    cache per query.
+    at 50 M tokens, tools/substr_scale.py). Cache lifetime follows the
+    same convention as dedup.simhash_near_pairs: the returned frame is
+    lazy, so the operator cannot unpersist; Spark's ContextCleaner
+    reclaims the cached stream once the frame becomes unreachable, and
+    bench / long-lived loops clear cache per query explicitly.
     """
     toks = tokens(F.col(text_col))
     spans = (
@@ -570,8 +565,9 @@ def gopher_quality(
     """Gopher quality rules (Rae et al. 2021, published appendix A):
     the standard pre-training document filter. Per document: word count
     in [min_words, max_words]; mean word length in [min_mean_wl,
-    max_mean_wl]; symbol-to-word ratio ('#' or '...') below
-    max_symbol_ratio; under max_bullet_frac of lines starting with a
+    max_mean_wl]; the '#'-to-word AND the '...'-to-word ratio EACH
+    below max_symbol_ratio (the paper tests the symbols separately);
+    under max_bullet_frac of lines starting with a
     bullet; under max_ellipsis_frac of lines ending in an ellipsis; at
     least min_alpha_frac of words containing an alphabetic character;
     and at least min_stop_hits distinct GOPHER_STOPWORDS present.
@@ -594,10 +590,16 @@ def gopher_quality(
         lambda acc, x: acc + x,
     )
     mean_wl = sum_wl.cast("double") / nd
-    n_symbols = F.size(F.regexp_extract_all(t, F.lit("#"), 0)) + F.size(
-        F.regexp_extract_all(t, F.lit(r"\.\.\."), 0)
+    # the published rule tests EACH symbol's ratio separately ("either
+    # the hash symbol or ellipsis" over the threshold fails) — pooling
+    # them would over-filter a doc with 0.07 of each
+    hash_ratio = (
+        F.size(F.regexp_extract_all(t, F.lit("#"), 0)).cast("double") / nd
     )
-    symbol_ratio = n_symbols.cast("double") / nd
+    ell_word_ratio = (
+        F.size(F.regexp_extract_all(t, F.lit(r"\.\.\."), 0)).cast("double")
+        / nd
+    )
     lines = F.split(t, "\n")
     n_lines = F.size(lines).cast("double")
     bullet_frac = (
@@ -630,7 +632,8 @@ def gopher_quality(
         & (n <= max_words)
         & (mean_wl >= min_mean_wl)
         & (mean_wl <= max_mean_wl)
-        & (symbol_ratio < max_symbol_ratio)
+        & (hash_ratio < max_symbol_ratio)
+        & (ell_word_ratio < max_symbol_ratio)
         & (bullet_frac < max_bullet_frac)
         & (ellipsis_frac < max_ellipsis_frac)
         & (alpha_frac >= min_alpha_frac)
@@ -640,7 +643,8 @@ def gopher_quality(
         F.col(id_col).alias("id"),
         n.alias("n_words"),
         _r6(mean_wl).alias("mean_word_len"),
-        _r6(symbol_ratio).alias("symbol_ratio"),
+        _r6(hash_ratio).alias("hash_word_ratio"),
+        _r6(ell_word_ratio).alias("ellipsis_word_ratio"),
         _r6(bullet_frac).alias("bullet_frac"),
         _r6(ellipsis_frac).alias("ellipsis_frac"),
         _r6(alpha_frac).alias("alpha_frac"),
@@ -733,15 +737,20 @@ def dedup_substrings(
         "fp", F.coalesce("fp", F.array().cast("array<int>"))
     )
     # token index i is covered iff some flagged span start p satisfies
-    # p <= i <= p+k-1; k is a plain Python int (constant-folded), NOT a
-    # lambda default arg (the pyspark (element, index) two-param trap)
+    # p <= i <= p+k-1. Expand the flagged starts to the covered index
+    # set ONCE and subtract with the hash-based array_except — a
+    # per-index exists() over fp would be O(n_tokens * n_flagged) per
+    # document, a single-row straggler on a 100k-token doc that is
+    # mostly boilerplate; this form is O(n_tokens + k*n_flagged).
+    # k is a plain Python int (constant-folded), NOT a lambda default
+    # arg (the pyspark (element, index) two-param trap).
     idx = F.sequence(F.lit(0), F.size("t") - 1)
-    kept_idx = F.filter(
-        idx,
-        lambda i: ~F.exists(
-            F.col("fp"), lambda p: (p <= i) & (i <= p + (k - 1))
-        ),
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(F.col("fp"), lambda p: F.sequence(p, p + (k - 1)))
+        )
     )
+    kept_idx = F.array_except(idx, covered)
     return j.select(
         "id",
         F.array_join(
@@ -857,8 +866,14 @@ def bm25_topk(
         .groupBy("id", "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    # derive corpus stats from the postings stream (one (id, dl) row
+    # per doc survives the distinct) instead of a second full corpus
+    # scan + tokenization — the postings exchange is shared, so the
+    # corpus is read and tokenized exactly once per action
+    stats = (
+        postings.select("id", "dl")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
     )
     qterms = queries.select(
         F.col(q_id_col).alias("q_id"),

@@ -451,7 +451,7 @@ def test_gopher_quality_rules_per_branch(spark):
         (1, good),
         (2, "the and short"),  # word count 3 < 50
         (3, ("a " * 59) + "extraordinarily"),  # mean word len < 3
-        (4, good + " " + "# " * 10),  # symbol ratio 10/80 > 0.1
+        (4, good + " " + "# " * 10),  # hash-symbol ratio 10/76 > 0.1
         (5, "\n".join(["- " + good] * 10)),  # 100% bullet lines
         (6, "\n".join([good + "..."] * 10)),  # 100% ellipsis lines
         (7, ("42 " * 55) + "the and"),  # alpha frac 2/57 < 0.8
@@ -464,7 +464,7 @@ def test_gopher_quality_rules_per_branch(spark):
         assert out[i]["keep"] is False, i
     assert out[1]["n_words"] == 66
     assert out[2]["n_words"] == 3
-    assert out[4]["symbol_ratio"] > 0.1
+    assert out[4]["hash_word_ratio"] > 0.1
     assert out[5]["bullet_frac"] == 1.0
     assert out[6]["ellipsis_frac"] == 1.0
     assert out[7]["alpha_frac"] < 0.8

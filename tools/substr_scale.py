@@ -3,7 +3,7 @@
 
 Usage: python tools/substr_scale.py [n_docs] [tokens_per_doc]
 Defaults: 1M docs x 50 tokens = 50M tokens; every 3rd document carries
-a shared 12-token licence header (the ExactSubstr removal target), the
+a shared 11-token licence header (the ExactSubstr removal target), the
 body is a crc-derived ~30k-type vocabulary.
 
 Measures end-to-end (noop sink, full computation):
@@ -82,7 +82,11 @@ def main() -> None:
         textops.dedup_substrings(docs, "id", "text", k=8, min_df=2)
         .agg(F.sum("n_removed")).collect()[0][0]
     )
-    exp_min = (n_docs // 3 + (1 if n_docs % 3 else 0)) * 12
+    # the header is 11 whitespace tokens; with k=8 the spans fully
+    # inside it flag positions 0..3, covering exactly those 11 tokens
+    # per header doc (boundary spans cross into the doc-unique body and
+    # are never corpus-frequent)
+    exp_min = -(-n_docs // 3) * 11
     print(f"  tokens removed: {removed:,} (injected headers contribute "
           f">= {exp_min:,}; rest is natural span repetition)")
     run("gopher_quality", textops.gopher_quality(docs, "id", "text"))
