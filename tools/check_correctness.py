@@ -114,6 +114,10 @@ def main():
                 print(f"    {p}")
         else:
             print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+        # operators that persist intermediates (span streams, simhash
+        # signatures) must not accumulate storage across the 129-gate
+        # sweep — same per-query isolation bench.py applies
+        spark.catalog.clearCache()
 
     print()
     if failures:
