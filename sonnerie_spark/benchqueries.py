@@ -90,6 +90,24 @@ def _dec(c):
     return F.col(c).cast(DEC) if isinstance(c, str) else c.cast(DEC)
 
 
+def _materialize_release(out: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Blockify a gate result (one eager localCheckpoint job) and
+    release the gate's stage-boundary caches before returning.
+
+    Gates that persist() intermediates must not leak them past the
+    gate: a harness that doesn't clearCache() between queries (the
+    driver's bench) would carry the blocks into every subsequent
+    query's storage memory (r6 verdict: the flagship re-ran at 1.76x
+    its committed time under the driver). The localCheckpoint cuts the
+    result's lineage to the caches so unpersist is safe immediately;
+    the checkpoint blocks themselves are released by the ContextCleaner
+    when the caller drops the result."""
+    out = out.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return out
+
+
 def load_par(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load + spread across cores. The driver's testdata parquet files
     are single row groups, so the scan cannot split — without this, a
@@ -3245,7 +3263,7 @@ def q_corpus_curation_v3(spark, sf_dir):
         "id", F.col("grp").alias("lang")
     )
     bucket = F.pmod(phash(F.col("id").cast("string")), F.lit(100))
-    return mixed.select(
+    out = mixed.select(
         "id",
         "lang",
         bucket.alias("bucket"),
@@ -3254,6 +3272,7 @@ def q_corpus_curation_v3(spark, sf_dir):
         .otherwise("test")
         .alias("split"),
     )
+    return _materialize_release(out, keepq, survivors)
 
 
 @q("corpus_curation_v2", _curation_v2_oracle(), "data")
@@ -3285,8 +3304,8 @@ def q_corpus_curation_v2(spark, sf_dir):
         # survivor anti-join) would each recompute the quality scoring
         # + rank window; persist the kept corpus once — the standard
         # stage-boundary materialization a 100 TB pipeline would write
-        # to storage between curation stages (bench clears the cache
-        # between queries).
+        # to storage between curation stages (released at gate exit by
+        # _materialize_release).
         .persist()
     )
     pairs = dedup.minhash_lsh_pairs(keepq, "id", "text", k=3, num_hashes=16, band_size=4)
@@ -3304,7 +3323,7 @@ def q_corpus_curation_v2(spark, sf_dir):
         "id", F.col("grp").alias("lang")
     )
     bucket = F.pmod(phash(F.col("id").cast("string")), F.lit(100))
-    return mixed.select(
+    out = mixed.select(
         "id",
         "lang",
         bucket.alias("bucket"),
@@ -3313,6 +3332,7 @@ def q_corpus_curation_v2(spark, sf_dir):
         .otherwise("test")
         .alias("split"),
     )
+    return _materialize_release(out, keepq)
 
 
 @q(
@@ -5512,7 +5532,7 @@ def q_bpe_encode(spark, sf_dir):
 
 @q(
     "bm25_topk",
-    """
+    f"""
     WITH docs AS (
       SELECT doc_id AS id, string_split(trim(text), ' ') AS t,
              len(string_split(trim(text), ' ')) AS dl
@@ -5534,11 +5554,19 @@ def q_bpe_encode(spark, sf_dir):
     ),
     qvocab AS (SELECT DISTINCT term FROM qterms),
     p_q AS (SELECT p.* FROM postings p JOIN qvocab USING (term)),
-    dfreq AS (SELECT term, count(*) AS df FROM p_q GROUP BY term),
+    dfreq0 AS (SELECT term, count(*) AS df FROM p_q GROUP BY term),
+    -- idf arg per term; the ln is expanded by ln_cr_sql into the same
+    -- correctly-rounded-ops-only series the Spark side computes (JVM
+    -- Math.log vs libm ln can differ 1 ulp; sqrt/+,-,*,/ cannot)
+    dfreq AS (
+      SELECT term, df,
+             1 + (s.n_docs - df + 0.5) / (df + 0.5) AS x
+      FROM dfreq0, stats s
+    ),
     matched AS (
       SELECT qt.q_id, p.id,
              cast(floor(
-               ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+               {textops.ln_cr_sql("d.x")}
                * (p.tf * 2.2)
                / (p.tf + 1.2 * (0.25 + 0.75
                     * (p.dl / (cast(s.sum_dl AS double) / s.n_docs))))

@@ -820,6 +820,60 @@ def bpe_encode(
     )
 
 
+# ln via correctly-rounded IEEE ops only. `ln` is the one op in the
+# registry's gate values that IEEE 754 does NOT require to be correctly
+# rounded, so JVM Math.log and a given libm can differ in the last ulp
+# and flip a 1e-6-scaled floor (the bm25_topk r6 driver-red). sqrt and
+# the four arithmetic ops ARE correctly rounded everywhere, so the same
+# op sequence over the same doubles is bit-identical in any engine.
+_LN_CR_SQRTS = 8  # range reduction: ln(x) = 2^k * ln(x^(1/2^k))
+
+
+def ln_cr(x: Column) -> Column:
+    """Natural log of ``x`` using only correctly-rounded IEEE doubles
+    ops (+, -, *, /, sqrt) — bit-identical across JVM and libm engines.
+
+    Range-reduce with ``_LN_CR_SQRTS`` square roots (y = x^(1/256), so
+    ln(y) <= 0.07 for x up to ~3e7), then the atanh series
+    ``ln(y) = 2(z + z^3/3 + z^5/5 + z^7/7)`` with z = (y-1)/(y+1); the
+    truncation error z^9/9 is < 4e-15 before the 2*2^k = 512 scale, so
+    absolute error < 2e-12 — far inside the gates' 1e-6 quantum. The op
+    sequence here and in :func:`ln_cr_sql` is IDENTICAL (same
+    associativity, same literals), which is what makes the value
+    hashable cross-engine. Valid for x in (0, ~3e7); intended for the
+    bounded idf arguments of :func:`bm25_topk`.
+    """
+    y = x
+    for _ in range(_LN_CR_SQRTS):
+        y = F.sqrt(y)
+    z = (y - F.lit(1.0)) / (y + F.lit(1.0))
+    z2 = z * z
+    s = (
+        z
+        + (z * z2) / F.lit(3.0)
+        + (z * z2 * z2) / F.lit(5.0)
+        + (z * z2 * z2 * z2) / F.lit(7.0)
+    )
+    return s * F.lit(float(2 ** (_LN_CR_SQRTS + 1)))
+
+
+def ln_cr_sql(x: str) -> str:
+    """DuckDB/ANSI mirror of :func:`ln_cr` — the IDENTICAL op sequence
+    (left-associative sums/products, same literals), so the SQL oracle
+    reproduces the Spark value bit-for-bit. ``x`` should be a short
+    column reference (it is repeated textually)."""
+    y = x
+    for _ in range(_LN_CR_SQRTS):
+        y = f"sqrt({y})"
+    z = f"(({y} - 1.0) / ({y} + 1.0))"
+    z2 = f"({z} * {z})"
+    s = (
+        f"({z} + ({z} * {z2}) / 3.0 + ({z} * {z2} * {z2}) / 5.0"
+        f" + ({z} * {z2} * {z2} * {z2}) / 7.0)"
+    )
+    return f"({s} * {float(2 ** (_LN_CR_SQRTS + 1))!r})"
+
+
 def bm25_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -845,7 +899,10 @@ def bm25_topk(
     before the per-(query, doc) sum, so the sum is order-independent
     and the ranking bit-exact in any engine (the same contract as the
     int8 dot-product ranking). idf is the standard
-    ln(1 + (N - df + 0.5)/(df + 0.5)) — always positive.
+    ln(1 + (N - df + 0.5)/(df + 0.5)) — always positive — computed via
+    :func:`ln_cr` (correctly-rounded ops only: JVM Math.log and libm
+    may differ by 1 ulp, which flipped the 1e-6 floor in r6; the
+    series form is bit-identical cross-engine by construction).
 
     Scale shape: postings (term, doc, tf, dl) are one shuffle of the
     token stream; corpus stats (N, sum dl) ride ONE 1-row aggregate
@@ -887,7 +944,7 @@ def bm25_topk(
     p_q = postings.join(F.broadcast(qvocab), "term")
     dfreq = p_q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
-    idf = F.log(
+    idf = ln_cr(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )

@@ -654,6 +654,42 @@ def test_bm25_topk_vs_model(spark):
     assert not any(q == 300 for q, _ in got)  # no-match query: zero rows
 
 
+def test_ln_cr_accuracy_and_cross_engine_bitmatch(spark):
+    """ln_cr (the correctly-rounded-ops-only ln that keeps bm25's
+    hashed score engine-independent): (a) within 1e-9 of math.log over
+    the idf argument range, (b) Spark JVM evaluation, DuckDB evaluation
+    of ln_cr_sql, and a Python mirror of the op sequence are all
+    BIT-IDENTICAL — the property JVM Math.log vs libm ln lacks (the r6
+    bm25_topk driver-red)."""
+    import math
+
+    import duckdb
+
+    from sonnerie_spark.operators.text import _LN_CR_SQRTS, ln_cr, ln_cr_sql
+
+    def ln_cr_py(x):
+        y = x
+        for _ in range(_LN_CR_SQRTS):
+            y = math.sqrt(y)
+        z = (y - 1.0) / (y + 1.0)
+        z2 = z * z
+        s = z + (z * z2) / 3.0 + (z * z2 * z2) / 5.0 + (z * z2 * z2 * z2) / 7.0
+        return s * float(2 ** (_LN_CR_SQRTS + 1))
+
+    xs = [1.0 + 1e-7, 1.5, 2.0, 3.7, 10.0, 101.5, 999.25, 20001.0,
+          123456.789, 3e6, 2.9e7]
+    con = duckdb.connect()
+    sdf = spark.createDataFrame([(x,) for x in xs], ["x"]).select(
+        ln_cr(F.col("x")).alias("v")
+    )
+    spark_vals = [r["v"] for r in sdf.collect()]
+    for x, v_spark in zip(xs, spark_vals):
+        v_py = ln_cr_py(x)
+        v_duck = con.execute(f"SELECT {ln_cr_sql(repr(x))}").fetchone()[0]
+        assert v_spark == v_py == v_duck, (x, v_spark, v_py, v_duck)
+        assert abs(v_py - math.log(x)) < 1e-9, (x, v_py, math.log(x))
+
+
 def test_budget_mix_vs_model_and_cap(spark):
     """budget_mix: kept set equals an independent Python model of the
     integer keep rule; a source whose target exceeds its total keeps

@@ -418,6 +418,51 @@ def test_driver_window_unknown_name_is_hard_error():
         bq._reorder_registry()
 
 
+def test_gates_release_their_caches():
+    """Any gate that persist()s a stage boundary must route its result
+    through _materialize_release so the cache is dropped at gate exit:
+    a harness that doesn't clearCache() between queries (the driver's
+    bench) otherwise carries the blocks into every later query
+    (r6 verdict: flagship re-ran 1.76x its committed time)."""
+    import inspect
+
+    from sonnerie_spark import benchqueries as bq
+
+    for d in bq.REGISTRY:
+        src = inspect.getsource(d.spark)
+        if ".persist()" in src:
+            assert "_materialize_release(" in src, (
+                f"gate {d.name!r} persists without releasing - return "
+                "via _materialize_release(out, <cached frames...>)"
+            )
+
+
+def test_no_transcendental_in_any_oracle():
+    """No hashed gate value may contain a transcendental: ln/log/exp
+    and fractional-exponent pow are the IEEE ops that are NOT required
+    to be correctly rounded, so JVM vs libm can differ 1 ulp and flip a
+    quantizing floor (the r6 bm25_topk driver-red). The safe set is
+    +, -, *, /, sqrt — all correctly rounded everywhere. The one
+    allowed appearance is power(2.0, <integer>), which is exact
+    (a representable power of two) in any engine (hll oracle)."""
+    import re
+
+    from sonnerie_spark import benchqueries as bq
+
+    allowed = re.compile(r"power\(2\.0,\s*[a-z0-9_]+\)")
+    banned = re.compile(r"\b(ln|log|log2|log10|exp|pow|power)\s*\(", re.I)
+    for d in bq.REGISTRY:
+        if d.oracle is None:
+            continue
+        sql = allowed.sub("", d.oracle)
+        m = banned.search(sql)
+        assert m is None, (
+            f"oracle for {d.name!r} uses transcendental {m.group(0)!r}: "
+            "not correctly rounded cross-engine - use ln_cr/ln_cr_sql "
+            "(text.py) or a log-free monotone surrogate"
+        )
+
+
 def test_single_run_dedup_elided_only_with_unique_marker(db, spark, tmp_path):
     """The hot single-run scan plans NO aggregation when the run carries
     the _U duplicate-free marker; stripping the marker (legacy or
