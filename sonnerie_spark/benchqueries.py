@@ -5687,40 +5687,58 @@ _DRIVER_WINDOW = [
     "write_path_roundtrip", "time_travel_roundtrip", "sql_over_view",
     "continuous_rollup_roundtrip", "rollup_cascade_roundtrip",
     "rollup_multicol_roundtrip", "lsh_index_incremental",
-    # dedup / similarity scale paths (r6: pq_encode, ivf_pq_topk and
-    # semdedup_keep take the window slots of ivf_assign,
-    # embedding_neardup_pairs and dedup_ngram_jaccard — each dropped
-    # gate is subsumed by a stricter window sibling (kmeans_assign runs
-    # the same assignment plan + a Lloyd's round; neardup_components
-    # consumes the pair stream; the capped jaccard is the corpus-scale
-    # variant of the uncapped baseline) and all three stay verified by
-    # the local three-SF sweep. Late-r6 swaps, same subsumption rule:
-    # bm25_topk takes dedup_minhash_lsh's slot (the capped variant — the
-    # corpus-scale plan — stays) and bpe_encode takes dedup_simhash's
-    # (simhash_near_pairs consumes the same signature plan and stays).
-    "dedup_exact", "semdedup_keep", "dedup_ngram_jaccard_capped",
+    # Discretionary slots rotate each round under the standing
+    # subsumption rule: a gate leaves the window only if a STRICTER
+    # sibling stays in it (runs the departing gate's machinery plus
+    # more), and every departed gate remains verified by the local
+    # three-SF sweep (tools/check_correctness.py at sf0.001/0.01/0.1).
+    # r7 rotation (VERDICT r6 #5: give never-driver-seen gates a
+    # driver record — 10 swapped in this round):
+    #   dedup_exact -> dedup_exact_incremental (the incremental
+    #     ExactIndex batch runs the same exact-hash dedup THROUGH the
+    #     persistent index — strict superset);
+    #   neardup_components -> heavy_hitters_cms (neardup_keep_canonical
+    #     stays and consumes the component stream);
+    #   embedding_neardup_components -> kmv_source_overlap
+    #     (neardup_keep_canonical certifies the CC rounds,
+    #     semdedup_keep the embedding-space near-dup);
+    #   embedding_topk_int8 -> lm_score_bigram (int8 topk is the
+    #     composition of embedding_quantize_int8 + embedding_topk,
+    #     both staying);
+    #   ivf_ann_topk -> lm_bucket_split (ivf_pq_topk stays: the same
+    #     IVF probe machinery plus the PQ ADC);
+    #   pq_encode -> pq_ann_topk (pq_ann_topk runs the encode AND the
+    #     ADC scan — strict superset);
+    #   ann_lsh_buckets -> ivf_index_incremental (ivf_kmeans_assign
+    #     stays: the same map-only embedding bucket-assignment plan
+    #     class, plus the Lloyd's update round);
+    #   text_quality -> c4_line_clean (gopher_quality_filter stays:
+    #     the same token pipeline plus six more rule columns);
+    #   train_test_split -> split_leakage (split_leakage composes
+    #     hash_split WITH the LSH pair stream — strict superset);
+    #   corpus_mix_temperature -> dsir_select (corpus_curation_v3
+    #     stays and runs temperature_sample_sqrt as its mix stage).
+    # Earlier rotations (r6) retired: ivf_assign,
+    # embedding_neardup_pairs, dedup_ngram_jaccard, dedup_minhash_lsh,
+    # dedup_simhash, text_token_stats, doc_fingerprint,
+    # corpus_mix_uniform, corpus_curation_v2 — same rule, see git
+    # history for the per-swap notes.
+    "dedup_exact_incremental", "semdedup_keep",
+    "dedup_ngram_jaccard_capped",
     "bm25_topk", "dedup_minhash_lsh_capped", "bpe_encode",
-    "simhash_near_pairs", "neardup_components", "neardup_keep_canonical",
-    "embedding_topk", "pq_encode",
-    "embedding_neardup_components", "ann_lsh_buckets", "ivf_pq_topk",
-    "ivf_kmeans_assign", "ivf_ann_topk", "embedding_quantize_int8",
-    "embedding_topk_int8",
-    # text / sampling / multimodal pipeline. Late-r6 swaps:
-    # gopher_quality_filter takes text_token_stats's slot (its word
-    # counts ride the same token pipeline plus six more rule columns),
-    # dedup_substrings takes doc_fingerprint's (the same span-hash
-    # machinery plus the df agg and the removal edit), and
-    # corpus_mix_budget takes corpus_mix_uniform's (same broadcast-dims
-    # + integer-keep plan class, plus the token dimension and the cap).
-    # All swapped-out gates stay verified by the local three-SF sweep.
-    "gopher_quality_filter", "text_quality", "text_lang_id",
+    "simhash_near_pairs", "heavy_hitters_cms", "neardup_keep_canonical",
+    "embedding_topk", "pq_ann_topk",
+    "kmv_source_overlap", "ivf_index_incremental", "ivf_pq_topk",
+    "ivf_kmeans_assign", "lm_bucket_split", "embedding_quantize_int8",
+    "lm_score_bigram",
+    # text / sampling / multimodal pipeline
+    "gopher_quality_filter", "c4_line_clean", "text_lang_id",
     "dedup_substrings",
     "decontaminate_benchmark", "redact_pii", "pack_sequences",
-    "train_test_split", "corpus_mix_budget", "corpus_mix_temperature",
+    "split_leakage", "corpus_mix_budget", "dsir_select",
     "corpus_mix_weighted", "multimodal_meta", "multimodal_decode_real",
-    # composite end-to-end (r6: v3 takes v2's slot — it runs every v2
-    # stage plus the SemDeDup pass, so the window certifies a strict
-    # superset; v2 stays verified by the local three-SF sweep)
+    # composite end-to-end (v3 runs every v2 stage plus the SemDeDup
+    # pass; v2 stays verified by the local three-SF sweep)
     "corpus_curation_v3",
 ]
 # (exactly 50 names once every planned gate exists — decode_stub and the

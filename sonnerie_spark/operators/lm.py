@@ -74,8 +74,10 @@ def lm_tokens(text: Column) -> Column:
 
 
 def lm_tokens_sql(expr: str) -> str:
-    """DuckDB mirror of :func:`lm_tokens`."""
-    return f"string_split(trim(lower({expr})), ' ')"
+    """DuckDB mirror of :func:`lm_tokens` — regex split on ``\\s+``
+    like the Spark side, so runs of spaces/tabs/newlines cannot emit
+    empty-string tokens and diverge from lm_tokens (ADVICE r6)."""
+    return f"regexp_split_to_array(trim(lower({expr})), '\\s+')"
 
 
 def _bigrams(toks: Column) -> Column:

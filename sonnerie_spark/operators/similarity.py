@@ -136,14 +136,27 @@ def ivf_centroid_data(
     identical either way. Driver-side collect of C rows — centroids are
     dimension data, like the LSH plane matrix."""
     rows = (
-        df.filter(F.col(id_col) < num_centroids)
-        .select(
+        df.select(
             F.col(id_col).cast("int").alias("cid"),
             F.col(vec_col).cast("array<double>").alias("cv"),
         )
         .orderBy("cid")
+        .limit(num_centroids)
         .collect()
     )
+    if len(rows) < num_centroids:
+        # under-seeded corpus: a silent short centroid set would make
+        # _ivf_best_expr assign every vector the sentinel (2^31-1,
+        # cosine -2.0) instead of erroring — mirror pq_codebook_data's
+        # guard (ADVICE r6). The smallest-ids selection (orderBy+limit,
+        # matching this docstring and pq_codebook_data) is robust to
+        # sparse / non-zero-based ids, unlike the previous id < C
+        # filter; on dense 0-based ids the two are identical, so the
+        # SQL oracles' `vec_id < C` mirrors are unchanged.
+        raise ValueError(
+            f"need >= {num_centroids} vectors to seed the centroids, "
+            f"found {len(rows)} (or pass explicit centroids)"
+        )
     return [list(r.cv) for r in rows], [r.cid for r in rows]
 
 

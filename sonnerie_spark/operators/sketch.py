@@ -315,16 +315,32 @@ class HllStore:
 
     def sketches(self) -> DataFrame:
         """The current merged sketch table ``(grp, bucket, max_rho)``
-        (empty frame if nothing was added yet)."""
+        (empty frame if nothing was added yet).
+
+        Reads MATERIALIZE driver-side under the store lock — the table
+        is bounded dimension data (≤ groups·2^b integer rows), so this
+        is a tiny pyarrow read, and it means a concurrent ``add()``'s
+        directory swap can neither expose the between-renames
+        missing-dir window nor delete parquet files under a lazy
+        distributed scan (ADVICE r6: other persistent paths bracket
+        reads with fingerprint+retry; here the read is small enough to
+        simply serialize under the same flock the writer holds)."""
+        with self._locked():
+            return self._sketches_unlocked()
+
+    def _sketches_unlocked(self) -> DataFrame:
         import os
 
         if not os.path.isdir(self._data):
             return self.spark.createDataFrame(
                 [], "grp string, bucket int, max_rho int"
             )
-        return self.spark.read.schema(
-            "grp string, bucket int, max_rho int"
-        ).parquet(self._data)
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(self._data)
+        return self.spark.createDataFrame(
+            tbl.to_pandas(), schema="grp string, bucket int, max_rho int"
+        )
 
     def add(self, df: DataFrame, group: Column | str, value: Column | str) -> None:
         """Sketch the batch per group and merge into the store."""
@@ -337,8 +353,10 @@ class HllStore:
             df, g.cast("string"), value, bucket_bits=self.bucket_bits
         )
         with self._locked():
+            # _sketches_unlocked, not sketches(): flock is held, and a
+            # second flock on a fresh fd in the same process deadlocks
             merged = (
-                self.sketches()
+                self._sketches_unlocked()
                 .unionByName(batch)
                 .groupBy("grp", "bucket")
                 .agg(F.max("max_rho").alias("max_rho"))

@@ -319,7 +319,13 @@ def bpe_pair_counts(
 
 
 def repeated_spans(
-    df: DataFrame, id_col: str, text_col: str, *, k: int = 8, min_df: int = 2
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    min_df: int = 2,
+    materialize: bool = False,
 ) -> DataFrame:
     """Span-level duplication detection: every position of a k-token
     span that occurs in >= min_df distinct documents — the counting core
@@ -338,11 +344,17 @@ def repeated_spans(
     without materialization Spark computes the expensive build (one
     concat+md5 per span occurrence) twice, once per join side; the
     persist halves the dominant cost (same-session A/B 91.8 -> 35.6 s
-    at 50 M tokens, tools/substr_scale.py). Cache lifetime follows the
-    same convention as dedup.simhash_near_pairs: the returned frame is
-    lazy, so the operator cannot unpersist; Spark's ContextCleaner
-    reclaims the cached stream once the frame becomes unreachable, and
-    bench / long-lived loops clear cache per query explicitly.
+    at 50 M tokens, tools/substr_scale.py).
+
+    CACHE CONTRACT (default ``materialize=False``): the returned frame
+    is lazy, so the operator cannot unpersist the span stream itself;
+    Spark's ContextCleaner reclaims it once the frame becomes
+    unreachable, and bench / long-lived loops should clear cache per
+    query. A long-lived session that RETAINS results (e.g. a loop
+    accumulating frames) should pass ``materialize=True``: the result
+    is blockified (one eager localCheckpoint job) and the span-stream
+    cache is released before returning, at the cost of running the
+    flag-join eagerly.
     """
     toks = tokens(F.col(text_col))
     spans = (
@@ -372,7 +384,11 @@ def repeated_spans(
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") >= min_df)
     )
-    return spans.join(freq, "span_h").select("id", "pos", "span_h", "df")
+    out = spans.join(freq, "span_h").select("id", "pos", "span_h", "df")
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        spans.unpersist()
+    return out
 
 
 def chunk_documents(
@@ -703,7 +719,13 @@ def c4_clean(
 
 
 def dedup_substrings(
-    df: DataFrame, id_col: str, text_col: str, *, k: int = 8, min_df: int = 2
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    min_df: int = 2,
+    materialize: bool = False,
 ) -> DataFrame:
     """ExactSubstr-style substring deduplication (Lee et al. 2021,
     public arXiv 2107.06499 "Deduplicating Training Data Makes Language
@@ -722,11 +744,15 @@ def dedup_substrings(
     linear in document length. Output text is whitespace-normalized
     (tokens rejoined with single spaces) for EVERY document so edited
     and untouched docs serialize consistently. Emits
-    (id, text, n_removed).
+    (id, text, n_removed). ``materialize`` forwards to
+    :func:`repeated_spans` (see its cache contract) for sessions that
+    retain results long-term.
     """
     if k < 1:
         raise ValueError(f"dedup_substrings: k must be >= 1, got {k}")
-    flagged = repeated_spans(df, id_col, text_col, k=k, min_df=min_df)
+    flagged = repeated_spans(
+        df, id_col, text_col, k=k, min_df=min_df, materialize=materialize
+    )
     fp = flagged.groupBy("id").agg(
         F.sort_array(F.collect_set("pos")).alias("fp")
     )

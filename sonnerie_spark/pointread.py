@@ -550,9 +550,41 @@ def arrow_agg_series(
 
         try:
             dset = ds.dataset(run.path, format="parquet")
-            tbl = dset.to_table(
-                columns=["key", "v_long", "v_double"], filter=filt
-            )
+            # Value-lane elision: decoding a 20 M-row all-empty list
+            # column costs ~25% of the whole fold (offsets decode is
+            # per-row even when no values exist), and a compacted
+            # homogeneous-format run uses exactly one numeric lane.
+            # Parquet leaf statistics prove emptiness for free
+            # (stats.num_values == 0 in every row group <=> the lane
+            # holds no values anywhere), so skip reading a lane the
+            # footer proves empty; stats absent -> conservatively read.
+            lanes = {
+                "v_long.list.element": False,
+                "v_double.list.element": False,
+            }
+            for frag in dset.get_fragments():
+                md = frag.metadata
+                for rgi in range(md.num_row_groups):
+                    rg = md.row_group(rgi)
+                    for ci in range(rg.num_columns):
+                        col = rg.column(ci)
+                        p = col.path_in_schema
+                        if p in lanes and not lanes[p]:
+                            st = col.statistics
+                            if (
+                                st is None
+                                or st.num_values is None
+                                or st.num_values > 0
+                            ):
+                                lanes[p] = True
+                if all(lanes.values()):
+                    break
+            cols = ["key"]
+            if lanes["v_long.list.element"]:
+                cols.append("v_long")
+            if lanes["v_double.list.element"]:
+                cols.append("v_double")
+            tbl = dset.to_table(columns=cols, filter=filt)
         except (OSError, pa.ArrowInvalid):
             continue  # run swapped mid-read: retry on a fresh listing
         if db.run_names() != fingerprint:
@@ -594,8 +626,16 @@ def arrow_agg_series(
                 pc.is_valid(sl), sl.values, pa.nulls(len(sl), typ)
             )
 
-        d = elem(tbl.column("v_double"), value_index, pa.float64())
-        l = elem(tbl.column("v_long"), value_index, pa.int64())
+        d = (
+            elem(tbl.column("v_double"), value_index, pa.float64())
+            if "v_double" in cols
+            else pa.nulls(len(tbl), pa.float64())
+        )
+        l = (
+            elem(tbl.column("v_long"), value_index, pa.int64())
+            if "v_long" in cols
+            else pa.nulls(len(tbl), pa.int64())
+        )
         if l.null_count == len(l):
             v = d
         else:

@@ -373,3 +373,32 @@ def test_agg_series_arrow_fold_matches_spark(spark, tmp_path):
     # mid-pattern wildcard: declines (Spark fallback still correct)
     assert arrow_agg_series(db, wildcard="s%0") is None
     assert db.agg_series(wildcard="s%0") == _spark_fold(db, wildcard="s%0")
+
+
+def test_agg_series_lane_elision_matches_spark(spark, tmp_path):
+    """Homogeneous-format runs engage the value-lane elision (the
+    footer proves the unused lane empty, so it is never decoded — the
+    r7 fold optimization): both single-lane shapes and the no-numeric
+    shape must still equal the Spark plan exactly."""
+    from sonnerie_spark.pointread import arrow_agg_series
+
+    for fmt, vals in [("u", lambda i: [i]), ("F", lambda i: [i * 0.25])]:
+        db = Database(spark, str(tmp_path / f"db_{fmt}"), buckets=2)
+        tx = db.create_tx()
+        for i in range(40):
+            tx.add_record(f"k{i % 4}", T0 + i * NS, fmt, vals(i))
+        tx.commit()
+        db.compact(major=True)
+        assert arrow_agg_series(db) is not None
+        assert db.agg_series() == _spark_fold(db), fmt
+
+    # strings-only: BOTH numeric lanes elided -> every key folds to
+    # n=0 with null aggregates, same as the Spark plan
+    db = Database(spark, str(tmp_path / "db_s"), buckets=2)
+    tx = db.create_tx()
+    for i in range(10):
+        tx.add_record(f"t{i % 2}", T0 + i * NS, "s", [f"v{i}"])
+    tx.commit()
+    db.compact(major=True)
+    assert arrow_agg_series(db) is not None
+    assert db.agg_series() == _spark_fold(db)
