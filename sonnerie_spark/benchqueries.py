@@ -5508,6 +5508,31 @@ def _bpe_oracle() -> str:
     """
 
 
+@q(
+    "bpe_train",
+    textops.bpe_train_sql("documents", "text", num_merges=8),
+    "data",
+)
+def q_bpe_train(spark, sf_dir):
+    """BPE tokenizer TRAINING end-to-end (Sennrich et al. 2016): learn
+    8 merges from the documents corpus — the training side whose apply
+    side is bpe_encode and whose single counting step is
+    bpe_pair_counts. The oracle replays the full greedy loop as a
+    chained-CTE DuckDB query (stage k's argmax feeds stage k+1's
+    replace), so any drift in counting, tie-breaks, or the
+    non-overlapping merge application breaks the gate. Scale: the
+    corpus collapses to the distinct-word table in ONE scan; each
+    iteration is a vocab-sized hash agg + a 1-row argmax collect + a
+    map-only replace."""
+    learned = textops.bpe_train(
+        load_par(spark, sf_dir, "documents"), "text", num_merges=8
+    )
+    return spark.createDataFrame(
+        [(i + 1, a, b, n) for i, (a, b, n) in enumerate(learned)],
+        "rk int, a string, b string, n long",
+    )
+
+
 @q("bpe_encode", _bpe_oracle(), "data")
 def q_bpe_encode(spark, sf_dir):
     """BPE tokenizer APPLICATION (Sennrich et al. 2016): encode every

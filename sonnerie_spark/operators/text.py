@@ -846,6 +846,143 @@ def bpe_encode(
     )
 
 
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    *,
+    num_merges: int = 8,
+    checkpoint_every: int = 16,
+) -> list[tuple[str, str, int]]:
+    """Distributed BPE tokenizer TRAINING (Sennrich et al. 2016, public
+    arXiv 1508.07909 "Neural Machine Translation of Rare Words with
+    Subword Units"): learn ``num_merges`` merges from the corpus and
+    return ``[(a, b, pair_count), ...]`` in learn order — the merge
+    table :func:`bpe_encode` applies. Completes the tokenizer story
+    whose single counting step is :func:`bpe_pair_counts`.
+
+    Greedy objective, ties broken (count desc, a asc, b asc) so the
+    learned table is deterministic and cross-engine reproducible
+    (:func:`bpe_train_sql` is the chained-CTE DuckDB mirror).
+
+    Scale shape — the loop never touches the corpus again after one
+    scan: the corpus collapses to the DISTINCT-WORD frequency table
+    (vocabulary-sized, orders of magnitude below corpus size — the same
+    reduction production BPE trainers apply), and each merge iteration
+    is one map-only pair explode + one hash agg with map-side partials
+    over that table, one TakeOrdered(1) argmax (a bounded 1-row
+    dimension collect, like the IVF centroid seeds), and one map-only
+    literal replace. Words ride as ``\\x01``/``\\x02``-marked symbol
+    strings (the :func:`bpe_encode` convention), so applying a merge is
+    a single non-overlapping left-to-right string replace — identical
+    greedy semantics in the JVM and DuckDB. Merges accumulate as a
+    chained projection (one stage, like bpe_encode's replace chain);
+    every ``checkpoint_every`` iterations the table is
+    localCheckpointed so re-derivation work and codegen expression
+    depth stay bounded at any num_merges.
+
+    Tokens containing the marker bytes are excluded from training (they
+    cannot be represented; real text never contains \\x01/\\x02).
+    """
+    op, cl = "\x01", "\x02"
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .filter(
+            (F.length("tok") >= 1)
+            & ~F.col("tok").contains(op)
+            & ~F.col("tok").contains(cl)
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.regexp_replace("tok", "(.)", op + "$1" + cl).alias("s"),
+            "cnt",
+        )
+        .localCheckpoint(eager=True)
+    )
+    strip = F.regexp_replace("s", "^" + op + "|" + cl + "$", "")
+    learned: list[tuple[str, str, int]] = []
+    cur = words
+    for it in range(num_merges):
+        pairs = (
+            cur.select("cnt", F.split(strip, cl + op).alias("y"))
+            .filter(F.size("y") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(y) - 1), "
+                        "i -> struct(y[i - 1] AS a, y[i] AS b))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        best = pairs.orderBy(F.col("n").desc(), "a", "b").limit(1).collect()
+        if not best:
+            break  # corpus exhausted: every word is one symbol
+        a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
+        learned.append((a, b, n))
+        cur = cur.select(
+            F.replace(
+                "s", F.lit(op + a + cl + op + b + cl), F.lit(op + a + b + cl)
+            ).alias("s"),
+            "cnt",
+        )
+        if (it + 1) % checkpoint_every == 0:
+            cur = cur.localCheckpoint(eager=True)
+    return learned
+
+
+def bpe_train_sql(table: str, text_col: str, *, num_merges: int = 8) -> str:
+    """DuckDB mirror of :func:`bpe_train` as one chained-CTE query
+    emitting ``(rk, a, b, n)`` — stage k's argmax feeds stage k+1's
+    replace exactly like the Spark loop, so the learned table matches
+    bit-for-bit (integer counts, binary-collation tie-breaks, the same
+    non-overlapping replace)."""
+    w0 = f"""w0 AS MATERIALIZED (
+      SELECT regexp_replace(tok, '(.)', chr(1) || '\\1' || chr(2), 'g') AS s,
+             count(*) AS cnt
+      FROM (SELECT unnest(regexp_split_to_array(trim({text_col}), '\\s+')) AS tok
+            FROM {table})
+      WHERE length(tok) >= 1
+        AND strpos(tok, chr(1)) = 0 AND strpos(tok, chr(2)) = 0
+      GROUP BY tok
+    )"""
+    ctes = [w0]
+    for k in range(num_merges):
+        ctes.append(f"""p{k} AS MATERIALIZED (
+      SELECT a, b, sum(cnt) AS n FROM (
+        SELECT cnt, y[i] AS a, y[i + 1] AS b
+        FROM (SELECT cnt, y, unnest(range(1, len(y))) AS i
+              FROM (SELECT cnt,
+                           regexp_split_to_array(
+                             regexp_replace(s, '^\\x01|\\x02$', '', 'g'),
+                             chr(2) || chr(1)) AS y
+                    FROM w{k})
+              WHERE len(y) >= 2)
+      ) GROUP BY a, b
+    )""")
+        ctes.append(
+            f"b{k} AS MATERIALIZED "
+            f"(SELECT a, b, n FROM p{k} ORDER BY n DESC, a, b LIMIT 1)"
+        )
+        if k + 1 < num_merges:
+            ctes.append(f"""w{k + 1} AS MATERIALIZED (
+      SELECT replace(s, chr(1) || x.a || chr(2) || chr(1) || x.b || chr(2),
+                     chr(1) || x.a || x.b || chr(2)) AS s, cnt
+      FROM w{k}, b{k} x
+    )""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT CAST({k + 1} AS INT) AS rk, a, b, CAST(n AS BIGINT) AS n"
+        f" FROM b{k}"
+        for k in range(num_merges)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"\n    {union}"
+    )
+
+
 # ln via correctly-rounded IEEE ops only. `ln` is the one op in the
 # registry's gate values that IEEE 754 does NOT require to be correctly
 # rounded, so JVM Math.log and a given libm can differ in the last ulp

@@ -654,6 +654,115 @@ def test_bm25_topk_vs_model(spark):
     assert not any(q == 300 for q, _ in got)  # no-match query: zero rows
 
 
+def _classic_bpe(texts, n_merges):
+    """Independent reference BPE trainer (Sennrich et al. 2016
+    pseudo-code): dict-of-symbol-tuples, greedy argmax with
+    (count desc, pair asc) tie-break, left-to-right non-overlapping
+    merge application."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.split():
+            if w:
+                words[tuple(w)] += 1
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, n))
+        new = Counter()
+        for syms, c in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] += c
+        words = new
+    return merges
+
+
+def test_bpe_train_vs_model_and_oracle(spark):
+    """bpe_train: the learned merge table equals an independent classic
+    Python BPE trainer AND the chained-CTE DuckDB mirror on a corpus
+    with overlap/tie pressure; the learned merges feed bpe_encode."""
+    import duckdb
+
+    from sonnerie_spark.operators.text import (
+        bpe_encode,
+        bpe_train,
+        bpe_train_sql,
+    )
+
+    texts = [
+        "the fast cat sat on the mat",
+        "that hat is that cat's hat indeed",
+        "banana bandana ana ana banana",
+        "aaaa aaa aa a",  # overlapping-pair greedy-merge pressure
+        "the theme thesis there then",
+    ]
+    expected = _classic_bpe(texts, 8)
+    got = bpe_train(
+        spark.createDataFrame([(t,) for t in texts], ["text"]),
+        "text",
+        num_merges=8,
+    )
+    assert got == expected, (got, expected)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM (VALUES "
+        + ",".join(f"($${t}$$)" for t in texts)
+        + ") AS v(text)"
+    )
+    rows = sorted(con.execute(bpe_train_sql("docs", "text", num_merges=8)).fetchall())
+    assert [(a, b, n) for _, a, b, n in rows] == expected
+
+    # composition: the learned table drives bpe_encode and compresses
+    enc = bpe_encode(
+        spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]),
+        "doc_id",
+        "text",
+        [(a, b) for a, b, _ in got],
+    ).collect()
+    for r in enc:
+        assert r["n_tokens"] < len(texts[r["id"]].replace(" ", "")) + texts[r["id"]].count(" ")
+
+
+def test_bpe_train_property_vs_model(spark):
+    """Property: bpe_train equals the classic trainer on random
+    low-alphabet corpora (dense pair collisions, deliberate ties)."""
+    from hypothesis import given, settings, strategies as st
+
+    from sonnerie_spark.operators.text import bpe_train
+
+    word = st.text(alphabet="abc", min_size=1, max_size=6)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.lists(word, min_size=1, max_size=5),
+                    min_size=1, max_size=4))
+    def check(corpora):
+        texts = [" ".join(ws) for ws in corpora]
+        expected = _classic_bpe(texts, 5)
+        got = bpe_train(
+            spark.createDataFrame([(t,) for t in texts], ["text"]),
+            "text",
+            num_merges=5,
+        )
+        assert got == expected, (texts, got, expected)
+
+    check()
+
+
 def test_ln_cr_accuracy_and_cross_engine_bitmatch(spark):
     """ln_cr (the correctly-rounded-ops-only ln that keeps bm25's
     hashed score engine-independent): (a) within 1e-9 of math.log over
