@@ -5220,6 +5220,30 @@ def q_kmv_source_overlap(spark, sf_dir):
     )
 
 
+def _dd_oracle() -> str:
+    from sonnerie_spark.operators.sketch import dd_sketch_sql
+
+    return dd_sketch_sql("value", "events", relative_accuracy=0.01)
+
+
+@q("quantile_sketch_dd", _dd_oracle(), "analytics")
+def q_quantile_sketch_dd(spark, sf_dir):
+    """DDSketch quantile sketch (Masson et al., VLDB 2019) over the
+    events value column — the 4th classic sketch (HLL cardinality, CMS
+    frequency, KMV overlap, DD quantiles): p50/p99 at 100 TB without
+    shuffling distinct values. The log-bucket index uses ln_cr
+    (correctly-rounded ops only), so the INTEGER sketch itself — not
+    just a plausibility bound — is oracle-checked bitwise; the float
+    quantile walk (dd_quantiles) happens driver-side on the bounded
+    bucket table, pinned by pytest against numpy within the paper's
+    relative-error guarantee. One map-only index expression + one hash
+    agg with map-side partials; mergeable by per-bucket sum."""
+    from sonnerie_spark.operators import sketch
+
+    ev = load_par(spark, sf_dir, "events")
+    return sketch.dd_sketch(ev, "value", relative_accuracy=0.01)
+
+
 @q(
     "gopher_quality_filter",
     r"""

@@ -32,6 +32,10 @@ __all__ = [
     "kmv_sketch",
     "kmv_sketch_sql",
     "kmv_overlap",
+    "dd_sketch",
+    "dd_sketch_sql",
+    "dd_merge",
+    "dd_quantiles",
     "hll_sketch_grouped",
     "hll_estimates_grouped",
     "HllStore",
@@ -220,6 +224,147 @@ def kmv_overlap(
             F.expr("inter * 1000000L div k_eff").alias("jaccard_q"),
         )
     )
+
+
+def dd_sketch(
+    df: DataFrame,
+    value: Column | str,
+    *,
+    relative_accuracy: float = 0.01,
+    min_value: float = 1e-9,
+) -> DataFrame:
+    """DDSketch quantile sketch (Masson, Rim & Lee, VLDB 2019 "DDSketch:
+    a fast and fully-mergeable quantile sketch with relative-error
+    guarantees") — the 4th classic sketch alongside HLL (cardinality),
+    CMS (frequency), and KMV (overlap): approximate quantiles whose
+    RELATIVE error is bounded by ``relative_accuracy`` at any scale.
+
+    Bucket index is ``ceil(ln|x| / ln(gamma))`` with
+    ``gamma = (1+a)/(1-a)``; the ln is :func:`~...text.ln_cr`
+    (correctly-rounded ops only), so the integer index — unlike any
+    libm-log implementation — is bit-identical in Spark and DuckDB and
+    the sketch itself is oracle-checkable. Values in ``[-min_value,
+    min_value]`` land in the zero bucket (the paper's indexable
+    minimum); negatives mirror into ``sgn = -1`` buckets; NaN/null rows
+    are dropped.
+
+    At 100 TB: one map-only index expression + one hash agg with
+    map-side partials; the sketch is O(log(max/min)/log gamma) integer
+    rows (~2-3k at a=0.01 over 18 decades) through any exchange, and
+    merges across partitions/runs/days by per-bucket sum
+    (:func:`dd_merge`) — exact percentiles shuffle every distinct
+    value. Returns ``(sgn, bucket, n)``.
+    """
+    from sonnerie_spark.operators.text import ln_cr
+
+    a = float(relative_accuracy)
+    if not 0.0 < a < 1.0:
+        raise ValueError(f"relative_accuracy must be in (0,1), got {a}")
+    gamma = (1.0 + a) / (1.0 - a)
+    mn = float(min_value)
+    v = (F.col(value) if isinstance(value, str) else value).cast("double")
+    df = df.select(v.alias("v")).filter(
+        F.col("v").isNotNull() & ~F.isnan("v")
+    )
+    sgn = (
+        F.when(F.col("v") > mn, F.lit(1))
+        .when(F.col("v") < -mn, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    bucket = F.when(sgn == 0, F.lit(0).cast("long")).otherwise(
+        F.ceil(ln_cr(F.abs(F.col("v"))) / ln_cr(F.lit(gamma)))
+    )
+    return (
+        df.select(sgn.alias("sgn"), bucket.alias("bucket"))
+        .groupBy("sgn", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def dd_sketch_sql(
+    value_expr: str,
+    from_clause: str,
+    *,
+    relative_accuracy: float = 0.01,
+    min_value: float = 1e-9,
+) -> str:
+    """DuckDB mirror of :func:`dd_sketch` — the identical ln_cr op
+    sequence, so (sgn, bucket, n) matches bit-for-bit."""
+    from sonnerie_spark.operators.text import ln_cr_sql
+
+    a = float(relative_accuracy)
+    gamma = (1.0 + a) / (1.0 - a)
+    mn = repr(float(min_value))
+    lx = ln_cr_sql("abs(v)")
+    lg = ln_cr_sql(repr(gamma))
+    return f"""
+    SELECT sgn, bucket, count(*) AS n FROM (
+      SELECT CASE WHEN v > {mn} THEN 1
+                  WHEN v < -{mn} THEN -1 ELSE 0 END AS sgn,
+             CASE WHEN abs(v) > {mn}
+                  THEN CAST(ceil({lx} / {lg}) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS bucket
+      FROM (SELECT CAST({value_expr} AS DOUBLE) AS v FROM {from_clause})
+      WHERE v IS NOT NULL AND NOT isnan(v)
+    ) GROUP BY sgn, bucket
+    """
+
+
+def dd_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two DDSketches: per-(sgn, bucket) sum — fully mergeable
+    across partitions, runs, and time windows (the paper's property)."""
+    return (
+        a.unionByName(b)
+        .groupBy("sgn", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def dd_quantiles(
+    sketch: DataFrame,
+    qs: list[float],
+    *,
+    relative_accuracy: float = 0.01,
+) -> list[dict]:
+    """Quantile estimates from a collected DDSketch — driver-side walk
+    over the (bounded, few-k-row) bucket table, like hll_estimate.
+
+    Buckets sort by the value they represent (negative buckets
+    descending index, zero, positive ascending); the q-quantile is the
+    bucket holding rank ``floor(q * (n - 1))``, estimated at the
+    bucket's log-midpoint ``sgn * 2*gamma^i / (gamma + 1)`` — relative
+    error ≤ relative_accuracy for quantiles outside the zero bucket.
+    """
+    import math
+
+    a = float(relative_accuracy)
+    gamma = (1.0 + a) / (1.0 - a)
+    rows = sketch.collect()
+    cells = sorted(
+        ((r["sgn"], r["bucket"], int(r["n"])) for r in rows),
+        key=lambda t: (t[0], -t[1] if t[0] < 0 else t[1]),
+    )
+    total = sum(c[2] for c in cells)
+    out = []
+    for q in qs:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+        if total == 0:
+            out.append({"q": q, "est": None})
+            continue
+        rank = math.floor(q * (total - 1))
+        cum = 0
+        for sgn, bucket, n in cells:
+            cum += n
+            if cum > rank:
+                est = (
+                    0.0
+                    if sgn == 0
+                    else sgn * 2.0 * gamma**bucket / (gamma + 1.0)
+                )
+                out.append({"q": q, "est": est})
+                break
+    return out
 
 
 def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:

@@ -190,3 +190,75 @@ def test_sketch_plan_is_single_agg_no_udf(spark, ids):
     # exactly one exchange: the final bucket aggregation (map-side
     # partials mean at most 256 rows per task cross the wire)
     assert plan.count("Exchange") == 1
+
+
+def test_dd_sketch_cross_engine_merge_and_accuracy(spark):
+    """DDSketch: (a) the integer bucket table matches the DuckDB mirror
+    bitwise (ln_cr bucket index), (b) merge(a, b) == sketch(whole),
+    (c) quantile estimates are within the paper's relative-error bound
+    vs numpy on a heavy-tailed signed sample, (d) zero-bucket and
+    NaN/null handling."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [
+            rng.lognormal(3.0, 2.0, 2000),
+            -rng.lognormal(1.0, 1.5, 1000),
+            np.zeros(20),
+            np.array([1e-12, -1e-11, np.nan]),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], ["i", "x"]
+    )
+    sk = sketch.dd_sketch(df, "x", relative_accuracy=0.01)
+    got = sorted((r["sgn"], r["bucket"], r["n"]) for r in sk.collect())
+
+    con = duckdb.connect()
+    con.register("tv", pd.DataFrame({"x": vals}))
+    mirror = sorted(
+        con.execute(
+            sketch.dd_sketch_sql("x", "tv", relative_accuracy=0.01)
+        ).fetchall()
+    )
+    assert got == [(s, b, int(n)) for s, b, n in mirror]
+
+    # zero bucket holds exactly the zeros + sub-min magnitudes; the NaN
+    # row is dropped entirely
+    zero_n = sum(n for s, _, n in got if s == 0)
+    assert zero_n == 22
+    assert sum(n for _, _, n in got) == len(vals) - 1  # NaN dropped
+
+    merged = sketch.dd_merge(
+        sketch.dd_sketch(df.filter("i % 2 = 0"), "x"),
+        sketch.dd_sketch(df.filter("i % 2 = 1"), "x"),
+    )
+    assert sorted(
+        (r["sgn"], r["bucket"], r["n"]) for r in merged.collect()
+    ) == got
+
+    clean = vals[~np.isnan(vals)]
+    for e in sketch.dd_quantiles(sk, [0.01, 0.25, 0.5, 0.9, 0.99]):
+        true = float(np.quantile(clean, e["q"], method="lower"))
+        if abs(true) > 1e-6:
+            assert abs(e["est"] - true) / abs(true) < 0.02, (e, true)
+
+    with pytest.raises(ValueError, match="relative_accuracy"):
+        sketch.dd_sketch(df, "x", relative_accuracy=1.5)
+    with pytest.raises(ValueError, match="quantile"):
+        sketch.dd_quantiles(sk, [1.5])
+
+
+def test_dd_sketch_plan_is_single_agg_no_udf(spark):
+    df = spark.range(100).select(F.col("id").cast("double").alias("x"))
+    plan = (
+        sketch.dd_sketch(df, "x")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert plan.count("Exchange") == 1  # only the bucket aggregation
