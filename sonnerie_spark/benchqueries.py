@@ -5226,6 +5226,40 @@ def _dd_oracle() -> str:
     return dd_sketch_sql("value", "events", relative_accuracy=0.01)
 
 
+def _dd_bykey_oracle() -> str:
+    from sonnerie_spark.operators.sketch import (
+        dd_group_quantile_sql,
+        dd_sketch_grouped_sql,
+    )
+
+    return dd_group_quantile_sql(
+        dd_sketch_grouped_sql(
+            "key", "value", f"({SERIES_SQL})", relative_accuracy=0.01
+        ),
+        0.99,
+    )
+
+
+@q("quantile_by_key_dd", _dd_bykey_oracle(), "analytics")
+def q_quantile_by_key_dd(spark, sf_dir):
+    """Per-key p99 via grouped DDSketch over the sonnerie series view —
+    the canonical quantile-sketch deployment ("p99 latency per
+    service"), tied to the parity surface: sketch per key (one hash
+    agg, ≤ few-k integer rows/key), then the quantile bucket extracted
+    DISTRIBUTED by a per-group cumulative-sum window (groups never
+    exchange data). The hashed gate value is the integer (sgn, bucket)
+    pair per key; the float reconstruction (gamma^bucket, a
+    transcendental) stays out of the hash by design — dd_group_quantile
+    returns it as a non-gated `est` column."""
+    from sonnerie_spark.operators import sketch
+
+    s = series(spark, sf_dir)
+    sk = sketch.dd_sketch_grouped(s, "key", "value", relative_accuracy=0.01)
+    return sketch.dd_group_quantile(sk, 0.99, relative_accuracy=0.01).select(
+        "grp", "sgn", "bucket"
+    )
+
+
 @q("quantile_sketch_dd", _dd_oracle(), "analytics")
 def q_quantile_sketch_dd(spark, sf_dir):
     """DDSketch quantile sketch (Masson et al., VLDB 2019) over the

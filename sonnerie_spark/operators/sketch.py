@@ -34,6 +34,10 @@ __all__ = [
     "kmv_overlap",
     "dd_sketch",
     "dd_sketch_sql",
+    "dd_sketch_grouped",
+    "dd_sketch_grouped_sql",
+    "dd_group_quantile",
+    "dd_group_quantile_sql",
     "dd_merge",
     "dd_quantiles",
     "hll_sketch_grouped",
@@ -307,6 +311,132 @@ def dd_sketch_sql(
       FROM (SELECT CAST({value_expr} AS DOUBLE) AS v FROM {from_clause})
       WHERE v IS NOT NULL AND NOT isnan(v)
     ) GROUP BY sgn, bucket
+    """
+
+
+def dd_sketch_grouped(
+    df: DataFrame,
+    group: Column | str,
+    value: Column | str,
+    *,
+    relative_accuracy: float = 0.01,
+    min_value: float = 1e-9,
+) -> DataFrame:
+    """Per-group DDSketch — the canonical deployment shape ("p99 per
+    service/key" at 100 TB): ``(grp, sgn, bucket, n)``, one hash agg
+    with map-side partials, ≤ a few-k integer rows per group through
+    any exchange. Same index expression as :func:`dd_sketch`."""
+    from sonnerie_spark.operators.text import ln_cr
+
+    a = float(relative_accuracy)
+    if not 0.0 < a < 1.0:
+        raise ValueError(f"relative_accuracy must be in (0,1), got {a}")
+    gamma = (1.0 + a) / (1.0 - a)
+    mn = float(min_value)
+    g = F.col(group) if isinstance(group, str) else group
+    v = (F.col(value) if isinstance(value, str) else value).cast("double")
+    df = df.select(g.alias("grp"), v.alias("v")).filter(
+        F.col("v").isNotNull() & ~F.isnan("v")
+    )
+    sgn = (
+        F.when(F.col("v") > mn, F.lit(1))
+        .when(F.col("v") < -mn, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    bucket = F.when(sgn == 0, F.lit(0).cast("long")).otherwise(
+        F.ceil(ln_cr(F.abs(F.col("v"))) / ln_cr(F.lit(gamma)))
+    )
+    return (
+        df.select("grp", sgn.alias("sgn"), bucket.alias("bucket"))
+        .groupBy("grp", "sgn", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def dd_sketch_grouped_sql(
+    group_expr: str,
+    value_expr: str,
+    from_clause: str,
+    *,
+    relative_accuracy: float = 0.01,
+    min_value: float = 1e-9,
+) -> str:
+    """DuckDB mirror of :func:`dd_sketch_grouped`."""
+    from sonnerie_spark.operators.text import ln_cr_sql
+
+    a = float(relative_accuracy)
+    gamma = (1.0 + a) / (1.0 - a)
+    mn = repr(float(min_value))
+    lx = ln_cr_sql("abs(v)")
+    lg = ln_cr_sql(repr(gamma))
+    return f"""
+    SELECT grp, sgn, bucket, count(*) AS n FROM (
+      SELECT grp,
+             CASE WHEN v > {mn} THEN 1
+                  WHEN v < -{mn} THEN -1 ELSE 0 END AS sgn,
+             CASE WHEN abs(v) > {mn}
+                  THEN CAST(ceil({lx} / {lg}) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS bucket
+      FROM (SELECT {group_expr} AS grp, CAST({value_expr} AS DOUBLE) AS v
+            FROM {from_clause})
+      WHERE v IS NOT NULL AND NOT isnan(v)
+    ) GROUP BY grp, sgn, bucket
+    """
+
+
+def dd_group_quantile(
+    sketch: DataFrame, q: float, *, relative_accuracy: float = 0.01
+) -> DataFrame:
+    """Per-group q-quantile from a grouped DDSketch — fully DISTRIBUTED
+    (no driver walk): one cumulative-sum window over each group's own
+    bucket rows picks the bucket holding rank ``floor(q*(n-1))``
+    (``cum - n <= rank < cum``); groups never exchange data with each
+    other. Returns ``(grp, sgn, bucket, est)`` — (sgn, bucket) are the
+    engine-exact integers (what the oracle hashes), ``est`` the float
+    log-midpoint reconstruction ``sgn * 2*gamma^bucket / (gamma+1)``.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"quantile {q} outside [0, 1]")
+    a = float(relative_accuracy)
+    gamma = (1.0 + a) / (1.0 - a)
+    # value order: negative buckets descending index, zero, positive
+    # ascending — the order key is unique per (grp, sgn, bucket) row, so
+    # the default RANGE frame equals ROWS in every engine
+    ord_key = F.when(F.col("sgn") < 0, -F.col("bucket")).otherwise(
+        F.col("bucket")
+    )
+    w = Window.partitionBy("grp").orderBy("sgn", ord_key)
+    cum = F.sum("n").over(w)
+    tot = F.sum("n").over(Window.partitionBy("grp"))
+    rank = F.floor(F.lit(float(q)) * (tot - F.lit(1)).cast("double"))
+    est = F.col("sgn").cast("double") * (
+        F.lit(2.0) * F.pow(F.lit(gamma), F.col("bucket")) / F.lit(gamma + 1.0)
+    )
+    return (
+        sketch.withColumn("cum", cum)
+        .withColumn("rank", rank)
+        .filter((F.col("cum") > F.col("rank")) & (F.col("cum") - F.col("n") <= F.col("rank")))
+        .select("grp", "sgn", "bucket", est.alias("est"))
+    )
+
+
+def dd_group_quantile_sql(sketch_sql: str, q: float) -> str:
+    """DuckDB mirror of the integer part of :func:`dd_group_quantile`
+    over a grouped-sketch subquery: emits ``(grp, sgn, bucket)`` — the
+    float ``est`` is reconstruction-only (gamma^bucket is a
+    transcendental, so it stays out of hashed gate values)."""
+    qq = repr(float(q))
+    return f"""
+    SELECT grp, sgn, bucket FROM (
+      SELECT grp, sgn, bucket, n,
+             sum(n) OVER (PARTITION BY grp ORDER BY sgn,
+               CASE WHEN sgn < 0 THEN -bucket ELSE bucket END) AS cum,
+             sum(n) OVER (PARTITION BY grp) AS tot
+      FROM ({sketch_sql})
+    ) WHERE cum > floor({qq} * CAST(tot - 1 AS DOUBLE))
+        AND cum - n <= floor({qq} * CAST(tot - 1 AS DOUBLE))
     """
 
 

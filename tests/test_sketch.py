@@ -262,3 +262,43 @@ def test_dd_sketch_plan_is_single_agg_no_udf(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     assert plan.count("Exchange") == 1  # only the bucket aggregation
+
+
+def test_dd_grouped_quantile_distributed_matches_model(spark):
+    """Grouped DDSketch + distributed per-group quantile extraction:
+    the picked (sgn, bucket) matches a driver-side dd_quantiles walk of
+    each group's own sketch, and est is within the relative bound of
+    numpy's per-group quantile."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (f"g{i % 4}", float(v))
+        for i, v in enumerate(
+            np.concatenate(
+                [rng.lognormal(2, 1.5, 3000), -rng.lognormal(1, 1, 1000)]
+            )
+        )
+    ]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    sk = sketch.dd_sketch_grouped(df, "g", "x", relative_accuracy=0.01)
+    out = {
+        r["grp"]: (r["sgn"], r["bucket"], r["est"])
+        for r in sketch.dd_group_quantile(sk, 0.9).collect()
+    }
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["g", "x"])
+    for g, sub in pdf.groupby("g"):
+        per = sketch.dd_sketch(
+            spark.createDataFrame([(float(v),) for v in sub["x"]], ["x"]),
+            "x",
+        )
+        walk = sketch.dd_quantiles(per, [0.9])[0]["est"]
+        sgn, bucket, est = out[g]
+        # same bucket either path; the float reconstruction may differ
+        # by 1 ulp (JVM Math.pow vs Python **) — which is exactly why
+        # est stays out of hashed gate values
+        assert abs(est - walk) <= 4 * abs(walk) * 2.3e-16, (g, est, walk)
+        true = float(np.quantile(sub["x"], 0.9, method="lower"))
+        assert abs(est - true) / abs(true) < 0.02, (g, est, true)
