@@ -95,6 +95,24 @@ def main(workdir: str | None = None) -> None:
         print(f"8 fold {f['key']}: n={f['n']} min={f['min']:.1f} "
               f"max={f['max']:.1f} mean={f['sum']/f['n']:.2f}")
 
+    # 9. Per-key p99 via grouped DDSketch over the merged view — the
+    # "p99 per service" question answered from a mergeable few-row
+    # integer sketch instead of a full sort (sketch.dd_sketch_grouped).
+    from pyspark.sql import functions as F
+
+    from sonnerie_spark.operators import sketch as sk
+
+    v = F.coalesce(
+        F.try_element_at("v_double", F.lit(1)),
+        F.try_element_at("v_long", F.lit(1)).cast("double"),
+    )
+    dd = sk.dd_sketch_grouped(db.read().select("key", v.alias("v")), "key", "v")
+    for r in sorted(
+        sk.dd_group_quantile(dd, 0.99).collect(), key=lambda r: r["grp"]
+    ):
+        print(f"9 p99[{r['grp']}] ~= {r['est']:.1f} "
+              f"(bucket {r['bucket']}, rel err <= 1%)")
+
 
 if __name__ == "__main__":
     main()

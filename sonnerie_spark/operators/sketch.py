@@ -43,6 +43,7 @@ __all__ = [
     "hll_sketch_grouped",
     "hll_estimates_grouped",
     "HllStore",
+    "DdStore",
 ]
 
 
@@ -563,6 +564,61 @@ def hll_estimates_grouped(
     )
 
 
+def _store_lock(root: str):
+    """Exclusive flock on ``root/.lock`` (context manager)."""
+    import contextlib
+    import fcntl
+    import os
+
+    @contextlib.contextmanager
+    def hold():
+        fd = os.open(os.path.join(root, ".lock"), os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            os.close(fd)
+
+    return hold()
+
+
+def _recover_data_dir(data: str) -> None:
+    """Crash recovery for the two-rename swap (call under the lock):
+    a crash between ``rename(data -> back)`` and ``rename(tmp -> data)``
+    leaves no ``data`` — restore the newest ``.old-*`` backup (the
+    pre-swap generation: the interrupted write never committed, so the
+    caller's retry re-applies it cleanly). Abandoned ``.tmp-*`` /
+    leftover ``.old-*`` dirs are removed (any live writer holds the
+    lock we hold)."""
+    import glob
+    import os
+    import shutil
+
+    backs = sorted(glob.glob(data + ".old-*"))
+    if not os.path.isdir(data) and backs:
+        os.rename(backs.pop(), data)
+    for stale in backs + glob.glob(data + ".tmp-*"):
+        shutil.rmtree(stale, ignore_errors=True)
+
+
+def _swap_data_dir(data: str, tmp: str) -> None:
+    """Atomically-recoverable generation swap (call under the lock):
+    the new generation in ``tmp`` replaces ``data``. The two renames
+    leave a crash window in which ``data`` is missing — closed by
+    :func:`_recover_data_dir` on the next locked access."""
+    import os
+    import shutil
+    import time
+
+    if os.path.isdir(data):
+        back = data + f".old-{time.time_ns():x}"
+        os.rename(data, back)
+        os.rename(tmp, data)
+        shutil.rmtree(back, ignore_errors=True)
+    else:
+        os.rename(tmp, data)
+
+
 class HllStore:
     """Persistent, incrementally-merged per-group HLL sketches — the
     streaming/multi-run face of :func:`hll_sketch`: "distinct users per
@@ -606,6 +662,7 @@ class HllStore:
     def _sketches_unlocked(self) -> DataFrame:
         import os
 
+        _recover_data_dir(self._data)
         if not os.path.isdir(self._data):
             return self.spark.createDataFrame(
                 [], "grp string, bucket int, max_rho int"
@@ -638,13 +695,7 @@ class HllStore:
             )
             tmp = self._data + f".tmp-{os.getpid()}-{time.time_ns():x}"
             merged.coalesce(1).write.parquet(tmp)
-            if os.path.isdir(self._data):
-                back = self._data + f".old-{time.time_ns():x}"
-                os.rename(self._data, back)
-                os.rename(tmp, self._data)
-                shutil.rmtree(back, ignore_errors=True)
-            else:
-                os.rename(tmp, self._data)
+            _swap_data_dir(self._data, tmp)
 
     def estimates(self) -> DataFrame:
         """Per-group cardinality estimates ``(grp, est)``."""
@@ -653,22 +704,123 @@ class HllStore:
         )
 
     def _locked(self):
-        import contextlib
-        import fcntl
+        return _store_lock(self.path)
+
+
+class DdStore:
+    """Persistent per-group DDSketch under streaming ingest — the
+    quantile sibling of :class:`HllStore` ("p99 per key maintained
+    forever without rescanning history").
+
+    DD buckets merge by SUM, which — unlike HllStore's per-bucket max —
+    is NOT idempotent: an at-least-once replay (a foreachBatch retry)
+    would double-count. ``add()`` therefore takes the micro-batch's
+    ``batch_id`` (Spark's epoch id) and keeps the applied-id LEDGER
+    INSIDE the swapped generation directory, so "counts merged" and
+    "id recorded" commit in the same atomic rename: a replayed id is a
+    no-op, and a crash mid-add restores the pre-add generation
+    (:func:`_recover_data_dir` — the interrupted batch was never
+    recorded, so its retry applies cleanly). Exactly-once semantics on
+    top of at-least-once delivery. The store is O(groups · buckets)
+    integer rows — bounded dimension data, like HllStore.
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        *,
+        relative_accuracy: float = 0.01,
+        min_value: float = 1e-9,
+    ):
         import os
 
-        @contextlib.contextmanager
-        def hold():
-            fd = os.open(
-                os.path.join(self.path, ".lock"), os.O_CREAT | os.O_RDWR
-            )
-            try:
-                fcntl.flock(fd, fcntl.LOCK_EX)
-                yield
-            finally:
-                os.close(fd)
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.relative_accuracy = float(relative_accuracy)
+        self.min_value = float(min_value)
+        os.makedirs(self.path, exist_ok=True)
+        self._data = os.path.join(self.path, "gen")
 
-        return hold()
+    # -- reads (materialized under the lock, like HllStore) ------------
+
+    def sketches(self) -> DataFrame:
+        """Current merged table ``(grp, sgn, bucket, n)``."""
+        with self._locked():
+            return self._sketches_unlocked()[0]
+
+    def applied(self) -> set[int]:
+        """Batch ids already merged (the exactly-once ledger)."""
+        with self._locked():
+            return self._sketches_unlocked()[1]
+
+    def _sketches_unlocked(self) -> tuple[DataFrame, set[int]]:
+        import json
+        import os
+
+        _recover_data_dir(self._data)
+        schema = "grp string, sgn int, bucket long, n long"
+        if not os.path.isdir(self._data):
+            return self.spark.createDataFrame([], schema), set()
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(os.path.join(self._data, "data"))
+        with open(os.path.join(self._data, "applied.json")) as f:
+            ids = set(json.load(f))
+        return self.spark.createDataFrame(tbl.to_pandas(), schema=schema), ids
+
+    # -- writes ---------------------------------------------------------
+
+    def add(
+        self,
+        batch_id: int,
+        df: DataFrame,
+        group: Column | str,
+        value: Column | str,
+    ) -> bool:
+        """Sketch the batch per group and sum-merge it into the store;
+        returns False (no-op) if ``batch_id`` was already applied."""
+        import json
+        import os
+        import time
+
+        batch = dd_sketch_grouped(
+            df,
+            (F.col(group) if isinstance(group, str) else group).cast(
+                "string"
+            ),
+            value,
+            relative_accuracy=self.relative_accuracy,
+            min_value=self.min_value,
+        )
+        with self._locked():
+            current, ids = self._sketches_unlocked()
+            if int(batch_id) in ids:
+                return False
+            merged = (
+                current.unionByName(batch)
+                .groupBy("grp", "sgn", "bucket")
+                .agg(F.sum("n").alias("n"))
+            )
+            tmp = self._data + f".tmp-{os.getpid()}-{time.time_ns():x}"
+            os.makedirs(tmp)
+            merged.coalesce(1).write.parquet(os.path.join(tmp, "data"))
+            with open(os.path.join(tmp, "applied.json"), "w") as f:
+                json.dump(sorted(ids | {int(batch_id)}), f)
+            _swap_data_dir(self._data, tmp)
+            return True
+
+    # -- quantiles --------------------------------------------------------
+
+    def group_quantile(self, q: float) -> DataFrame:
+        """Per-group q-quantile ``(grp, sgn, bucket, est)`` — the
+        distributed window extraction of :func:`dd_group_quantile`."""
+        return dd_group_quantile(
+            self.sketches(), q, relative_accuracy=self.relative_accuracy
+        )
+
+    def _locked(self):
+        return _store_lock(self.path)
 
 
 def hll_estimate(sketch: DataFrame, *, bucket_bits: int = 8) -> float:

@@ -1034,6 +1034,9 @@ def test_timeseries_tour_end_to_end(spark, capsys, tmp_path):
     assert "1h buckets=49  6h buckets=9" in out
     assert "49 -> 49 rows, 1 run" in out
     assert "max=99.9 mean=26.08" in out
+    # stage 9: per-key p99 via grouped DDSketch — rank floor(.99*23)=22
+    # of temp.paris's 24 sorted points is the one below the 99.9 spike
+    assert "9 p99[temp.paris] ~= 25.8" in out
 
 
 def test_bm25_property_vs_model(spark):

@@ -302,3 +302,45 @@ def test_dd_grouped_quantile_distributed_matches_model(spark):
         assert abs(est - walk) <= 4 * abs(walk) * 2.3e-16, (g, est, walk)
         true = float(np.quantile(sub["x"], 0.9, method="lower"))
         assert abs(est - true) / abs(true) < 0.02, (g, est, true)
+
+
+def test_dd_store_exactly_once_and_crash_recovery(spark, tmp_path):
+    """DdStore: (a) replaying a batch_id is a no-op (sum-merge would
+    otherwise double-count — the ledger rides inside the swapped
+    generation), (b) incremental adds equal the one-shot sketch of the
+    union, (c) a crash between the swap's two renames (data dir
+    missing, .old backup present) recovers to the pre-add generation
+    so the interrupted batch can retry."""
+    import os
+    import shutil
+
+    from sonnerie_spark.operators.sketch import DdStore, _recover_data_dir
+
+    rows = [(f"g{i % 3}", float((i % 17) + 0.5)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    store = DdStore(spark, str(tmp_path / "dd"))
+    assert store.add(0, df.filter("x < 8"), "g", "x") is True
+    assert store.add(1, df.filter("x >= 8"), "g", "x") is True
+    assert store.add(1, df.filter("x >= 8"), "g", "x") is False  # replay
+    assert store.applied() == {0, 1}
+
+    want = sorted(
+        (r["grp"], r["sgn"], r["bucket"], r["n"])
+        for r in sketch.dd_sketch_grouped(df, "g", "x").collect()
+    )
+    got = sorted(
+        (r["grp"], r["sgn"], r["bucket"], r["n"])
+        for r in store.sketches().collect()
+    )
+    assert got == want
+
+    # simulate a crash mid-swap: data renamed away, tmp never landed
+    os.rename(store._data, store._data + ".old-deadbeef")
+    os.makedirs(store._data + ".tmp-stale")
+    assert store.applied() == {0, 1}  # recovery restored the backup
+    assert not os.path.isdir(store._data + ".tmp-stale")
+    assert store.add(2, df.limit(10), "g", "x") is True
+    assert store.applied() == {0, 1, 2}
+
+    # per-group quantile off the store answers for every group
+    assert len(store.group_quantile(0.5).collect()) == 3
