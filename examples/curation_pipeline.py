@@ -14,6 +14,8 @@ al. ExactSubstr) chain them:
   8. budget_mix         token-budget mixture across sources
   9. hash_split         stable train/valid/test
  10. pack_sequences     fixed-length example packing
+ 11. bpe_train+encode   train a BPE tokenizer on the curated split,
+                        then tokenize with it (Sennrich et al. 2016)
 
 Usage: python examples/curation_pipeline.py [sf_dir]
 Defaults to /root/testdata/sf0.001. Prints per-stage document/token
@@ -177,6 +179,21 @@ def main(sf_dir: str | None = None) -> None:
     n_packs = packed.select("slice", "pack_id").distinct().count()
     print(f"10 pack_sequences          {n_packs:>7,} packed examples "
           f"(max 256 tokens) from {packed.count():,} docs")
+
+    # 11. Train a BPE tokenizer ON the curated train split (one corpus
+    # scan -> distinct-word table -> greedy merge loop) and encode it.
+    merges = textops.bpe_train(train_docs, "text", num_merges=16)
+    enc = textops.bpe_encode(
+        train_docs, "doc_id", "text", [(a, b) for a, b, _ in merges]
+    )
+    n_sub = enc.agg(F.sum("n_tokens")).collect()[0][0]
+    n_ws = train_docs.select(
+        F.sum(F.size(tokens(F.col("text"))))
+    ).collect()[0][0]
+    top = ", ".join(a + b for a, b, _ in merges[:5])
+    print(f"11 bpe_train+encode        {len(merges)} merges learned "
+          f"(top: {top}); {n_sub:,} subword tokens over "
+          f"{n_ws:,} words")
 
 
 if __name__ == "__main__":

@@ -1009,6 +1009,7 @@ def test_curation_example_end_to_end(spark, capsys):
     assert counts[0] == 500
     assert all(a >= b for a, b in zip(counts, counts[1:])), counts
     assert "packed examples" in out
+    assert "16 merges learned" in out  # stage 11: tokenizer trained
 
 
 def test_timeseries_tour_end_to_end(spark, capsys, tmp_path):
