@@ -248,10 +248,12 @@ def dd_sketch(
     ``gamma = (1+a)/(1-a)``; the ln is :func:`~...text.ln_cr`
     (correctly-rounded ops only), so the integer index — unlike any
     libm-log implementation — is bit-identical in Spark and DuckDB and
-    the sketch itself is oracle-checkable. Values in ``[-min_value,
-    min_value]`` land in the zero bucket (the paper's indexable
-    minimum); negatives mirror into ``sgn = -1`` buckets; NaN/null rows
-    are dropped.
+    the sketch itself is oracle-checkable. The per-row ln is computed
+    on a staged column (ln_cr_append) so codegen evaluates the sqrt
+    chain once — inside the CaseWhen branch it cannot be CSE-hoisted
+    and runs ~50x slower. Values in ``[-min_value, min_value]`` land
+    in the zero bucket (the paper's indexable minimum); negatives
+    mirror into ``sgn = -1`` buckets; NaN/null rows are dropped.
 
     At 100 TB: one map-only index expression + one hash agg with
     map-side partials; the sketch is O(log(max/min)/log gamma) integer
@@ -260,7 +262,7 @@ def dd_sketch(
     (:func:`dd_merge`) — exact percentiles shuffle every distinct
     value. Returns ``(sgn, bucket, n)``.
     """
-    from sonnerie_spark.operators.text import ln_cr
+    from sonnerie_spark.operators.text import ln_cr, ln_cr_append
 
     a = float(relative_accuracy)
     if not 0.0 < a < 1.0:
@@ -271,13 +273,16 @@ def dd_sketch(
     df = df.select(v.alias("v")).filter(
         F.col("v").isNotNull() & ~F.isnan("v")
     )
+    df = ln_cr_append(df, F.abs(F.col("v")), "__ln_abs")
     sgn = (
         F.when(F.col("v") > mn, F.lit(1))
         .when(F.col("v") < -mn, F.lit(-1))
         .otherwise(F.lit(0))
     )
+    # ln_cr(lit(gamma)) constant-folds to the identical bit pattern the
+    # oracle's engine folds its own literal chain to
     bucket = F.when(sgn == 0, F.lit(0).cast("long")).otherwise(
-        F.ceil(ln_cr(F.abs(F.col("v"))) / ln_cr(F.lit(gamma)))
+        F.ceil(F.col("__ln_abs") / ln_cr(F.lit(gamma)))
     )
     return (
         df.select(sgn.alias("sgn"), bucket.alias("bucket"))
@@ -327,7 +332,7 @@ def dd_sketch_grouped(
     service/key" at 100 TB): ``(grp, sgn, bucket, n)``, one hash agg
     with map-side partials, ≤ a few-k integer rows per group through
     any exchange. Same index expression as :func:`dd_sketch`."""
-    from sonnerie_spark.operators.text import ln_cr
+    from sonnerie_spark.operators.text import ln_cr, ln_cr_append
 
     a = float(relative_accuracy)
     if not 0.0 < a < 1.0:
@@ -339,13 +344,14 @@ def dd_sketch_grouped(
     df = df.select(g.alias("grp"), v.alias("v")).filter(
         F.col("v").isNotNull() & ~F.isnan("v")
     )
+    df = ln_cr_append(df, F.abs(F.col("v")), "__ln_abs")
     sgn = (
         F.when(F.col("v") > mn, F.lit(1))
         .when(F.col("v") < -mn, F.lit(-1))
         .otherwise(F.lit(0))
     )
     bucket = F.when(sgn == 0, F.lit(0).cast("long")).otherwise(
-        F.ceil(ln_cr(F.abs(F.col("v"))) / ln_cr(F.lit(gamma)))
+        F.ceil(F.col("__ln_abs") / ln_cr(F.lit(gamma)))
     )
     return (
         df.select("grp", sgn.alias("sgn"), bucket.alias("bucket"))

@@ -1020,6 +1020,38 @@ def ln_cr(x: Column) -> Column:
     return s * F.lit(float(2 ** (_LN_CR_SQRTS + 1)))
 
 
+def ln_cr_append(df: DataFrame, src: Column, out: str) -> DataFrame:
+    """Append column ``out`` = :func:`ln_cr` of ``src`` via STAGED
+    projections, each intermediate (the sqrt chain, z, z²) computed
+    once per row. Use this instead of the plain expression when the
+    value feeds a CaseWhen branch or another context where whole-stage
+    codegen cannot hoist common subexpressions: the single-expression
+    form textually repeats the 8-sqrt chain 32x, and unhoisted that is
+    ~50x slower per row (measured: dd_sketch 25 s -> <1 s at 20 M
+    rows). CollapseProject keeps these stages separate because each
+    intermediate is referenced more than once downstream; the op
+    sequence — and therefore the value — is bit-identical to ln_cr.
+    """
+    y = src
+    for _ in range(_LN_CR_SQRTS):
+        y = F.sqrt(y)
+    d = df.withColumn("__lncr_y", y)
+    yc = F.col("__lncr_y")
+    d = d.withColumn("__lncr_z", (yc - F.lit(1.0)) / (yc + F.lit(1.0)))
+    z = F.col("__lncr_z")
+    d = d.withColumn("__lncr_z2", z * z)
+    z2 = F.col("__lncr_z2")
+    s = (
+        z
+        + (z * z2) / F.lit(3.0)
+        + (z * z2 * z2) / F.lit(5.0)
+        + (z * z2 * z2 * z2) / F.lit(7.0)
+    )
+    return d.withColumn(
+        out, s * F.lit(float(2 ** (_LN_CR_SQRTS + 1)))
+    ).drop("__lncr_y", "__lncr_z", "__lncr_z2")
+
+
 def ln_cr_sql(x: str) -> str:
     """DuckDB/ANSI mirror of :func:`ln_cr` — the IDENTICAL op sequence
     (left-associative sums/products, same literals), so the SQL oracle

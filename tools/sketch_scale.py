@@ -138,6 +138,30 @@ def main() -> None:
         f"| est {est_j:.3f} err {abs(est_j - true_j):.3f}"
     )
 
+    # --- DDSketch vs exact percentiles --------------------------------
+    # heavy-tailed positives: v = (id % 10007)^2 / 100 spans ~6 decades
+    xs = spark.range(n).select(
+        ((F.col("id") % 10007) * (F.col("id") % 10007) / 100.0 + 0.01)
+        .alias("x")
+    )
+    t0 = time.time()
+    ex = xs.select(
+        F.expr("percentile(x, array(0.5, 0.99))").alias("p")
+    ).collect()[0]["p"]
+    t_exact_q = time.time() - t0
+
+    t0 = time.time()
+    dd = sketch.dd_sketch(xs, "x", relative_accuracy=0.01)
+    est = {e["q"]: e["est"] for e in sketch.dd_quantiles(dd, [0.5, 0.99])}
+    t_dd = time.time() - t0
+    e50 = abs(est[0.5] - ex[0]) / ex[0]
+    e99 = abs(est[0.99] - ex[1]) / ex[1]
+    print(
+        f"DD: n={n:,} | exact percentile(0.5,0.99) {t_exact_q:.1f}s | "
+        f"dd sketch+walk {t_dd:.1f}s ({t_exact_q / t_dd:.1f}x) | "
+        f"p50 err {e50:.2%} p99 err {e99:.2%} (bound 1% + rank step)"
+    )
+
 
 if __name__ == "__main__":
     main()
