@@ -2938,6 +2938,46 @@ def q_lsh_index_incremental(spark, sf_dir):
     )
 
 
+def _dd_store_oracle() -> str:
+    from sonnerie_spark.operators.sketch import dd_sketch_grouped_sql
+
+    return dd_sketch_grouped_sql(
+        "event_type", "value", "events", relative_accuracy=0.01
+    )
+
+
+@q(
+    "dd_store_roundtrip",
+    _dd_store_oracle(),
+    "streaming",
+    gate_only=True,
+)
+def q_dd_store_roundtrip(spark, sf_dir):
+    """The persistent DdStore under the correctness gate: events arrive
+    as three disjoint batches through add(batch_id, ...), with one
+    batch REPLAYED (the at-least-once retry DD's sum-merge must not
+    double-count — the ledger makes it a no-op); the final store
+    content must equal the one-shot grouped sketch over the whole
+    table, whose DuckDB mirror IS the oracle. Proves the
+    exactly-once merge, the generation swap, and the materialized read
+    end-to-end."""
+    import tempfile
+
+    from sonnerie_spark.operators.sketch import DdStore
+
+    ev = load_par(spark, sf_dir, "events")
+    store = DdStore(
+        spark, tempfile.mkdtemp(prefix="dd_gate_"), relative_accuracy=0.01
+    )
+    for i in range(3):
+        batch = ev.filter(F.col("event_id") % 3 == i)
+        assert store.add(i, batch, "event_type", "value") is True
+    # at-least-once delivery: the retry of batch 1 must be a no-op
+    assert store.add(1, ev.filter(F.col("event_id") % 3 == 1),
+                     "event_type", "value") is False
+    return store.sketches()
+
+
 @q(
     "rollup_cascade_roundtrip",
     """
