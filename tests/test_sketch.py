@@ -344,3 +344,32 @@ def test_dd_store_exactly_once_and_crash_recovery(spark, tmp_path):
 
     # per-group quantile off the store answers for every group
     assert len(store.group_quantile(0.5).collect()) == 3
+
+
+def test_dd_store_concurrent_adds_serialize(spark, tmp_path):
+    """Parallel add() calls (distinct batch ids, same store) serialize
+    under the flock: every batch lands exactly once regardless of
+    interleaving, and the result equals the one-shot sketch."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from sonnerie_spark.operators.sketch import DdStore
+
+    rows = [(f"g{i % 2}", float((i % 13) + 1.5)) for i in range(400)]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    store = DdStore(spark, str(tmp_path / "ddc"))
+    parts = [df.filter(f"crc32(cast(x as string)) % 4 = {i}") for i in range(4)]
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(
+            ex.map(lambda t: store.add(t[0], t[1], "g", "x"), enumerate(parts))
+        )
+    assert results == [True] * 4
+    assert store.applied() == {0, 1, 2, 3}
+    want = sorted(
+        (r["grp"], r["sgn"], r["bucket"], r["n"])
+        for r in sketch.dd_sketch_grouped(df, "g", "x").collect()
+    )
+    got = sorted(
+        (r["grp"], r["sgn"], r["bucket"], r["n"])
+        for r in store.sketches().collect()
+    )
+    assert got == want
