@@ -1175,7 +1175,9 @@ def q_simhash_near_pairs(spark, sf_dir):
     (chunk_idx, chunk_val) -> exact hamming verify. No global pairwise
     join anywhere in the plan."""
     docs = load_par(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(docs, "doc_id", "text", bits=60, max_hamming=9)
+    return dedup.simhash_near_pairs(
+        docs, "doc_id", "text", bits=60, max_hamming=9, materialize=True
+    )
 
 
 @q(
@@ -2910,7 +2912,9 @@ def q_repeated_spans(spark, sf_dir):
     One span-occurrence stream + one map-side-partial df agg + a join
     back; no pair enumeration, so no quadratic path exists."""
     docs = load_par(spark, sf_dir, "documents")
-    r = textops.repeated_spans(docs, "doc_id", "text", k=8, min_df=2)
+    r = textops.repeated_spans(
+        docs, "doc_id", "text", k=8, min_df=2, materialize=True
+    )
     return r.select("id", F.col("pos").cast("long"), "span_h", "df")
 
 
@@ -5570,7 +5574,9 @@ def q_dedup_substrings(spark, sf_dir):
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    return textops.dedup_substrings(docs, "doc_id", "text", k=8, min_df=2)
+    return textops.dedup_substrings(
+        docs, "doc_id", "text", k=8, min_df=2, materialize=True
+    )
 
 
 # A small valid BPE merge table (each multi-char operand produced by an

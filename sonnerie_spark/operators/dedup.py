@@ -350,7 +350,13 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 60) -> Dat
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, *, bits: int = 60, max_hamming: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bits: int = 60,
+    max_hamming: int = 8,
+    materialize: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance (exact output:
     ALL pairs with hamming <= max_hamming).
@@ -365,6 +371,12 @@ def simhash_near_pairs(
     buckets whose pairwise blowup exceeds brute force. Any complete
     blocking yields the same final pairs, so the verification filter —
     not the blocking — defines the result.
+
+    CACHE CONTRACT: the signature table is persisted (both join sides
+    consume it); the default lazy return relies on ContextCleaner GC —
+    ``materialize=True`` blockifies the result and releases the cache
+    before returning, for sessions that retain results (the same
+    contract as text.repeated_spans).
     """
     # Both join sides derive from the signatures; without a persist the
     # expensive text->simhash fold runs twice (once per side — Spark has
@@ -410,7 +422,7 @@ def simhash_near_pairs(
         F.col("va_id") < F.col("id")
     )
     ham = F.bit_count(F.col("va_sig").bitwiseXOR(F.col("simhash")))
-    return (
+    out = (
         cand.select(
             F.col("va_id").alias("id_a"),
             F.col("id").alias("id_b"),
@@ -419,6 +431,10 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    if materialize:
+        out = out.localCheckpoint(eager=True)
+        sigs.unpersist()
+    return out
 
 
 class LshIndex:

@@ -253,7 +253,7 @@ def dd_sketch(
     chain once — inside the CaseWhen branch it cannot be CSE-hoisted
     and runs ~50x slower. Values in ``[-min_value, min_value]`` land
     in the zero bucket (the paper's indexable minimum); negatives
-    mirror into ``sgn = -1`` buckets; NaN/null rows are dropped.
+    mirror into ``sgn = -1`` buckets; NaN/±inf/null rows are dropped.
 
     At 100 TB: one map-only index expression + one hash agg with
     map-side partials; the sketch is O(log(max/min)/log gamma) integer
@@ -271,7 +271,9 @@ def dd_sketch(
     mn = float(min_value)
     v = (F.col(value) if isinstance(value, str) else value).cast("double")
     df = df.select(v.alias("v")).filter(
-        F.col("v").isNotNull() & ~F.isnan("v")
+        F.col("v").isNotNull()
+        & ~F.isnan("v")
+        & (F.abs(F.col("v")) != F.lit(float("inf")))
     )
     df = ln_cr_append(df, F.abs(F.col("v")), "__ln_abs")
     sgn = (
@@ -315,7 +317,7 @@ def dd_sketch_sql(
                   THEN CAST(ceil({lx} / {lg}) AS BIGINT)
                   ELSE CAST(0 AS BIGINT) END AS bucket
       FROM (SELECT CAST({value_expr} AS DOUBLE) AS v FROM {from_clause})
-      WHERE v IS NOT NULL AND NOT isnan(v)
+      WHERE v IS NOT NULL AND NOT isnan(v) AND NOT isinf(v)
     ) GROUP BY sgn, bucket
     """
 
@@ -342,7 +344,9 @@ def dd_sketch_grouped(
     g = F.col(group) if isinstance(group, str) else group
     v = (F.col(value) if isinstance(value, str) else value).cast("double")
     df = df.select(g.alias("grp"), v.alias("v")).filter(
-        F.col("v").isNotNull() & ~F.isnan("v")
+        F.col("v").isNotNull()
+        & ~F.isnan("v")
+        & (F.abs(F.col("v")) != F.lit(float("inf")))
     )
     df = ln_cr_append(df, F.abs(F.col("v")), "__ln_abs")
     sgn = (
@@ -386,7 +390,7 @@ def dd_sketch_grouped_sql(
                   ELSE CAST(0 AS BIGINT) END AS bucket
       FROM (SELECT {group_expr} AS grp, CAST({value_expr} AS DOUBLE) AS v
             FROM {from_clause})
-      WHERE v IS NOT NULL AND NOT isnan(v)
+      WHERE v IS NOT NULL AND NOT isnan(v) AND NOT isinf(v)
     ) GROUP BY grp, sgn, bucket
     """
 
@@ -593,9 +597,10 @@ def _recover_data_dir(data: str) -> None:
     a crash between ``rename(data -> back)`` and ``rename(tmp -> data)``
     leaves no ``data`` — restore the newest ``.old-*`` backup (the
     pre-swap generation: the interrupted write never committed, so the
-    caller's retry re-applies it cleanly). Abandoned ``.tmp-*`` /
-    leftover ``.old-*`` dirs are removed (any live writer holds the
-    lock we hold)."""
+    caller's retry re-applies it cleanly). Abandoned ``.tmp-*`` dirs
+    and all but the newest ``.old-*`` backup are removed (any live
+    writer holds the lock we hold); the newest backup is RETAINED as
+    torn-write insurance — see :func:`_restore_backup`."""
     import glob
     import os
     import shutil
@@ -603,15 +608,42 @@ def _recover_data_dir(data: str) -> None:
     backs = sorted(glob.glob(data + ".old-*"))
     if not os.path.isdir(data) and backs:
         os.rename(backs.pop(), data)
-    for stale in backs + glob.glob(data + ".tmp-*"):
+    for stale in (backs[:-1] if backs else []) + glob.glob(data + ".tmp-*"):
         shutil.rmtree(stale, ignore_errors=True)
+
+
+def _restore_backup(data: str) -> bool:
+    """Replace a PRESENT-but-unreadable generation with the retained
+    backup (call under the lock): a power loss after the swap's rename
+    can surface the new directory with torn contents (rename without
+    fsync); the backup is the last durable generation, and the write
+    it replaces was never acknowledged durable, so the caller's retry
+    re-applies it — the same exactly-once argument as the missing-dir
+    recovery. Returns False if no backup exists."""
+    import glob
+    import os
+    import shutil
+
+    backs = sorted(glob.glob(data + ".old-*"))
+    if not backs:
+        return False
+    if os.path.isdir(data):
+        shutil.rmtree(data, ignore_errors=True)
+    os.rename(backs.pop(), data)
+    for stale in backs:
+        shutil.rmtree(stale, ignore_errors=True)
+    return True
 
 
 def _swap_data_dir(data: str, tmp: str) -> None:
     """Atomically-recoverable generation swap (call under the lock):
-    the new generation in ``tmp`` replaces ``data``. The two renames
-    leave a crash window in which ``data`` is missing — closed by
-    :func:`_recover_data_dir` on the next locked access."""
+    the new generation in ``tmp`` replaces ``data``; the replaced
+    generation is RETAINED as the single ``.old-*`` backup (older
+    backups deleted) so a torn post-swap directory can be rolled back
+    (:func:`_restore_backup`). The two renames leave a crash window in
+    which ``data`` is missing — closed by :func:`_recover_data_dir` on
+    the next locked access."""
+    import glob
     import os
     import shutil
     import time
@@ -620,7 +652,8 @@ def _swap_data_dir(data: str, tmp: str) -> None:
         back = data + f".old-{time.time_ns():x}"
         os.rename(data, back)
         os.rename(tmp, data)
-        shutil.rmtree(back, ignore_errors=True)
+        for stale in sorted(glob.glob(data + ".old-*"))[:-1]:
+            shutil.rmtree(stale, ignore_errors=True)
     else:
         os.rename(tmp, data)
 
@@ -639,6 +672,12 @@ class HllStore:
     — no transactional sink is needed for correctness, only the swap's
     atomicity. The store is ≤ groups·2^b integer rows: rewriting it per
     add is a bounded dimension-table write, not a corpus cost.
+
+    SIZE CONTRACT: reads materialize driver-side under the store lock
+    (what closes the swap races) and writes coalesce to one file, so
+    group cardinality must stay dimension-sized (thousands to low
+    millions of groups); an unbounded group domain needs a partitioned
+    store design, not this class.
     """
 
     def __init__(self, spark, path: str, *, bucket_bits: int = 8):
@@ -668,6 +707,8 @@ class HllStore:
     def _sketches_unlocked(self) -> DataFrame:
         import os
 
+        import pyarrow as pa
+
         _recover_data_dir(self._data)
         if not os.path.isdir(self._data):
             return self.spark.createDataFrame(
@@ -675,7 +716,16 @@ class HllStore:
             )
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(self._data)
+        try:
+            tbl = pq.read_table(self._data)
+        except (OSError, pa.ArrowInvalid):
+            # torn post-crash generation (rename surfaced without its
+            # contents being durable): roll back to the retained
+            # backup — the torn write was never acknowledged, so the
+            # producer's retry re-applies it (max-merge: idempotent)
+            if not _restore_backup(self._data):
+                raise
+            tbl = pq.read_table(self._data)
         return self.spark.createDataFrame(
             tbl.to_pandas(), schema="grp string, bucket int, max_rho int"
         )
@@ -727,8 +777,15 @@ class DdStore:
     no-op, and a crash mid-add restores the pre-add generation
     (:func:`_recover_data_dir` — the interrupted batch was never
     recorded, so its retry applies cleanly). Exactly-once semantics on
-    top of at-least-once delivery. The store is O(groups · buckets)
-    integer rows — bounded dimension data, like HllStore.
+    top of at-least-once delivery.
+
+    SIZE CONTRACT (shared with HllStore): the store is O(groups ·
+    buckets) integer rows and is treated as BOUNDED DIMENSION DATA —
+    reads materialize driver-side under the store lock (what closes
+    the swap races), and writes coalesce to one file. Group
+    cardinality must therefore stay dimension-sized (services, keys,
+    sources — thousands to low millions); an unbounded group domain
+    needs a partitioned store design, not this class.
     """
 
     def __init__(
@@ -753,27 +810,59 @@ class DdStore:
     def sketches(self) -> DataFrame:
         """Current merged table ``(grp, sgn, bucket, n)``."""
         with self._locked():
-            return self._sketches_unlocked()[0]
+            return self._data_unlocked()
 
     def applied(self) -> set[int]:
-        """Batch ids already merged (the exactly-once ledger)."""
+        """Batch ids already merged (the exactly-once ledger) — reads
+        only the ledger file, not the bucket table."""
         with self._locked():
-            return self._sketches_unlocked()[1]
+            return self._ledger_unlocked()
 
-    def _sketches_unlocked(self) -> tuple[DataFrame, set[int]]:
+    def _recovered(self):
+        """Recover/validate the current generation (call under the
+        lock): restores the missing-dir crash window, and rolls a
+        PRESENT-but-torn generation (unreadable ledger or parquet —
+        rename without fsync after a power loss) back to the retained
+        backup; the torn write was never recorded in a durable ledger,
+        so the producer's retry re-applies it exactly once. Returns
+        True if a generation exists."""
         import json
         import os
 
-        _recover_data_dir(self._data)
-        schema = "grp string, sgn int, bucket long, n long"
-        if not os.path.isdir(self._data):
-            return self.spark.createDataFrame([], schema), set()
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(os.path.join(self._data, "data"))
+        _recover_data_dir(self._data)
+        if not os.path.isdir(self._data):
+            return False
+        try:
+            with open(os.path.join(self._data, "applied.json")) as f:
+                json.load(f)
+            pq.ParquetDataset(os.path.join(self._data, "data"))
+        except (OSError, ValueError, pa.ArrowInvalid):
+            if not _restore_backup(self._data):
+                raise
+        return os.path.isdir(self._data)
+
+    def _ledger_unlocked(self) -> set[int]:
+        import json
+        import os
+
+        if not self._recovered():
+            return set()
         with open(os.path.join(self._data, "applied.json")) as f:
-            ids = set(json.load(f))
-        return self.spark.createDataFrame(tbl.to_pandas(), schema=schema), ids
+            return set(json.load(f))
+
+    def _data_unlocked(self) -> DataFrame:
+        import pyarrow.parquet as pq
+
+        import os
+
+        schema = "grp string, sgn int, bucket long, n long"
+        if not self._recovered():
+            return self.spark.createDataFrame([], schema)
+        tbl = pq.read_table(os.path.join(self._data, "data"))
+        return self.spark.createDataFrame(tbl.to_pandas(), schema=schema)
 
     # -- writes ---------------------------------------------------------
 
@@ -800,19 +889,25 @@ class DdStore:
             min_value=self.min_value,
         )
         with self._locked():
-            current, ids = self._sketches_unlocked()
+            ids = self._ledger_unlocked()
             if int(batch_id) in ids:
                 return False
             merged = (
-                current.unionByName(batch)
+                self._data_unlocked()
+                .unionByName(batch)
                 .groupBy("grp", "sgn", "bucket")
                 .agg(F.sum("n").alias("n"))
             )
             tmp = self._data + f".tmp-{os.getpid()}-{time.time_ns():x}"
             os.makedirs(tmp)
             merged.coalesce(1).write.parquet(os.path.join(tmp, "data"))
+            # fsync the ledger before the swap: it is what makes the
+            # generation count as durably committed (a torn rename is
+            # detected by _recovered and rolled back to the backup)
             with open(os.path.join(tmp, "applied.json"), "w") as f:
                 json.dump(sorted(ids | {int(batch_id)}), f)
+                f.flush()
+                os.fsync(f.fileno())
             _swap_data_dir(self._data, tmp)
             return True
 

@@ -989,22 +989,30 @@ def bpe_train_sql(table: str, text_col: str, *, num_merges: int = 8) -> str:
 # and flip a 1e-6-scaled floor (the bm25_topk r6 driver-red). sqrt and
 # the four arithmetic ops ARE correctly rounded everywhere, so the same
 # op sequence over the same doubles is bit-identical in any engine.
-_LN_CR_SQRTS = 8  # range reduction: ln(x) = 2^k * ln(x^(1/2^k))
+# k=16 reductions cover the FULL positive double range: |ln x| <= 709,
+# so ln(y) <= 709/65536 = 0.011, z <= 0.0055, series truncation z^9/9
+# ~ 1e-20; the dominant error is the sqrt chain's accumulated 0.5-ulp
+# relative error amplified by 2^(k+1): ~1e-10 absolute on ln x —
+# orders below every consumer's quantum (bm25's 1e-6 floor, DDSketch's
+# ~0.02 bucket width). k=8 was accurate only to ~3e7 (r7 review).
+_LN_CR_SQRTS = 16  # range reduction: ln(x) = 2^k * ln(x^(1/2^k))
 
 
 def ln_cr(x: Column) -> Column:
     """Natural log of ``x`` using only correctly-rounded IEEE doubles
     ops (+, -, *, /, sqrt) — bit-identical across JVM and libm engines.
 
-    Range-reduce with ``_LN_CR_SQRTS`` square roots (y = x^(1/256), so
-    ln(y) <= 0.07 for x up to ~3e7), then the atanh series
-    ``ln(y) = 2(z + z^3/3 + z^5/5 + z^7/7)`` with z = (y-1)/(y+1); the
-    truncation error z^9/9 is < 4e-15 before the 2*2^k = 512 scale, so
-    absolute error < 2e-12 — far inside the gates' 1e-6 quantum. The op
-    sequence here and in :func:`ln_cr_sql` is IDENTICAL (same
-    associativity, same literals), which is what makes the value
-    hashable cross-engine. Valid for x in (0, ~3e7); intended for the
-    bounded idf arguments of :func:`bm25_topk`.
+    Range-reduce with ``_LN_CR_SQRTS`` = 16 square roots
+    (y = x^(1/65536), so ln(y) <= 0.011 over the ENTIRE positive
+    double range), then the atanh series
+    ``ln(y) = 2(z + z^3/3 + z^5/5 + z^7/7)`` with z = (y-1)/(y+1).
+    Absolute error < ~1e-10 for any positive finite double (dominated
+    by the sqrt chain's accumulated half-ulp relative error amplified
+    by the 2^17 rescale; series truncation is ~1e-20) — orders below
+    every consumer's quantum. The op sequence here and in
+    :func:`ln_cr_sql` is IDENTICAL (same associativity, same
+    literals), which is what makes the value hashable cross-engine:
+    even at a quantization boundary both engines floor the SAME bits.
     """
     y = x
     for _ in range(_LN_CR_SQRTS):

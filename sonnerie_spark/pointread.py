@@ -556,33 +556,37 @@ def arrow_agg_series(
             # homogeneous-format run uses exactly one numeric lane.
             # Parquet leaf statistics prove emptiness for free
             # (stats.num_values == 0 in every row group <=> the lane
-            # holds no values anywhere), so skip reading a lane the
-            # footer proves empty; stats absent -> conservatively read.
+            # holds no values anywhere). A lane is elided ONLY on
+            # positive proof: its leaf path must be SEEN in every row
+            # group with zero values — a path that never appears (a
+            # writer naming the list child something other than
+            # 'element', e.g. pyarrow<11's 'item') counts as unproven
+            # and is read, never silently dropped (r7 review).
             lanes = {
-                "v_long.list.element": False,
-                "v_double.list.element": False,
+                "v_long.list.element": 0,  # row groups proven empty
+                "v_double.list.element": 0,
             }
+            total_rgs = 0
             for frag in dset.get_fragments():
                 md = frag.metadata
+                total_rgs += md.num_row_groups
                 for rgi in range(md.num_row_groups):
                     rg = md.row_group(rgi)
                     for ci in range(rg.num_columns):
                         col = rg.column(ci)
                         p = col.path_in_schema
-                        if p in lanes and not lanes[p]:
+                        if p in lanes:
                             st = col.statistics
                             if (
-                                st is None
-                                or st.num_values is None
-                                or st.num_values > 0
+                                st is not None
+                                and st.num_values is not None
+                                and st.num_values == 0
                             ):
-                                lanes[p] = True
-                if all(lanes.values()):
-                    break
+                                lanes[p] += 1
             cols = ["key"]
-            if lanes["v_long.list.element"]:
+            if lanes["v_long.list.element"] < total_rgs or total_rgs == 0:
                 cols.append("v_long")
-            if lanes["v_double.list.element"]:
+            if lanes["v_double.list.element"] < total_rgs or total_rgs == 0:
                 cols.append("v_double")
             tbl = dset.to_table(columns=cols, filter=filt)
         except (OSError, pa.ArrowInvalid):

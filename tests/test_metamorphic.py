@@ -785,8 +785,9 @@ def test_ln_cr_accuracy_and_cross_engine_bitmatch(spark):
         s = z + (z * z2) / 3.0 + (z * z2 * z2) / 5.0 + (z * z2 * z2 * z2) / 7.0
         return s * float(2 ** (_LN_CR_SQRTS + 1))
 
-    xs = [1.0 + 1e-7, 1.5, 2.0, 3.7, 10.0, 101.5, 999.25, 20001.0,
-          123456.789, 3e6, 2.9e7]
+    xs = [1e-300, 1e-150, 1e-30, 1e-8, 0.5, 1.0 + 1e-7, 1.5, 2.0, 3.7,
+          10.0, 101.5, 999.25, 20001.0, 123456.789, 3e6, 2.9e7, 1e100,
+          1e150, 1e250, 1e300, 1.7e308]
     con = duckdb.connect()
     sdf = spark.createDataFrame([(x,) for x in xs], ["x"]).select(
         ln_cr(F.col("x")).alias("v")

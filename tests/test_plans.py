@@ -428,6 +428,12 @@ def test_gates_release_their_caches():
 
     from sonnerie_spark import benchqueries as bq
 
+    import re
+
+    # operators that persist() internally and offer a materialize=True
+    # release path (their default lazy return relies on ContextCleaner)
+    persisting_ops = ("repeated_spans", "dedup_substrings",
+                      "simhash_near_pairs")
     for d in bq.REGISTRY:
         src = inspect.getsource(d.spark)
         if ".persist()" in src:
@@ -435,6 +441,27 @@ def test_gates_release_their_caches():
                 f"gate {d.name!r} persists without releasing - return "
                 "via _materialize_release(out, <cached frames...>)"
             )
+        for op in persisting_ops:
+            for m in re.finditer(rf"\b{op}\(", src):
+                call = src[m.start():src.index(")", m.start()) + 1]
+                # crude but sufficient: the call (possibly multi-line)
+                # must pass materialize=True
+                end = m.start()
+                depth = 0
+                for i in range(m.end() - 1, len(src)):
+                    if src[i] == "(":
+                        depth += 1
+                    elif src[i] == ")":
+                        depth -= 1
+                        if depth == 0:
+                            end = i
+                            break
+                call = src[m.start():end + 1]
+                assert "materialize=True" in call, (
+                    f"gate {d.name!r} calls {op} (which persists "
+                    "internally) without materialize=True - its cache "
+                    "would leak past the gate"
+                )
 
 
 def test_no_transcendental_in_any_oracle():

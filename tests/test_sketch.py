@@ -373,3 +373,60 @@ def test_dd_store_concurrent_adds_serialize(spark, tmp_path):
         for r in store.sketches().collect()
     )
     assert got == want
+
+
+def test_dd_store_torn_generation_rolls_back_to_backup(spark, tmp_path):
+    """A present-but-torn generation (rename surfaced without durable
+    contents after a power loss — simulated by truncating the ledger)
+    rolls back to the retained backup: the torn batch was never
+    durably recorded, so its retry re-applies it exactly once."""
+    import json
+    import os
+
+    from sonnerie_spark.operators.sketch import DdStore
+
+    rows = [(f"g{i % 2}", float(i % 7 + 1.0)) for i in range(100)]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    store = DdStore(spark, str(tmp_path / "ddt"))
+    assert store.add(0, df.filter("x <= 3"), "g", "x") is True
+    assert store.add(1, df.filter("x > 3"), "g", "x") is True  # keeps gen0 as backup
+
+    # tear the CURRENT generation's ledger (torn rename simulation)
+    with open(os.path.join(store._data, "applied.json"), "w") as f:
+        f.write('{"tor')  # invalid json
+    # reads roll back to the backup: only batch 0 is applied
+    assert store.applied() == {0}
+    # the torn batch's retry re-applies cleanly
+    assert store.add(1, df.filter("x > 3"), "g", "x") is True
+    assert store.applied() == {0, 1}
+    want = sorted(
+        (r["grp"], r["sgn"], r["bucket"], r["n"])
+        for r in sketch.dd_sketch_grouped(df, "g", "x").collect()
+    )
+    got = sorted(
+        (r["grp"], r["sgn"], r["bucket"], r["n"])
+        for r in store.sketches().collect()
+    )
+    assert got == want
+
+
+def test_dd_sketch_drops_infinities(spark):
+    """±inf rows are dropped like NaN (an infinity has no finite
+    bucket: unfiltered it corrupted bucket (1, 0) in Spark and crashed
+    DuckDB's BIGINT cast — r7 review), and the SQL mirror agrees."""
+    import duckdb
+    import pandas as pd
+
+    vals = [1.0, 2.5, -3.0, float("inf"), float("-inf"), float("nan"), 0.0]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    got = sorted(
+        (r["sgn"], r["bucket"], r["n"])
+        for r in sketch.dd_sketch(df, "x").collect()
+    )
+    assert sum(n for _, _, n in got) == 4  # inf/-inf/nan all dropped
+    con = duckdb.connect()
+    con.register("tv", pd.DataFrame({"x": vals}))
+    mirror = sorted(
+        con.execute(sketch.dd_sketch_sql("x", "tv")).fetchall()
+    )
+    assert got == [(s, b, int(n)) for s, b, n in mirror]
