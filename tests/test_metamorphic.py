@@ -1165,3 +1165,38 @@ def test_operator_argument_guards(spark):
     with pytest.raises(ValueError, match="budget must be"):
         budget_mix(df, "source", "doc_id", "n_tokens",
                    budget=0, weights={"s": 1})
+
+
+def test_bpe_train_pairless_corpus_and_dd_quantile_extremes(spark):
+    """Edges: a corpus with no adjacent pairs (every word one char)
+    learns ZERO merges in BOTH engines (Spark breaks the loop; the
+    chained-CTE oracle's empty argmax propagates emptiness through
+    every stage); dd_group_quantile at q=0 / q=1 picks each group's
+    first / last bucket within the relative bound."""
+    import duckdb
+
+    from sonnerie_spark.operators.sketch import (
+        dd_group_quantile,
+        dd_sketch_grouped,
+    )
+    from sonnerie_spark.operators.text import bpe_train, bpe_train_sql
+
+    texts = ["a b c", "d e", "f"]
+    got = bpe_train(
+        spark.createDataFrame([(t,) for t in texts], ["text"]),
+        "text",
+        num_merges=4,
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE docs AS SELECT * FROM "
+        "(VALUES ('a b c'), ('d e'), ('f')) v(text)"
+    )
+    assert got == []
+    assert con.execute(bpe_train_sql("docs", "text", num_merges=4)).fetchall() == []
+
+    rows = [("g", float(v)) for v in [1.0, 10.0, 100.0, 1000.0]]
+    sk = dd_sketch_grouped(spark.createDataFrame(rows, ["g", "x"]), "g", "x")
+    lo = dd_group_quantile(sk, 0.0).collect()[0]
+    hi = dd_group_quantile(sk, 1.0).collect()[0]
+    assert abs(lo["est"] - 1.0) < 0.01 and abs(hi["est"] - 1000.0) < 10.0
