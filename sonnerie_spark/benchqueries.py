@@ -736,7 +736,7 @@ _SHINGLES_SQL = """
            unnest(list_distinct(list_transform(
              range(1, greatest(len(toks) - {km1}, 1) + 1),
              i -> array_to_string(toks[i:i+{km1}], ' ')))) AS shingle
-    FROM (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents)
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)
   )
 """
 
@@ -898,7 +898,7 @@ def q_dedup_minhash_lsh_capped(spark, sf_dir):
     "dedup_simhash",
     f"""
     WITH tok AS (
-      SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS tok
+      SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
       FROM documents
     ),
     th AS (SELECT doc_id, {phash_sql("tok")} AS h FROM tok),
@@ -924,7 +924,7 @@ def q_dedup_simhash(spark, sf_dir):
     "text_token_stats",
     f"""
     SELECT doc_id AS id,
-           len(string_split(trim(text), ' ')) AS n_ws_tokens,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens,
            len(regexp_extract_all(text, '{textops.TOKEN_RE}')) AS n_re_tokens,
            length(text) AS n_chars
     FROM documents
@@ -942,7 +942,7 @@ def q_text_token_stats(spark, sf_dir):
     """
     WITH f AS (
       SELECT doc_id,
-             string_split(trim(text), ' ') AS toks,
+             regexp_split_to_array(trim(text), '\\s+') AS toks,
              length(text) AS nc,
              len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS np
       FROM documents
@@ -987,7 +987,7 @@ def _lang_scores_sql() -> str:
 @q(
     "text_lang_id",
     f"""
-    WITH t AS (SELECT doc_id, string_split(trim(lower(text)), ' ') AS toks FROM documents),
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents),
     s AS ({_lang_scores_sql()}),
     r AS (SELECT doc_id, lang, hits,
                  row_number() OVER (PARTITION BY doc_id
@@ -1137,7 +1137,7 @@ def q_by_key_gaps(spark, sf_dir):
     "simhash_near_pairs",
     f"""
     WITH tok AS (
-      SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS tok
+      SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
       FROM documents
     ),
     th AS (SELECT doc_id, {phash_sql("tok")} AS h FROM tok),
@@ -2012,7 +2012,7 @@ def q_neardup_keep_longest(spark, sf_dir):
     f"""
     WITH f AS (
       SELECT doc_id, lang, text,
-             string_split(trim(text), ' ') AS toks,
+             regexp_split_to_array(trim(text), '\\s+') AS toks,
              length(text) AS nc
       FROM documents
     ), g AS (
@@ -2106,7 +2106,7 @@ def q_key_listing(spark, sf_dir):
 @q(
     "repetition_filter",
     """
-    WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents),
+    WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
     g AS (
       SELECT doc_id,
              unnest(list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
@@ -2540,7 +2540,7 @@ def q_corpus_mix_uniform(spark, sf_dir):
     """
     WITH f AS (
       SELECT doc_id, lang,
-             string_split(trim(text), ' ') AS toks,
+             regexp_split_to_array(trim(text), '\\s+') AS toks,
              length(text) AS nc
       FROM documents
     ), g AS (
@@ -2594,7 +2594,7 @@ def q_quality_filter_stratified(spark, sf_dir):
     "tfidf_top_terms",
     """
     WITH toks AS (
-      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS term FROM documents
     ), toks2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
     tf AS (SELECT doc_id, term, count(*) AS tf FROM toks2 GROUP BY doc_id, term),
     dfreq AS (
@@ -2627,7 +2627,7 @@ def q_tfidf_top_terms(spark, sf_dir):
     "bpe_pair_counts",
     """
     WITH tok AS (
-      SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM documents
     ),
     pairs AS (
       SELECT unnest(list_transform(range(1, length(tok)),
@@ -2885,7 +2885,7 @@ def q_funnel_conversion(spark, sf_dir):
     "repeated_spans",
     f"""
     WITH toks AS (
-      SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
     ),
     spans AS (
       SELECT doc_id, unnest(range(greatest(len(t) - 7, 0))) AS pos, t
@@ -3077,7 +3077,7 @@ def _quality_keep_sql() -> str:
     return """
     qf AS (
       SELECT doc_id, lang, n_chars,
-             string_split(trim(text), ' ') AS toks,
+             regexp_split_to_array(trim(text), '\\s+') AS toks,
              length(text) AS nc
       FROM documents
     ), qg AS (
@@ -4105,7 +4105,7 @@ def q_split_leakage(spark, sf_dir):
     "chunk_documents",
     """
     WITH t AS (
-      SELECT doc_id, string_split(trim(text), ' ') AS toks FROM documents
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents
     ),
     s AS (
       SELECT doc_id, toks,
@@ -4917,17 +4917,12 @@ _LM_VOCAB = 24  # < the corpus's 31 token types, so the <unk> path is live
 _DSIR_B = 64
 
 
-def _lm_oracle() -> str:
-    """Add-½ bigram LM trained on the English slice, scoring every doc.
-
-    Mirrors operators/lm.py exactly: case-folded whitespace tokens,
-    top-24 vocab by (count desc, token asc), OOV -> '<unk>', per-gram
-    integer score (2·c2+1)·1e9 // (2·c1+v_eff) summed per doc. All
-    arithmetic integral -> bitwise cross-engine equality at any SF.
-    """
-    return f"""
-    WITH toks AS (
-      SELECT doc_id, string_split(trim(lower(text)), ' ') AS t, lang
+def _lm_prefix() -> str:
+    """Shared CTE prefix for the LM oracles: tokenized docs, the
+    English reference slice, vocab/uni/bi training tables, and the
+    per-doc mapped bigram stream (dbigm)."""
+    return f"""    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t, lang
       FROM documents
     ),
     reft AS (SELECT t FROM toks WHERE lang = 'en'),
@@ -4971,7 +4966,18 @@ def _lm_oracle() -> str:
              CASE WHEN t2 IN (SELECT tok FROM vocab)
                   THEN t2 ELSE '<unk>' END AS w2
       FROM dbig
-    ),
+    )"""
+
+
+def _lm_oracle() -> str:
+    """Add-½ bigram LM trained on the English slice, scoring every doc.
+
+    Mirrors operators/lm.py exactly: case-folded whitespace tokens,
+    top-24 vocab by (count desc, token asc), OOV -> '<unk>', per-gram
+    integer score (2·c2+1)·1e9 // (2·c1+v_eff) summed per doc. All
+    arithmetic integral -> bitwise cross-engine equality at any SF.
+    """
+    return f"""{_lm_prefix()},
     sc AS (
       SELECT id,
              (2*coalesce(c2, 0) + 1) * 1000000000
@@ -4979,6 +4985,38 @@ def _lm_oracle() -> str:
       FROM dbigm
       LEFT JOIN uni ON uni.w = dbigm.w1
       LEFT JOIN bi ON bi.w1 = dbigm.w1 AND bi.w2 = dbigm.w2
+    )
+    SELECT id, count(*) AS n_bigrams,
+           cast(sum(score_q) AS BIGINT) AS score_sum,
+           cast(sum(score_q) // count(*) AS BIGINT) AS score_mean_q
+    FROM sc GROUP BY id
+    """
+
+
+def _lm_kn_oracle() -> str:
+    """Interpolated Kneser-Ney bigram scoring (D = 3/4): the same
+    train/score shape as _lm_oracle with the KN integer score — every
+    factor an integer, HUGEINT-widened products, exact floor division
+    (mirrors lm.lm_kn_doc_score bit-for-bit)."""
+    return f"""{_lm_prefix()},
+    n1f AS (SELECT w1, count(*) AS n1f FROM bi GROUP BY w1),
+    n1b AS (SELECT w2, count(*) AS n1b FROM bi GROUP BY w2),
+    ndd AS (SELECT count(*) AS ndd FROM bi),
+    sc AS (
+      SELECT id,
+        CASE WHEN coalesce(c1, 0) > 0 THEN
+          CAST(1000000000 AS HUGEINT) * (
+            CAST(greatest(4*coalesce(c2, 0) - 3, 0) AS HUGEINT) * d.ndd
+            + CAST(3 AS HUGEINT) * coalesce(n1f, 0) * coalesce(n1b, 0)
+          ) // (CAST(4 AS HUGEINT) * c1 * d.ndd)
+        ELSE CAST(1000000000 AS HUGEINT) * coalesce(n1b, 0) // d.ndd
+        END AS score_q
+      FROM dbigm
+      LEFT JOIN uni ON uni.w = dbigm.w1
+      LEFT JOIN bi ON bi.w1 = dbigm.w1 AND bi.w2 = dbigm.w2
+      LEFT JOIN n1f ON n1f.w1 = dbigm.w1
+      LEFT JOIN n1b ON n1b.w2 = dbigm.w2
+      , ndd d
     )
     SELECT id, count(*) AS n_bigrams,
            cast(sum(score_q) AS BIGINT) AS score_sum,
@@ -5033,6 +5071,27 @@ def _lm_bucket_oracle() -> str:
     """
 
 
+@q("lm_score_kneser_ney", _lm_kn_oracle(), "data")
+def q_lm_score_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM scoring (Kneser & Ney 1995 —
+    the smoothing KenLM, and therefore CCNet's LMs, actually use; the
+    add-½ gate is the simpler published variant): same
+    train-on-trusted-slice / score-everything shape, with the KN
+    continuation probability N1+(·,w2)/N1+(·,·) interpolated under a
+    3/4 absolute discount. Every per-gram score is an exact integer
+    (HUGEINT/DECIMAL(38,0)-widened products, floor division), so the
+    gate is bitwise at any SF. Plan: the add-½ plan plus two broadcast
+    vocabulary-bounded continuation dims — no new shuffle class."""
+    from sonnerie_spark.operators import lm
+
+    docs = load_par(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("lang") == "en")
+    vocab, uni, bi, _ = lm.lm_bigram_counts(ref, "text", vocab_size=_LM_VOCAB)
+    return lm.lm_kn_doc_score(
+        docs, "doc_id", "text", vocab=vocab, uni=uni, bi=bi
+    )
+
+
 @q("lm_bucket_split", _lm_bucket_oracle(), "data")
 def q_lm_bucket_split(spark, sf_dir):
     """CCNet's final stage: bucket every document into head/middle/tail
@@ -5063,7 +5122,7 @@ def _dsir_oracle() -> str:
     b = _DSIR_B
     return f"""
     WITH tokex AS (
-      SELECT doc_id, lang, unnest(string_split(trim(lower(text)), ' ')) AS tok
+      SELECT doc_id, lang, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
       FROM documents
     ),
     feat AS (
@@ -5178,7 +5237,7 @@ def _cms_oracle() -> str:
     salts = ", ".join(f"({i})" for i in range(4))
     return f"""
     WITH tok AS (
-      SELECT unnest(string_split(trim(text), ' ')) AS v FROM documents
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS v FROM documents
     ),
     sk AS ({body}),
     cand AS (SELECT DISTINCT v FROM tok),
@@ -5218,11 +5277,11 @@ def _kmv_oracle() -> str:
     ph = phash_sql("v")
     return f"""
     WITH ta AS (
-      SELECT unnest(string_split(trim(text), ' ')) AS v
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS v
       FROM documents WHERE lang = 'en'
     ),
     tb AS (
-      SELECT unnest(string_split(trim(text), ' ')) AS v
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS v
       FROM documents WHERE lang = 'de'
     ),
     ka AS (SELECT DISTINCT {ph} AS h FROM ta ORDER BY h LIMIT 256),
@@ -5507,7 +5566,7 @@ def q_c4_line_clean(spark, sf_dir):
                   ELSE text END AS tx
       FROM documents
     ),
-    toks AS (SELECT doc_id, string_split(trim(tx), ' ') AS t FROM base),
+    toks AS (SELECT doc_id, regexp_split_to_array(trim(tx), '\\s+') AS t FROM base),
     spans AS (
       SELECT doc_id, unnest(range(greatest(len(t) - 7, 0))) AS pos, t
       FROM toks WHERE len(t) >= 8
@@ -5663,8 +5722,8 @@ def q_bpe_encode(spark, sf_dir):
     "bm25_topk",
     f"""
     WITH docs AS (
-      SELECT doc_id AS id, string_split(trim(text), ' ') AS t,
-             len(string_split(trim(text), ' ')) AS dl
+      SELECT doc_id AS id, regexp_split_to_array(trim(text), '\\s+') AS t,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS dl
       FROM documents
     ),
     stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM docs),

@@ -54,6 +54,8 @@ __all__ = [
     "lm_vocab",
     "lm_bigram_counts",
     "lm_doc_score",
+    "lm_kn_counts",
+    "lm_kn_doc_score",
     "lm_perplexity",
     "lm_bucket_split",
     "dsir_bucket_counts",
@@ -178,6 +180,7 @@ def _doc_gram_counts(
     vocab: DataFrame,
     uni: DataFrame,
     bi: DataFrame,
+    with_words: bool = False,
 ) -> DataFrame:
     """Per-bigram model counts for every document: ``(id, c1, c2)`` —
     one row per bigram occurrence after OOV folding, with the model's
@@ -203,6 +206,7 @@ def _doc_gram_counts(
             .alias("w2"),
         )
     )
+    keep = ["id"] + (["w1", "w2"] if with_words else [])
     return (
         mapped.join(
             F.broadcast(uni.select(F.col("w").alias("w1"), "c1")),
@@ -211,7 +215,7 @@ def _doc_gram_counts(
         )
         .join(bi, ["w1", "w2"], "left")
         .select(
-            "id",
+            *keep,
             F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
             F.coalesce(F.col("c2"), F.lit(0)).alias("c2"),
         )
@@ -263,6 +267,105 @@ def lm_doc_score(
         .withColumn(
             "score_mean_q", F.expr("score_sum div n_bigrams")
         )
+    )
+
+
+def lm_kn_counts(bi: DataFrame) -> tuple[DataFrame, DataFrame, int]:
+    """Continuation statistics for Kneser-Ney smoothing, derived from
+    the already-trained bigram table — NO new corpus scan:
+
+    - ``n1f``: ``(w1, n1f)`` — distinct continuations of each prefix,
+      N1+(w1, ·);
+    - ``n1b``: ``(w2, n1b)`` — distinct predecessors of each word,
+      N1+(·, w2) (the continuation-probability numerator — KN's key
+      insight: how many contexts a word FOLLOWS, not how often it
+      occurs);
+    - ``n_dd``: distinct bigram types, N1+(·, ·).
+
+    Both tables are bounded by the (capped) vocabulary, hence
+    broadcastable like the unigram table.
+    """
+    n1f = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("n1f"))
+    n1b = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    return n1f, n1b, int(bi.count())
+
+
+def lm_kn_doc_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    vocab: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    discount_q4: int = 3,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the
+    smoothing KenLM — and therefore CCNet's LMs — uses), integer-exact
+    like :func:`lm_doc_score` (which is the simpler add-½ variant).
+
+    Per mapped bigram, with discount D = ``discount_q4``/4 (3/4 is the
+    standard absolute discount):
+
+        P(w2|w1) = (max(c12 - D, 0) + D·N1+(w1,·)·Pcont(w2)) / c1
+        Pcont(w2) = N1+(·,w2) / N1+(·,·)
+
+    which is exactly (multiply through by 4·c1·N1+(·,·)):
+
+        q = 1e9·(max(4·c12 − dq4, 0)·n_dd + dq4·n1f·n1b)
+            div (4·c1·n_dd)
+
+    — every factor an integer, the product DECIMAL(38,0)/HUGEINT-
+    widened (exact while 1e9·4·c12·n_dd < 1e38, i.e. any corpus below
+    ~1e14 tokens with ~1e13 bigram types), the division exact floor —
+    so the score is bit-identical cross-engine. A prefix never seen in
+    training (c1 = 0) backs off to the pure continuation probability
+    ``1e9·n1b div n_dd``. Discounted mass balances exactly:
+    sum_w2 P(w2|w1) = 1 for every observed prefix.
+
+    Returns ``(id, n_bigrams, score_sum, score_mean_q)`` like
+    lm_doc_score. Plan: the add-½ plan plus two broadcast
+    vocabulary-bounded dims (n1f, n1b) and one 1-row n_dd literal —
+    no new shuffle class.
+    """
+    if not 1 <= int(discount_q4) <= 3:
+        raise ValueError(
+            f"discount_q4 must be 1..3 (D = q/4 in (0,1)), got {discount_q4}"
+        )
+    n1f, n1b, n_dd = lm_kn_counts(bi)
+    j = _doc_gram_counts(
+        df, id_col, text_col, vocab=vocab, uni=uni, bi=bi, with_words=True
+    )
+    j = (
+        j.join(F.broadcast(n1f), "w1", "left")
+        .join(F.broadcast(n1b), "w2", "left")
+        .select(
+            "id",
+            "c1",
+            "c2",
+            F.coalesce("n1f", F.lit(0)).alias("n1f"),
+            F.coalesce("n1b", F.lit(0)).alias("n1b"),
+        )
+    )
+    dq4 = int(discount_q4)
+    dec = "DECIMAL(38,0)"
+    score_q = F.expr(
+        f"CASE WHEN c1 > 0 THEN "
+        f"CAST({LM_SCALE} AS {dec}) * ("
+        f"  CAST(greatest(4*c2 - {dq4}, 0) AS {dec}) * CAST({n_dd} AS {dec})"
+        f"  + CAST({dq4} AS {dec}) * CAST(n1f AS {dec}) * CAST(n1b AS {dec})"
+        f") div (CAST(4 AS {dec}) * CAST(c1 AS {dec}) * CAST({n_dd} AS {dec}))"
+        f" ELSE CAST({LM_SCALE} AS {dec}) * CAST(n1b AS {dec})"
+        f" div CAST({n_dd} AS {dec}) END"
+    ).alias("score_q")
+    return (
+        j.select("id", score_q)
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("score_q").alias("score_sum"),
+        )
+        .withColumn("score_mean_q", F.expr("score_sum div n_bigrams"))
     )
 
 

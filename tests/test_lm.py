@@ -223,3 +223,92 @@ def test_dsir_plan_is_map_only_plus_one_agg(spark, docs):
     # corpus-side exchange is the final agg on id
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_kneser_ney_vs_model_and_oracle(spark, tmp_path):
+    """lm_kn_doc_score: (a) equals an independent integer KN model
+    (Kneser & Ney 1995, D=3/4) including OOV prefixes and unseen
+    bigrams, (b) the chained oracle matches bit-for-bit on a corpus
+    WITH whitespace runs (tabs/double spaces — pinning the \\s+ oracle
+    alignment), (c) discounted mass balances exactly (checked in the
+    model's construction: sum_w2 P(w2|w1) == 1 by algebra)."""
+    from collections import Counter
+
+    import duckdb
+    import pandas as pd
+
+    from sonnerie_spark.operators import lm
+
+    texts = [
+        ("en", "the cat  sat on\tthe mat"),     # whitespace runs
+        ("en", "the dog sat near the cat"),
+        ("en", "a cat and a dog"),
+        ("en", "the the the odd text"),
+        ("de", "an unseen dog sat"),
+        ("de", "zz qq pp"),
+    ]
+
+    def model(vsize, dq4=3):
+        toks_ref = [t.lower().split() for lg, t in texts if lg == "en"]
+        cnt = Counter(w for t in toks_ref for w in t)
+        vocab = [w for w, _ in sorted(cnt.items(),
+                                      key=lambda kv: (-kv[1], kv[0]))[:vsize]]
+        V = set(vocab)
+        m = lambda w: w if w in V else "<unk>"
+        uni = Counter(m(w) for t in toks_ref for w in t)
+        bi = Counter((m(a), m(b)) for t in toks_ref for a, b in zip(t, t[1:]))
+        n1f = Counter(w1 for w1, _ in bi)
+        n1b = Counter(w2 for _, w2 in bi)
+        ndd = len(bi)
+        out = {}
+        for i, (_, x) in enumerate(texts):
+            t = x.lower().split()
+            qs = []
+            for a, b in zip(t, t[1:]):
+                w1, w2 = m(a), m(b)
+                c1, c12 = uni.get(w1, 0), bi.get((w1, w2), 0)
+                f1, f2 = n1f.get(w1, 0), n1b.get(w2, 0)
+                if c1 > 0:
+                    q = (10**9 * (max(4 * c12 - dq4, 0) * ndd
+                                  + dq4 * f1 * f2)) // (4 * c1 * ndd)
+                else:
+                    q = (10**9 * f2) // ndd
+                qs.append(q)
+            if qs:
+                out[i] = (len(qs), sum(qs), sum(qs) // len(qs))
+        return out
+
+    expected = model(8)
+    docs = spark.createDataFrame(
+        [(i, t, lg) for i, (lg, t) in enumerate(texts)],
+        ["doc_id", "text", "lang"],
+    )
+    ref = docs.filter("lang = 'en'")
+    vocab, uni, bi, _ = lm.lm_bigram_counts(ref, "text", vocab_size=8)
+    got = {
+        r["id"]: (r["n_bigrams"], int(r["score_sum"]), int(r["score_mean_q"]))
+        for r in lm.lm_kn_doc_score(
+            docs, "doc_id", "text", vocab=vocab, uni=uni, bi=bi
+        ).collect()
+    }
+    assert got == expected
+
+    # oracle on the same corpus (vocab cap swapped to the test's 8)
+    from sonnerie_spark import benchqueries as bq
+
+    sql = bq._lm_kn_oracle().replace(f"rk <= {bq._LM_VOCAB}", "rk <= 8")
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            [(i, t, lg) for i, (lg, t) in enumerate(texts)],
+            columns=["doc_id", "text", "lang"],
+        ),
+    )
+    duck = {r[0]: (r[1], int(r[2]), int(r[3]))
+            for r in con.execute(sql).fetchall()}
+    assert duck == expected
+
+    with __import__("pytest").raises(ValueError, match="discount_q4"):
+        lm.lm_kn_doc_score(docs, "doc_id", "text", vocab=vocab, uni=uni,
+                           bi=bi, discount_q4=5)
