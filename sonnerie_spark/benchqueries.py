@@ -4999,22 +4999,21 @@ def _lm_kn_oracle() -> str:
     factor an integer, HUGEINT-widened products, exact floor division
     (mirrors lm.lm_kn_doc_score bit-for-bit)."""
     return f"""{_lm_prefix()},
-    n1f AS (SELECT w1, count(*) AS n1f FROM bi GROUP BY w1),
+    pre AS (SELECT w1, count(*) AS n1f, sum(c2) AS ptot FROM bi GROUP BY w1),
     n1b AS (SELECT w2, count(*) AS n1b FROM bi GROUP BY w2),
     ndd AS (SELECT count(*) AS ndd FROM bi),
     sc AS (
       SELECT id,
-        CASE WHEN coalesce(c1, 0) > 0 THEN
+        CAST(CASE WHEN coalesce(ptot, 0) > 0 THEN
           CAST(1000000000 AS HUGEINT) * (
             CAST(greatest(4*coalesce(c2, 0) - 3, 0) AS HUGEINT) * d.ndd
             + CAST(3 AS HUGEINT) * coalesce(n1f, 0) * coalesce(n1b, 0)
-          ) // (CAST(4 AS HUGEINT) * c1 * d.ndd)
+          ) // (CAST(4 AS HUGEINT) * ptot * d.ndd)
         ELSE CAST(1000000000 AS HUGEINT) * coalesce(n1b, 0) // d.ndd
-        END AS score_q
+        END AS BIGINT) AS score_q
       FROM dbigm
-      LEFT JOIN uni ON uni.w = dbigm.w1
       LEFT JOIN bi ON bi.w1 = dbigm.w1 AND bi.w2 = dbigm.w2
-      LEFT JOIN n1f ON n1f.w1 = dbigm.w1
+      LEFT JOIN pre ON pre.w1 = dbigm.w1
       LEFT JOIN n1b ON n1b.w2 = dbigm.w2
       , ndd d
     )

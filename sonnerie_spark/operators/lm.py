@@ -274,8 +274,12 @@ def lm_kn_counts(bi: DataFrame) -> tuple[DataFrame, DataFrame, int]:
     """Continuation statistics for Kneser-Ney smoothing, derived from
     the already-trained bigram table — NO new corpus scan:
 
-    - ``n1f``: ``(w1, n1f)`` — distinct continuations of each prefix,
-      N1+(w1, ·);
+    - ``pre``: ``(w1, n1f, ptot)`` — per prefix, the distinct
+      continuation count N1+(w1, ·) AND the bigram-prefix TOTAL
+      sum_w2 c(w1, w2). The prefix total — not the unigram count,
+      which also counts document-final occurrences that start no
+      bigram — is KN's denominator; using c1 would subnormalize every
+      prefix that ends a document (r7 review).
     - ``n1b``: ``(w2, n1b)`` — distinct predecessors of each word,
       N1+(·, w2) (the continuation-probability numerator — KN's key
       insight: how many contexts a word FOLLOWS, not how often it
@@ -283,11 +287,16 @@ def lm_kn_counts(bi: DataFrame) -> tuple[DataFrame, DataFrame, int]:
     - ``n_dd``: distinct bigram types, N1+(·, ·).
 
     Both tables are bounded by the (capped) vocabulary, hence
-    broadcastable like the unigram table.
+    broadcastable like the unigram table. Callers should pass a
+    MATERIALIZED ``bi`` (see lm_kn_doc_score) — these three
+    aggregations plus the scoring join would otherwise re-run the
+    reference-corpus training lineage once each.
     """
-    n1f = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("n1f"))
+    pre = bi.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("n1f"), F.sum("c2").alias("ptot")
+    )
     n1b = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
-    return n1f, n1b, int(bi.count())
+    return pre, n1b, int(bi.count())
 
 
 def lm_kn_doc_score(
@@ -305,44 +314,60 @@ def lm_kn_doc_score(
     like :func:`lm_doc_score` (which is the simpler add-½ variant).
 
     Per mapped bigram, with discount D = ``discount_q4``/4 (3/4 is the
-    standard absolute discount):
+    standard absolute discount) and ptot(w1) = sum_w2 c(w1,w2) the
+    bigram-PREFIX total (not the unigram count, which also counts
+    document-final occurrences and would subnormalize):
 
-        P(w2|w1) = (max(c12 - D, 0) + D·N1+(w1,·)·Pcont(w2)) / c1
+        P(w2|w1) = (max(c12 - D, 0) + D·N1+(w1,·)·Pcont(w2)) / ptot(w1)
         Pcont(w2) = N1+(·,w2) / N1+(·,·)
 
-    which is exactly (multiply through by 4·c1·N1+(·,·)):
+    which is exactly (multiply through by 4·ptot·N1+(·,·)):
 
         q = 1e9·(max(4·c12 − dq4, 0)·n_dd + dq4·n1f·n1b)
-            div (4·c1·n_dd)
+            div (4·ptot·n_dd)
 
     — every factor an integer, the product DECIMAL(38,0)/HUGEINT-
     widened (exact while 1e9·4·c12·n_dd < 1e38, i.e. any corpus below
-    ~1e14 tokens with ~1e13 bigram types), the division exact floor —
-    so the score is bit-identical cross-engine. A prefix never seen in
-    training (c1 = 0) backs off to the pure continuation probability
-    ``1e9·n1b div n_dd``. Discounted mass balances exactly:
-    sum_w2 P(w2|w1) = 1 for every observed prefix.
+    ~1e14 tokens with ~1e13 bigram types), the division exact floor,
+    the result cast back to BIGINT (the docstring bound keeps it
+    exact) — so the score is bit-identical cross-engine. A prefix
+    never seen STARTING a bigram (ptot = 0, incl. OOV) backs off to
+    the pure continuation probability ``1e9·n1b div n_dd``. Discounted
+    mass balances exactly: sum over ALL w2 of P(w2|w1) = 1 for every
+    observed prefix (each observed continuation cedes D of its count;
+    the ceded D·N1+(w1,·) is redistributed over the full Pcont
+    distribution, which sums to 1).
 
     Returns ``(id, n_bigrams, score_sum, score_mean_q)`` like
-    lm_doc_score. Plan: the add-½ plan plus two broadcast
-    vocabulary-bounded dims (n1f, n1b) and one 1-row n_dd literal —
-    no new shuffle class.
+    lm_doc_score. Plan: ``bi`` is blockified once (eager
+    localCheckpoint) so the three continuation aggregations and the
+    scoring join read materialized data instead of re-running the
+    reference-corpus training lineage four times; the continuation
+    dims broadcast (vocabulary-bounded) and n_dd is a 1-row literal —
+    no new shuffle class over the add-½ plan.
     """
     if not 1 <= int(discount_q4) <= 3:
         raise ValueError(
             f"discount_q4 must be 1..3 (D = q/4 in (0,1)), got {discount_q4}"
         )
-    n1f, n1b, n_dd = lm_kn_counts(bi)
+    bi = bi.localCheckpoint(eager=True)
+    pre, n1b, n_dd = lm_kn_counts(bi)
+    if n_dd == 0:
+        raise ValueError(
+            "lm_kn_doc_score: the trained bigram table is empty (no "
+            "reference document has >= 2 tokens) - every score would "
+            "be a silent NULL division"
+        )
     j = _doc_gram_counts(
         df, id_col, text_col, vocab=vocab, uni=uni, bi=bi, with_words=True
     )
     j = (
-        j.join(F.broadcast(n1f), "w1", "left")
+        j.join(F.broadcast(pre), "w1", "left")
         .join(F.broadcast(n1b), "w2", "left")
         .select(
             "id",
-            "c1",
             "c2",
+            F.coalesce("ptot", F.lit(0)).alias("ptot"),
             F.coalesce("n1f", F.lit(0)).alias("n1f"),
             F.coalesce("n1b", F.lit(0)).alias("n1b"),
         )
@@ -350,13 +375,13 @@ def lm_kn_doc_score(
     dq4 = int(discount_q4)
     dec = "DECIMAL(38,0)"
     score_q = F.expr(
-        f"CASE WHEN c1 > 0 THEN "
+        f"CAST(CASE WHEN ptot > 0 THEN "
         f"CAST({LM_SCALE} AS {dec}) * ("
         f"  CAST(greatest(4*c2 - {dq4}, 0) AS {dec}) * CAST({n_dd} AS {dec})"
         f"  + CAST({dq4} AS {dec}) * CAST(n1f AS {dec}) * CAST(n1b AS {dec})"
-        f") div (CAST(4 AS {dec}) * CAST(c1 AS {dec}) * CAST({n_dd} AS {dec}))"
+        f") div (CAST(4 AS {dec}) * CAST(ptot AS {dec}) * CAST({n_dd} AS {dec}))"
         f" ELSE CAST({LM_SCALE} AS {dec}) * CAST(n1b AS {dec})"
-        f" div CAST({n_dd} AS {dec}) END"
+        f" div CAST({n_dd} AS {dec}) END AS BIGINT)"
     ).alias("score_q")
     return (
         j.select("id", score_q)

@@ -635,11 +635,34 @@ def _restore_backup(data: str) -> bool:
     return True
 
 
+def _fsync_tree(path: str) -> None:
+    """fsync every file and directory under ``path`` (bounded store
+    generations: a handful of files) — the other half of rename-based
+    durability; fsyncing only one file inside the tree leaves the rest
+    (and the rename itself) at the filesystem's mercy."""
+    import os
+
+    for root, _dirs, files in os.walk(path, topdown=False):
+        for f in files:
+            fd = os.open(os.path.join(root, f), os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        fd = os.open(root, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+
+
 def _swap_data_dir(data: str, tmp: str) -> None:
     """Atomically-recoverable generation swap (call under the lock):
-    the new generation in ``tmp`` replaces ``data``; the replaced
-    generation is RETAINED as the single ``.old-*`` backup (older
-    backups deleted) so a torn post-swap directory can be rolled back
+    the new generation in ``tmp`` — fsynced file-by-file first — is
+    renamed over ``data``, and the parent directory is fsynced so the
+    rename itself is durable; the replaced generation is RETAINED as
+    the single ``.old-*`` backup (older backups deleted) so a torn
+    post-swap directory can still be rolled back
     (:func:`_restore_backup`). The two renames leave a crash window in
     which ``data`` is missing — closed by :func:`_recover_data_dir` on
     the next locked access."""
@@ -648,6 +671,7 @@ def _swap_data_dir(data: str, tmp: str) -> None:
     import shutil
     import time
 
+    _fsync_tree(tmp)
     if os.path.isdir(data):
         back = data + f".old-{time.time_ns():x}"
         os.rename(data, back)
@@ -656,6 +680,11 @@ def _swap_data_dir(data: str, tmp: str) -> None:
             shutil.rmtree(stale, ignore_errors=True)
     else:
         os.rename(tmp, data)
+    fd = os.open(os.path.dirname(data) or ".", os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
 
 
 class HllStore:
@@ -718,11 +747,14 @@ class HllStore:
 
         try:
             tbl = pq.read_table(self._data)
-        except (OSError, pa.ArrowInvalid):
+        except (FileNotFoundError, pa.ArrowInvalid):
             # torn post-crash generation (rename surfaced without its
             # contents being durable): roll back to the retained
             # backup — the torn write was never acknowledged, so the
-            # producer's retry re-applies it (max-merge: idempotent)
+            # producer's retry re-applies it (max-merge: idempotent).
+            # ONLY corruption signals trigger the destructive rollback;
+            # transient errors (EMFILE/EACCES/EIO arrive as other
+            # OSErrors) must raise, not destroy a healthy generation.
             if not _restore_backup(self._data):
                 raise
             tbl = pq.read_table(self._data)
@@ -839,10 +871,15 @@ class DdStore:
             with open(os.path.join(self._data, "applied.json")) as f:
                 json.load(f)
             pq.ParquetDataset(os.path.join(self._data, "data"))
-        except (OSError, ValueError, pa.ArrowInvalid):
+        except (FileNotFoundError, ValueError, pa.ArrowInvalid):
+            # corruption signals only (missing/truncated file, torn
+            # parquet footer); transient OSErrors raise instead of
+            # destroying a healthy acknowledged generation
             if not _restore_backup(self._data):
                 raise
         return os.path.isdir(self._data)
+
+    _SCHEMA = "grp string, sgn int, bucket long, n long"
 
     def _ledger_unlocked(self) -> set[int]:
         import json
@@ -854,15 +891,34 @@ class DdStore:
             return set(json.load(f))
 
     def _data_unlocked(self) -> DataFrame:
-        import pyarrow.parquet as pq
-
         import os
 
-        schema = "grp string, sgn int, bucket long, n long"
+        import pyarrow.parquet as pq
+
         if not self._recovered():
-            return self.spark.createDataFrame([], schema)
+            return self.spark.createDataFrame([], self._SCHEMA)
         tbl = pq.read_table(os.path.join(self._data, "data"))
-        return self.spark.createDataFrame(tbl.to_pandas(), schema=schema)
+        return self.spark.createDataFrame(tbl.to_pandas(), schema=self._SCHEMA)
+
+    def _state_unlocked(self) -> tuple[set[int], DataFrame]:
+        """Ledger AND bucket table from ONE validated generation — the
+        writer's read path: two separate recovery passes could observe
+        different generations if the second validation rolls back,
+        writing generation G's ledger over G-1's counts (a lying
+        ledger that refuses the missing batch's retry forever)."""
+        import json
+        import os
+
+        import pyarrow.parquet as pq
+
+        if not self._recovered():
+            return set(), self.spark.createDataFrame([], self._SCHEMA)
+        with open(os.path.join(self._data, "applied.json")) as f:
+            ids = set(json.load(f))
+        tbl = pq.read_table(os.path.join(self._data, "data"))
+        return ids, self.spark.createDataFrame(
+            tbl.to_pandas(), schema=self._SCHEMA
+        )
 
     # -- writes ---------------------------------------------------------
 
@@ -889,25 +945,24 @@ class DdStore:
             min_value=self.min_value,
         )
         with self._locked():
-            ids = self._ledger_unlocked()
+            ids, current = self._state_unlocked()
             if int(batch_id) in ids:
                 return False
             merged = (
-                self._data_unlocked()
-                .unionByName(batch)
+                current.unionByName(batch)
                 .groupBy("grp", "sgn", "bucket")
                 .agg(F.sum("n").alias("n"))
             )
             tmp = self._data + f".tmp-{os.getpid()}-{time.time_ns():x}"
             os.makedirs(tmp)
             merged.coalesce(1).write.parquet(os.path.join(tmp, "data"))
-            # fsync the ledger before the swap: it is what makes the
-            # generation count as durably committed (a torn rename is
-            # detected by _recovered and rolled back to the backup)
+            # the whole tmp generation is fsynced file-by-file and the
+            # parent directory fsynced after the rename (_swap_data_dir)
+            # — the standard rename-durability recipe; a crash that
+            # still tears the rename is detected by _recovered and
+            # rolled back to the backup
             with open(os.path.join(tmp, "applied.json"), "w") as f:
                 json.dump(sorted(ids | {int(batch_id)}), f)
-                f.flush()
-                os.fsync(f.fileno())
             _swap_data_dir(self._data, tmp)
             return True
 

@@ -1034,9 +1034,9 @@ def ln_cr_append(df: DataFrame, src: Column, out: str) -> DataFrame:
     once per row. Use this instead of the plain expression when the
     value feeds a CaseWhen branch or another context where whole-stage
     codegen cannot hoist common subexpressions: the single-expression
-    form textually repeats the 8-sqrt chain 32x, and unhoisted that is
-    ~50x slower per row (measured: dd_sketch 25 s -> <1 s at 20 M
-    rows). CollapseProject keeps these stages separate because each
+    form textually repeats the 16-sqrt chain 32x, and unhoisted that
+    is ~50x slower per row (measured at k=8: dd_sketch 25 s -> <1 s
+    at 20 M rows; k=16 doubles the unhoisted chain). CollapseProject keeps these stages separate because each
     intermediate is referenced more than once downstream; the op
     sequence — and therefore the value — is bit-identical to ln_cr.
     """

@@ -255,9 +255,11 @@ def test_kneser_ney_vs_model_and_oracle(spark, tmp_path):
                                       key=lambda kv: (-kv[1], kv[0]))[:vsize]]
         V = set(vocab)
         m = lambda w: w if w in V else "<unk>"
-        uni = Counter(m(w) for t in toks_ref for w in t)
         bi = Counter((m(a), m(b)) for t in toks_ref for a, b in zip(t, t[1:]))
         n1f = Counter(w1 for w1, _ in bi)
+        ptot = Counter()
+        for (w1, _), c in bi.items():
+            ptot[w1] += c  # bigram-PREFIX total, KN's true denominator
         n1b = Counter(w2 for _, w2 in bi)
         ndd = len(bi)
         out = {}
@@ -266,17 +268,39 @@ def test_kneser_ney_vs_model_and_oracle(spark, tmp_path):
             qs = []
             for a, b in zip(t, t[1:]):
                 w1, w2 = m(a), m(b)
-                c1, c12 = uni.get(w1, 0), bi.get((w1, w2), 0)
+                pt, c12 = ptot.get(w1, 0), bi.get((w1, w2), 0)
                 f1, f2 = n1f.get(w1, 0), n1b.get(w2, 0)
-                if c1 > 0:
+                if pt > 0:
                     q = (10**9 * (max(4 * c12 - dq4, 0) * ndd
-                                  + dq4 * f1 * f2)) // (4 * c1 * ndd)
+                                  + dq4 * f1 * f2)) // (4 * pt * ndd)
                 else:
                     q = (10**9 * f2) // ndd
                 qs.append(q)
             if qs:
                 out[i] = (len(qs), sum(qs), sum(qs) // len(qs))
         return out
+
+    # exact mass balance (Fractions): for every observed prefix,
+    # sum over ALL words w2 of P(w2|w1) == 1 precisely
+    from fractions import Fraction
+
+    toks_ref = [t.lower().split() for lg, t in texts if lg == "en"]
+    bi_c = Counter((a, b) for t in toks_ref for a, b in zip(t, t[1:]))
+    n1f_c = Counter(w1 for w1, _ in bi_c)
+    pt_c = Counter()
+    for (w1, _), c in bi_c.items():
+        pt_c[w1] += c
+    n1b_c = Counter(w2 for _, w2 in bi_c)
+    ndd_c = len(bi_c)
+    D = Fraction(3, 4)
+    allw2 = {b for _, b in bi_c}
+    for w1 in pt_c:
+        tot = sum(
+            (max(Fraction(bi_c.get((w1, w2), 0)) - D, 0)
+             + D * n1f_c[w1] * Fraction(n1b_c[w2], ndd_c)) / pt_c[w1]
+            for w2 in allw2
+        )
+        assert tot == 1, (w1, tot)
 
     expected = model(8)
     docs = spark.createDataFrame(

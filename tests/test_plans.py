@@ -443,10 +443,9 @@ def test_gates_release_their_caches():
             )
         for op in persisting_ops:
             for m in re.finditer(rf"\b{op}\(", src):
-                call = src[m.start():src.index(")", m.start()) + 1]
-                # crude but sufficient: the call (possibly multi-line)
-                # must pass materialize=True
-                end = m.start()
+                # balanced-paren scan extracts the (possibly
+                # multi-line) call; it must pass materialize=True
+                end = None
                 depth = 0
                 for i in range(m.end() - 1, len(src)):
                     if src[i] == "(":
@@ -456,6 +455,7 @@ def test_gates_release_their_caches():
                         if depth == 0:
                             end = i
                             break
+                assert end is not None, (d.name, op, "unbalanced call")
                 call = src[m.start():end + 1]
                 assert "materialize=True" in call, (
                     f"gate {d.name!r} calls {op} (which persists "
