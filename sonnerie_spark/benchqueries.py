@@ -923,10 +923,14 @@ def q_dedup_simhash(spark, sf_dir):
 @q(
     "text_token_stats",
     f"""
+    -- casts: DuckDB len()/length() are BIGINT, Spark size()/length()
+    -- are INT; the driver hash is typed, so widths must be identical
     SELECT doc_id AS id,
-           len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens,
-           len(regexp_extract_all(text, '{textops.TOKEN_RE}')) AS n_re_tokens,
-           length(text) AS n_chars
+           cast(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER)
+             AS n_ws_tokens,
+           cast(len(regexp_extract_all(text, '{textops.TOKEN_RE}')) AS INTEGER)
+             AS n_re_tokens,
+           cast(length(text) AS INTEGER) AS n_chars
     FROM documents
     """,
     "data",
@@ -953,7 +957,7 @@ def q_text_token_stats(spark, sf_dir):
              len(list_distinct(toks)) AS n_distinct
       FROM f
     )
-    SELECT doc_id AS id, n AS n_words,
+    SELECT doc_id AS id, cast(n AS INTEGER) AS n_words,
            floor((nc - (n - 1)) / n * 1e6 + 0.5) / 1e6 AS mean_word_len,
            floor(n_stop / n * 1e6 + 0.5) / 1e6 AS stopword_ratio,
            floor(n_distinct / n * 1e6 + 0.5) / 1e6 AS distinct_ratio,
@@ -1074,7 +1078,7 @@ def q_embedding_topk(spark, sf_dir):
     "multimodal_meta",
     """
     SELECT doc_id AS media_id,
-           octet_length(encode(text)) AS n_bytes,
+           cast(octet_length(encode(text)) AS INTEGER) AS n_bytes,
            md5(text) AS digest
     FROM documents
     """,
@@ -1164,7 +1168,7 @@ def q_by_key_gaps(spark, sf_dir):
         ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
        AND a.doc_id < b.doc_id
     )
-    SELECT id_a, id_b, bit_count(xor(sig_a, sig_b)) AS hamming
+    SELECT id_a, id_b, cast(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
     FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 9
     """,
     "data",
@@ -1255,7 +1259,7 @@ def q_set_intersect_users(spark, sf_dir):
            cast(sum(q) as double) / (count(*) * 16777216.0) AS mean_v,
            count(*) AS n
     FROM (
-      SELECT label, u.pos AS pos,
+      SELECT label, cast(u.pos AS INTEGER) AS pos,
              cast(floor(cast(u.v as double) * 16777216) as bigint) AS q
       FROM (
         SELECT label,
@@ -2605,8 +2609,9 @@ def q_quality_filter_stratified(spark, sf_dir):
     SELECT id, term, tf, df, tfidf, rk FROM (
       SELECT tf.doc_id AS id, tf.term, tf.tf, dfreq.df,
              floor(tf.tf * n_docs / dfreq.df * 1000000 + 0.5) / 1000000 AS tfidf,
-             row_number() OVER (PARTITION BY tf.doc_id
-                                ORDER BY tf.tf * n_docs / dfreq.df DESC, tf.term) AS rk
+             cast(row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * n_docs / dfreq.df DESC, tf.term)
+                  AS INTEGER) AS rk
       FROM tf JOIN dfreq USING (term) CROSS JOIN n
     ) WHERE rk <= 3
     """,
@@ -2635,7 +2640,7 @@ def q_tfidf_top_terms(spark, sf_dir):
       FROM tok WHERE length(tok) >= 2
     ),
     counted AS (SELECT pair, count(*) AS n FROM pairs GROUP BY pair)
-    SELECT pair, n, cast(row_number() OVER (ORDER BY n DESC, pair) as bigint) AS rk
+    SELECT pair, n, cast(row_number() OVER (ORDER BY n DESC, pair) as INTEGER) AS rk
     FROM counted ORDER BY n DESC, pair LIMIT 30
     """,
     "data",
@@ -3499,11 +3504,11 @@ def q_embedding_quantize_int8(spark, sf_dir):
       SELECT p.vec_id AS probe_id, c.vec_id AS id,
              cast(list_sum(list_transform(range(1, len(p.qv) + 1),
                   i -> cast(p.qv[i] as bigint) * c.qv[i])) as bigint) AS idot,
-             row_number() OVER (
+             cast(row_number() OVER (
                PARTITION BY p.vec_id
                ORDER BY list_sum(list_transform(range(1, len(p.qv) + 1),
                         i -> cast(p.qv[i] as bigint) * c.qv[i])) DESC, c.vec_id
-             ) AS rk
+             ) AS INTEGER) AS rk
       FROM q p JOIN q c ON p.vec_id < 5 AND c.vec_id <> p.vec_id
     ) WHERE rk <= 5
     """,
@@ -3631,7 +3636,8 @@ def q_pq_encode(spark, sf_dir):
     )
     SELECT probe_id, id, adist, rk FROM (
       SELECT probe_id, id, adist,
-             row_number() OVER (PARTITION BY probe_id ORDER BY adist, id) AS rk
+             cast(row_number() OVER (PARTITION BY probe_id ORDER BY adist, id)
+                  AS INTEGER) AS rk
       FROM ad
     ) WHERE rk <= 5
     """,
@@ -3682,7 +3688,8 @@ def q_pq_ann_topk(spark, sf_dir):
     )
     SELECT probe_id, id, adist, rk FROM (
       SELECT probe_id, id, adist,
-             row_number() OVER (PARTITION BY probe_id ORDER BY adist, id) AS rk
+             cast(row_number() OVER (PARTITION BY probe_id ORDER BY adist, id)
+                  AS INTEGER) AS rk
       FROM adsum
     ) WHERE rk <= 5
     """,
@@ -3723,7 +3730,8 @@ def q_ivf_pq_topk(spark, sf_dir):
     )
     SELECT probe_id, id, adist, rk FROM (
       SELECT probe_id, id, adist,
-             row_number() OVER (PARTITION BY probe_id ORDER BY adist, id) AS rk
+             cast(row_number() OVER (PARTITION BY probe_id ORDER BY adist, id)
+                  AS INTEGER) AS rk
       FROM ad
     ) WHERE rk <= 5
     """,
@@ -5425,14 +5433,14 @@ def q_quantile_sketch_dd(spark, sf_dir):
                AS stop_hits
       FROM feat
     )
-    SELECT doc_id AS id, n_words,
+    SELECT doc_id AS id, cast(n_words AS INTEGER) AS n_words,
            floor(mean_wl * 1e6 + 0.5) / 1e6 AS mean_word_len,
            floor(hash_ratio * 1e6 + 0.5) / 1e6 AS hash_word_ratio,
            floor(ell_ratio * 1e6 + 0.5) / 1e6 AS ellipsis_word_ratio,
            floor(bullet_frac * 1e6 + 0.5) / 1e6 AS bullet_frac,
            floor(ellipsis_frac * 1e6 + 0.5) / 1e6 AS ellipsis_frac,
            floor(alpha_frac * 1e6 + 0.5) / 1e6 AS alpha_frac,
-           stop_hits,
+           cast(stop_hits AS INTEGER) AS stop_hits,
            (n_words >= 50 AND n_words <= 100000
             AND mean_wl >= 3.0 AND mean_wl <= 10.0
             AND hash_ratio < 0.1 AND ell_ratio < 0.1
@@ -5508,8 +5516,8 @@ def q_gopher_quality_filter(spark, sf_dir):
     )
     SELECT doc_id AS id,
            array_to_string(kept, chr(10)) AS text,
-           len(kept) AS n_kept,
-           len(ln) - len(kept) AS n_removed,
+           cast(len(kept) AS INTEGER) AS n_kept,
+           cast(len(ln) - len(kept) AS INTEGER) AS n_removed,
            (len(kept) >= 3
             AND NOT contains(lower(t), 'lorem ipsum')
             AND NOT contains(t, '{')) AS keep
@@ -5599,7 +5607,7 @@ def q_c4_line_clean(spark, sf_dir):
            coalesce(
              array_to_string(list_transform(ki, i -> t[i+1]), ' '), ''
            ) AS text,
-           len(t) - len(ki) AS n_removed
+           cast(len(t) - len(ki) AS INTEGER) AS n_removed
     FROM r
     """,
     "data",
@@ -5665,7 +5673,7 @@ def _bpe_oracle() -> str:
     )
     SELECT doc_id AS id,
            array_to_string(toks, '+') AS toks,
-           len(toks) AS n_tokens
+           cast(len(toks) AS INTEGER) AS n_tokens
     FROM enc
     """
 
@@ -5763,13 +5771,16 @@ def q_bpe_encode(spark, sf_dir):
       JOIN dfreq d USING (term), stats s
     ),
     scored AS (
-      SELECT q_id, id, sum(c_q6) AS score_q6
+      -- cast: DuckDB widens sum(BIGINT) to HUGEINT (int128); Spark's
+      -- F.sum stays BIGINT, and a typed driver hash flips on the width
+      -- even when every value is identical (the r7 driver-red cause).
+      SELECT q_id, id, cast(sum(c_q6) AS BIGINT) AS score_q6
       FROM matched GROUP BY q_id, id
     )
     SELECT q_id, id, score_q6, rk FROM (
       SELECT q_id, id, score_q6,
-             row_number() OVER (
-               PARTITION BY q_id ORDER BY score_q6 DESC, id) AS rk
+             cast(row_number() OVER (
+               PARTITION BY q_id ORDER BY score_q6 DESC, id) AS INTEGER) AS rk
       FROM scored
     ) WHERE rk <= 5
     """,
@@ -5803,7 +5814,8 @@ def q_bm25_topk(spark, sf_dir):
     f"""
     WITH tok AS (
       SELECT doc_id, source,
-             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+             cast(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER)
+               AS n_tokens
       FROM documents
     ),
     w(src, w) AS (VALUES ('src0', 5), ('src1', 3), ('src2', 2),

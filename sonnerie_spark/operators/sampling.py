@@ -96,8 +96,8 @@ def stratified_sample_sql(
     return f"""
     SELECT grp, id, rk FROM (
       SELECT {group_expr} AS grp, {id_expr} AS id,
-             row_number() OVER (PARTITION BY {group_expr}
-                                ORDER BY {h}, {id_expr}) AS rk
+             cast(row_number() OVER (PARTITION BY {group_expr}
+                                ORDER BY {h}, {id_expr}) AS INTEGER) AS rk
       FROM {table}
     ) WHERE rk <= {n_per_group}
     """

@@ -552,3 +552,65 @@ def test_budget_mix_is_map_only_past_totals_agg(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     # the corpus stream itself must not be hash-repartitioned
     assert "Exchange hashpartitioning(doc_id" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Oracle result-TYPE parity (the r7 bm25_topk driver-red class)
+
+
+def _tools_path():
+    import os
+    import sys
+
+    p = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    )
+    if p not in sys.path:
+        sys.path.insert(0, p)
+
+
+def test_oracle_type_parity_registry_wide(spark, sf_dir):
+    """Every oracle's bound DuckDB column types must be IDENTICAL to the
+    Spark result schema under the canonical lattice — including
+    int32-vs-int64 splits the driver happens to tolerate today
+    (tolerance must never be load-bearing). The r7 ``bm25_topk``
+    driver-red was an uncast ``sum(BIGINT)`` that DuckDB widens to
+    HUGEINT (int128) while Spark stays BIGINT: every VALUE identical,
+    the typed driver hash flipped on the width, and the value-level
+    local checker could not see it for two rounds. This test binds all
+    134 oracles (no execution on the DuckDB side; Spark side is the
+    lazily-built DataFrame) and fails on any width anywhere."""
+    _tools_path()
+    from type_parity import scan
+
+    bad = {name: mm for name, mm in scan(sf_dir) if mm}
+    assert not bad, f"oracle/Spark type mismatches: {bad}"
+
+
+def test_type_parity_catches_uncast_hugeint(sf_dir):
+    """Negative control: bm25_topk's oracle WITHOUT the
+    ``cast(sum(c_q6) AS BIGINT)`` must be flagged as int128-vs-int64 —
+    i.e. the parity lattice actually detects the exact bug that was
+    driver-red in r6/r7."""
+    import duckdb
+
+    _tools_path()
+    from type_parity import TABLES, canon_duck
+
+    from sonnerie_spark import benchqueries as bq
+
+    oracle = next(d.oracle for d in bq.REGISTRY if d.name == "bm25_topk")
+    assert "cast(sum(c_q6) AS BIGINT)" in oracle, "cast is gone — update test"
+    uncast = oracle.replace("cast(sum(c_q6) AS BIGINT)", "sum(c_q6)")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    rel = con.sql(uncast)
+    types = {c: canon_duck(t) for c, t in zip(rel.columns, rel.types)}
+    assert types["score_q6"] == "int128", types  # Spark emits int64 -> mismatch
+    fixed = con.sql(oracle)
+    ftypes = {c: canon_duck(t) for c, t in zip(fixed.columns, fixed.types)}
+    assert ftypes["score_q6"] == "int64", ftypes

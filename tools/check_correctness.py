@@ -6,7 +6,15 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 row count, sorted column names, and exact values (order-insensitive).
 Reports per-query PASS/FAIL with diffs; exits nonzero on any FAIL.
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--typed] [sf_dir] [query ...]
+
+``--typed`` additionally compares the DuckDB relation's bound column
+types against the Spark result schema through the canonical lattice in
+tools/type_parity.py and fails on ANY width/type difference.  The plain
+value compare canonicalizes to Python scalars, which is exactly why the
+r7 ``bm25_topk`` red (DuckDB HUGEINT vs Spark BIGINT — identical
+values, different width, typed driver hash flips) was invisible locally
+for two rounds; typed mode sees what the driver sees.
 """
 
 from __future__ import annotations
@@ -52,8 +60,13 @@ def rows_to_canonical(rows, colnames):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--typed"]
+    typed = "--typed" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    if typed:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from type_parity import canon_duck, canon_spark
 
     import __spark_entry__ as entrymod
     from sonnerie_spark.session import get_spark
@@ -92,6 +105,14 @@ def main():
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         problems = []
+        if typed:
+            duck = {c: canon_duck(t) for c, t in zip(rel.columns, rel.types)}
+            spk = {f.name: canon_spark(f.dataType) for f in df.schema.fields}
+            for c in sorted(set(duck) | set(spk)):
+                if duck.get(c) != spk.get(c):
+                    problems.append(
+                        f"type: {c}: oracle={duck.get(c)} spark={spk.get(c)}"
+                    )
         if sorted(scols) != sorted(ocols):
             problems.append(f"schema: spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):
