@@ -5884,8 +5884,9 @@ _DRIVER_WINDOW = [
     "format_lines", "key_listing",
     # lifecycle roundtrips (write path, versioning, continuous aggs)
     "write_path_roundtrip", "time_travel_roundtrip", "sql_over_view",
-    "continuous_rollup_roundtrip", "rollup_cascade_roundtrip",
+    "rollup_cascade_roundtrip",
     "rollup_multicol_roundtrip", "lsh_index_incremental",
+    "dd_store_roundtrip",
     # Discretionary slots rotate each round under the standing
     # subsumption rule: a gate leaves the window only if a STRICTER
     # sibling stays in it (runs the departing gate's machinery plus
@@ -5917,25 +5918,63 @@ _DRIVER_WINDOW = [
     #     hash_split WITH the LSH pair stream — strict superset);
     #   corpus_mix_temperature -> dsir_select (corpus_curation_v3
     #     stays and runs temperature_sample_sqrt as its mix stage).
-    # Earlier rotations (r6) retired: ivf_assign,
+    # r8 rotation (VERDICT r7 #3: 10 more first-time gates):
+    #   bpe_encode -> bpe_train (the trainer runs tokens() + the
+    #     \x01/\x02 marker replace chain — encode's core application
+    #     machinery — inside the full counting/argmax loop; encode's
+    #     final string_split render stays pinned by pytest + the
+    #     three-SF sweep);
+    #   lm_score_bigram -> lm_score_kneser_ney (same lm_vocab /
+    #     lm_bigram_counts pipeline and per-doc scoring join, plus the
+    #     KN continuation/discount tables);
+    #   semdedup_keep -> quantile_sketch_dd (corpus_curation_v3 stays
+    #     and runs similarity.semdedup as its semantic stage);
+    #   pq_ann_topk -> quantile_by_key_dd (ivf_pq_topk stays: runs the
+    #     PQ encode AND the ADC scan, plus the IVF probe);
+    #   ivf_kmeans_assign -> distinct_sketch_by_group
+    #     (ivf_index_incremental stays: build() runs the same
+    #     integer-exact Lloyd's assign+update round, persisted);
+    #   embedding_topk -> dd_store_roundtrip (ivf_index_incremental
+    #     stays: at nprobe == num_centroids its topk IS exact
+    #     brute-force cosine top-k — the same ranking identity, gated);
+    #   neardup_keep_canonical -> ivfpq_index_incremental
+    #     (corpus_curation_v3 stays and runs minhash_lsh_pairs ->
+    #     connected_components -> keep_canonical_per_component; the
+    #     hot-bucket cap stays via dedup_minhash_lsh_capped);
+    #   continuous_rollup_roundtrip -> tfidf_top_terms
+    #     (rollup_cascade_roundtrip stays: builds the fine rollup from
+    #     source with the same refresh machinery, then cascades);
+    #   multimodal_decode_real -> multimodal_resize_real (the resize
+    #     gate parses the same real P6 PPM bytes, then transforms —
+    #     decode_real's WAV half moves to the incoming resample gate);
+    #   multimodal_meta -> multimodal_resample_real (meta's encode +
+    #     byte-length plumbing is run by multimodal_resize_real's
+    #     construction/output; its md5 digest by
+    #     dedup_exact_incremental's content hashing — both staying).
+    # Earlier rotations retired (r6: ivf_assign,
     # embedding_neardup_pairs, dedup_ngram_jaccard, dedup_minhash_lsh,
     # dedup_simhash, text_token_stats, doc_fingerprint,
-    # corpus_mix_uniform, corpus_curation_v2 — same rule, see git
-    # history for the per-swap notes.
-    "dedup_exact_incremental", "semdedup_keep",
+    # corpus_mix_uniform, corpus_curation_v2; r7: dedup_exact,
+    # neardup_components, embedding_neardup_components,
+    # embedding_topk_int8, ivf_ann_topk, pq_encode, ann_lsh_buckets,
+    # text_quality, train_test_split, corpus_mix_temperature) — same
+    # rule, see git history for the per-swap notes.
+    "dedup_exact_incremental",
     "dedup_ngram_jaccard_capped",
-    "bm25_topk", "dedup_minhash_lsh_capped", "bpe_encode",
-    "simhash_near_pairs", "heavy_hitters_cms", "neardup_keep_canonical",
-    "embedding_topk", "pq_ann_topk",
+    "bm25_topk", "dedup_minhash_lsh_capped", "bpe_train",
+    "simhash_near_pairs", "heavy_hitters_cms",
     "kmv_source_overlap", "ivf_index_incremental", "ivf_pq_topk",
-    "ivf_kmeans_assign", "lm_bucket_split", "embedding_quantize_int8",
-    "lm_score_bigram",
+    "ivfpq_index_incremental", "lm_bucket_split",
+    "embedding_quantize_int8", "lm_score_kneser_ney",
+    "quantile_sketch_dd", "quantile_by_key_dd",
+    "distinct_sketch_by_group",
     # text / sampling / multimodal pipeline
     "gopher_quality_filter", "c4_line_clean", "text_lang_id",
-    "dedup_substrings",
+    "dedup_substrings", "tfidf_top_terms",
     "decontaminate_benchmark", "redact_pii", "pack_sequences",
     "split_leakage", "corpus_mix_budget", "dsir_select",
-    "corpus_mix_weighted", "multimodal_meta", "multimodal_decode_real",
+    "corpus_mix_weighted", "multimodal_resize_real",
+    "multimodal_resample_real",
     # composite end-to-end (v3 runs every v2 stage plus the SemDeDup
     # pass; v2 stays verified by the local three-SF sweep)
     "corpus_curation_v3",
