@@ -405,6 +405,14 @@ def dd_group_quantile(
     other. Returns ``(grp, sgn, bucket, est)`` — (sgn, bucket) are the
     engine-exact integers (what the oracle hashes), ``est`` the float
     log-midpoint reconstruction ``sgn * 2*gamma^bucket / (gamma+1)``.
+
+    PRECONDITION: ``sketch`` must have UNIQUE (grp, sgn, bucket) rows —
+    i.e. be direct :func:`dd_sketch_grouped` output or the result of
+    :func:`dd_merge` (which re-aggregates grouped inputs). A raw UNION
+    of grouped sketches has duplicate bucket rows; the RANGE-frame
+    cumulative sum would then count each duplicate as a separate step
+    and return wrong quantiles SILENTLY — run the union through
+    :func:`dd_merge` first.
     """
     from pyspark.sql import Window
 
@@ -453,12 +461,22 @@ def dd_group_quantile_sql(sketch_sql: str, q: float) -> str:
 
 def dd_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Merge two DDSketches: per-(sgn, bucket) sum — fully mergeable
-    across partitions, runs, and time windows (the paper's property)."""
-    return (
-        a.unionByName(b)
-        .groupBy("sgn", "bucket")
-        .agg(F.sum("n").alias("n"))
-    )
+    across partitions, runs, and time windows (the paper's property).
+
+    Grouped sketches (:func:`dd_sketch_grouped` output carrying a
+    ``grp`` column) merge per group: if EITHER input has ``grp``, both
+    must, and the sum keys on (grp, sgn, bucket) — silently collapsing
+    groups into one sketch would be a wrong answer, so a one-sided
+    ``grp`` raises."""
+    a_grp, b_grp = "grp" in a.columns, "grp" in b.columns
+    if a_grp != b_grp:
+        raise ValueError(
+            "dd_merge: one side is a grouped sketch (has 'grp') and the "
+            "other is not — merging them would silently collapse groups; "
+            "aggregate or add the group column first"
+        )
+    keys = ["grp", "sgn", "bucket"] if a_grp else ["sgn", "bucket"]
+    return a.unionByName(b).groupBy(*keys).agg(F.sum("n").alias("n"))
 
 
 def dd_quantiles(
@@ -757,9 +775,21 @@ class HllStore:
             # OSErrors) must raise, not destroy a healthy generation.
             if not _restore_backup(self._data):
                 raise
-            tbl = pq.read_table(self._data)
+            try:
+                tbl = pq.read_table(self._data)
+            except (FileNotFoundError, pa.ArrowInvalid) as e:
+                raise RuntimeError(
+                    f"HllStore at {self.path}: current generation was "
+                    "corrupt and the restored backup is ALSO unreadable "
+                    f"({type(e).__name__}: {e}); the store cannot "
+                    "recover — rebuild it by replaying the source "
+                    "batches into a fresh path"
+                ) from e
+        # Arrow table -> DataFrame directly: to_pandas() here would put
+        # a groups x 2^b-row pandas conversion on the driver in EVERY
+        # add()/read (ADVICE r7) — the Arrow path keeps it zero-copy.
         return self.spark.createDataFrame(
-            tbl.to_pandas(), schema="grp string, bucket int, max_rho int"
+            tbl, schema="grp string, bucket int, max_rho int"
         )
 
     def add(self, df: DataFrame, group: Column | str, value: Column | str) -> None:
@@ -867,16 +897,32 @@ class DdStore:
         _recover_data_dir(self._data)
         if not os.path.isdir(self._data):
             return False
-        try:
+        def _valid() -> None:
             with open(os.path.join(self._data, "applied.json")) as f:
                 json.load(f)
             pq.ParquetDataset(os.path.join(self._data, "data"))
+
+        try:
+            _valid()
         except (FileNotFoundError, ValueError, pa.ArrowInvalid):
             # corruption signals only (missing/truncated file, torn
             # parquet footer); transient OSErrors raise instead of
             # destroying a healthy acknowledged generation
             if not _restore_backup(self._data):
                 raise
+            # a doubly-torn state (backup ALSO unreadable) must surface
+            # as a clear recovery error here, not as a raw
+            # JSONDecodeError/ArrowInvalid from a later read
+            try:
+                _valid()
+            except (FileNotFoundError, ValueError, pa.ArrowInvalid) as e:
+                raise RuntimeError(
+                    f"DdStore at {self.path}: current generation was "
+                    "corrupt and the restored backup is ALSO unreadable "
+                    f"({type(e).__name__}: {e}); the store cannot "
+                    "recover — rebuild it by replaying the source "
+                    "batches into a fresh path"
+                ) from e
         return os.path.isdir(self._data)
 
     _SCHEMA = "grp string, sgn int, bucket long, n long"
@@ -898,7 +944,8 @@ class DdStore:
         if not self._recovered():
             return self.spark.createDataFrame([], self._SCHEMA)
         tbl = pq.read_table(os.path.join(self._data, "data"))
-        return self.spark.createDataFrame(tbl.to_pandas(), schema=self._SCHEMA)
+        # Arrow -> DataFrame directly (no driver pandas round-trip)
+        return self.spark.createDataFrame(tbl, schema=self._SCHEMA)
 
     def _state_unlocked(self) -> tuple[set[int], DataFrame]:
         """Ledger AND bucket table from ONE validated generation — the
@@ -916,9 +963,8 @@ class DdStore:
         with open(os.path.join(self._data, "applied.json")) as f:
             ids = set(json.load(f))
         tbl = pq.read_table(os.path.join(self._data, "data"))
-        return ids, self.spark.createDataFrame(
-            tbl.to_pandas(), schema=self._SCHEMA
-        )
+        # Arrow -> DataFrame directly (no driver pandas round-trip)
+        return ids, self.spark.createDataFrame(tbl, schema=self._SCHEMA)
 
     # -- writes ---------------------------------------------------------
 

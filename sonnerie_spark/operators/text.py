@@ -999,7 +999,16 @@ _LN_CR_SQRTS = 16  # range reduction: ln(x) = 2^k * ln(x^(1/2^k))
 
 
 def ln_cr(x: Column) -> Column:
-    """Natural log of ``x`` using only correctly-rounded IEEE doubles
+    """Natural log of ``x`` — DOMAIN: x > 0 (strictly positive finite)
+    ONLY. x = 0 returns finite garbage (~-2.2e5, via z = -1 — NOT
+    -inf), and negative x surfaces as NaN only through the sqrt chain;
+    neither misuse raises. Callers must guarantee positivity the way
+    bm25 (idf arg >= ln 2) and dd_sketch (sgn guard) do. A runtime
+    branch here is deliberately NOT added: a CaseWhen wrapper would
+    block whole-stage codegen's common-subexpression hoisting of the
+    16-sqrt chain in consumers (see :func:`ln_cr_append`'s 50x note).
+
+    Uses only correctly-rounded IEEE double
     ops (+, -, *, /, sqrt) — bit-identical across JVM and libm engines.
 
     Range-reduce with ``_LN_CR_SQRTS`` = 16 square roots
@@ -1064,7 +1073,9 @@ def ln_cr_sql(x: str) -> str:
     """DuckDB/ANSI mirror of :func:`ln_cr` — the IDENTICAL op sequence
     (left-associative sums/products, same literals), so the SQL oracle
     reproduces the Spark value bit-for-bit. ``x`` should be a short
-    column reference (it is repeated textually)."""
+    column reference (it is repeated textually). Same DOMAIN contract
+    as :func:`ln_cr`: strictly positive finite only — x = 0 yields
+    finite garbage, not -inf."""
     y = x
     for _ in range(_LN_CR_SQRTS):
         y = f"sqrt({y})"

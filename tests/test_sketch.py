@@ -430,3 +430,68 @@ def test_dd_sketch_drops_infinities(spark):
         con.execute(sketch.dd_sketch_sql("x", "tv")).fetchall()
     )
     assert got == [(s, b, int(n)) for s, b, n in mirror]
+
+
+def test_dd_merge_grouped_and_mixed_raises(spark):
+    """dd_merge on grouped sketches keys on (grp, sgn, bucket) — a raw
+    (sgn, bucket) merge would silently collapse all groups into one
+    sketch (ADVICE r7). Mixing a grouped and an ungrouped sketch is a
+    hard error for the same reason."""
+    import pytest as _pytest
+
+    rows = [(f"g{i % 3}", float(i % 7 + 1.0)) for i in range(120)]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    a = sketch.dd_sketch_grouped(df.filter("x <= 3"), "g", "x")
+    b = sketch.dd_sketch_grouped(df.filter("x > 3"), "g", "x")
+    merged = sketch.dd_merge(a, b)
+    assert "grp" in merged.columns
+    want = sorted(
+        (r["grp"], r["sgn"], r["bucket"], r["n"])
+        for r in sketch.dd_sketch_grouped(df, "g", "x").collect()
+    )
+    got = sorted(
+        (r["grp"], r["sgn"], r["bucket"], r["n"]) for r in merged.collect()
+    )
+    assert got == want
+    # the merged table has unique (grp, sgn, bucket) rows — the
+    # precondition dd_group_quantile's cumulative sum relies on
+    assert merged.groupBy("grp", "sgn", "bucket").count().filter(
+        "count > 1"
+    ).count() == 0
+
+    plain = sketch.dd_sketch(df, "x")
+    with _pytest.raises(ValueError, match="grouped"):
+        sketch.dd_merge(a, plain)
+    with _pytest.raises(ValueError, match="grouped"):
+        sketch.dd_merge(plain, b)
+
+
+def test_dd_store_doubly_torn_raises_clear_recovery_error(spark, tmp_path):
+    """If the current generation AND the restored backup are both
+    unreadable, recovery must surface a descriptive RuntimeError — not
+    a raw JSONDecodeError/ArrowInvalid from a later read (ADVICE r7)."""
+    import os
+
+    import pytest as _pytest
+
+    from sonnerie_spark.operators.sketch import DdStore
+
+    rows = [(f"g{i % 2}", float(i % 7 + 1.0)) for i in range(60)]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    store = DdStore(spark, str(tmp_path / "ddw"))
+    assert store.add(0, df.filter("x <= 3"), "g", "x") is True
+    assert store.add(1, df.filter("x > 3"), "g", "x") is True
+
+    # tear BOTH the current generation and the retained backup
+    import glob
+
+    with open(os.path.join(store._data, "applied.json"), "w") as f:
+        f.write('{"tor')
+    backs = glob.glob(store._data + ".old-*")
+    assert backs, "expected a retained backup generation"
+    for back in backs:
+        with open(os.path.join(back, "applied.json"), "w") as f:
+            f.write("not json either")
+
+    with _pytest.raises(RuntimeError, match="ALSO unreadable"):
+        store.applied()
