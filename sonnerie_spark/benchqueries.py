@@ -5388,6 +5388,43 @@ def q_quantile_sketch_dd(spark, sf_dir):
     return sketch.dd_sketch(ev, "value", relative_accuracy=0.01)
 
 
+def _dd_merge_oracle() -> str:
+    from sonnerie_spark.operators.sketch import dd_sketch_grouped_sql
+
+    return dd_sketch_grouped_sql(
+        "key", "value", f"({SERIES_SQL})", relative_accuracy=0.01
+    )
+
+
+@q("dd_merge_grouped", _dd_merge_oracle(), "analytics")
+def q_dd_merge_grouped(spark, sf_dir):
+    """The grouped-sketch MERGE identity under the gate (r8, closing
+    the r7 advice class): two per-key DDSketches built from disjoint
+    halves of the series view (even/odd event_id) merged with dd_merge
+    must equal the one-shot grouped sketch — the mergeability property
+    that makes the sketch reusable across partitions, runs, and time
+    windows, now keyed on (grp, sgn, bucket) so groups never collapse.
+    The oracle is the one-shot grouped-sketch SQL; any drift in the
+    merge keying (the silent group-collapse bug dd_merge now rejects)
+    or in either half's bucket index breaks the bitwise hash. Plan:
+    each half is one map-only index projection + one hash agg, the
+    merge is one more hash agg over their union — every exchange
+    carries ≤ a fixed bucket table per (group, task), never raw
+    values."""
+    from sonnerie_spark.operators import sketch
+
+    s = series(spark, sf_dir)
+    a = sketch.dd_sketch_grouped(
+        s.filter(F.col("event_id") % 2 == 0), "key", "value",
+        relative_accuracy=0.01,
+    )
+    b = sketch.dd_sketch_grouped(
+        s.filter(F.col("event_id") % 2 == 1), "key", "value",
+        relative_accuracy=0.01,
+    )
+    return sketch.dd_merge(a, b)
+
+
 @q(
     "gopher_quality_filter",
     r"""

@@ -549,7 +549,20 @@ def arrow_agg_series(
             conj(ds.field("ts") < int(before_ns))
 
         try:
-            dset = ds.dataset(run.path, format="parquet")
+            # Read the key column DICTIONARY-ENCODED: a compacted run's
+            # key column is a few thousand distinct series repeated
+            # millions of times, and parquet already stores it as
+            # dictionary pages — materializing to plain strings was
+            # ~40% of the r7 fold profile's 1.36 s scan term. Reading
+            # it as dictionary<string> halves the scan and feeds the
+            # hash agg integer codes (micro A/B at 20 M rows x 1000
+            # keys, 1 thread: scan 0.55 -> 0.30 s, agg 0.47 -> 0.40 s).
+            fmt = ds.ParquetFileFormat(
+                read_options=ds.ParquetReadOptions(
+                    dictionary_columns=["key"]
+                )
+            )
+            dset = ds.dataset(run.path, format=fmt)
             # Value-lane elision: decoding a 20 M-row all-empty list
             # column costs ~25% of the whole fold (offsets decode is
             # per-row even when no values exist), and a compacted
@@ -645,11 +658,20 @@ def arrow_agg_series(
         else:
             lf = pc.cast(l, pa.float64())
             v = lf if d.null_count == len(d) else pc.coalesce(d, lf)
-        g = (
-            tbl.select(["key"])
-            .append_column("v", v)
-            .group_by("key")
-            .aggregate([("v", "count"), ("v", "sum"), ("v", "min"), ("v", "max")])
+        keyed = tbl.select(["key"]).append_column("v", v)
+        # per-row-group dictionaries must be unified before the hash agg
+        # (cheap: one file's groups share one dictionary); group_by on
+        # unified dictionary keys aggregates over integer codes
+        keyed = keyed.unify_dictionaries()
+        g = keyed.group_by("key").aggregate(
+            [("v", "count"), ("v", "sum"), ("v", "min"), ("v", "max")]
+        )
+        # decode AFTER the agg: only #groups rows pay the string
+        # materialization (sort_by has no dictionary kernel anyway)
+        g = g.set_column(
+            g.schema.get_field_index("key"),
+            "key",
+            pc.cast(g.column("key"), pa.string()),
         )
         out = [
             {
