@@ -5425,6 +5425,56 @@ def q_dd_merge_grouped(spark, sf_dir):
     return sketch.dd_merge(a, b)
 
 
+def _hll_merge_oracle() -> str:
+    from sonnerie_spark.operators.sketch import hll_sketch_sql
+
+    return hll_sketch_sql(
+        "cast(user_id AS varchar)", "events", bucket_bits=8
+    )
+
+
+@q("hll_merge_halves", _hll_merge_oracle(), "analytics")
+def q_hll_merge_halves(spark, sf_dir):
+    """HLL MERGE identity under the gate (r8, completing the
+    merge-identity family with dd_merge_grouped / cms_merge_halves):
+    sketches of the even- and odd-event_id halves merged by per-bucket
+    max must equal the one-shot sketch bit-for-bit — previously pinned
+    only by pytest. This is the property that lets 100 TB of daily
+    sketches roll up without rescanning history. Plan: two map-only
+    hash projections + per-half aggs + one <=256-row merge agg."""
+    from sonnerie_spark.operators import sketch
+
+    ev = load_par(spark, sf_dir, "events")
+    val = F.col("user_id").cast("string")
+    a = sketch.hll_sketch(ev.filter(F.col("event_id") % 2 == 0), val)
+    b = sketch.hll_sketch(ev.filter(F.col("event_id") % 2 == 1), val)
+    return sketch.hll_merge(a, b)
+
+
+def _cms_merge_oracle() -> str:
+    from sonnerie_spark.operators.sketch import cms_sketch_sql
+
+    return cms_sketch_sql(
+        "cast(user_id AS varchar)", "events", depth=4, width=1024
+    )
+
+
+@q("cms_merge_halves", _cms_merge_oracle(), "analytics")
+def q_cms_merge_halves(spark, sf_dir):
+    """Count-Min MERGE identity under the gate: per-(row, col) SUM of
+    the two halves' counter tables must equal the one-shot sketch
+    EXACTLY (counters are additive — unlike the epsilon-bounded
+    estimates, the merge identity is integer-exact). Every exchange
+    carries <= depth*width integer rows per task."""
+    from sonnerie_spark.operators import sketch
+
+    ev = load_par(spark, sf_dir, "events")
+    val = F.col("user_id").cast("string")
+    a = sketch.cms_sketch(ev.filter(F.col("event_id") % 2 == 0), val)
+    b = sketch.cms_sketch(ev.filter(F.col("event_id") % 2 == 1), val)
+    return sketch.cms_merge(a, b)
+
+
 @q(
     "gopher_quality_filter",
     r"""

@@ -528,11 +528,30 @@ def dd_quantiles(
 
 def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Merge two sketches: per-bucket max — the property that makes the
-    sketch reusable across partitions, runs, and time windows."""
+    sketch reusable across partitions, runs, and time windows. Grouped
+    sketches (a ``grp`` column) merge per group; mixing grouped and
+    ungrouped inputs raises (same contract as :func:`dd_merge`)."""
+    a_grp, b_grp = "grp" in a.columns, "grp" in b.columns
+    if a_grp != b_grp:
+        raise ValueError(
+            "hll_merge: one side is a grouped sketch (has 'grp') and the "
+            "other is not — merging them would silently collapse groups"
+        )
+    keys = ["grp", "bucket"] if a_grp else ["bucket"]
+    return a.unionByName(b).groupBy(*keys).agg(
+        F.max("max_rho").alias("max_rho")
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two Count-Min sketches: per-(row, col) SUM — counters are
+    additive, so the merged sketch's estimates equal the one-shot
+    sketch's exactly (not just within the epsilon bound). Both inputs
+    must use the same (depth, width)."""
     return (
         a.unionByName(b)
-        .groupBy("bucket")
-        .agg(F.max("max_rho").alias("max_rho"))
+        .groupBy("row", "col")
+        .agg(F.sum("c").alias("c"))
     )
 
 
