@@ -5451,6 +5451,64 @@ def q_hll_merge_halves(spark, sf_dir):
     return sketch.hll_merge(a, b)
 
 
+def _bloom_oracle() -> str:
+    from sonnerie_spark.operators.sketch import bloom_sketch_sql
+
+    pos_h = phash_sql("cast(i AS varchar) || '#' || text")
+    sk = bloom_sketch_sql(
+        "text",
+        "(SELECT text FROM documents WHERE doc_id % 17 = 0)",
+        num_bits=2048,
+        num_hashes=4,
+    )
+    return f"""
+    WITH sk AS ({sk}),
+    probe AS (
+      SELECT doc_id AS id, pos // 63 AS word_idx,
+             1::BIGINT << cast(pos % 63 AS INTEGER) AS mask
+      FROM (
+        SELECT doc_id, cast({pos_h} % 2048 AS BIGINT) AS pos
+        FROM documents CROSS JOIN (VALUES (0), (1), (2), (3)) AS s(i)
+      )
+    )
+    SELECT id,
+           bool_and(sk.bits IS NOT NULL AND (sk.bits & probe.mask) <> 0)
+             AS might_contain,
+           (id % 17 = 0) AS is_member
+    FROM probe LEFT JOIN sk USING (word_idx)
+    GROUP BY id
+    """
+
+
+@q("bloom_filter_membership", _bloom_oracle(), "data")
+def q_bloom_filter_membership(spark, sf_dir):
+    """Bloom-filter membership (r8): build a 2048-bit, 4-hash filter
+    over every 17th document's text and probe the WHOLE corpus — the
+    broadcastable membership sketch corpus curation uses for
+    decontamination / blocklist checks when the member set is too big
+    to inline (a 2^30-bit filter is 128 MiB: one broadcast for any
+    corpus). The hashed values pin id, the verdict AND ground-truth
+    membership, so the gate proves no false negatives ever and that
+    every false positive — the filter fills to ~44% at sf0.1, yielding
+    real FPs — is the SAME deterministic false positive in both
+    engines (bit positions are salted portable hashes, the word table
+    ORs map-side). Plan: member scan -> <=32-word bit_or agg; probe is
+    a map-only explode + one BROADCAST word-table join + per-id agg;
+    no corpus shuffle beyond the per-id AND."""
+    from sonnerie_spark.operators import sketch
+
+    docs = load_par(spark, sf_dir, "documents")
+    members = docs.filter(F.col("doc_id") % 17 == 0)
+    sk = sketch.bloom_sketch(
+        members, F.col("text"), num_bits=2048, num_hashes=4
+    )
+    out = sketch.bloom_might_contain(
+        docs, sk, id_col="doc_id", value=F.col("text"),
+        num_bits=2048, num_hashes=4,
+    )
+    return out.withColumn("is_member", F.col("id") % 17 == 0)
+
+
 def _cms_merge_oracle() -> str:
     from sonnerie_spark.operators.sketch import cms_sketch_sql
 
@@ -5473,6 +5531,31 @@ def q_cms_merge_halves(spark, sf_dir):
     a = sketch.cms_sketch(ev.filter(F.col("event_id") % 2 == 0), val)
     b = sketch.cms_sketch(ev.filter(F.col("event_id") % 2 == 1), val)
     return sketch.cms_merge(a, b)
+
+
+def _kmv_merge_oracle() -> str:
+    from sonnerie_spark.operators.sketch import kmv_sketch_sql
+
+    return kmv_sketch_sql("cast(user_id AS varchar)", "events", k=64)
+
+
+@q("kmv_merge_halves", _kmv_merge_oracle(), "analytics")
+def q_kmv_merge_halves(spark, sf_dir):
+    """KMV (bottom-k) MERGE identity under the gate: the 64 smallest
+    distinct hashes of the union of two half-sketches must equal the
+    one-shot bottom-64 — KMV is closed under merge (the union's
+    bottom-k is a function of the halves' bottom-k's alone), which is
+    what makes per-source overlap estimation (kmv_source_overlap)
+    composable across runs without rescanning. k=64 < the sf0.01+ user
+    domain, so the truncation path is genuinely exercised. ≤ 2k rows
+    ever reach the merge."""
+    from sonnerie_spark.operators import sketch
+
+    ev = load_par(spark, sf_dir, "events")
+    val = F.col("user_id").cast("string")
+    a = sketch.kmv_sketch(ev.filter(F.col("event_id") % 2 == 0), val, k=64)
+    b = sketch.kmv_sketch(ev.filter(F.col("event_id") % 2 == 1), val, k=64)
+    return sketch.kmv_merge(a, b, k=64)
 
 
 @q(

@@ -28,9 +28,14 @@ __all__ = [
     "hll_sketch_sql",
     "cms_sketch",
     "cms_sketch_sql",
+    "cms_merge",
     "cms_topk",
+    "bloom_sketch",
+    "bloom_sketch_sql",
+    "bloom_might_contain",
     "kmv_sketch",
     "kmv_sketch_sql",
+    "kmv_merge",
     "kmv_overlap",
     "dd_sketch",
     "dd_sketch_sql",
@@ -153,6 +158,117 @@ def cms_sketch_sql(
     """
 
 
+def bloom_sketch(
+    df: DataFrame,
+    value: Column | str,
+    *,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Bloom filter of a string column as a packed-word table:
+    ``(word_idx, bits)``, ≤ num_bits/63 rows — the broadcastable
+    membership sketch for corpus-scale decontamination / blocklist
+    probes (a 2^30-bit filter is ~136 MiB: one broadcast, any corpus).
+
+    Bit positions are ``phash(i || '#' || v) % num_bits`` for i in
+    0..num_hashes-1 (the salted-hash convention :func:`cms_sketch`
+    uses), OR-packed into words by one map-side-combined ``bit_or``
+    aggregate — input rows never shuffle, only ≤ num_bits/63 partial
+    words per task do. Words hold 63 bits (shifts capped at 62): a
+    left shift INTO the sign bit is checked-overflow in DuckDB while
+    Spark wraps, so bit 63 is the one position that cannot be packed
+    portably. Deterministic, so the filter — and every false
+    positive — is reproducible bit-for-bit in any engine.
+    """
+    if num_bits <= 0:
+        raise ValueError(f"num_bits must be positive, got {num_bits}")
+    c = F.col(value) if isinstance(value, str) else value
+    ex = df.select(c.alias("v")).select(
+        "v",
+        F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("i"),
+    )
+    pos = F.pmod(
+        phash(F.concat(F.col("i").cast("string"), F.lit("#"), F.col("v"))),
+        F.lit(num_bits),
+    )
+    return (
+        ex.select(pos.alias("pos"))
+        .selectExpr(
+            "cast(pos div 63 AS bigint) AS word_idx",
+            "shiftleft(1L, cast(pos % 63 AS int)) AS w",
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("w").alias("bits"))
+    )
+
+
+def bloom_sketch_sql(
+    value_expr: str,
+    from_clause: str,
+    *,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+) -> str:
+    """DuckDB oracle producing the identical Bloom word table."""
+    salts = ", ".join(f"({i})" for i in range(num_hashes))
+    h = phash_sql(f"cast(i AS varchar) || '#' || v")
+    return f"""
+    SELECT pos // 63 AS word_idx,
+           bit_or(1::BIGINT << cast(pos % 63 AS INTEGER)) AS bits
+    FROM (
+      SELECT cast({h} % {num_bits} AS BIGINT) AS pos
+      FROM (SELECT {value_expr} AS v FROM {from_clause})
+      CROSS JOIN (VALUES {salts}) AS s(i)
+    ) GROUP BY 1
+    """
+
+
+def bloom_might_contain(
+    candidates: DataFrame,
+    sketch: DataFrame,
+    *,
+    id_col: str,
+    value: Column | str,
+    num_bits: int,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Probe a Bloom filter: ``(id, might_contain)`` per candidate —
+    True iff ALL num_hashes probed bits are set (no false negatives;
+    false-positive rate set by the fill factor, and deterministic
+    given the same inputs).
+
+    Plan: the candidate stream explodes to num_hashes (id, word_idx,
+    mask) rows, equi-joins the BROADCAST word table (≤ num_bits/64
+    rows), and one hash agg ANDs the per-probe hits — no corpus
+    shuffle beyond the per-id agg, no sort-merge join at any scale.
+    """
+    c = F.col(value) if isinstance(value, str) else value
+    ex = candidates.select(F.col(id_col).alias("id"), c.alias("v")).select(
+        "id",
+        "v",
+        F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("i"),
+    )
+    pos = F.pmod(
+        phash(F.concat(F.col("i").cast("string"), F.lit("#"), F.col("v"))),
+        F.lit(num_bits),
+    )
+    probes = ex.select("id", pos.alias("pos")).selectExpr(
+        "id",
+        "cast(pos div 63 AS bigint) AS word_idx",
+        "shiftleft(1L, cast(pos % 63 AS int)) AS mask",
+    )
+    joined = probes.join(F.broadcast(sketch), "word_idx", "left").select(
+        "id",
+        (
+            F.col("bits").isNotNull()
+            & (F.col("bits").bitwiseAND(F.col("mask")) != 0)
+        ).alias("hit"),
+    )
+    return joined.groupBy("id").agg(
+        F.min("hit").alias("might_contain")
+    )
+
+
 def cms_topk(
     candidates: DataFrame,
     sketch: DataFrame,
@@ -202,6 +318,21 @@ def kmv_sketch_sql(value_expr: str, from_clause: str, *, k: int = 256) -> str:
     h = phash_sql(value_expr)
     return (
         f"SELECT DISTINCT {h} AS h FROM {from_clause} ORDER BY h LIMIT {k}"
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, *, k: int = 256) -> DataFrame:
+    """Merge two KMV sketches: the k smallest distinct hashes of the
+    union — closed under merge (the bottom-k of a union is a function
+    of the two bottom-k's alone), so the merged sketch equals the
+    one-shot sketch of the combined input EXACTLY. ≤ 2k rows touch the
+    merge."""
+    return (
+        a.select("h")
+        .unionByName(b.select("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
     )
 
 

@@ -495,3 +495,76 @@ def test_dd_store_doubly_torn_raises_clear_recovery_error(spark, tmp_path):
 
     with _pytest.raises(RuntimeError, match="ALSO unreadable"):
         store.applied()
+
+
+def test_bloom_no_false_negatives_and_broadcast_plan(spark, ids):
+    """Bloom filter: every member must probe True (no false negatives,
+    the structural guarantee), non-members may only flip True at the
+    fill-factor rate, and the probe plan broadcasts the word table
+    (never a sort-merge join) — the 100 TB shape."""
+    from sonnerie_spark.operators.sketch import (
+        bloom_might_contain,
+        bloom_sketch,
+    )
+
+    df = spark.createDataFrame([(i, f"val{i}") for i in range(400)], ["id", "v"])
+    members = df.filter("id % 3 = 0")
+    sk = bloom_sketch(members, "v", num_bits=4096, num_hashes=4)
+    out = bloom_might_contain(
+        df, sk, id_col="id", value="v", num_bits=4096, num_hashes=4
+    )
+    rows = {r["id"]: r["might_contain"] for r in out.collect()}
+    assert all(rows[i] for i in range(0, 400, 3)), "false negative!"
+    fp = sum(1 for i in range(400) if i % 3 and rows[i])
+    # 134 members x 4 hashes in 4096 bits -> ~12% fill, FP ~ 0.12^4
+    assert fp <= 5, f"implausible false-positive count {fp}"
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_sketch_merge_identities(spark, ids):
+    """cms_merge / kmv_merge / grouped hll_merge each equal the
+    one-shot sketch of the union — the mergeability contracts the
+    r8 gates pin cross-engine, here on an independent input."""
+    from pyspark.sql import functions as F
+
+    from sonnerie_spark.operators.sketch import (
+        cms_merge,
+        cms_sketch,
+        hll_merge,
+        hll_sketch_grouped,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}", f"u{i % 57}") for i in range(500)], ["i", "g", "u"]
+    )
+    a, b = df.filter("i % 2 = 0"), df.filter("i % 2 = 1")
+
+    one = sorted(map(tuple, cms_sketch(df, "u", depth=2, width=64).collect()))
+    two = sorted(map(tuple, cms_merge(
+        cms_sketch(a, "u", depth=2, width=64),
+        cms_sketch(b, "u", depth=2, width=64),
+    ).collect()))
+    assert one == two
+
+    onek = sorted(r["h"] for r in kmv_sketch(df, "u", k=16).collect())
+    twok = sorted(r["h"] for r in kmv_merge(
+        kmv_sketch(a, "u", k=16), kmv_sketch(b, "u", k=16), k=16
+    ).collect())
+    assert onek == twok
+
+    oneh = sorted(map(tuple, hll_sketch_grouped(df, "g", "u").collect()))
+    twoh = sorted(map(tuple, hll_merge(
+        hll_sketch_grouped(a, "g", "u"), hll_sketch_grouped(b, "g", "u")
+    ).collect()))
+    assert oneh == twoh
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="grouped"):
+        hll_merge(hll_sketch_grouped(a, "g", "u"),
+                  kmv_sketch(b, "u", k=16).withColumnRenamed("h", "bucket"))
