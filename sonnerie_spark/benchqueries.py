@@ -2384,6 +2384,60 @@ def q_decontaminate_benchmark(spark, sf_dir):
     return textops.decontaminate(docs, bench, k=8)
 
 
+def _decon_bloom_oracle() -> str:
+    from sonnerie_spark.operators.sketch import bloom_sketch_sql
+
+    nb = 1 << 16
+    sk = bloom_sketch_sql(
+        "shingle",
+        "(SELECT shingle FROM sh WHERE doc_id % 97 = 0)",
+        num_bits=nb,
+        num_hashes=4,
+    )
+    pos_h = phash_sql("cast(i AS varchar) || '#' || shingle")
+    return f"""
+    WITH sh AS ({shingles_sql(8)}),
+    sk AS ({sk}),
+    probe AS (
+      SELECT doc_id AS id, shingle AS v, pos // 63 AS word_idx,
+             1::BIGINT << cast(pos % 63 AS INTEGER) AS mask
+      FROM (
+        SELECT doc_id, shingle, cast({pos_h} % {nb} AS BIGINT) AS pos
+        FROM sh CROSS JOIN (VALUES (0), (1), (2), (3)) AS s(i)
+      )
+    ),
+    verd AS (
+      SELECT id, v,
+             bool_and(sk.bits IS NOT NULL AND (sk.bits & probe.mask) <> 0)
+               AS might
+      FROM probe LEFT JOIN sk USING (word_idx)
+      GROUP BY id, v
+    )
+    SELECT id, count(*) AS n_probable_hits FROM verd WHERE might GROUP BY id
+    """
+
+
+@q("decontaminate_bloom", _decon_bloom_oracle(), "data")
+def q_decontaminate_bloom(spark, sf_dir):
+    """Decontamination through a Bloom filter of the benchmark's
+    8-gram shingles (r8) — the fixed-size variant of
+    decontaminate_benchmark for when the eval side's distinct-shingle
+    set is itself too large to broadcast raw. Same pseudo-eval set
+    (doc_id % 97 == 0); a 2^16-bit filter so the sf0.1 fill factor
+    produces REAL false positives, proving both engines compute the
+    SAME deterministic over-flags (the safe direction for hygiene) and
+    that every truly contaminated document still appears (no false
+    negatives, structurally). Plan: benchmark shingles -> map-side
+    bit_or word table; corpus shingles probe it via one BROADCAST
+    equi-join + per-(doc, shingle) AND + per-doc count — corpus
+    scanned once, shuffle cost independent of benchmark size."""
+    docs = load_par(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return textops.decontaminate_bloom(
+        docs, bench, k=8, num_bits=1 << 16, num_hashes=4
+    )
+
+
 @q(
     "redact_pii",
     """

@@ -209,6 +209,81 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination through a BLOOM FILTER of the
+    benchmark's k-gram shingles — the variant of :func:`decontaminate`
+    for when the "benchmark" side is itself large (all held-out
+    validation splits + known eval suites + competitor test sets can
+    reach many GB of distinct shingles, too big to broadcast raw): the
+    filter is FIXED-SIZE (num_bits/63 packed words — a 2^30-bit filter
+    is ~136 MiB) no matter how many shingles feed it, has no false
+    negatives (no contaminated document ever slips through), and its
+    false positives only ever over-flag, which for hygiene is the safe
+    direction. Output: (id, n_probable_hits) per corpus document with
+    at least one probable shared shingle; thresholds transfer from
+    decontaminate minus the (deterministic, engine-identical) FP rate.
+
+    Plan: benchmark shingles -> one map-side bit_or agg into the word
+    table; the corpus shingle stream probes it with one BROADCAST
+    equi-join + per-(doc, shingle) AND + per-doc count — the corpus is
+    scanned once and never shuffled on the benchmark side's size.
+    """
+    from sonnerie_spark.functions.portable_hash import phash
+    from sonnerie_spark.operators.dedup import word_shingles
+    from sonnerie_spark.operators.sketch import bloom_sketch
+
+    bench_sh = benchmark.select(
+        F.explode(word_shingles(F.col(text_col), k)).alias("v")
+    )
+    sk = bloom_sketch(bench_sh, "v", num_bits=num_bits, num_hashes=num_hashes)
+    corpus_sh = corpus.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), k)).alias("v"),
+    )
+    ex = corpus_sh.select(
+        "id",
+        "v",
+        F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("i"),
+    )
+    pos = F.pmod(
+        phash(F.concat(F.col("i").cast("string"), F.lit("#"), F.col("v"))),
+        F.lit(num_bits),
+    )
+    probes = ex.select("id", "v", pos.alias("pos")).selectExpr(
+        "id",
+        "v",
+        "cast(pos div 63 AS bigint) AS word_idx",
+        "shiftleft(1L, cast(pos % 63 AS int)) AS mask",
+    )
+    verdicts = (
+        probes.join(F.broadcast(sk), "word_idx", "left")
+        .select(
+            "id",
+            "v",
+            (
+                F.col("bits").isNotNull()
+                & (F.col("bits").bitwiseAND(F.col("mask")) != 0)
+            ).alias("hit"),
+        )
+        .groupBy("id", "v")
+        .agg(F.min("hit").alias("might"))
+    )
+    return (
+        verdicts.filter("might")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_probable_hits"))
+    )
+
+
 def redact_pii(
     df: DataFrame,
     id_col: str = "doc_id",

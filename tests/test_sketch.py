@@ -568,3 +568,25 @@ def test_sketch_merge_identities(spark, ids):
     with _pytest.raises(ValueError, match="grouped"):
         hll_merge(hll_sketch_grouped(a, "g", "u"),
                   kmv_sketch(b, "u", k=16).withColumnRenamed("h", "bucket"))
+
+
+def test_decontaminate_bloom_superset_of_exact(spark, sf_dir):
+    """Bloom decontamination can only OVER-flag: every exactly
+    contaminated doc appears with n_probable_hits >= its exact n_hits
+    (no false negatives), and extra rows are false positives only."""
+    from pyspark.sql import functions as F
+
+    from sonnerie_spark.benchqueries import load_par
+    from sonnerie_spark.operators.text import decontaminate, decontaminate_bloom
+
+    docs = load_par(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    exact = {r["id"]: r["n_hits"] for r in decontaminate(docs, bench, k=8).collect()}
+    bloom = {
+        r["id"]: r["n_probable_hits"]
+        for r in decontaminate_bloom(
+            docs, bench, k=8, num_bits=1 << 16, num_hashes=4
+        ).collect()
+    }
+    for i, n in exact.items():
+        assert i in bloom and bloom[i] >= n, (i, n, bloom.get(i))
