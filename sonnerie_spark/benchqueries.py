@@ -5557,10 +5557,12 @@ def q_bloom_filter_membership(spark, sf_dir):
         members, F.col("text"), num_bits=2048, num_hashes=4
     )
     out = sketch.bloom_might_contain(
-        docs, sk, id_col="doc_id", value=F.col("text"),
-        num_bits=2048, num_hashes=4,
+        docs.select(F.col("doc_id").alias("id"), "text"), sk,
+        value=F.col("text"), num_bits=2048, num_hashes=4,
     )
-    return out.withColumn("is_member", F.col("id") % 17 == 0)
+    return out.select(
+        "id", "might_contain", (F.col("id") % 17 == 0).alias("is_member")
+    )
 
 
 def _cms_merge_oracle() -> str:

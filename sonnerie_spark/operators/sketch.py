@@ -227,46 +227,53 @@ def bloom_might_contain(
     candidates: DataFrame,
     sketch: DataFrame,
     *,
-    id_col: str,
     value: Column | str,
     num_bits: int,
     num_hashes: int = 4,
 ) -> DataFrame:
-    """Probe a Bloom filter: ``(id, might_contain)`` per candidate —
-    True iff ALL num_hashes probed bits are set (no false negatives;
-    false-positive rate set by the fill factor, and deterministic
-    given the same inputs).
+    """Probe a Bloom filter: returns ``candidates`` with a
+    ``might_contain`` boolean appended — True iff ALL num_hashes probed
+    bits are set (no false negatives; false-positive rate set by the
+    fill factor, and deterministic given the same inputs).
 
-    Plan: the candidate stream explodes to num_hashes (id, word_idx,
-    mask) rows, equi-joins the BROADCAST word table (≤ num_bits/64
-    rows), and one hash agg ANDs the per-probe hits — no corpus
-    shuffle beyond the per-id agg, no sort-merge join at any scale.
+    Plan — fully MAP-SIDE: one broadcast hash join per hash function
+    against the ≤ num_bits/63-row word table (a probe that explodes k
+    rows and hash-aggregates them back per candidate would shuffle the
+    whole candidate stream; k tiny broadcast joins shuffle NOTHING at
+    any corpus size). One row in, one row out, original columns kept.
     """
     c = F.col(value) if isinstance(value, str) else value
-    ex = candidates.select(F.col(id_col).alias("id"), c.alias("v")).select(
-        "id",
-        "v",
-        F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("i"),
-    )
-    pos = F.pmod(
-        phash(F.concat(F.col("i").cast("string"), F.lit("#"), F.col("v"))),
-        F.lit(num_bits),
-    )
-    probes = ex.select("id", pos.alias("pos")).selectExpr(
-        "id",
-        "cast(pos div 63 AS bigint) AS word_idx",
-        "shiftleft(1L, cast(pos % 63 AS int)) AS mask",
-    )
-    joined = probes.join(F.broadcast(sketch), "word_idx", "left").select(
-        "id",
-        (
-            F.col("bits").isNotNull()
-            & (F.col("bits").bitwiseAND(F.col("mask")) != 0)
-        ).alias("hit"),
-    )
-    return joined.groupBy("id").agg(
-        F.min("hit").alias("might_contain")
-    )
+    out = candidates.withColumn("__bloom_v", c)
+    hits = []
+    for i in range(num_hashes):
+        pos = F.pmod(
+            phash(F.concat(F.lit(f"{i}#"), F.col("__bloom_v"))),
+            F.lit(num_bits),
+        )
+        sk_i = sketch.select(
+            F.col("word_idx").alias("__wi"), F.col("bits").alias("__b")
+        )
+        out = (
+            out.withColumn("__pos", pos)
+            .selectExpr(
+                "*",
+                "cast(__pos div 63 AS bigint) AS __wi",
+                "shiftleft(1L, cast(__pos % 63 AS int)) AS __mk",
+            )
+            .drop("__pos")
+            .join(F.broadcast(sk_i), "__wi", "left")
+            .withColumn(
+                f"__hit{i}",
+                F.col("__b").isNotNull()
+                & (F.col("__b").bitwiseAND(F.col("__mk")) != 0),
+            )
+            .drop("__wi", "__mk", "__b")
+        )
+        hits.append(f"__hit{i}")
+    expr = F.col(hits[0])
+    for h in hits[1:]:
+        expr = expr & F.col(h)
+    return out.withColumn("might_contain", expr).drop("__bloom_v", *hits)
 
 
 def cms_topk(

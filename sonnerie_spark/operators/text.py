@@ -237,7 +237,6 @@ def decontaminate_bloom(
     equi-join + per-(doc, shingle) AND + per-doc count — the corpus is
     scanned once and never shuffled on the benchmark side's size.
     """
-    from sonnerie_spark.functions.portable_hash import phash
     from sonnerie_spark.operators.dedup import word_shingles
     from sonnerie_spark.operators.sketch import bloom_sketch
 
@@ -245,40 +244,17 @@ def decontaminate_bloom(
         F.explode(word_shingles(F.col(text_col), k)).alias("v")
     )
     sk = bloom_sketch(bench_sh, "v", num_bits=num_bits, num_hashes=num_hashes)
+    from sonnerie_spark.operators.sketch import bloom_might_contain
+
     corpus_sh = corpus.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), k)).alias("v"),
     )
-    ex = corpus_sh.select(
-        "id",
-        "v",
-        F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("i"),
-    )
-    pos = F.pmod(
-        phash(F.concat(F.col("i").cast("string"), F.lit("#"), F.col("v"))),
-        F.lit(num_bits),
-    )
-    probes = ex.select("id", "v", pos.alias("pos")).selectExpr(
-        "id",
-        "v",
-        "cast(pos div 63 AS bigint) AS word_idx",
-        "shiftleft(1L, cast(pos % 63 AS int)) AS mask",
-    )
-    verdicts = (
-        probes.join(F.broadcast(sk), "word_idx", "left")
-        .select(
-            "id",
-            "v",
-            (
-                F.col("bits").isNotNull()
-                & (F.col("bits").bitwiseAND(F.col("mask")) != 0)
-            ).alias("hit"),
-        )
-        .groupBy("id", "v")
-        .agg(F.min("hit").alias("might"))
+    verdicts = bloom_might_contain(
+        corpus_sh, sk, value="v", num_bits=num_bits, num_hashes=num_hashes
     )
     return (
-        verdicts.filter("might")
+        verdicts.filter("might_contain")
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_probable_hits"))
     )

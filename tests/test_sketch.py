@@ -511,7 +511,7 @@ def test_bloom_no_false_negatives_and_broadcast_plan(spark, ids):
     members = df.filter("id % 3 = 0")
     sk = bloom_sketch(members, "v", num_bits=4096, num_hashes=4)
     out = bloom_might_contain(
-        df, sk, id_col="id", value="v", num_bits=4096, num_hashes=4
+        df, sk, value="v", num_bits=4096, num_hashes=4
     )
     rows = {r["id"]: r["might_contain"] for r in out.collect()}
     assert all(rows[i] for i in range(0, 400, 3)), "false negative!"
@@ -522,6 +522,14 @@ def test_bloom_no_false_negatives_and_broadcast_plan(spark, ids):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+    # fully map-side probe: every hash exchange in the plan (the AQE
+    # string repeats the initial plan, so count varies) is the bounded
+    # word-table agg inside the sketch build — the candidate stream
+    # itself is never repartitioned
+    import re as _re
+
+    for m in _re.finditer(r"Exchange hashpartitioning\(([a-zA-Z_][a-zA-Z_0-9]*)", plan):
+        assert m.group(1) == "word_idx", plan
 
 
 def test_sketch_merge_identities(spark, ids):

@@ -162,6 +162,36 @@ def main() -> None:
         f"p50 err {e50:.2%} p99 err {e99:.2%} (bound 1% + rank step)"
     )
 
+    # --- Bloom vs exact membership join --------------------------------
+    # member set d/10 values; probe all n rows. The exact plan is a
+    # distinct + broadcast (or shuffle, when the member set outgrows the
+    # broadcast threshold) semi-join keyed on the VALUES; the bloom plan
+    # broadcasts a fixed-size word table no matter the member count.
+    mem = spark.range(0, d // 10).select(
+        F.concat(F.lit("u"), F.col("id") * 10).alias("v")
+    )
+    t0 = time.time()
+    exact_hits = vals.join(mem, "v", "left_semi").count()
+    t_exact_b = time.time() - t0
+
+    nb = 1 << 24  # 16 Mbit = ~266k packed words, 2 MiB broadcast
+    t0 = time.time()
+    bsk = sketch.bloom_sketch(mem, "v", num_bits=nb, num_hashes=4)
+    probed = sketch.bloom_might_contain(
+        vals.withColumn("id", F.monotonically_increasing_id()),
+        bsk, id_col="id", value="v", num_bits=nb, num_hashes=4,
+    )
+    bloom_hits = probed.filter("might_contain").count()
+    t_bloom = time.time() - t0
+    fp = (bloom_hits - exact_hits) / max(1, probed.count() - exact_hits)
+    print(
+        f"BLOOM: n={n:,} members={d // 10:,} | exact semi-join "
+        f"{t_exact_b:.1f}s ({exact_hits:,} hits) | bloom build+probe "
+        f"{t_bloom:.1f}s ({bloom_hits:,} probable, fp {fp:.3%}; "
+        f"word table {nb // 63:,} rows / {nb // 8 // 1024 // 1024} MiB "
+        f"regardless of member count)"
+    )
+
 
 if __name__ == "__main__":
     main()
