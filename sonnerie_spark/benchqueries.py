@@ -2394,16 +2394,19 @@ def _decon_bloom_oracle() -> str:
         num_bits=nb,
         num_hashes=4,
     )
-    pos_h = phash_sql("cast(i AS varchar) || '#' || shingle")
+    h = phash_sql("shingle")
     return f"""
     WITH sh AS ({shingles_sql(8)}),
     sk AS ({sk}),
     probe AS (
-      SELECT doc_id AS id, shingle AS v, pos // 63 AS word_idx,
+      SELECT doc_id AS id, v, pos // 63 AS word_idx,
              1::BIGINT << cast(pos % 63 AS INTEGER) AS mask
       FROM (
-        SELECT doc_id, shingle, cast({pos_h} % {nb} AS BIGINT) AS pos
-        FROM sh CROSS JOIN (VALUES (0), (1), (2), (3)) AS s(i)
+        SELECT doc_id, v,
+               cast((h % {nb} + i * (1 + (h // {nb}) % {nb - 1})) % {nb}
+                    AS BIGINT) AS pos
+        FROM (SELECT doc_id, shingle AS v, {h} AS h FROM sh)
+        CROSS JOIN (VALUES (0), (1), (2), (3)) AS s(i)
       )
     ),
     verd AS (
@@ -3294,18 +3297,10 @@ def _curation_v3_oracle() -> str:
     )
 
 
-@q("corpus_curation_v3", _curation_v3_oracle(), "data")
-def q_corpus_curation_v3(spark, sf_dir):
-    """The flagship composite extended with this round's semantic
-    stage: quality gate -> MinHash-LSH near-dup clustering -> keep
-    longest per cluster -> SEMDEDUP over the survivors' embeddings
-    (cluster-bounded cosine near-dup drop, tau=0.25 — the
-    embedding-space pass that catches paraphrases lexical dedup
-    misses) -> temperature mix -> hash split. Every stage is the
-    oracle-gated operator it reuses; the doc corpus joins its
-    embedding table 1:1 on id. Plan adds one equi-join pair probe and
-    a broadcast of the survivor ids — no new corpus shuffle class."""
-    docs = load_par(spark, sf_dir, "documents")
+def _curation_v3_pipeline(spark, sf_dir, docs):
+    """The v3 stage chain over an arbitrary document frame — shared by
+    corpus_curation_v3 (raw corpus) and corpus_curation_v4 (the
+    bloom-decontaminated corpus)."""
     scored = textops.quality_score(docs, "doc_id", "text").select(
         "id", "quality_score"
     )
@@ -3376,6 +3371,99 @@ def q_corpus_curation_v3(spark, sf_dir):
         .alias("split"),
     )
     return _materialize_release(out, keepq, survivors)
+
+
+@q("corpus_curation_v3", _curation_v3_oracle(), "data")
+def q_corpus_curation_v3(spark, sf_dir):
+    """The flagship composite extended in r6 with the semantic stage:
+    quality gate -> MinHash-LSH near-dup clustering -> keep longest
+    per cluster -> SEMDEDUP over the survivors' embeddings
+    (cluster-bounded cosine near-dup drop, tau=0.25 — the
+    embedding-space pass that catches paraphrases lexical dedup
+    misses) -> temperature mix -> hash split. Every stage is the
+    oracle-gated operator it reuses; the doc corpus joins its
+    embedding table 1:1 on id. Plan adds one equi-join pair probe and
+    a broadcast of the survivor ids — no new corpus shuffle class."""
+    docs = load_par(spark, sf_dir, "documents")
+    return _curation_v3_pipeline(spark, sf_dir, docs)
+
+
+def _curation_v4_oracle() -> str:
+    """v3 over the bloom-decontaminated corpus: prepend the
+    decontaminate_bloom CTE network (prefixed dec_*), define
+    docs_clean = documents minus any doc with a probable shared
+    8-gram, and point the v3 body's two corpus reads at it (the dec
+    CTEs' own reads of the RAW corpus are prepended after the
+    substitution, so they are untouched)."""
+    from sonnerie_spark.operators.sketch import bloom_sketch_sql
+
+    nb = 1 << 16
+    sk = bloom_sketch_sql(
+        "shingle",
+        "(SELECT shingle FROM dec_sh WHERE doc_id % 97 = 0)",
+        num_bits=nb,
+        num_hashes=4,
+    )
+    h = phash_sql("shingle")
+    # MATERIALIZED + NOT EXISTS: DuckDB inlines plain CTEs per
+    # reference and NOT IN defeats the hash anti-join — the naive form
+    # measured 288 s at sf0.01 vs 10 s for this one (same 111 rows)
+    dec = f"""dec_sh AS MATERIALIZED ({shingles_sql(8)}),
+    dec_sk AS MATERIALIZED ({sk}),
+    dec_probe AS (
+      SELECT doc_id AS id, v, pos // 63 AS word_idx,
+             1::BIGINT << cast(pos % 63 AS INTEGER) AS mask
+      FROM (
+        SELECT doc_id, v,
+               cast((h % {nb} + i * (1 + (h // {nb}) % {nb - 1})) % {nb}
+                    AS BIGINT) AS pos
+        FROM (SELECT doc_id, shingle AS v, {h} AS h FROM dec_sh)
+        CROSS JOIN (VALUES (0), (1), (2), (3)) AS s(i)
+      )
+    ),
+    dec_flag AS MATERIALIZED (
+      SELECT DISTINCT id FROM (
+        SELECT id, v,
+               bool_and(dec_sk.bits IS NOT NULL
+                        AND (dec_sk.bits & dec_probe.mask) <> 0) AS might
+        FROM dec_probe LEFT JOIN dec_sk USING (word_idx)
+        GROUP BY id, v
+      ) WHERE might
+    ),
+    docs_clean AS MATERIALIZED (
+      SELECT d.* FROM documents d
+      WHERE NOT EXISTS (SELECT 1 FROM dec_flag f WHERE f.id = d.doc_id)
+    ),
+    """
+    v3 = _curation_v3_oracle().replace("FROM documents", "FROM docs_clean")
+    marker = "WITH RECURSIVE "
+    assert v3.startswith(marker)
+    return marker + dec + v3[len(marker):]
+
+
+@q("corpus_curation_v4", _curation_v4_oracle(), "data")
+def q_corpus_curation_v4(spark, sf_dir):
+    """The r8 flagship composite: BLOOM DECONTAMINATION first, then
+    the full v3 chain over the clean corpus — the published pipeline
+    order (strip eval-set material before anything else touches it).
+    The decontamination stage is the oracle-gated decontaminate_bloom
+    operator verbatim (fixed-size filter of the pseudo-eval set's
+    8-gram shingles, map-only broadcast probe, no false negatives —
+    over-flagging only ever removes MORE, the safe direction); its
+    deterministic false positives at sf0.1 make the v4 survivor set
+    strictly differ from v3's, so the gate proves the composition, not
+    just the stages. Plan adds one corpus shingle explode + k
+    broadcast word-table joins + one distinct-flag broadcast anti-join
+    before the quality gate — no new corpus shuffle class."""
+    docs = load_par(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    flagged = textops.decontaminate_bloom(
+        docs, bench, k=8, num_bits=1 << 16, num_hashes=4
+    ).select("id")
+    clean = docs.join(
+        flagged, docs["doc_id"] == flagged["id"], "left_anti"
+    )
+    return _curation_v3_pipeline(spark, sf_dir, clean)
 
 
 @q("corpus_curation_v2", _curation_v2_oracle(), "data")
@@ -5508,7 +5596,7 @@ def q_hll_merge_halves(spark, sf_dir):
 def _bloom_oracle() -> str:
     from sonnerie_spark.operators.sketch import bloom_sketch_sql
 
-    pos_h = phash_sql("cast(i AS varchar) || '#' || text")
+    h = phash_sql("text")
     sk = bloom_sketch_sql(
         "text",
         "(SELECT text FROM documents WHERE doc_id % 17 = 0)",
@@ -5521,8 +5609,11 @@ def _bloom_oracle() -> str:
       SELECT doc_id AS id, pos // 63 AS word_idx,
              1::BIGINT << cast(pos % 63 AS INTEGER) AS mask
       FROM (
-        SELECT doc_id, cast({pos_h} % 2048 AS BIGINT) AS pos
-        FROM documents CROSS JOIN (VALUES (0), (1), (2), (3)) AS s(i)
+        SELECT doc_id,
+               cast((h % 2048 + i * (1 + (h // 2048) % 2047)) % 2048
+                    AS BIGINT) AS pos
+        FROM (SELECT doc_id, {h} AS h FROM documents)
+        CROSS JOIN (VALUES (0), (1), (2), (3)) AS s(i)
       )
     )
     SELECT id,

@@ -170,29 +170,35 @@ def bloom_sketch(
     membership sketch for corpus-scale decontamination / blocklist
     probes (a 2^30-bit filter is ~136 MiB: one broadcast, any corpus).
 
-    Bit positions are ``phash(i || '#' || v) % num_bits`` for i in
-    0..num_hashes-1 (the salted-hash convention :func:`cms_sketch`
-    uses), OR-packed into words by one map-side-combined ``bit_or``
-    aggregate — input rows never shuffle, only ≤ num_bits/63 partial
-    words per task do. Words hold 63 bits (shifts capped at 62): a
-    left shift INTO the sign bit is checked-overflow in DuckDB while
-    Spark wraps, so bit 63 is the one position that cannot be packed
-    portably. Deterministic, so the filter — and every false
-    positive — is reproducible bit-for-bit in any engine.
+    Bit positions use Kirsch-Mitzenmacher double hashing (Kirsch &
+    Mitzenmacher 2006, "Less Hashing, Same Performance"): ONE portable
+    md5 hash per value, split into ``h1 = h % num_bits`` and
+    ``h2 = 1 + (h div num_bits) % (num_bits - 1)``, probing positions
+    ``(h1 + i*h2) % num_bits`` — k positions for one hash evaluation
+    (the md5 is the per-probe cost driver; i-salted rehashing paid it
+    k times), with the paper's asymptotically-identical FP guarantee.
+    OR-packed into words by one map-side-combined ``bit_or`` aggregate
+    — input rows never shuffle, only ≤ num_bits/63 partial words per
+    task do. Words hold 63 bits (shifts capped at 62): a left shift
+    INTO the sign bit is checked-overflow in DuckDB while Spark wraps,
+    so bit 63 is the one position that cannot be packed portably.
+    Deterministic, so the filter — and every false positive — is
+    reproducible bit-for-bit in any engine.
     """
-    if num_bits <= 0:
-        raise ValueError(f"num_bits must be positive, got {num_bits}")
+    if num_bits <= 1:
+        raise ValueError(f"num_bits must exceed 1, got {num_bits}")
     c = F.col(value) if isinstance(value, str) else value
-    ex = df.select(c.alias("v")).select(
-        "v",
+    hs = df.select(phash(c).alias("h")).selectExpr(
+        f"h % {num_bits} AS h1",
+        f"1 + (h div {num_bits}) % {num_bits - 1} AS h2",
+    )
+    ex = hs.select(
+        "h1",
+        "h2",
         F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("i"),
     )
-    pos = F.pmod(
-        phash(F.concat(F.col("i").cast("string"), F.lit("#"), F.col("v"))),
-        F.lit(num_bits),
-    )
     return (
-        ex.select(pos.alias("pos"))
+        ex.selectExpr(f"(h1 + i * h2) % {num_bits} AS pos")
         .selectExpr(
             "cast(pos div 63 AS bigint) AS word_idx",
             "shiftleft(1L, cast(pos % 63 AS int)) AS w",
@@ -209,15 +215,17 @@ def bloom_sketch_sql(
     num_bits: int = 1 << 20,
     num_hashes: int = 4,
 ) -> str:
-    """DuckDB oracle producing the identical Bloom word table."""
+    """DuckDB oracle producing the identical Bloom word table (the
+    same Kirsch-Mitzenmacher position arithmetic as the Spark side)."""
     salts = ", ".join(f"({i})" for i in range(num_hashes))
-    h = phash_sql(f"cast(i AS varchar) || '#' || v")
+    h = phash_sql("v")
     return f"""
     SELECT pos // 63 AS word_idx,
            bit_or(1::BIGINT << cast(pos % 63 AS INTEGER)) AS bits
     FROM (
-      SELECT cast({h} % {num_bits} AS BIGINT) AS pos
-      FROM (SELECT {value_expr} AS v FROM {from_clause})
+      SELECT cast((h % {num_bits} + i * (1 + (h // {num_bits}) % {num_bits - 1}))
+                  % {num_bits} AS BIGINT) AS pos
+      FROM (SELECT {h} AS h FROM (SELECT {value_expr} AS v FROM {from_clause}))
       CROSS JOIN (VALUES {salts}) AS s(i)
     ) GROUP BY 1
     """
@@ -243,18 +251,20 @@ def bloom_might_contain(
     any corpus size). One row in, one row out, original columns kept.
     """
     c = F.col(value) if isinstance(value, str) else value
-    out = candidates.withColumn("__bloom_v", c)
+    out = candidates.withColumn("__bloom_h", phash(c)).selectExpr(
+        "*",
+        f"__bloom_h % {num_bits} AS __h1",
+        f"1 + (__bloom_h div {num_bits}) % {num_bits - 1} AS __h2",
+    )
     hits = []
     for i in range(num_hashes):
-        pos = F.pmod(
-            phash(F.concat(F.lit(f"{i}#"), F.col("__bloom_v"))),
-            F.lit(num_bits),
-        )
         sk_i = sketch.select(
             F.col("word_idx").alias("__wi"), F.col("bits").alias("__b")
         )
         out = (
-            out.withColumn("__pos", pos)
+            out.selectExpr(
+                "*", f"(__h1 + {i} * __h2) % {num_bits} AS __pos"
+            )
             .selectExpr(
                 "*",
                 "cast(__pos div 63 AS bigint) AS __wi",
@@ -273,7 +283,9 @@ def bloom_might_contain(
     expr = F.col(hits[0])
     for h in hits[1:]:
         expr = expr & F.col(h)
-    return out.withColumn("might_contain", expr).drop("__bloom_v", *hits)
+    return out.withColumn("might_contain", expr).drop(
+        "__bloom_h", "__h1", "__h2", *hits
+    )
 
 
 def cms_topk(

@@ -1200,3 +1200,26 @@ def test_bpe_train_pairless_corpus_and_dd_quantile_extremes(spark):
     lo = dd_group_quantile(sk, 0.0).collect()[0]
     hi = dd_group_quantile(sk, 1.0).collect()[0]
     assert abs(lo["est"] - 1.0) < 0.01 and abs(hi["est"] - 1000.0) < 10.0
+
+
+def test_telemetry_tour_end_to_end(spark, capsys):
+    """The runnable sketch/telemetry tour (examples/telemetry_tour.py)
+    must demonstrate every merge identity as True, replay-safe stores,
+    and a Bloom filter with zero false negatives on the sf0.001 data."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(
+        0, str(Path(__file__).resolve().parent.parent / "examples")
+    )
+    import telemetry_tour
+
+    telemetry_tour.main("/root/testdata/sf0.001")
+    out = capsys.readouterr().out
+    assert "[2] hll_merge(even, odd) == one-shot sketch: True" in out
+    assert "[4] cms_merge(even, odd) == one-shot sketch: True" in out
+    assert "[6] kmv_merge == one-shot bottom-k: True" in out
+    assert "[9] grouped dd_merge(even, odd) == one-shot: True" in out
+    assert "applied=[True, True, False]" in out
+    assert "false negatives 0" in out
+    assert "est 14 vs exact 15" in out  # HLL estimate pinned on this data

@@ -178,12 +178,11 @@ def main() -> None:
     t0 = time.time()
     bsk = sketch.bloom_sketch(mem, "v", num_bits=nb, num_hashes=4)
     probed = sketch.bloom_might_contain(
-        vals.withColumn("id", F.monotonically_increasing_id()),
-        bsk, id_col="id", value="v", num_bits=nb, num_hashes=4,
+        vals, bsk, value="v", num_bits=nb, num_hashes=4
     )
     bloom_hits = probed.filter("might_contain").count()
     t_bloom = time.time() - t0
-    fp = (bloom_hits - exact_hits) / max(1, probed.count() - exact_hits)
+    fp = (bloom_hits - exact_hits) / max(1, n - exact_hits)
     print(
         f"BLOOM: n={n:,} members={d // 10:,} | exact semi-join "
         f"{t_exact_b:.1f}s ({exact_hits:,} hits) | bloom build+probe "
