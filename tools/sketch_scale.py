@@ -180,8 +180,9 @@ def main() -> None:
     probed = sketch.bloom_might_contain(
         vals, bsk, value="v", num_bits=nb, num_hashes=4
     )
-    bloom_hits = probed.filter("might_contain").count()
+    probed.write.format("noop").mode("overwrite").save()  # full probe, timed
     t_bloom = time.time() - t0
+    bloom_hits = probed.filter("might_contain").count()  # fp stat, untimed
     fp = (bloom_hits - exact_hits) / max(1, n - exact_hits)
     print(
         f"BLOOM: n={n:,} members={d // 10:,} | exact semi-join "
