@@ -4,6 +4,9 @@ is one of the engine's oracle-gated operators, composed the way the
 published pipelines (C4, Gopher, CCNet, RefinedWeb, SemDeDup, Lee et
 al. ExactSubstr) chain them:
 
+  0. decontaminate_bloom strip eval-set material first (fixed-size
+                        Bloom filter of the benchmark's 8-gram
+                        shingles; no false negatives)
   1. gopher_quality     document-level rule filter (Rae et al. 2021)
   2. c4_clean           line-level cleaning (Raffel et al. 2020)
   3. normalize_text     NFC + control strip + whitespace collapse
@@ -64,6 +67,19 @@ def main(sf_dir: str | None = None) -> None:
         "doc_id", "text", "lang", "source"
     )
     docs = stage("raw corpus", docs)
+
+    # 0. Decontamination FIRST (the published pipeline order): drop any
+    # document sharing a probable 8-gram with the pseudo-eval set
+    # (doc_id % 97). The Bloom filter is fixed-size no matter how big
+    # the eval side grows; false positives only ever over-remove.
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    flagged = textops.decontaminate_bloom(
+        docs, bench, k=8, num_bits=1 << 16, num_hashes=4
+    ).select("id")
+    docs = docs.join(
+        flagged, docs["doc_id"] == flagged["id"], "left_anti"
+    )
+    docs = stage("0 decontaminate_bloom", docs)
 
     # 1. Gopher rules: keep docs passing every published rule except the
     # stopword floor (the synthetic corpus has few English stopwords, so
