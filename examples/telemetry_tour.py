@@ -100,20 +100,21 @@ def main(sf_dir: str | None = None) -> None:
     same = sorted(map(tuple, gm.collect())) == sorted(map(tuple, g.collect()))
     print(f"[9] grouped dd_merge(even, odd) == one-shot: {same}")
 
-    # 10: persistent stores
-    root = tempfile.mkdtemp(prefix="telemetry_tour_")
-    hs = sketch.HllStore(spark, os.path.join(root, "hll"))
-    hs.add(even, F.col("event_type"), user)
-    hs.add(odd, F.col("event_type"), user)
-    hs.add(odd, F.col("event_type"), user)  # replay: max-merge idempotent
-    ests = hs.estimates().orderBy("grp").collect()
-    ds = sketch.DdStore(spark, os.path.join(root, "dd"))
-    applied = [ds.add(0, even, "event_type", "value"),
-               ds.add(1, odd, "event_type", "value"),
-               ds.add(1, odd, "event_type", "value")]  # ledger: replay no-op
-    print(f"[10] HllStore per-type distinct (replay-safe): "
-          f"{[(r['grp'], round(r['est'])) for r in ests[:3]]}; "
-          f"DdStore adds applied={applied} (third is the replayed no-op)")
+    # 10: persistent stores (in a cleaned-up tempdir — every tour and
+    # pytest run would otherwise leak two parquet store generations)
+    with tempfile.TemporaryDirectory(prefix="telemetry_tour_") as root:
+        hs = sketch.HllStore(spark, os.path.join(root, "hll"))
+        hs.add(even, F.col("event_type"), user)
+        hs.add(odd, F.col("event_type"), user)
+        hs.add(odd, F.col("event_type"), user)  # replay: max-merge idempotent
+        ests = hs.estimates().orderBy("grp").collect()
+        ds = sketch.DdStore(spark, os.path.join(root, "dd"))
+        applied = [ds.add(0, even, "event_type", "value"),
+                   ds.add(1, odd, "event_type", "value"),
+                   ds.add(1, odd, "event_type", "value")]  # replay no-op
+        print(f"[10] HllStore per-type distinct (replay-safe): "
+              f"{[(r['grp'], round(r['est'])) for r in ests[:3]]}; "
+              f"DdStore adds applied={applied} (third is the replayed no-op)")
 
     # 11: bloom membership
     mem = ev.filter(F.col("user_id") % 5 == 0).select(user.alias("v"))

@@ -2385,7 +2385,10 @@ def q_decontaminate_benchmark(spark, sf_dir):
 
 
 def _decon_bloom_oracle() -> str:
-    from sonnerie_spark.operators.sketch import bloom_sketch_sql
+    from sonnerie_spark.operators.sketch import (
+        bloom_probe_sql,
+        bloom_sketch_sql,
+    )
 
     nb = 1 << 16
     sk = bloom_sketch_sql(
@@ -2394,21 +2397,16 @@ def _decon_bloom_oracle() -> str:
         num_bits=nb,
         num_hashes=4,
     )
-    h = phash_sql("shingle")
+    probe = bloom_probe_sql(
+        "id, v",
+        "(SELECT doc_id AS id, shingle AS v FROM sh)",
+        num_bits=nb,
+        num_hashes=4,
+    )
     return f"""
     WITH sh AS ({shingles_sql(8)}),
     sk AS ({sk}),
-    probe AS (
-      SELECT doc_id AS id, v, pos // 63 AS word_idx,
-             1::BIGINT << cast(pos % 63 AS INTEGER) AS mask
-      FROM (
-        SELECT doc_id, v,
-               cast((h % {nb} + i * (1 + (h // {nb}) % {nb - 1})) % {nb}
-                    AS BIGINT) AS pos
-        FROM (SELECT doc_id, shingle AS v, {h} AS h FROM sh)
-        CROSS JOIN (VALUES (0), (1), (2), (3)) AS s(i)
-      )
-    ),
+    probe AS ({probe}),
     verd AS (
       SELECT id, v,
              bool_and(sk.bits IS NOT NULL AND (sk.bits & probe.mask) <> 0)
@@ -3395,7 +3393,10 @@ def _curation_v4_oracle() -> str:
     8-gram, and point the v3 body's two corpus reads at it (the dec
     CTEs' own reads of the RAW corpus are prepended after the
     substitution, so they are untouched)."""
-    from sonnerie_spark.operators.sketch import bloom_sketch_sql
+    from sonnerie_spark.operators.sketch import (
+        bloom_probe_sql,
+        bloom_sketch_sql,
+    )
 
     nb = 1 << 16
     sk = bloom_sketch_sql(
@@ -3404,23 +3405,18 @@ def _curation_v4_oracle() -> str:
         num_bits=nb,
         num_hashes=4,
     )
-    h = phash_sql("shingle")
+    probe = bloom_probe_sql(
+        "id, v",
+        "(SELECT doc_id AS id, shingle AS v FROM dec_sh)",
+        num_bits=nb,
+        num_hashes=4,
+    )
     # MATERIALIZED + NOT EXISTS: DuckDB inlines plain CTEs per
     # reference and NOT IN defeats the hash anti-join — the naive form
     # measured 288 s at sf0.01 vs 10 s for this one (same 111 rows)
     dec = f"""dec_sh AS MATERIALIZED ({shingles_sql(8)}),
     dec_sk AS MATERIALIZED ({sk}),
-    dec_probe AS (
-      SELECT doc_id AS id, v, pos // 63 AS word_idx,
-             1::BIGINT << cast(pos % 63 AS INTEGER) AS mask
-      FROM (
-        SELECT doc_id, v,
-               cast((h % {nb} + i * (1 + (h // {nb}) % {nb - 1})) % {nb}
-                    AS BIGINT) AS pos
-        FROM (SELECT doc_id, shingle AS v, {h} AS h FROM dec_sh)
-        CROSS JOIN (VALUES (0), (1), (2), (3)) AS s(i)
-      )
-    ),
+    dec_probe AS ({probe}),
     dec_flag AS MATERIALIZED (
       SELECT DISTINCT id FROM (
         SELECT id, v,
@@ -3435,7 +3431,12 @@ def _curation_v4_oracle() -> str:
       WHERE NOT EXISTS (SELECT 1 FROM dec_flag f WHERE f.id = d.doc_id)
     ),
     """
-    v3 = _curation_v3_oracle().replace("FROM documents", "FROM docs_clean")
+    raw = _curation_v3_oracle()
+    # exactly the two corpus reads (quality head + the 3-gram shingle
+    # CTE) may be repointed; a future v3 edit that adds or rephrases a
+    # corpus read must fail HERE, not drift the v4 oracle silently
+    assert raw.count("FROM documents") == 2, raw.count("FROM documents")
+    v3 = raw.replace("FROM documents", "FROM docs_clean")
     marker = "WITH RECURSIVE "
     assert v3.startswith(marker)
     return marker + dec + v3[len(marker):]
@@ -5594,28 +5595,26 @@ def q_hll_merge_halves(spark, sf_dir):
 
 
 def _bloom_oracle() -> str:
-    from sonnerie_spark.operators.sketch import bloom_sketch_sql
+    from sonnerie_spark.operators.sketch import (
+        bloom_probe_sql,
+        bloom_sketch_sql,
+    )
 
-    h = phash_sql("text")
     sk = bloom_sketch_sql(
         "text",
         "(SELECT text FROM documents WHERE doc_id % 17 = 0)",
         num_bits=2048,
         num_hashes=4,
     )
+    probe = bloom_probe_sql(
+        "id",
+        "(SELECT doc_id AS id, text AS v FROM documents)",
+        num_bits=2048,
+        num_hashes=4,
+    )
     return f"""
     WITH sk AS ({sk}),
-    probe AS (
-      SELECT doc_id AS id, pos // 63 AS word_idx,
-             1::BIGINT << cast(pos % 63 AS INTEGER) AS mask
-      FROM (
-        SELECT doc_id,
-               cast((h % 2048 + i * (1 + (h // 2048) % 2047)) % 2048
-                    AS BIGINT) AS pos
-        FROM (SELECT doc_id, {h} AS h FROM documents)
-        CROSS JOIN (VALUES (0), (1), (2), (3)) AS s(i)
-      )
-    )
+    probe AS ({probe})
     SELECT id,
            bool_and(sk.bits IS NOT NULL AND (sk.bits & probe.mask) <> 0)
              AS might_contain,

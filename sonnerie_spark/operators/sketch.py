@@ -32,6 +32,7 @@ __all__ = [
     "cms_topk",
     "bloom_sketch",
     "bloom_sketch_sql",
+    "bloom_probe_sql",
     "bloom_might_contain",
     "kmv_sketch",
     "kmv_sketch_sql",
@@ -63,6 +64,44 @@ def _ilog2_sql(var: str, max_bits: int) -> str:
     return f"({terms})"
 
 
+
+def _tagged(df: DataFrame, col: str, **params) -> DataFrame:
+    """Re-alias ``col`` with the sketch's build parameters as column
+    metadata — survives select() and parquet roundtrips (aggregations
+    drop it, so constructors and merges re-attach). Probes and merges
+    read it back to REFUSE parameter mismatches that would otherwise
+    corrupt results silently (wrong-width CMS merge, wrong-num_bits
+    Bloom probe -> false negatives)."""
+    cols = [
+        F.col(c).alias(c, metadata=params) if c == col else F.col(c)
+        for c in df.columns
+    ]
+    return df.select(*cols)
+
+
+def sketch_params(df: DataFrame, col: str) -> dict:
+    """The build parameters recorded by :func:`_tagged`, or {} if the
+    frame lost them (e.g. it went through an aggregation)."""
+    try:
+        return dict(df.schema[col].metadata or {})
+    except KeyError:
+        return {}
+
+
+def _require_params_match(fn: str, expected: dict, *gots: dict) -> None:
+    """Raise if any recorded build parameter contradicts ``expected``
+    (caller args) or another input's recording. Absent recordings are
+    not validated — the guard never blocks untagged frames."""
+    for got in gots:
+        for k, v in expected.items():
+            if k in got and got[k] != v:
+                raise ValueError(
+                    f"{fn}: sketch was built with {k}={got[k]} but this "
+                    f"call uses {k}={v} — mismatched parameters corrupt "
+                    "results silently, not approximately"
+                )
+
+
 def hll_rho_sql(y_expr: str, field_bits: int) -> str:
     """Rank of the hash remainder: leading zeros within ``field_bits``
     plus one; ``y = 0`` saturates at field_bits + 1. Portable SQL."""
@@ -92,10 +131,12 @@ def hll_sketch(
         F.expr(f"h div {m}").alias("y"),
     )
     rho = F.expr(hll_rho_sql("y", field_bits)).alias("rho")
-    return (
+    return _tagged(
         withy.select("bucket", rho)
         .groupBy("bucket")
-        .agg(F.max("rho").alias("max_rho"))
+        .agg(F.max("rho").alias("max_rho")),
+        "max_rho",
+        bucket_bits=bucket_bits,
     )
 
 
@@ -136,10 +177,13 @@ def cms_sketch(
         phash(F.concat(F.col("row").cast("string"), F.lit("#"), F.col("v"))),
         F.lit(width),
     ).cast("int")
-    return (
+    return _tagged(
         ex.select("row", col.alias("col"))
         .groupBy("row", "col")
-        .agg(F.count("*").alias("c"))
+        .agg(F.count("*").alias("c")),
+        "c",
+        depth=depth,
+        width=width,
     )
 
 
@@ -187,6 +231,8 @@ def bloom_sketch(
     """
     if num_bits <= 1:
         raise ValueError(f"num_bits must exceed 1, got {num_bits}")
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
     c = F.col(value) if isinstance(value, str) else value
     hs = df.select(phash(c).alias("h")).selectExpr(
         f"h % {num_bits} AS h1",
@@ -197,7 +243,7 @@ def bloom_sketch(
         "h2",
         F.explode(F.array(*[F.lit(i) for i in range(num_hashes)])).alias("i"),
     )
-    return (
+    out = (
         ex.selectExpr(f"(h1 + i * h2) % {num_bits} AS pos")
         .selectExpr(
             "cast(pos div 63 AS bigint) AS word_idx",
@@ -206,6 +252,7 @@ def bloom_sketch(
         .groupBy("word_idx")
         .agg(F.bit_or("w").alias("bits"))
     )
+    return _tagged(out, "bits", num_bits=num_bits, num_hashes=num_hashes)
 
 
 def bloom_sketch_sql(
@@ -231,6 +278,35 @@ def bloom_sketch_sql(
     """
 
 
+def bloom_probe_sql(
+    passthrough: str,
+    from_clause: str,
+    *,
+    num_bits: int,
+    num_hashes: int = 4,
+) -> str:
+    """Probe-position SQL shared by every Bloom oracle: expands each
+    row of ``from_clause`` (which must expose the probed value as
+    column ``v`` plus the ``passthrough`` columns) into num_hashes
+    (passthrough, word_idx, mask) rows with the SAME Kirsch-
+    Mitzenmacher arithmetic as :func:`bloom_sketch_sql` — one
+    definition, so a hashing-scheme change cannot silently diverge
+    between the operator and any gate's oracle."""
+    salts = ", ".join(f"({i})" for i in range(num_hashes))
+    h = phash_sql("v")
+    nb = num_bits
+    return f"""
+      SELECT {passthrough}, pos // 63 AS word_idx,
+             1::BIGINT << cast(pos % 63 AS INTEGER) AS mask
+      FROM (
+        SELECT {passthrough},
+               cast((h % {nb} + i * (1 + (h // {nb}) % {nb - 1})) % {nb}
+                    AS BIGINT) AS pos
+        FROM (SELECT {passthrough}, {h} AS h FROM {from_clause})
+        CROSS JOIN (VALUES {salts}) AS s(i)
+      )"""
+
+
 def bloom_might_contain(
     candidates: DataFrame,
     sketch: DataFrame,
@@ -250,6 +326,19 @@ def bloom_might_contain(
     whole candidate stream; k tiny broadcast joins shuffle NOTHING at
     any corpus size). One row in, one row out, original columns kept.
     """
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+    if "might_contain" in candidates.columns:
+        raise ValueError(
+            "bloom_might_contain: candidates already have a "
+            "'might_contain' column (a previous probe's verdict?) — "
+            "rename it first; overwriting would silently discard it"
+        )
+    _require_params_match(
+        "bloom_might_contain",
+        {"num_bits": num_bits, "num_hashes": num_hashes},
+        sketch_params(sketch, "bits"),
+    )
     c = F.col(value) if isinstance(value, str) else value
     out = candidates.withColumn("__bloom_h", phash(c)).selectExpr(
         "*",
@@ -302,6 +391,10 @@ def cms_topk(
     broadcast; candidates fan out ``depth`` ways map-side, take a
     per-candidate min, then TakeOrderedAndProject — no corpus-side
     shuffle beyond the candidate aggregate."""
+    _require_params_match(
+        "cms_topk", {"depth": depth, "width": width},
+        sketch_params(sketch, "c"),
+    )
     ex = candidates.select(F.col(value_col).alias("v")).select(
         "v", F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
     )
@@ -325,11 +418,13 @@ def kmv_sketch(
     hash values of the column — ``(h)``, ≤ k rows. Distinct is one hash
     agg; bottom-k is TakeOrderedAndProject (per-partition heaps)."""
     c = F.col(value) if isinstance(value, str) else value
-    return (
+    return _tagged(
         df.select(phash(c).alias("h"))
         .distinct()
         .orderBy("h")
-        .limit(k)
+        .limit(k),
+        "h",
+        k=k,
     )
 
 
@@ -346,12 +441,17 @@ def kmv_merge(a: DataFrame, b: DataFrame, *, k: int = 256) -> DataFrame:
     of the two bottom-k's alone), so the merged sketch equals the
     one-shot sketch of the combined input EXACTLY. ≤ 2k rows touch the
     merge."""
-    return (
+    _require_params_match(
+        "kmv_merge", {"k": k}, sketch_params(a, "h"), sketch_params(b, "h")
+    )
+    return _tagged(
         a.select("h")
         .unionByName(b.select("h"))
         .distinct()
         .orderBy("h")
-        .limit(k)
+        .limit(k),
+        "h",
+        k=k,
     )
 
 
@@ -364,6 +464,10 @@ def kmv_overlap(
     sketches, jaccard_q = inter·10⁶ div k_eff. All three integers are
     deterministic functions of the sketches, so the estimator itself is
     oracle-checkable bit-for-bit."""
+    _require_params_match(
+        "kmv_overlap", {"k": k},
+        sketch_params(a, "h"), sketch_params(b, "h"),
+    )
     au = a.select("h").unionByName(b.select("h")).distinct()
     union_k = au.orderBy("h").limit(k)
     inter = (
@@ -436,10 +540,12 @@ def dd_sketch(
     bucket = F.when(sgn == 0, F.lit(0).cast("long")).otherwise(
         F.ceil(F.col("__ln_abs") / ln_cr(F.lit(gamma)))
     )
-    return (
+    return _tagged(
         df.select(sgn.alias("sgn"), bucket.alias("bucket"))
         .groupBy("sgn", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).alias("n")),
+        "n",
+        relative_accuracy=a,
     )
 
 
@@ -507,10 +613,12 @@ def dd_sketch_grouped(
     bucket = F.when(sgn == 0, F.lit(0).cast("long")).otherwise(
         F.ceil(F.col("__ln_abs") / ln_cr(F.lit(gamma)))
     )
-    return (
+    return _tagged(
         df.select("grp", sgn.alias("sgn"), bucket.alias("bucket"))
         .groupBy("grp", "sgn", "bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).alias("n")),
+        "n",
+        relative_accuracy=a,
     )
 
 
@@ -564,6 +672,10 @@ def dd_group_quantile(
     and return wrong quantiles SILENTLY — run the union through
     :func:`dd_merge` first.
     """
+    _require_params_match(
+        "dd_group_quantile", {"relative_accuracy": float(relative_accuracy)},
+        sketch_params(sketch, "n"),
+    )
     from pyspark.sql import Window
 
     if not 0.0 <= q <= 1.0:
@@ -625,8 +737,12 @@ def dd_merge(a: DataFrame, b: DataFrame) -> DataFrame:
             "other is not — merging them would silently collapse groups; "
             "aggregate or add the group column first"
         )
+    pa_, pb = sketch_params(a, "n"), sketch_params(b, "n")
+    _require_params_match("dd_merge", pa_, pb)
+    _require_params_match("dd_merge", pb, pa_)
     keys = ["grp", "sgn", "bucket"] if a_grp else ["sgn", "bucket"]
-    return a.unionByName(b).groupBy(*keys).agg(F.sum("n").alias("n"))
+    out = a.unionByName(b).groupBy(*keys).agg(F.sum("n").alias("n"))
+    return _tagged(out, "n", **pa_) if pa_ else out
 
 
 def dd_quantiles(
@@ -644,6 +760,10 @@ def dd_quantiles(
     bucket's log-midpoint ``sgn * 2*gamma^i / (gamma + 1)`` — relative
     error ≤ relative_accuracy for quantiles outside the zero bucket.
     """
+    _require_params_match(
+        "dd_quantiles", {"relative_accuracy": float(relative_accuracy)},
+        sketch_params(sketch, "n"),
+    )
     import math
 
     a = float(relative_accuracy)
@@ -687,10 +807,14 @@ def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
             "hll_merge: one side is a grouped sketch (has 'grp') and the "
             "other is not — merging them would silently collapse groups"
         )
+    pa_, pb = sketch_params(a, "max_rho"), sketch_params(b, "max_rho")
+    _require_params_match("hll_merge", pa_, pb)
+    _require_params_match("hll_merge", pb, pa_)
     keys = ["grp", "bucket"] if a_grp else ["bucket"]
-    return a.unionByName(b).groupBy(*keys).agg(
+    out = a.unionByName(b).groupBy(*keys).agg(
         F.max("max_rho").alias("max_rho")
     )
+    return _tagged(out, "max_rho", **pa_) if pa_ else out
 
 
 def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -698,11 +822,15 @@ def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     additive, so the merged sketch's estimates equal the one-shot
     sketch's exactly (not just within the epsilon bound). Both inputs
     must use the same (depth, width)."""
-    return (
+    pa_, pb = sketch_params(a, "c"), sketch_params(b, "c")
+    _require_params_match("cms_merge", pa_, pb)
+    _require_params_match("cms_merge", pb, pa_)
+    out = (
         a.unionByName(b)
         .groupBy("row", "col")
         .agg(F.sum("c").alias("c"))
     )
+    return _tagged(out, "c", **pa_) if pa_ else out
 
 
 def hll_sketch_grouped(
@@ -725,10 +853,12 @@ def hll_sketch_grouped(
         F.expr(f"h div {m}").alias("y"),
     )
     rho = F.expr(hll_rho_sql("y", field_bits)).alias("rho")
-    return (
+    return _tagged(
         withy.select("grp", "bucket", rho)
         .groupBy("grp", "bucket")
-        .agg(F.max("rho").alias("max_rho"))
+        .agg(F.max("rho").alias("max_rho")),
+        "max_rho",
+        bucket_bits=bucket_bits,
     )
 
 
@@ -740,6 +870,10 @@ def hll_estimates_grouped(
     group); the float sums here are estimates, not an oracle surface.
     Applies the classic alpha_m estimator with linear-counting
     correction for the small range."""
+    _require_params_match(
+        "hll_estimates_grouped", {"bucket_bits": bucket_bits},
+        sketch_params(sketches, "max_rho"),
+    )
     m = 1 << bucket_bits
     alpha = 0.7213 / (1 + 1.079 / m)
     per = sketches.groupBy("grp").agg(
@@ -1198,6 +1332,10 @@ def hll_estimate(sketch: DataFrame, *, bucket_bits: int = 8) -> float:
     """Classic HLL estimate with small-range (linear counting)
     correction. Collects the ≤ 2^b-row sketch — bounded dimension
     data."""
+    _require_params_match(
+        "hll_estimate", {"bucket_bits": bucket_bits},
+        sketch_params(sketch, "max_rho"),
+    )
     import math
 
     m = 1 << bucket_bits

@@ -598,3 +598,49 @@ def test_decontaminate_bloom_superset_of_exact(spark, sf_dir):
     }
     for i, n in exact.items():
         assert i in bloom and bloom[i] >= n, (i, n, bloom.get(i))
+
+
+def test_sketch_param_guards(spark):
+    """Sketch frames carry their build parameters as column metadata
+    (survives select + parquet; aggregations drop it and constructors/
+    merges re-attach). Probes and merges REFUSE mismatched parameters
+    that would otherwise corrupt results silently: a wrong-num_bits
+    Bloom probe produces FALSE NEGATIVES — the one failure mode the
+    filter exists to exclude — and a wrong-width CMS merge produces
+    valid-looking wrong counts."""
+    import pytest as _pytest
+
+    from sonnerie_spark.operators.sketch import (
+        bloom_might_contain,
+        bloom_sketch,
+        cms_merge,
+        cms_sketch,
+        kmv_merge,
+        kmv_sketch,
+        sketch_params,
+    )
+
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(50)], ["id", "v"])
+    bf = bloom_sketch(df, "v", num_bits=1024, num_hashes=4)
+    assert sketch_params(bf, "bits") == {"num_bits": 1024, "num_hashes": 4}
+    with _pytest.raises(ValueError, match="num_bits=1024"):
+        bloom_might_contain(df, bf, value="v", num_bits=4096)
+    with _pytest.raises(ValueError, match="num_hashes"):
+        bloom_sketch(df, "v", num_hashes=0)
+    probed = bloom_might_contain(df, bf, value="v", num_bits=1024)
+    with _pytest.raises(ValueError, match="might_contain"):
+        bloom_might_contain(probed, bf, value="v", num_bits=1024)
+
+    with _pytest.raises(ValueError, match="width"):
+        cms_merge(
+            cms_sketch(df, "v", width=1024), cms_sketch(df, "v", width=4096)
+        )
+    with _pytest.raises(ValueError, match="k="):
+        kmv_merge(kmv_sketch(df, "v", k=16), kmv_sketch(df, "v", k=32), k=16)
+
+    # parquet roundtrip keeps the recording (stores, saved sketches)
+    import tempfile
+
+    p = tempfile.mkdtemp() + "/bf"
+    bf.write.parquet(p)
+    assert sketch_params(spark.read.parquet(p), "bits")["num_bits"] == 1024

@@ -137,6 +137,18 @@ print("CHECK-OK")
 """
 
 
+def _dump_stderr(errlogs: list[str]) -> None:
+    for path in errlogs:
+        try:
+            with open(path) as f:
+                tail = f.read()[-4000:]
+        except OSError:
+            continue
+        if tail.strip():
+            print(f"--- {path} ---")
+            print(tail)
+
+
 def main() -> None:
     import time
 
@@ -144,12 +156,18 @@ def main() -> None:
     root = tempfile.mkdtemp(prefix="store_soak_")
     deadline = time.time() + 240  # reader stops when writers are done anyway
     env = dict(os.environ)
+    errlogs: list[str] = []
 
     def spawn(code: str, *args: str) -> subprocess.Popen:
+        # stderr goes to a per-process file (NOT devnull): when a writer
+        # or the reader trips an invariant, the assertion traceback from
+        # that exact interleaving is the whole point of the soak
+        log = open(os.path.join(root, f"stderr-{len(errlogs)}.log"), "w")
+        errlogs.append(log.name)
         return subprocess.Popen(
             [sys.executable, "-c", code.format(repo=REPO), *args],
             stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL,
+            stderr=log,
             env=env,
             text=True,
         )
@@ -173,6 +191,7 @@ def main() -> None:
     rd_status = f"exit {rd.returncode}"
     if rd.returncode != 0:
         print(f"FAIL: reader died mid-soak: {rd_out}")
+        _dump_stderr(errlogs)
         sys.exit(1)
 
     ok = True
@@ -184,6 +203,7 @@ def main() -> None:
             print(f"{name}: {out.strip().splitlines()[-1]}")
     print(f"reader: {rd_status}; last line: {rd_out.strip().splitlines()[-1] if rd_out.strip() else '(no output)'}")
     if not ok:
+        _dump_stderr(errlogs)
         sys.exit(1)
 
     chk = spawn(CHECK, root, str(n))

@@ -83,12 +83,15 @@ def canon_duck(t) -> str:
 
 
 def canon_spark(dt) -> str:
-    s = dt.simpleString()
+    return _canon_spark_str(dt.simpleString())
+
+
+def _canon_spark_str(s: str) -> str:
+    # recurse like canon_duck so nested arrays canonicalize identically
     if s.startswith("decimal"):
         return s.replace(" ", "")
     if s.startswith("array<"):
-        inner = s[len("array<") : -1]
-        return "array<" + _SPARK.get(inner, inner) + ">"
+        return "array<" + _canon_spark_str(s[len("array<") : -1]) + ">"
     if s.startswith("struct"):
         return "struct"
     return _SPARK.get(s, s)
