@@ -3458,9 +3458,15 @@ def q_corpus_curation_v4(spark, sf_dir):
     before the quality gate — no new corpus shuffle class."""
     docs = load_par(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
+    # the flagged-id list is tiny but its lineage (corpus shingle
+    # explode + k word-table probes) is the expensive part, and `clean`
+    # feeds BOTH head branches of the v3 chain (quality scoring and the
+    # base join) before keepq's persist boundary — checkpoint the ids
+    # so the probe runs once, and the recomputed part of `clean` is
+    # just scan + broadcast anti-join (v3's own recompute class)
     flagged = textops.decontaminate_bloom(
         docs, bench, k=8, num_bits=1 << 16, num_hashes=4
-    ).select("id")
+    ).select("id").localCheckpoint(eager=True)
     clean = docs.join(
         flagged, docs["doc_id"] == flagged["id"], "left_anti"
     )
