@@ -3042,6 +3042,44 @@ def q_dd_store_roundtrip(spark, sf_dir):
     return store.sketches()
 
 
+def _bloom_store_oracle() -> str:
+    from sonnerie_spark.operators.sketch import bloom_sketch_sql
+
+    return bloom_sketch_sql(
+        "cast(user_id AS varchar)", "events", num_bits=4096, num_hashes=4
+    )
+
+
+@q(
+    "bloom_store_roundtrip",
+    _bloom_store_oracle(),
+    "streaming",
+    gate_only=True,
+)
+def q_bloom_store_roundtrip(spark, sf_dir):
+    """The persistent BloomStore under the correctness gate: event
+    users arrive as three disjoint batches through add(), with one
+    batch REPLAYED (per-word OR is idempotent — HllStore's replay
+    argument, so no ledger); the final word table must equal the
+    one-shot Bloom filter over the whole table, whose DuckDB mirror IS
+    the oracle. Proves the OR-merge, the generation swap, and the
+    parameter persistence end-to-end (the store reopens mid-gate and
+    must adopt the persisted num_bits)."""
+    import tempfile
+
+    from sonnerie_spark.operators.sketch import BloomStore
+
+    ev = load_par(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="bloom_gate_")
+    store = BloomStore(spark, path, num_bits=4096, num_hashes=4)
+    val = F.col("user_id").cast("string")
+    for i in range(3):
+        store.add(ev.filter(F.col("event_id") % 3 == i), val)
+    # at-least-once delivery: replay of batch 1 must be a no-op
+    BloomStore(spark, path).add(ev.filter(F.col("event_id") % 3 == 1), val)
+    return store.sketch()
+
+
 @q(
     "rollup_cascade_roundtrip",
     """

@@ -49,6 +49,7 @@ __all__ = [
     "hll_sketch_grouped",
     "hll_estimates_grouped",
     "HllStore",
+    "BloomStore",
     "DdStore",
 ]
 
@@ -1122,6 +1123,165 @@ class HllStore:
         """Per-group cardinality estimates ``(grp, est)``."""
         return hll_estimates_grouped(
             self.sketches(), bucket_bits=self.bucket_bits
+        )
+
+    def _locked(self):
+        return _store_lock(self.path)
+
+
+class BloomStore:
+    """Persistent, incrementally-OR-merged Bloom filter — the streaming
+    face of :func:`bloom_sketch`: a blocklist/decontamination filter
+    that accumulates forever ("every URL ever crawled", "every eval-set
+    shingle ever registered") without rescanning history.
+
+    ``add()`` sketches the arriving batch and bit_or-merges it into the
+    stored word table under the family's flock + atomic tmp+rename
+    swap. Per-word OR is idempotent, associative, and commutative —
+    exactly HllStore's replay argument — so at-least-once delivery
+    (foreachBatch retries) leaves the store EXACTLY unchanged and no
+    ledger is needed (contrast DdStore, whose sum-merge is not
+    replay-idempotent). The store is ≤ num_bits/63 integer rows
+    regardless of how many values were ever added: rewriting it per
+    add is a fixed-size dimension-table write.
+
+    ``num_bits``/``num_hashes`` are fixed at creation and persisted in
+    the word table's column metadata (parquet keeps it), so
+    :func:`bloom_might_contain` probes against a reopened store refuse
+    mismatched parameters instead of silently returning false
+    negatives. Deletion is structurally impossible (Bloom bits only
+    set) — a shrinking blocklist needs a rebuild, which is the standard
+    Bloom trade.
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        *,
+        num_bits: int | None = None,
+        num_hashes: int | None = None,
+    ):
+        import json
+        import os
+
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        os.makedirs(self.path, exist_ok=True)
+        self._data = os.path.join(self.path, "words")
+        self._meta = os.path.join(self.path, "params.json")
+        if os.path.exists(self._meta):
+            # reopening: parameters come from the store; EXPLICIT args
+            # must match (None = adopt whatever was persisted)
+            with open(self._meta) as f:
+                meta = json.load(f)
+            asked = {
+                k: v
+                for k, v in (("num_bits", num_bits),
+                             ("num_hashes", num_hashes))
+                if v is not None
+            }
+            _require_params_match("BloomStore", asked, meta)
+            self.num_bits = int(meta["num_bits"])
+            self.num_hashes = int(meta["num_hashes"])
+        else:
+            self.num_bits = int(num_bits if num_bits is not None else 1 << 20)
+            self.num_hashes = int(num_hashes if num_hashes is not None else 4)
+            if self.num_bits <= 1 or self.num_hashes < 1:
+                raise ValueError(
+                    f"invalid Bloom parameters num_bits={self.num_bits} "
+                    f"num_hashes={self.num_hashes}"
+                )
+            tmp = self._meta + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"num_bits": self.num_bits,
+                     "num_hashes": self.num_hashes},
+                    f,
+                )
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(tmp, self._meta)
+
+    def sketch(self) -> DataFrame:
+        """The current word table ``(word_idx, bits)``, tagged with the
+        store's parameters (empty frame if nothing was added yet)."""
+        with self._locked():
+            return self._sketch_unlocked()
+
+    def _sketch_unlocked(self) -> DataFrame:
+        import os
+
+        import pyarrow as pa
+
+        _recover_data_dir(self._data)
+        if not os.path.isdir(self._data):
+            return _tagged(
+                self.spark.createDataFrame(
+                    [], "word_idx bigint, bits bigint"
+                ),
+                "bits",
+                num_bits=self.num_bits,
+                num_hashes=self.num_hashes,
+            )
+        import pyarrow.parquet as pq
+
+        try:
+            tbl = pq.read_table(self._data)
+        except (FileNotFoundError, pa.ArrowInvalid):
+            # same corruption-only rollback contract as HllStore
+            if not _restore_backup(self._data):
+                raise
+            try:
+                tbl = pq.read_table(self._data)
+            except (FileNotFoundError, pa.ArrowInvalid) as e:
+                raise RuntimeError(
+                    f"BloomStore at {self.path}: current generation "
+                    "was corrupt and the restored backup is ALSO "
+                    f"unreadable ({type(e).__name__}: {e}); the store "
+                    "cannot recover — rebuild it by replaying the "
+                    "source batches into a fresh path"
+                ) from e
+        return _tagged(
+            self.spark.createDataFrame(
+                tbl, schema="word_idx bigint, bits bigint"
+            ),
+            "bits",
+            num_bits=self.num_bits,
+            num_hashes=self.num_hashes,
+        )
+
+    def add(self, df: DataFrame, value: Column | str) -> None:
+        """Sketch the batch and OR-merge it into the store (replay-
+        idempotent: re-adding any batch is a no-op)."""
+        import os
+        import time
+
+        batch = bloom_sketch(
+            df, value, num_bits=self.num_bits, num_hashes=self.num_hashes
+        )
+        with self._locked():
+            merged = (
+                self._sketch_unlocked()
+                .unionByName(batch)
+                .groupBy("word_idx")
+                .agg(F.bit_or("bits").alias("bits"))
+            )
+            tmp = self._data + f".tmp-{os.getpid()}-{time.time_ns():x}"
+            merged.coalesce(1).write.parquet(tmp)
+            _swap_data_dir(self._data, tmp)
+
+    def might_contain(
+        self, candidates: DataFrame, value: Column | str
+    ) -> DataFrame:
+        """Probe the stored filter: ``candidates`` + ``might_contain``
+        (the :func:`bloom_might_contain` map-only broadcast plan)."""
+        return bloom_might_contain(
+            candidates,
+            self.sketch(),
+            value=value,
+            num_bits=self.num_bits,
+            num_hashes=self.num_hashes,
         )
 
     def _locked(self):

@@ -644,3 +644,36 @@ def test_sketch_param_guards(spark):
     p = tempfile.mkdtemp() + "/bf"
     bf.write.parquet(p)
     assert sketch_params(spark.read.parquet(p), "bits")["num_bits"] == 1024
+
+
+def test_bloom_store_incremental_replay_and_reopen(spark, tmp_path):
+    """BloomStore: OR-merge across batches equals the one-shot filter,
+    replaying any batch is a no-op (idempotent, no ledger needed), a
+    reopened store adopts the persisted parameters and refuses
+    explicit mismatches, and probes against the store never miss a
+    member added in ANY batch."""
+    import pytest as _pytest
+
+    from sonnerie_spark.operators.sketch import BloomStore, bloom_sketch
+
+    df = spark.createDataFrame(
+        [(i, f"val{i}") for i in range(300)], ["id", "v"]
+    )
+    a, b = df.filter("id % 2 = 0"), df.filter("id % 2 = 1")
+    store = BloomStore(spark, str(tmp_path / "bf"), num_bits=4096)
+    store.add(a, "v")
+    store.add(b, "v")
+    store.add(b, "v")  # replay: OR is idempotent
+    one = sorted(
+        map(tuple, bloom_sketch(df, "v", num_bits=4096).collect())
+    )
+    got = sorted(map(tuple, store.sketch().collect()))
+    assert got == one
+
+    reopened = BloomStore(spark, str(tmp_path / "bf"))
+    assert reopened.num_bits == 4096 and reopened.num_hashes == 4
+    with _pytest.raises(ValueError, match="num_bits"):
+        BloomStore(spark, str(tmp_path / "bf"), num_bits=8192)
+
+    probed = reopened.might_contain(df, "v")
+    assert probed.filter("NOT might_contain").count() == 0  # all members
