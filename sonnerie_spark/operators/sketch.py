@@ -1170,6 +1170,18 @@ class BloomStore:
         os.makedirs(self.path, exist_ok=True)
         self._data = os.path.join(self.path, "words")
         self._meta = os.path.join(self.path, "params.json")
+        with self._locked():
+            self._init_params(num_bits, num_hashes)
+
+    def _init_params(
+        self, num_bits: int | None, num_hashes: int | None
+    ) -> None:
+        """Read-or-create params.json UNDER THE STORE LOCK — two
+        processes opening a fresh store concurrently must agree on one
+        parameter set, not last-rename-wins."""
+        import json
+        import os
+
         if os.path.exists(self._meta):
             # reopening: parameters come from the store; EXPLICIT args
             # must match (None = adopt whatever was persisted)

@@ -17,7 +17,10 @@ Pass criteria, checked by the parent at the end:
   - the final DdStore table equals the one-shot grouped sketch over
     the union of all batches (exactly-once despite two racing
     writers, including each writer RETRYING one of its batches);
-  - the final HllStore estimates equal the one-shot grouped estimate.
+  - the final HllStore estimates equal the one-shot grouped estimate;
+  - the final BloomStore word table equals the one-shot Bloom filter
+    (OR-merge idempotent under each writer's replays), and the
+    reader's set-bit count is monotone throughout.
 
 Usage: python tools/store_soak.py [n_batches_per_writer]
 Writes nothing outside a tempdir; exits nonzero on any failure.
@@ -39,12 +42,13 @@ sys.path.insert(0, {repo!r})
 os.environ["SPARK_GRAFT_CPUS"] = "2"
 from pyspark.sql import functions as F
 from sonnerie_spark.session import get_spark
-from sonnerie_spark.operators.sketch import DdStore, HllStore
+from sonnerie_spark.operators.sketch import BloomStore, DdStore, HllStore
 
 writer_id = int(sys.argv[1]); n = int(sys.argv[2]); root = sys.argv[3]
 spark = get_spark(f"soak-writer-{{writer_id}}", shuffle_partitions=2)
 dd = DdStore(spark, os.path.join(root, "dd"))
 hll = HllStore(spark, os.path.join(root, "hll"))
+bf = BloomStore(spark, os.path.join(root, "bf"), num_bits=4096)
 
 def batch_df(bid):
     # deterministic per-batch rows: 40 rows, 3 groups, values 1..13
@@ -64,6 +68,8 @@ for i in range(n):
     assert r2 is False, f"replay of {{bid}} was applied twice"
     hll.add(df, "g", "u")
     hll.add(df, "g", "u")  # max-merge: idempotent replay
+    bf.add(df, "u")
+    bf.add(df, "u")  # or-merge: idempotent replay
     applied.append(bid)
 print(json.dumps({{"writer": writer_id, "applied": applied}}))
 """
@@ -73,16 +79,18 @@ import json, os, sys, time
 sys.path.insert(0, {repo!r})
 os.environ["SPARK_GRAFT_CPUS"] = "2"
 from sonnerie_spark.session import get_spark
-from sonnerie_spark.operators.sketch import DdStore, HllStore
+from sonnerie_spark.operators.sketch import BloomStore, DdStore, HllStore
 
 root = sys.argv[1]; deadline = float(sys.argv[2])
 stop_file = os.path.join(root, "writers-done")
 spark = get_spark("soak-reader", shuffle_partitions=2)
 dd = DdStore(spark, os.path.join(root, "dd"))
 hll = HllStore(spark, os.path.join(root, "hll"))
+bf = BloomStore(spark, os.path.join(root, "bf"), num_bits=4096)
 iters = 0
 prev_applied = set()
 prev_total = 0
+prev_bits = 0
 while not os.path.exists(stop_file) and time.time() < deadline:
     ids = dd.applied()
     assert ids >= prev_applied, f"applied() shrank: {{prev_applied}} -> {{ids}}"
@@ -97,6 +105,9 @@ while not os.path.exists(stop_file) and time.time() < deadline:
     assert total % 40 == 0, f"bucket total {{total}} not a whole batch"
     prev_total = total
     hll.estimates().collect()
+    nbits = sum(bin(r["bits"]).count("1") for r in bf.sketch().collect())
+    assert nbits >= prev_bits, f"bloom set-bit count shrank: {{prev_bits}} -> {{nbits}}"
+    prev_bits = nbits
     iters += 1
 print(json.dumps({{"reader_iters": iters, "final_applied": sorted(prev_applied)}}))
 """
@@ -107,7 +118,8 @@ sys.path.insert(0, {repo!r})
 os.environ["SPARK_GRAFT_CPUS"] = "4"
 from sonnerie_spark.session import get_spark
 from sonnerie_spark.operators.sketch import (
-    DdStore, HllStore, dd_sketch_grouped, hll_sketch_grouped,
+    BloomStore, DdStore, HllStore, bloom_sketch, dd_sketch_grouped,
+    hll_sketch_grouped,
 )
 
 root = sys.argv[1]; n = int(sys.argv[2])
@@ -133,6 +145,12 @@ hll = HllStore(spark, os.path.join(root, "hll"))
 want_h = sorted(map(tuple, hll_sketch_grouped(union, "g", "u").collect()))
 got_h = sorted(map(tuple, hll.sketches().collect()))
 assert got_h == want_h, "HllStore final state != one-shot grouped sketch"
+
+bf = BloomStore(spark, os.path.join(root, "bf"))
+assert bf.num_bits == 4096, bf.num_bits  # params adopted from disk
+want_b = sorted(map(tuple, bloom_sketch(union, "u", num_bits=4096).collect()))
+got_b = sorted(map(tuple, bf.sketch().collect()))
+assert got_b == want_b, "BloomStore final state != one-shot filter"
 print("CHECK-OK")
 """
 
