@@ -677,3 +677,67 @@ def test_bloom_store_incremental_replay_and_reopen(spark, tmp_path):
 
     probed = reopened.might_contain(df, "v")
     assert probed.filter("NOT might_contain").count() == 0  # all members
+
+
+def test_bloom_store_under_streaming_ingest(spark, ids, tmp_path):
+    """foreachBatch micro-batches OR-merging into the BloomStore
+    converge to the whole-corpus filter — the 'blocklist accumulated
+    forever' shape, replay-safe without a ledger."""
+    src = str(tmp_path / "arrivals")
+    for i in range(3):
+        ids.filter(F.crc32(F.col("v")) % 3 == i).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+    store = sketch.BloomStore(spark, str(tmp_path / "bf_s"), num_bits=4096)
+
+    def on_batch(batch_df, _bid):
+        store.add(batch_df, "v")
+        store.add(batch_df, "v")  # at-least-once retry: OR idempotent
+
+    stream = (
+        spark.readStream.schema(ids.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(on_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {(r["word_idx"], r["bits"]) for r in store.sketch().collect()}
+    want = {
+        (r["word_idx"], r["bits"])
+        for r in sketch.bloom_sketch(ids, "v", num_bits=4096).collect()
+    }
+    assert got == want
+    # and the stored filter never misses any value ever ingested
+    probed = store.might_contain(ids, "v")
+    assert probed.filter("NOT might_contain").count() == 0
+
+
+def test_bloom_never_false_negative_property(spark):
+    """Property sweep: for random member/probe splits across several
+    (num_bits, num_hashes) shapes, every member probes True — the
+    structural no-false-negative guarantee under parameter variation
+    (hypothesis-style deterministic grid, not random seeds: the hash
+    is content-stable so the corpus IS the randomness)."""
+    from sonnerie_spark.operators.sketch import (
+        bloom_might_contain,
+        bloom_sketch,
+    )
+
+    rows = [(i, f"doc-{i * 2654435761 % 10007}") for i in range(211)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    for num_bits, num_hashes, mod in ((128, 1, 2), (1024, 4, 3), (8192, 7, 5)):
+        members = df.filter(f"id % {mod} = 0")
+        sk = bloom_sketch(
+            members, "v", num_bits=num_bits, num_hashes=num_hashes
+        )
+        out = bloom_might_contain(
+            df, sk, value="v", num_bits=num_bits, num_hashes=num_hashes
+        )
+        misses = out.filter(f"id % {mod} = 0 AND NOT might_contain").count()
+        assert misses == 0, (num_bits, num_hashes, mod)
