@@ -6311,6 +6311,24 @@ _DRIVER_WINDOW = [
     #     byte-length plumbing is run by multimodal_resize_real's
     #     construction/output; its md5 digest by
     #     dedup_exact_incremental's content hashing — both staying).
+    # r9 rotation candidates (never driver-seen after r8): the eight
+    # r8-landed gates (dd_merge_grouped, hll/cms/kmv_merge_halves,
+    # bloom_filter_membership, decontaminate_bloom,
+    # bloom_store_roundtrip, corpus_curation_v4) plus the long tail
+    # (fold_series, stratified_sample_lang, neardup_keep_longest,
+    # corpus_curation, repetition_filter, time_weighted_avg, ohlc_1h,
+    # gap_fill_locf, series_anomaly_zscore, quality_filter_stratified,
+    # bpe_pair_counts, cohort_retention, funnel_conversion,
+    # repeated_spans, dedup_ngram_containment, chunk_documents,
+    # cap_per_group, deterministic_shuffle, normalize_text,
+    # strip_boilerplate, the per-format multimodal decode gates,
+    # distinct_sketch_hll, multimodal_decode_stub) — same subsumption
+    # discipline; candidates with clear stayers: corpus_curation_v3 ->
+    # corpus_curation_v4 (v4 runs every v3 stage over the
+    # decontaminated corpus plus the bloom stage),
+    # decontaminate_benchmark -> decontaminate_bloom only if the exact
+    # path keeps a stayer (it does not — keep both or rotate the bloom
+    # one in on its own slot).
     # Earlier rotations retired (r6: ivf_assign,
     # embedding_neardup_pairs, dedup_ngram_jaccard, dedup_minhash_lsh,
     # dedup_simhash, text_token_stats, doc_fingerprint,
