@@ -5748,6 +5748,136 @@ def q_kmv_merge_halves(spark, sf_dir):
     return sketch.kmv_merge(a, b, k=64)
 
 
+def _dhash_ctes() -> str:
+    """Shared CTE network for the image dHash gates: every document
+    becomes a 20x14 P6 PPM whose pixels are the ASCII bytes of
+    repeat(md5(BASE text), 27)[:840], where BASE is the even doc of
+    the (2k, 2k+1) couple — so couples share pixels — and odd docs
+    perturb exactly the first pixel byte (+1), so each couple is a
+    constructed near-duplicate at hamming <= 1. The dhash expression
+    is the generated integer mirror of multimodal.dhash_media's
+    arithmetic: grayscale (r+g+b) div 3 at grid (2x, 2y), bit y*9+x
+    iff left > right, 63 bits summed with non-aggregate + (stays
+    BIGINT; an aggregate SUM would widen to HUGEINT — the bm25
+    class)."""
+    W = 20
+
+    def a(j):  # 1-based ascii of pixel byte j
+        return f"ascii(substring(px, {j}, 1))"
+
+    def g(y, x):  # integer grayscale of grid sample (x, y)
+        j0 = ((2 * y) * W + (2 * x)) * 3 + 1
+        return f"(({a(j0)} + {a(j0 + 1)} + {a(j0 + 2)}) // 3)"
+
+    terms = []
+    for y in range(7):
+        for x in range(9):
+            b = y * 9 + x
+            terms.append(
+                f"(CASE WHEN {g(y, x)} > {g(y, x + 1)} "
+                f"THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+            )
+    dhash_expr = "(" + "\n           + ".join(terms) + ")"
+    return f"""raw AS (
+      SELECT d.doc_id AS media_id, d.doc_id % 2 AS odd,
+             substring(repeat(md5(b.text), 27), 1, 840) AS px0
+      FROM documents d
+      JOIN documents b ON b.doc_id = d.doc_id - d.doc_id % 2
+    ),
+    m AS (
+      SELECT media_id,
+             CASE WHEN odd = 1
+                  THEN chr(ascii(substring(px0, 1, 1)) + 1)
+                       || substring(px0, 2)
+                  ELSE px0 END AS px
+      FROM raw
+    ),
+    hsh AS (
+      SELECT media_id,
+        {dhash_expr}
+        AS dhash
+      FROM m
+    )"""
+
+
+def _dhash_media(spark, sf_dir):
+    """Spark-side construction mirrored by _dhash_ctes' raw/m CTEs."""
+    docs = load_par(spark, sf_dir, "documents")
+    base = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("bid"), F.col("text").alias("btext")
+    )
+    j = docs.select("doc_id").join(
+        base, F.col("bid") == F.col("doc_id") - F.col("doc_id") % 2
+    )
+    px0 = F.expr("substring(repeat(md5(btext), 27), 1, 840)")
+    j = j.withColumn("px0", px0)
+    px = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.concat(
+            F.expr("char(ascii(substring(px0, 1, 1)) + 1)"),
+            F.expr("substring(px0, 2)"),
+        ),
+    ).otherwise(F.col("px0"))
+    header = "P6\n20 14\n255\n"
+    return j.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.concat(
+            F.encode(F.lit(header), "UTF-8"), F.encode(px, "UTF-8")
+        ).alias("content"),
+        F.lit(None).cast("map<string,string>").alias("meta"),
+    )
+
+
+@q(
+    "image_dhash",
+    "WITH " + _dhash_ctes() + """
+    SELECT media_id, 'ppm' AS codec, dhash FROM hsh
+    """,
+    "data",
+)
+def q_image_dhash(spark, sf_dir):
+    """Perceptual image hashing under the gate (r8): every document's
+    constructed 20x14 PPM goes through multimodal.dhash_media (real
+    netpbm parse + numpy grid gather) and the 63-bit hash is
+    value-hashed against the generated SQL mirror of the same integer
+    arithmetic — grayscale div, grid floor indexing, per-bit compare,
+    shift sum. Bit-exact cross-engine by construction (no floats
+    anywhere). Map-only: one mapInPandas pass, no shuffle."""
+    from sonnerie_spark.operators import multimodal
+
+    return multimodal.dhash_media(_dhash_media(spark, sf_dir))
+
+
+@q(
+    "image_dhash_neardup",
+    "WITH " + _dhash_ctes() + """
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           cast(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+    FROM hsh a JOIN hsh b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= 2
+    """,
+    "data",
+)
+def q_image_dhash_neardup(spark, sf_dir):
+    """Image near-duplicate pairs by perceptual hash (r8): the
+    constructed (2k, 2k+1) couples share a base image with a
+    one-pixel perturbation, so every couple must surface at hamming
+    <= 1 — and dedup.hamming_near_pairs finds them with pigeonhole
+    chunk blocking (3 chunks of 21 bits for max_hamming=2: a pair
+    within budget leaves >= 1 chunk untouched), never an all-pairs
+    join. The oracle is the brute-force self-join over the mirrored
+    hashes, so the gate proves both the hash and that the blocked
+    plan misses nothing."""
+    from sonnerie_spark.operators import dedup as dedup_ops
+    from sonnerie_spark.operators import multimodal
+
+    hashes = multimodal.dhash_media(_dhash_media(spark, sf_dir))
+    return dedup_ops.hamming_near_pairs(
+        hashes, "media_id", "dhash", bits=63, max_hamming=2
+    )
+
+
 @q(
     "gopher_quality_filter",
     r"""

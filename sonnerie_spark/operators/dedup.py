@@ -792,3 +792,69 @@ class ExactIndex:
                 os.close(fd)
 
         return hold()
+
+def hamming_near_pairs(
+    df,
+    id_col: str,
+    hash_col: str,
+    *,
+    bits: int = 63,
+    max_hamming: int = 8,
+    chunks: int | None = None,
+) -> "DataFrame":
+    """All pairs within ``max_hamming`` bit flips of each other over a
+    nonnegative ``bits``-bit integer hash column (SimHash, dHash) —
+    pigeonhole chunk blocking, NO all-pairs join: split the hash into
+    ``chunks`` equal bit ranges (default ``max_hamming + 1``); any pair
+    within the budget leaves at least one chunk untouched, so an
+    equi-join on (chunk_idx, chunk_val) finds every candidate and an
+    exact ``bit_count(xor)`` verify filters it. Output
+    ``(id_a, id_b, hamming)`` with id_a < id_b.
+
+    Scale shape: candidates are bounded by per-chunk-value bucket
+    sizes (the same skew consideration as LSH band buckets); the
+    corpus never self-joins on anything wider than a chunk value.
+    """
+    from pyspark.sql import functions as F
+
+    c = int(chunks) if chunks is not None else int(max_hamming) + 1
+    if c < max_hamming + 1:
+        raise ValueError(
+            f"chunks={c} cannot guarantee max_hamming={max_hamming}: "
+            "a pair may touch every chunk (need chunks > max_hamming)"
+        )
+    width = -(-bits // c)  # ceil: last chunk may be narrower
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(hash_col).cast("long").alias("h")
+    ).filter(F.col("h").isNotNull())
+    ch = base.select(
+        "id",
+        "h",
+        F.explode(F.array(*[F.lit(i) for i in range(c)])).alias("ci"),
+    ).selectExpr(
+        "id",
+        "h",
+        "ci",
+        f"(h div shiftleft(1L, cast(ci * {width} AS int)))"
+        f" % shiftleft(1L, {width}) AS cv",
+    )
+    a = ch.select(
+        F.col("id").alias("id_a"), F.col("h").alias("ha"), "ci", "cv"
+    )
+    b = ch.select(
+        F.col("id").alias("id_b"), F.col("h").alias("hb"), "ci", "cv"
+    )
+    cand = (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(
+        F.col("ha").bitwiseXOR(F.col("hb"))
+    ).cast("int")
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+

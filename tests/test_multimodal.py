@@ -254,3 +254,83 @@ def test_real_feature_decoder_dispatch(spark):
     }
     assert rows[1]["width"] == 24 and abs(rows[1]["feature"][0] - 5.0) < 1e-5
     assert rows[2]["width"] == 0 and rows[2]["feature"][1] > 0
+
+
+def test_dhash_format_invariant_and_near_pairs(spark):
+    """dhash_media: the SAME pixels produce the SAME 63-bit hash
+    whether they arrive as P6 PPM or as a PNG re-encode (the decode
+    paths agree), a one-pixel perturbation moves the hash by at most
+    a few bits, and hamming_near_pairs finds exactly the constructed
+    near-dups through the chunk-blocked plan (no all-pairs join)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from sonnerie_spark.operators import pngcodec
+    from sonnerie_spark.operators.dedup import hamming_near_pairs
+    from sonnerie_spark.operators.multimodal import dhash_media
+
+    rng_bytes = bytes((i * 97 + 13) % 251 for i in range(20 * 14 * 3))
+    ppm = b"P6\n20 14\n255\n" + rng_bytes
+    px = np.frombuffer(rng_bytes, np.uint8).reshape(14, 20, 3)
+    png = pngcodec.encode_png(px)
+    perturbed = bytearray(rng_bytes)
+    perturbed[0] = (perturbed[0] + 1) % 251
+    ppm2 = b"P6\n20 14\n255\n" + bytes(perturbed)
+
+    media = spark.createDataFrame(
+        [(0, "image", ppm, None), (1, "image", png, None),
+         (2, "image", ppm2, None), (3, "image", b"garbage", None)],
+        "media_id long, kind string, content binary, meta map<string,string>",
+    )
+    rows = {r["media_id"]: (r["codec"], r["dhash"])
+            for r in dhash_media(media).collect()}
+    assert rows[0][0] == "ppm" and rows[1][0] == "png"
+    assert rows[0][1] == rows[1][1], "PPM and PNG of same pixels differ"
+    assert rows[3] == (None, None)
+    assert 0 <= rows[0][1] < (1 << 63)
+    ham = bin(rows[0][1] ^ rows[2][1]).count("1")
+    assert ham <= 2, ham  # one-pixel edit: tiny hamming move
+
+    hashes = dhash_media(media).filter("dhash IS NOT NULL")
+    pairs = hamming_near_pairs(
+        hashes, "media_id", "dhash", bits=63, max_hamming=2
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert (0, 1) in got and got[(0, 1)] == 0
+    assert (0, 2) in got and got[(0, 2)] == ham
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    # candidates join on (chunk, value), never a cross / all-pairs join
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_hamming_near_pairs_guarantee_property(spark):
+    """Pigeonhole guarantee: for a seed hash and every <=max_hamming
+    bit-flip variant, the pair (seed, variant) is found; chunks <=
+    max_hamming raises (no guarantee possible)."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from sonnerie_spark.operators.dedup import hamming_near_pairs
+
+    seed = 0x3F2A95C1D4E6B07
+    variants = [(0, seed)]
+    flips = [1, 7, 20, 21, 41, 62]
+    vid = 1
+    import itertools
+
+    for k in (1, 2, 3):
+        for combo in itertools.combinations(flips, k):
+            v = seed
+            for b in combo:
+                v ^= 1 << b
+            variants.append((vid, v))
+            vid += 1
+    df = spark.createDataFrame(variants, "id long, h long")
+    pairs = hamming_near_pairs(df, "id", "h", bits=63, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for i, v in variants[1:]:
+        assert (0, i) in got, f"missed variant {i} (hamming {bin(seed ^ v).count('1')})"
+
+    with _pytest.raises(ValueError, match="chunks"):
+        hamming_near_pairs(df, "id", "h", max_hamming=3, chunks=3)
