@@ -6441,10 +6441,11 @@ _DRIVER_WINDOW = [
     #     byte-length plumbing is run by multimodal_resize_real's
     #     construction/output; its md5 digest by
     #     dedup_exact_incremental's content hashing — both staying).
-    # r9 rotation candidates (never driver-seen after r8): the eight
+    # r9 rotation candidates (never driver-seen after r8): the ten
     # r8-landed gates (dd_merge_grouped, hll/cms/kmv_merge_halves,
     # bloom_filter_membership, decontaminate_bloom,
-    # bloom_store_roundtrip, corpus_curation_v4) plus the long tail
+    # bloom_store_roundtrip, corpus_curation_v4, image_dhash,
+    # image_dhash_neardup) plus the long tail
     # (fold_series, stratified_sample_lang, neardup_keep_longest,
     # corpus_curation, repetition_filter, time_weighted_avg, ohlc_1h,
     # gap_fill_locf, series_anomaly_zscore, quality_filter_stratified,
