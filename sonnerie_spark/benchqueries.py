@@ -58,6 +58,22 @@ def q(name: str, oracle: str | None, group: str, *, gate_only: bool = False):
     return deco
 
 
+def _gate_tmp(prefix: str) -> str:
+    """mkdtemp that does not leak: every lifecycle gate (stores,
+    indexes, Database roundtrips) materializes scratch state on disk
+    and returns a LAZY DataFrame over it, so the directory cannot be
+    removed inside the gate — register removal at interpreter exit
+    instead (the driver/bench collect happens well before that).
+    One bench/gate run previously left 18 directories behind."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 # ---------------------------------------------------------------------------
 # The sonnerie series view of the events table:
 #   key = event_type || '-' || lpad(user_id, 4, '0'), ts = ns since epoch.
@@ -1846,7 +1862,6 @@ def q_write_path_roundtrip(spark, sf_dir):
     (value -1, survives via txid scoping), then MAJOR compaction — the
     final read must equal the pre-compaction merge, so the oracle checks
     compaction's marker application + purge too."""
-    import tempfile
 
     from sonnerie_spark.db import Database
 
@@ -1871,7 +1886,7 @@ def q_write_path_roundtrip(spark, sf_dir):
             F.lit(None).cast("array<binary>").alias("v_bin"),
         )
 
-    db = Database(spark, tempfile.mkdtemp(prefix="wp_gate_"))
+    db = Database(spark, _gate_tmp("wp_gate_"))
     db.commit_dataframe(as_records(base), check_duplicates=False)
     run2 = base.filter(F.col("event_type") == "click").withColumn(
         "value", F.col("value") + F.lit(1000.0)
@@ -1915,7 +1930,6 @@ def q_fold_series(spark, sf_dir):
     integer-valued doubles whose sums are order-independent-exact, so
     the Arrow hash-aggregate, the Spark fallback, and the DuckDB oracle
     agree bit-for-bit."""
-    import tempfile
 
     from sonnerie_spark.db import Database
 
@@ -1934,7 +1948,7 @@ def q_fold_series(spark, sf_dir):
         F.lit(None).cast("array<string>").alias("v_str"),
         F.lit(None).cast("array<binary>").alias("v_bin"),
     )
-    db = Database(spark, tempfile.mkdtemp(prefix="fold_gate_"))
+    db = Database(spark, _gate_tmp("fold_gate_"))
     db.commit_dataframe(recs, check_duplicates=False)
     db.compact(major=True)
     rows = db.agg_series()
@@ -2771,7 +2785,6 @@ def q_continuous_rollup_roundtrip(spark, sf_dir):
     gate proves initial build + incremental invalidation + upsert all
     converge to it. Values are integer-valued doubles (round(value*100))
     so float summation is order-exact cross-engine."""
-    import tempfile
 
     from sonnerie_spark.db import Database
     from sonnerie_spark.streaming.rollup import ContinuousRollup
@@ -2796,9 +2809,9 @@ def q_continuous_rollup_roundtrip(spark, sf_dir):
             F.lit(None).cast("array<binary>").alias("v_bin"),
         )
 
-    src = Database(spark, tempfile.mkdtemp(prefix="roll_gate_src_"))
+    src = Database(spark, _gate_tmp("roll_gate_src_"))
     roll = ContinuousRollup(
-        src, tempfile.mkdtemp(prefix="roll_gate_dst_"), interval_ns=1_000_000
+        src, _gate_tmp("roll_gate_dst_"), interval_ns=1_000_000
     )
     src.commit_dataframe(as_records(base), check_duplicates=False)
     roll.refresh()  # full build
@@ -2991,10 +3004,9 @@ def q_lsh_index_incremental(spark, sf_dir):
     the whole corpus — the oracle IS the one-shot SQL. Proves the
     incremental index neither misses cross-batch collisions nor
     re-emits stale ones."""
-    import tempfile
 
     docs = load_par(spark, sf_dir, "documents")
-    idx = dedup.LshIndex(spark, tempfile.mkdtemp(prefix="lsh_gate_"))
+    idx = dedup.LshIndex(spark, _gate_tmp("lsh_gate_"))
     p1 = idx.add(docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text")
     p2 = idx.add(docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text")
     return p1.unionByName(p2).select(
@@ -3025,13 +3037,12 @@ def q_dd_store_roundtrip(spark, sf_dir):
     table, whose DuckDB mirror IS the oracle. Proves the
     exactly-once merge, the generation swap, and the materialized read
     end-to-end."""
-    import tempfile
 
     from sonnerie_spark.operators.sketch import DdStore
 
     ev = load_par(spark, sf_dir, "events")
     store = DdStore(
-        spark, tempfile.mkdtemp(prefix="dd_gate_"), relative_accuracy=0.01
+        spark, _gate_tmp("dd_gate_"), relative_accuracy=0.01
     )
     for i in range(3):
         batch = ev.filter(F.col("event_id") % 3 == i)
@@ -3065,12 +3076,11 @@ def q_bloom_store_roundtrip(spark, sf_dir):
     the oracle. Proves the OR-merge, the generation swap, and the
     parameter persistence end-to-end (the store reopens mid-gate and
     must adopt the persisted num_bits)."""
-    import tempfile
 
     from sonnerie_spark.operators.sketch import BloomStore
 
     ev = load_par(spark, sf_dir, "events")
-    path = tempfile.mkdtemp(prefix="bloom_gate_")
+    path = _gate_tmp("bloom_gate_")
     store = BloomStore(spark, path, num_bits=4096, num_hashes=4)
     val = F.col("user_id").cast("string")
     for i in range(3):
@@ -3102,7 +3112,6 @@ def q_rollup_cascade_roundtrip(spark, sf_dir):
     (aggregate-merge, never re-reading raw data); the oracle is the
     direct coarse aggregate over the raw events, so the gate proves the
     reaggregation identity end-to-end."""
-    import tempfile
 
     from sonnerie_spark.db import Database
     from sonnerie_spark.streaming.rollup import ContinuousRollup
@@ -3114,7 +3123,7 @@ def q_rollup_cascade_roundtrip(spark, sf_dir):
         (F.col("event_id") * 1000).cast("long").alias("ts"),
         F.round(F.col("value") * 100).alias("v"),
     )
-    src = Database(spark, tempfile.mkdtemp(prefix="casc_src_"))
+    src = Database(spark, _gate_tmp("casc_src_"))
     src.commit_dataframe(
         base.select(
             "key",
@@ -3128,11 +3137,11 @@ def q_rollup_cascade_roundtrip(spark, sf_dir):
         check_duplicates=False,
     )
     fine = ContinuousRollup(
-        src, tempfile.mkdtemp(prefix="casc_fine_"), interval_ns=1_000_000
+        src, _gate_tmp("casc_fine_"), interval_ns=1_000_000
     )
     fine.refresh()
     coarse = ContinuousRollup.cascade(
-        fine, tempfile.mkdtemp(prefix="casc_coarse_"), interval_ns=10_000_000
+        fine, _gate_tmp("casc_coarse_"), interval_ns=10_000_000
     )
     coarse.refresh()
     return coarse.read().select("key", "bucket_ts", "n", "sum", "min", "max")
@@ -3594,7 +3603,6 @@ def q_sql_over_view(spark, sf_dir):
     raw data. Proves a SQL-only user gets the LWW/delete-filtered truth
     through a temp view with no DataFrame code."""
     import os
-    import tempfile
 
     from sonnerie_spark.db import Database
 
@@ -3605,7 +3613,7 @@ def q_sql_over_view(spark, sf_dir):
         (F.col("event_id") * 1000).cast("long").alias("ts"),
         F.round(F.col("value") * 100).alias("v"),
     )
-    db = Database(spark, tempfile.mkdtemp(prefix="sqlview_gate_"))
+    db = Database(spark, _gate_tmp("sqlview_gate_"))
     db.commit_dataframe(
         base.select(
             "key",
@@ -3938,14 +3946,13 @@ def q_ivfpq_index_incremental(spark, sf_dir):
     cancels out of a full probe). Lossy-search fidelity is measured
     separately (tools/ann_recall.py); THIS gate pins the index
     machinery: param persistence, incremental encode, list layout."""
-    import tempfile
 
     from sonnerie_spark.operators.similarity import IvfPqIndex
 
     emb = load_par(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    idx = IvfPqIndex(spark, tempfile.mkdtemp(prefix="ivfpq_gate_"))
+    idx = IvfPqIndex(spark, _gate_tmp("ivfpq_gate_"))
     idx.build(emb.filter(F.col("vec_id") < 250), num_centroids=8, pq_iters=0)
     idx.add(emb.filter(F.col("vec_id") >= 250))
     probes = emb.filter(F.col("vec_id") < 5)
@@ -4011,7 +4018,6 @@ def q_time_travel_roundtrip(spark, sf_dir):
     transaction. The snapshot must aggregate to the ORIGINAL values,
     proving as_of excludes later runs from both the scan and the LWW
     merge (the head read would be off by n*1e6 per key)."""
-    import tempfile
 
     from sonnerie_spark.db import Database
 
@@ -4034,7 +4040,7 @@ def q_time_travel_roundtrip(spark, sf_dir):
             F.lit(None).cast("array<binary>").alias("v_bin"),
         )
 
-    db = Database(spark, tempfile.mkdtemp(prefix="tt_gate_"))
+    db = Database(spark, _gate_tmp("tt_gate_"))
     t1 = db.commit_dataframe(as_records(base), check_duplicates=False)
     db.commit_dataframe(
         as_records(base.withColumn("v", F.col("v") + F.lit(1_000_000.0))),
@@ -4073,7 +4079,6 @@ def q_rollup_multicol_roundtrip(spark, sf_dir):
     per-column reaggregation identity (n/sum/min/max each cascade
     independently) is proved end-to-end, closing the r4 'first numeric
     column only' limitation."""
-    import tempfile
 
     from sonnerie_spark.db import Database
     from sonnerie_spark.streaming.rollup import ContinuousRollup
@@ -4095,15 +4100,15 @@ def q_rollup_multicol_roundtrip(spark, sf_dir):
         F.lit(None).cast("array<string>").alias("v_str"),
         F.lit(None).cast("array<binary>").alias("v_bin"),
     )
-    src = Database(spark, tempfile.mkdtemp(prefix="mcroll_src_"))
+    src = Database(spark, _gate_tmp("mcroll_src_"))
     fine = ContinuousRollup(
         src,
-        tempfile.mkdtemp(prefix="mcroll_fine_"),
+        _gate_tmp("mcroll_fine_"),
         interval_ns=1_000_000,
         num_values=2,
     )
     coarse = ContinuousRollup.cascade(
-        fine, tempfile.mkdtemp(prefix="mcroll_coarse_"), interval_ns=10_000_000
+        fine, _gate_tmp("mcroll_coarse_"), interval_ns=10_000_000
     )
     src.commit_dataframe(records, check_duplicates=False)
     fine.refresh()
@@ -4868,7 +4873,6 @@ def q_dedup_exact_incremental(spark, sf_dir):
     union of the two adds must equal a global first-occurrence dedup
     ordered by (batch, id), which the oracle computes set-wise in SQL.
     No reference analogue; training-data-pipeline extension surface."""
-    import tempfile
 
     from sonnerie_spark.operators.dedup import ExactIndex
 
@@ -4884,7 +4888,7 @@ def q_dedup_exact_incremental(spark, sf_dir):
         .join(anchors, "aid")
         .select("doc_id", F.col("atext").alias("text"))
     )
-    idx = ExactIndex(spark, tempfile.mkdtemp(prefix="exidx_gate_"))
+    idx = ExactIndex(spark, _gate_tmp("exidx_gate_"))
     k1 = idx.add(dup.filter(F.col("doc_id") % 2 == 0), "doc_id", "text")
     k2 = idx.add(dup.filter(F.col("doc_id") % 2 == 1), "doc_id", "text")
     return k1.union(k2)
@@ -4925,12 +4929,11 @@ def q_ivf_index_incremental(spark, sf_dir):
     whole corpus — any drift in the build/add/append/prune plumbing
     (lost rows, wrong list, stale centroids) breaks the identity. No
     reference analogue; training-data-pipeline extension surface."""
-    import tempfile
 
     from sonnerie_spark.operators.similarity import IvfIndex
 
     emb = load_par(spark, sf_dir, "embeddings")
-    idx = IvfIndex(spark, tempfile.mkdtemp(prefix="ivfidx_gate_"))
+    idx = IvfIndex(spark, _gate_tmp("ivfidx_gate_"))
     idx.build(emb.filter(F.col("vec_id") % 2 == 0), num_centroids=4)
     idx.add(emb.filter(F.col("vec_id") % 2 == 1))
     return idx.topk(emb.filter(F.col("vec_id") < 5), nprobe=4, k=5)

@@ -793,6 +793,35 @@ class ExactIndex:
 
         return hold()
 
+def _chunk_ranges(bits: int, chunks: int) -> list[tuple[int, int]]:
+    """Partition ``bits`` into exactly ``chunks`` contiguous
+    (start_offset, width) ranges with mixed floor/ceil widths — the
+    first ``bits % chunks`` ranges get the ceil width, so every range
+    covers >= 1 real bit and the last never starts past the hash."""
+    base, rem = divmod(bits, chunks)
+    out, start = [], 0
+    for i in range(chunks):
+        w = base + (1 if i < rem else 0)
+        out.append((start, w))
+        start += w
+    return out
+
+
+def _chunk_value_exprs(col: str, bits: int, chunks: int) -> list:
+    """One Column per chunk extracting that chunk's bit range from the
+    nonnegative long ``col``: (col >> start) & ((1 << width) - 1),
+    written as div + bitwise-AND with Python-computed literals so no
+    shift amount ever reaches bit 63 (Spark wraps shifts mod 64 and
+    bit 63 is the sign bit — the exact aliasing the r8 ceil split
+    tripped over)."""
+    from pyspark.sql import functions as F
+
+    return [
+        F.expr(f"({col} div {1 << start}L) & {(1 << width) - 1}L")
+        for start, width in _chunk_ranges(bits, chunks)
+    ]
+
+
 def hamming_near_pairs(
     df,
     id_col: str,
@@ -805,15 +834,22 @@ def hamming_near_pairs(
     """All pairs within ``max_hamming`` bit flips of each other over a
     nonnegative ``bits``-bit integer hash column (SimHash, dHash) —
     pigeonhole chunk blocking, NO all-pairs join: split the hash into
-    ``chunks`` equal bit ranges (default ``max_hamming + 1``); any pair
-    within the budget leaves at least one chunk untouched, so an
-    equi-join on (chunk_idx, chunk_val) finds every candidate and an
-    exact ``bit_count(xor)`` verify filters it. Output
-    ``(id_a, id_b, hamming)`` with id_a < id_b.
+    exactly ``chunks`` contiguous NON-EMPTY bit ranges (default
+    ``max_hamming + 1``; mixed floor/ceil widths so every chunk covers
+    >= 1 real bit); any pair within the budget leaves at least one
+    chunk untouched, so an equi-join on (chunk_idx, chunk_val) finds
+    every candidate and an exact ``bit_count(xor)`` verify filters it.
+    Output ``(id_a, id_b, hamming)`` with id_a < id_b.
 
     Scale shape: candidates are bounded by per-chunk-value bucket
     sizes (the same skew consideration as LSH band buckets); the
     corpus never self-joins on anything wider than a chunk value.
+    Every chunk is non-empty BY CONSTRUCTION: a ceil-width split
+    (the r8 version) let a trailing chunk start at or past bit
+    ``bits``, whose value degenerated to the constant 0 for every
+    row — silently turning that chunk's equi-join into a full
+    O(n^2) cross join (correct output, catastrophic plan).
+    ``chunks > bits`` would force an empty chunk, so it raises.
     """
     from pyspark.sql import functions as F
 
@@ -823,20 +859,23 @@ def hamming_near_pairs(
             f"chunks={c} cannot guarantee max_hamming={max_hamming}: "
             "a pair may touch every chunk (need chunks > max_hamming)"
         )
-    width = -(-bits // c)  # ceil: last chunk may be narrower
+    if not (1 <= bits <= 63):
+        raise ValueError(f"bits must be in [1, 63], got {bits}")
+    if c > bits:
+        raise ValueError(
+            f"chunks={c} > bits={bits}: a chunk would cover zero "
+            "bits, making its value a constant (every row joins "
+            "every row on it — an all-pairs cross join)"
+        )
     base = df.select(
         F.col(id_col).alias("id"), F.col(hash_col).cast("long").alias("h")
     ).filter(F.col("h").isNotNull())
     ch = base.select(
         "id",
         "h",
-        F.explode(F.array(*[F.lit(i) for i in range(c)])).alias("ci"),
-    ).selectExpr(
-        "id",
-        "h",
-        "ci",
-        f"(h div shiftleft(1L, cast(ci * {width} AS int)))"
-        f" % shiftleft(1L, {width}) AS cv",
+        F.posexplode(
+            F.array(*_chunk_value_exprs("h", bits, c))
+        ).alias("ci", "cv"),
     )
     a = ch.select(
         F.col("id").alias("id_a"), F.col("h").alias("ha"), "ci", "cv"
@@ -853,6 +892,106 @@ def hamming_near_pairs(
     ham = F.bit_count(
         F.col("ha").bitwiseXOR(F.col("hb"))
     ).cast("int")
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def hamming_near_pairs_words(
+    df,
+    id_col: str,
+    hash_col: str,
+    *,
+    words: int,
+    bits_per_word: int = 63,
+    max_hamming: int = 8,
+    chunks: int | None = None,
+) -> "DataFrame":
+    """:func:`hamming_near_pairs` for hashes WIDER than one long —
+    128-bit pHash/SimHash territory, stored as an ``array<bigint>`` of
+    exactly ``words`` nonnegative ``bits_per_word``-bit words (word 0
+    = lowest bits; 63 bits per word is the cross-engine-safe packing,
+    same boundary as bloom_sketch). Same pigeonhole guarantee: the
+    ``words * bits_per_word`` total bits are partitioned into exactly
+    ``chunks`` (default ``max_hamming + 1``) NON-EMPTY ranges, each
+    contained within a single word, so any pair within budget shares
+    at least one chunk value and the equi-join on (chunk_idx,
+    chunk_val) finds every candidate; the exact verify sums
+    ``bit_count(xor)`` across words. Output ``(id_a, id_b, hamming)``
+    with id_a < id_b.
+
+    Chunks never span a word boundary (extraction stays one div + one
+    AND on one array element), which needs ``chunks >= words`` — at
+    fewer chunks than words a range would have to straddle two
+    elements; raise rather than emit a multi-element chunk value.
+    Every chunk is non-empty by the same mixed floor/ceil split as the
+    single-word path, so no chunk value can degenerate to a constant
+    (the all-pairs-join failure mode).
+
+    Scale shape: identical to the single-word path — candidates
+    bounded by per-chunk-value buckets, corpus never self-joins wider
+    than a chunk value; cost is linear in ``chunks``, not in hash
+    width.
+    """
+    from pyspark.sql import functions as F
+
+    c = int(chunks) if chunks is not None else int(max_hamming) + 1
+    if c < max_hamming + 1:
+        raise ValueError(
+            f"chunks={c} cannot guarantee max_hamming={max_hamming}: "
+            "a pair may touch every chunk (need chunks > max_hamming)"
+        )
+    if words < 1:
+        raise ValueError(f"words must be >= 1, got {words}")
+    if not (1 <= bits_per_word <= 63):
+        raise ValueError(
+            f"bits_per_word must be in [1, 63], got {bits_per_word}"
+        )
+    if c < words:
+        raise ValueError(
+            f"chunks={c} < words={words}: a chunk would span a word "
+            "boundary; use chunks >= words (the guarantee only needs "
+            "chunks > max_hamming, so raise chunks, not max_hamming)"
+        )
+    if c > words * bits_per_word:
+        raise ValueError(
+            f"chunks={c} > total bits {words * bits_per_word}: a "
+            "chunk would cover zero bits (constant value -> all-pairs "
+            "cross join)"
+        )
+    # distribute chunks over words (first `rem` words get one more),
+    # then split each word's bits into its chunk count — every chunk
+    # sits inside one word and covers >= 1 bit.
+    per_word, rem = divmod(c, words)
+    cv_exprs = []
+    for wi in range(words):
+        n_i = per_word + (1 if wi < rem else 0)
+        elem = f"element_at(h, {wi + 1})"
+        cv_exprs.extend(_chunk_value_exprs(elem, bits_per_word, n_i))
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(hash_col).alias("h")
+    ).filter(F.col("h").isNotNull() & (F.size("h") == words))
+    ch = base.select(
+        "id", "h", F.posexplode(F.array(*cv_exprs)).alias("ci", "cv")
+    )
+    a = ch.select(
+        F.col("id").alias("id_a"), F.col("h").alias("ha"), "ci", "cv"
+    )
+    b = ch.select(
+        F.col("id").alias("id_b"), F.col("h").alias("hb"), "ci", "cv"
+    )
+    cand = (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.expr(
+        "aggregate(zip_with(ha, hb,"
+        " (x, y) -> cast(bit_count(x ^ y) AS int)),"
+        " 0, (acc, v) -> acc + v)"
+    )
     return (
         cand.select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)

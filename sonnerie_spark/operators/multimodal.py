@@ -603,7 +603,9 @@ def dhash_media(df: DataFrame) -> DataFrame:
     semantics trivial.
 
     Deterministic integer arithmetic end-to-end — grayscale is
-    ``(r + g + b) div 3`` (the byte itself for single-channel), grid
+    ``(r + g + b) div 3`` (the byte itself for single-channel; an
+    alpha channel is stripped before averaging, so RGB and opaque
+    RGBA encodings of the same pixels hash identically), grid
     sample (x, y) reads pixel ``(x*W div 10, y*H div 7)`` — so the
     hash is bit-identical in any engine given the same pixels (the
     gate's oracle recomputes it in SQL over a constructed netpbm
@@ -679,7 +681,15 @@ def dhash_media(df: DataFrame) -> DataFrame:
             h, w = px.shape[0], px.shape[1]
             if w < 2 or h < 1:
                 return None
-            # integer grayscale: (r+g+b) div 3; single channel as-is
+            # integer grayscale: (r+g+b) div 3; single channel as-is.
+            # Alpha is stripped FIRST (PNG color types 4/6 decode to
+            # 2/4 channels): averaging it in would make the same
+            # pixels hash differently as RGB vs opaque RGBA and flip
+            # bits near ties — breaking "exact re-encodes collide".
+            if px.ndim == 3 and px.shape[2] == 4:
+                px = px[:, :, :3]
+            elif px.ndim == 3 and px.shape[2] == 2:
+                px = px[:, :, :1]
             g = (
                 px.astype(np.int64).sum(axis=2) // px.shape[2]
                 if px.ndim == 3

@@ -340,6 +340,16 @@ def bloom_might_contain(
         {"num_bits": num_bits, "num_hashes": num_hashes},
         sketch_params(sketch, "bits"),
     )
+    # Defensive re-aggregate: a sketch holding duplicate word_idx rows
+    # (e.g. a raw unionByName of two filters that was never collapsed)
+    # would multiply candidate rows through EACH broadcast join below,
+    # silently breaking the one-row-in-one-row-out contract and
+    # inflating downstream counts. Collapsing first is a
+    # <= num_bits/63-row aggregate — free, and a no-op on a well-formed
+    # sketch (per-word OR is idempotent).
+    sketch = sketch.groupBy("word_idx").agg(
+        F.bit_or("bits").alias("bits")
+    )
     c = F.col(value) if isinstance(value, str) else value
     out = candidates.withColumn("__bloom_h", phash(c)).selectExpr(
         "*",
@@ -1146,7 +1156,9 @@ class BloomStore:
     add is a fixed-size dimension-table write.
 
     ``num_bits``/``num_hashes`` are fixed at creation and persisted in
-    the word table's column metadata (parquet keeps it), so
+    ``params.json`` beside the word table (flock-initialized so two
+    processes opening a fresh store agree on one set); ``sketch()``
+    re-attaches them as column metadata on read, so
     :func:`bloom_might_contain` probes against a reopened store refuse
     mismatched parameters instead of silently returning false
     negatives. Deletion is structurally impossible (Bloom bits only

@@ -334,3 +334,114 @@ def test_hamming_near_pairs_guarantee_property(spark):
 
     with _pytest.raises(ValueError, match="chunks"):
         hamming_near_pairs(df, "id", "h", max_hamming=3, chunks=3)
+
+
+def test_hamming_chunk_split_covers_every_bit(spark):
+    """Regression for the r8 ceil-width split: with bits=63 and
+    max_hamming=9 (10 chunks), the old ceil split gave chunk 9 a
+    start offset of 63 — its value was the constant 0 for every row,
+    degenerating that chunk's equi-join into an all-pairs cross join.
+    The fixed split must (a) produce exactly `chunks` ranges that
+    tile [0, bits) with every width >= 1, and (b) reconstruct the
+    original hash from the chunk values (impossible if any chunk is
+    a constant), for the exact reported shape and a sweep of others.
+    chunks > bits must raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from sonnerie_spark.operators.dedup import (
+        _chunk_ranges,
+        _chunk_value_exprs,
+        hamming_near_pairs,
+    )
+
+    for bits, c in [(63, 10), (63, 1), (63, 63), (63, 7), (21, 5), (1, 1)]:
+        ranges = _chunk_ranges(bits, c)
+        assert len(ranges) == c
+        assert all(w >= 1 for _, w in ranges), (bits, c, ranges)
+        assert ranges[0][0] == 0
+        assert all(
+            ranges[i][0] + ranges[i][1] == ranges[i + 1][0]
+            for i in range(c - 1)
+        )
+        assert ranges[-1][0] + ranges[-1][1] == bits
+
+    # reconstruction over Spark for the reported (63, 10) shape
+    hashes = [(i, (0x6F2A95C1D4E6B07 * (i + 1)) % (1 << 63)) for i in range(8)]
+    df = spark.createDataFrame(hashes, "id long, h long")
+    exprs = _chunk_value_exprs("h", 63, 10)
+    starts = [s for s, _ in _chunk_ranges(63, 10)]
+    recon = None
+    for e, s in zip(exprs, starts):
+        term = e * F.lit(1 << s).cast("long")
+        recon = term if recon is None else recon + term
+    bad = df.select((recon != F.col("h")).alias("m")).filter("m").count()
+    assert bad == 0, "chunk values do not reconstruct the hash"
+
+    with _pytest.raises(ValueError, match="chunks=70 > bits"):
+        hamming_near_pairs(df, "id", "h", bits=63, max_hamming=9, chunks=70)
+    # the reported shape itself must run and find the self-pairs
+    dup = df.union(df.select(F.col("id") + 100, "h"))
+    pairs = hamming_near_pairs(dup, "id", "h", bits=63, max_hamming=9)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for i in range(8):
+        assert (i, i + 100) in got
+
+
+def test_hamming_near_pairs_words_guarantee(spark):
+    """Multi-word (126-bit) pigeonhole guarantee: for a 2-word seed
+    hash and every <= max_hamming bit-flip variant — flips spread
+    across BOTH words including the straddle case — the pair is
+    found with the exact summed hamming; invalid chunk counts raise;
+    malformed rows (null / wrong word count) are ignored."""
+    import itertools
+
+    import pytest as _pytest
+
+    from sonnerie_spark.operators.dedup import hamming_near_pairs_words
+
+    seed = [0x3F2A95C1D4E6B07, 0x5D1E9A40C3B72F8]
+    variants = [(0, seed)]
+    flips = [1, 20, 62, 63, 70, 101, 125]  # bit b -> word b//63, bit b%63
+    vid = 1
+    expect = {}
+    for k in (1, 2, 3):
+        for combo in itertools.combinations(flips, k):
+            v = list(seed)
+            for b in combo:
+                v[b // 63] ^= 1 << (b % 63)
+            variants.append((vid, v))
+            expect[vid] = k
+            vid += 1
+    df = spark.createDataFrame(variants, "id long, h array<long>")
+    pairs = hamming_near_pairs_words(
+        df, "id", "h", words=2, max_hamming=3
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    for i, k in expect.items():
+        assert got.get((0, i)) == k, f"variant {i}: want {k}, got {got.get((0, i))}"
+
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+
+    with _pytest.raises(ValueError, match="chunks=1 < words=2"):
+        hamming_near_pairs_words(
+            df, "id", "h", words=2, max_hamming=0, chunks=1
+        )
+    with _pytest.raises(ValueError, match="cannot guarantee"):
+        hamming_near_pairs_words(
+            df, "id", "h", words=2, max_hamming=3, chunks=3
+        )
+
+    # malformed rows never join: null hash, wrong word count
+    from pyspark.sql import functions as F
+
+    bad = spark.createDataFrame(
+        [(900, None), (901, [1])], "id long, h array<long>"
+    )
+    pairs2 = hamming_near_pairs_words(
+        df.unionByName(bad), "id", "h", words=2, max_hamming=3
+    )
+    ids = {x for r in pairs2.collect() for x in (r["id_a"], r["id_b"])}
+    assert 900 not in ids and 901 not in ids

@@ -741,3 +741,41 @@ def test_bloom_never_false_negative_property(spark):
         )
         misses = out.filter(f"id % {mod} = 0 AND NOT might_contain").count()
         assert misses == 0, (num_bits, num_hashes, mod)
+
+
+def test_bloom_probe_tolerates_duplicate_word_rows(spark):
+    """A sketch frame holding duplicate word_idx rows (a raw
+    unionByName of two filters that was never re-aggregated) must NOT
+    multiply candidate rows through the k broadcast joins: the probe
+    defensively collapses to one row per word first, so one row in ->
+    one row out holds and the verdicts match the clean sketch's."""
+    from sonnerie_spark.operators.sketch import (
+        bloom_might_contain,
+        bloom_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"val{i}") for i in range(200)], ["id", "v"]
+    )
+    half_a = bloom_sketch(
+        df.filter("id % 2 = 0 AND id % 3 = 0"), "v", num_bits=2048
+    )
+    half_b = bloom_sketch(
+        df.filter("id % 2 = 1 AND id % 3 = 0"), "v", num_bits=2048
+    )
+    dirty = half_a.unionByName(half_b)  # duplicate word_idx rows
+    out = bloom_might_contain(df, dirty, value="v", num_bits=2048)
+    assert out.count() == 200, "duplicate word rows multiplied candidates"
+    rows = {r["id"]: r["might_contain"] for r in out.collect()}
+    assert all(rows[i] for i in range(0, 200, 3)), "false negative"
+
+    clean = dirty.groupBy("word_idx").agg(
+        __import__("pyspark").sql.functions.bit_or("bits").alias("bits")
+    )
+    ref = {
+        r["id"]: r["might_contain"]
+        for r in bloom_might_contain(
+            df, clean, value="v", num_bits=2048
+        ).collect()
+    }
+    assert rows == ref
