@@ -5751,37 +5751,14 @@ def q_kmv_merge_halves(spark, sf_dir):
     return sketch.kmv_merge(a, b, k=64)
 
 
-def _dhash_ctes() -> str:
-    """Shared CTE network for the image dHash gates: every document
-    becomes a 20x14 P6 PPM whose pixels are the ASCII bytes of
-    repeat(md5(BASE text), 27)[:840], where BASE is the even doc of
-    the (2k, 2k+1) couple — so couples share pixels — and odd docs
-    perturb exactly the first pixel byte (+1), so each couple is a
-    constructed near-duplicate at hamming <= 1. The dhash expression
-    is the generated integer mirror of multimodal.dhash_media's
-    arithmetic: grayscale (r+g+b) div 3 at grid (2x, 2y), bit y*9+x
-    iff left > right, 63 bits summed with non-aggregate + (stays
-    BIGINT; an aggregate SUM would widen to HUGEINT — the bm25
-    class)."""
-    W = 20
-
-    def a(j):  # 1-based ascii of pixel byte j
-        return f"ascii(substring(px, {j}, 1))"
-
-    def g(y, x):  # integer grayscale of grid sample (x, y)
-        j0 = ((2 * y) * W + (2 * x)) * 3 + 1
-        return f"(({a(j0)} + {a(j0 + 1)} + {a(j0 + 2)}) // 3)"
-
-    terms = []
-    for y in range(7):
-        for x in range(9):
-            b = y * 9 + x
-            terms.append(
-                f"(CASE WHEN {g(y, x)} > {g(y, x + 1)} "
-                f"THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
-            )
-    dhash_expr = "(" + "\n           + ".join(terms) + ")"
-    return f"""raw AS (
+#: Shared pixel-construction CTEs for every image dHash gate: each
+#: document becomes a 20x14 P6 PPM whose pixels are the ASCII bytes of
+#: repeat(md5(BASE text), 27)[:840], where BASE is the even doc of the
+#: (2k, 2k+1) couple — so couples share pixels — and odd docs perturb
+#: exactly the first pixel byte (+1), making each couple a constructed
+#: near-duplicate. One definition feeds both the 63-bit and the
+#: 126-bit oracles, so the construction cannot drift between gates.
+_DHASH_PX_CTES = """raw AS (
       SELECT d.doc_id AS media_id, d.doc_id % 2 AS odd,
              substring(repeat(md5(b.text), 27), 1, 840) AS px0
       FROM documents d
@@ -5795,12 +5772,86 @@ def _dhash_ctes() -> str:
                   ELSE px0 END AS px
       FROM raw
     ),
-    hsh AS (
+    """
+
+
+def _dhash_gray_sql(row: int, col: int) -> str:
+    """Integer grayscale of raw pixel (row, col) of the 20-wide PPM:
+    (r+g+b) // 3 over 1-based ascii bytes — the exact mirror of
+    multimodal's (r+g+b) div 3."""
+
+    def a(j):  # 1-based ascii of pixel byte j
+        return f"ascii(substring(px, {j}, 1))"
+
+    j0 = (row * 20 + col) * 3 + 1
+    return f"(({a(j0)} + {a(j0 + 1)} + {a(j0 + 2)}) // 3)"
+
+
+def _dhash_word_sql(comparisons) -> str:
+    """CASE-sum of one 63-bit dHash word from (bit, left_px, right_px)
+    pixel-coordinate comparisons — summed with non-aggregate + (stays
+    BIGINT; an aggregate SUM would widen to HUGEINT — the bm25
+    class)."""
+    terms = [
+        f"(CASE WHEN {_dhash_gray_sql(*left)} > {_dhash_gray_sql(*right)} "
+        f"THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+        for b, left, right in comparisons
+    ]
+    return "(" + "\n           + ".join(terms) + ")"
+
+
+def _dhash_h_cmp():
+    """Horizontal word: grid sample (x*20 div 10, y*14 div 7) =
+    (2x, 2y); bit y*9+x iff grid[y][x] > grid[y][x+1]."""
+    return [
+        (y * 9 + x, (2 * y, 2 * x), (2 * y, 2 * x + 2))
+        for y in range(7)
+        for x in range(9)
+    ]
+
+
+def _dhash_v_cmp():
+    """Vertical word: grid sample (x*20 div 9, y*14 div 8); bit y*9+x
+    iff grid[y][x] > grid[y+1][x] — dhash128_media's second word."""
+    yv = [(14 * y) // 8 for y in range(8)]
+    xv = [(20 * x) // 9 for x in range(9)]
+    return [
+        (y * 9 + x, (yv[y], xv[x]), (yv[y + 1], xv[x]))
+        for y in range(7)
+        for x in range(9)
+    ]
+
+
+def _dhash_ctes() -> str:
+    """CTE network for the 63-bit image dHash gates: the shared pixel
+    construction plus the generated integer mirror of
+    multimodal.dhash_media's arithmetic (grayscale div, grid floor
+    indexing, per-bit compare, shift sum)."""
+    return (
+        _DHASH_PX_CTES
+        + f"""hsh AS (
       SELECT media_id,
-        {dhash_expr}
+        {_dhash_word_sql(_dhash_h_cmp())}
         AS dhash
       FROM m
     )"""
+    )
+
+
+def _dhash128_ctes() -> str:
+    """CTE network for the 126-bit gates: both dhash128_media words
+    (horizontal + vertical gradient) over the same constructed PPMs."""
+    return (
+        _DHASH_PX_CTES
+        + f"""hsh AS (
+      SELECT media_id,
+        {_dhash_word_sql(_dhash_h_cmp())}
+        AS dhash0,
+        {_dhash_word_sql(_dhash_v_cmp())}
+        AS dhash1
+      FROM m
+    )"""
+    )
 
 
 def _dhash_media(spark, sf_dir):
@@ -5878,6 +5929,67 @@ def q_image_dhash_neardup(spark, sf_dir):
     hashes = multimodal.dhash_media(_dhash_media(spark, sf_dir))
     return dedup_ops.hamming_near_pairs(
         hashes, "media_id", "dhash", bits=63, max_hamming=2
+    )
+
+
+@q(
+    "image_dhash128",
+    "WITH " + _dhash128_ctes() + """
+    SELECT media_id, 'ppm' AS codec, dhash0, dhash1 FROM hsh
+    """,
+    "data",
+)
+def q_image_dhash128(spark, sf_dir):
+    """Wide (126-bit) perceptual hashing under the gate (r9): every
+    constructed PPM goes through multimodal.dhash128_media and BOTH
+    63-bit words — horizontal gradient (dhash_media's) plus the
+    vertical-gradient word over a 9x8 grid — are value-hashed against
+    the generated SQL mirror of the same integer arithmetic. The two
+    words are unpacked to BIGINT columns for the typed compare
+    (list-typed results would hash, but scalar columns exercise the
+    driver's width lattice). Map-only: one mapInPandas pass."""
+    from sonnerie_spark.operators import multimodal
+
+    out = multimodal.dhash128_media(_dhash_media(spark, sf_dir))
+    return out.select(
+        "media_id",
+        "codec",
+        F.element_at("dhash", 1).alias("dhash0"),
+        F.element_at("dhash", 2).alias("dhash1"),
+    )
+
+
+@q(
+    "image_dhash128_neardup",
+    "WITH " + _dhash128_ctes() + """
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           cast(bit_count(xor(a.dhash0, b.dhash0))
+                + bit_count(xor(a.dhash1, b.dhash1)) AS INTEGER)
+             AS hamming
+    FROM hsh a JOIN hsh b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.dhash0, b.dhash0))
+          + bit_count(xor(a.dhash1, b.dhash1)) <= 2
+    """,
+    "data",
+)
+def q_image_dhash128_neardup(spark, sf_dir):
+    """Image near-dup pairs at 128-bit hash width (r9, the r8-verdict
+    ask): dedup.hamming_near_pairs_words blocks the 126-bit two-word
+    hashes with the same pigeonhole guarantee — 3 chunks, each inside
+    one word, every chunk covering >= 42 real bits, so a pair within
+    max_hamming=2 shares >= 1 chunk value and the equi-join finds it;
+    the verify sums bit_count(xor) across words. The oracle is the
+    brute-force self-join over both mirrored words, so the gate proves
+    the second word's arithmetic AND that the multi-word blocked plan
+    misses nothing. Doubling hash width squares the single-word
+    false-candidate rate at the same plan cost — the scale argument
+    for 128-bit perceptual hashes."""
+    from sonnerie_spark.operators import dedup as dedup_ops
+    from sonnerie_spark.operators import multimodal
+
+    hashes = multimodal.dhash128_media(_dhash_media(spark, sf_dir))
+    return dedup_ops.hamming_near_pairs_words(
+        hashes, "media_id", "dhash", words=2, max_hamming=2
     )
 
 

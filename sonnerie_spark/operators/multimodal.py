@@ -616,6 +616,44 @@ def dhash_media(df: DataFrame) -> DataFrame:
     join). Arrow-batched mapInPandas; per-row cost is the decode plus
     a 70-sample numpy gather.
     """
+    return df.mapInPandas(_dhash_ops(wide=False), DHASH_SCHEMA)
+
+
+#: dhash128_media output: two 63-bit words [horizontal, vertical].
+DHASH128_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("dhash", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+
+def dhash128_media(df: DataFrame) -> DataFrame:
+    """Wide (126-bit) perceptual difference-hash: the 63-bit
+    HORIZONTAL-gradient word of :func:`dhash_media` plus a 63-bit
+    VERTICAL-gradient word — grid sample 9x8 (``(x*W div 9,
+    y*H div 8)``), bit ``y*9 + x`` iff ``g[y][x] > g[y+1][x]`` — the
+    standard both-directions dHash variant used at 128-bit pHash/
+    SimHash width for image corpora, packed as ``array<bigint>``
+    ``[horizontal, vertical]`` (63 bits per word, the cross-engine
+    packing boundary shared with bloom_sketch). Same deterministic
+    integer arithmetic, decode paths, and NULL behavior as
+    :func:`dhash_media`; images narrower than 2px in EITHER axis
+    yield NULL (the vertical gradient needs >= 2 rows). Pair with
+    ``dedup.hamming_near_pairs_words(words=2)`` — doubling the hash
+    width roughly squares the single-word false-candidate rate while
+    the pigeonhole plan cost stays linear in the chunk count.
+    """
+    return df.mapInPandas(_dhash_ops(wide=True), DHASH128_SCHEMA)
+
+
+def _dhash_ops(wide: bool):
+    """Closure factory for both dHash mapInPandas ops — everything the
+    worker needs is a local of this call (cloudpickle ships it by
+    value; module-global references would need the package on worker
+    PYTHONPATH). ``wide=False`` emits the single horizontal word,
+    ``wide=True`` the ``[horizontal, vertical]`` pair."""
     import numpy as np
 
     _decode_png = pngcodec.decode_png
@@ -673,13 +711,20 @@ def dhash_media(df: DataFrame) -> DataFrame:
                     return (name, px)
             return None
 
+        def pack_bits(bits):
+            # bits: 2-D bool, bit b = row*ncols + col after reshape
+            val = 0
+            for b_idx in np.flatnonzero(bits.reshape(-1)):
+                val |= 1 << int(b_idx)
+            return val
+
         def dhash_one(b: bytes):
             got = decode_px(bytes(b))
             if got is None:
                 return None
             codec, px = got
             h, w = px.shape[0], px.shape[1]
-            if w < 2 or h < 1:
+            if w < 2 or h < (2 if wide else 1):
                 return None
             # integer grayscale: (r+g+b) div 3; single channel as-is.
             # Alpha is stripped FIRST (PNG color types 4/6 decode to
@@ -698,25 +743,27 @@ def dhash_media(df: DataFrame) -> DataFrame:
             xs = (np.arange(10, dtype=np.int64) * w) // 10
             ys = (np.arange(7, dtype=np.int64) * h) // 7
             grid = g[np.ix_(ys, xs)]  # 7 x 10
-            bits = grid[:, :-1] > grid[:, 1:]  # 7 x 9, bit b = y*9+x
-            val = 0
-            for b_idx in np.flatnonzero(bits.reshape(-1)):
-                val |= 1 << int(b_idx)
-            return (codec, val)
+            w0 = pack_bits(grid[:, :-1] > grid[:, 1:])  # bit y*9+x
+            if not wide:
+                return (codec, w0)
+            xsv = (np.arange(9, dtype=np.int64) * w) // 9
+            ysv = (np.arange(8, dtype=np.int64) * h) // 8
+            gv = g[np.ix_(ysv, xsv)]  # 8 x 9
+            w1 = pack_bits(gv[:-1, :] > gv[1:, :])  # 7x9, bit y*9+x
+            return (codec, [w0, w1])
 
         for pdf in batches:
             res = pdf["content"].map(dhash_one)
+            dh = res.map(lambda r: r[1] if r else None)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "codec": res.map(lambda r: r[0] if r else None),
-                    "dhash": res.map(
-                        lambda r: r[1] if r else None
-                    ).astype("Int64"),
+                    "dhash": dh if wide else dh.astype("Int64"),
                 }
             )
 
-    return df.mapInPandas(op, DHASH_SCHEMA)
+    return op
 
 
 #: resample_media output: the transformed audio + its new timing.

@@ -445,3 +445,40 @@ def test_hamming_near_pairs_words_guarantee(spark):
     )
     ids = {x for r in pairs2.collect() for x in (r["id_a"], r["id_b"])}
     assert 900 not in ids and 901 not in ids
+
+
+def test_dhash128_invariance_and_word_independence(spark):
+    """dhash128_media: PPM and PNG of the same pixels give the same
+    two-word hash; word 0 equals dhash_media's single word (the
+    horizontal gradient is shared); a one-pixel edit stays within a
+    small summed hamming; a 1-row image (vertical gradient undefined)
+    yields NULL."""
+    import numpy as np
+
+    from sonnerie_spark.operators import pngcodec
+    from sonnerie_spark.operators.multimodal import dhash128_media, dhash_media
+
+    rng_bytes = bytes((i * 97 + 13) % 251 for i in range(20 * 14 * 3))
+    ppm = b"P6\n20 14\n255\n" + rng_bytes
+    px = np.frombuffer(rng_bytes, np.uint8).reshape(14, 20, 3)
+    png = pngcodec.encode_png(px)
+    perturbed = bytearray(rng_bytes)
+    perturbed[0] = (perturbed[0] + 1) % 251
+    ppm2 = b"P6\n20 14\n255\n" + bytes(perturbed)
+    one_row = b"P6\n20 1\n255\n" + rng_bytes[: 20 * 3]
+
+    media = spark.createDataFrame(
+        [(0, "image", ppm, None), (1, "image", png, None),
+         (2, "image", ppm2, None), (3, "image", one_row, None)],
+        "media_id long, kind string, content binary, meta map<string,string>",
+    )
+    wide = {r["media_id"]: r["dhash"] for r in dhash128_media(media).collect()}
+    assert wide[0] == wide[1], "PPM and PNG of same pixels differ"
+    assert wide[3] is None, "1-row image must yield NULL at 128-bit"
+    assert all(0 <= w < (1 << 63) for w in wide[0])
+    narrow = {r["media_id"]: r["dhash"] for r in dhash_media(media).collect()}
+    assert wide[0][0] == narrow[0], "word 0 != single-word dhash"
+    ham = sum(bin(a ^ b).count("1") for a, b in zip(wide[0], wide[2]))
+    assert ham <= 2, ham
+    # 1-row image IS hashable at 63-bit (no vertical gradient needed)
+    assert narrow[3] is not None
