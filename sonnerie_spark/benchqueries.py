@@ -6489,8 +6489,7 @@ _DRIVER_WINDOW = [
     "format_lines", "key_listing",
     # lifecycle roundtrips (write path, versioning, continuous aggs)
     "write_path_roundtrip", "time_travel_roundtrip", "sql_over_view",
-    "rollup_cascade_roundtrip",
-    "rollup_multicol_roundtrip", "lsh_index_incremental",
+    "rollup_cascade_roundtrip", "lsh_index_incremental",
     "dd_store_roundtrip",
     # Discretionary slots rotate each round under the standing
     # subsumption rule: a gate leaves the window only if a STRICTER
@@ -6556,25 +6555,26 @@ _DRIVER_WINDOW = [
     #     byte-length plumbing is run by multimodal_resize_real's
     #     construction/output; its md5 digest by
     #     dedup_exact_incremental's content hashing — both staying).
-    # r9 rotation candidates (never driver-seen after r8): the ten
-    # r8-landed gates (dd_merge_grouped, hll/cms/kmv_merge_halves,
-    # bloom_filter_membership, decontaminate_bloom,
-    # bloom_store_roundtrip, corpus_curation_v4, image_dhash,
-    # image_dhash_neardup) plus the long tail
-    # (fold_series, stratified_sample_lang, neardup_keep_longest,
+    # Never-driver-seen after the r9 rotation (31 = the pre-r9 39
+    # minus the ten rotated in above, plus the two r9-landed 128-bit
+    # gates): image_dhash128, image_dhash128_neardup (r9-landed),
+    # fold_series, stratified_sample_lang, neardup_keep_longest,
     # corpus_curation, repetition_filter, time_weighted_avg, ohlc_1h,
     # gap_fill_locf, series_anomaly_zscore, quality_filter_stratified,
     # bpe_pair_counts, cohort_retention, funnel_conversion,
     # repeated_spans, dedup_ngram_containment, chunk_documents,
     # cap_per_group, deterministic_shuffle, normalize_text,
-    # strip_boilerplate, the per-format multimodal decode gates,
-    # distinct_sketch_hll, multimodal_decode_stub) — same subsumption
-    # discipline; candidates with clear stayers: corpus_curation_v3 ->
-    # corpus_curation_v4 (v4 runs every v3 stage over the
-    # decontaminated corpus plus the bloom stage),
-    # decontaminate_benchmark -> decontaminate_bloom only if the exact
-    # path keeps a stayer (it does not — keep both or rotate the bloom
-    # one in on its own slot).
+    # strip_boilerplate, the per-format multimodal decode gates (png/
+    # gif/jpeg/avi/mp3), distinct_sketch_hll, multimodal_decode_stub.
+    # r10 rotation candidates with clear stayers: image_dhash ->
+    # image_dhash128 and image_dhash_neardup -> image_dhash128_neardup
+    # (the 128-bit gates run the same decode + horizontal word + the
+    # vertical word, and the words-blocked pair plan); corpus_curation
+    # subsumed by corpus_curation_v4 (which stays); the timeseries
+    # tail (ohlc_1h, gap_fill_locf, time_weighted_avg,
+    # series_anomaly_zscore, cohort_retention, funnel_conversion) are
+    # window/agg plans over the parity series view — rotate them
+    # through the analytics slots whose operators hold two records.
     # Earlier rotations retired (r6: ivf_assign,
     # embedding_neardup_pairs, dedup_ngram_jaccard, dedup_minhash_lsh,
     # dedup_simhash, text_token_stats, doc_fingerprint,
@@ -6583,25 +6583,73 @@ _DRIVER_WINDOW = [
     # embedding_topk_int8, ivf_ann_topk, pq_encode, ann_lsh_buckets,
     # text_quality, train_test_split, corpus_mix_temperature) — same
     # rule, see git history for the per-swap notes.
+    # r9 rotation (VERDICT r8 #2: the ten r8-landed gates get their
+    # first driver record). Departures and their covers — strong
+    # subsumption where available, otherwise the departing gate holds
+    # an r7/r8 driver record and its NARROW residual (named below) is
+    # pinned by pytest + the three-SF local sweep:
+    #   corpus_curation_v3 -> corpus_curation_v4 (STRICT: v4 calls
+    #     _curation_v3_pipeline verbatim over the decontaminated
+    #     corpus, plus the bloom stage);
+    #   quantile_sketch_dd -> dd_merge_grouped (the incoming gate runs
+    #     dd_sketch_grouped twice + dd_merge; the ungrouped build is
+    #     the same bucket-index projection + hash agg, also run inside
+    #     dd_store_roundtrip's add(), staying);
+    #   quantile_by_key_dd -> hll_merge_halves (grouped dd build runs
+    #     inside incoming dd_merge_grouped; residual =
+    #     dd_group_quantile's per-group cumsum window);
+    #   tfidf_top_terms -> bloom_filter_membership (bm25_topk stays:
+    #     same tokens -> tf -> df -> idf counting spine plus the
+    #     query-side ranking; residual = the per-doc top-terms window);
+    #   corpus_mix_weighted -> decontaminate_bloom (corpus_mix_budget
+    #     stays: budget_mix applies the same integer hash-keep rule of
+    #     mix_sources_weighted plus the token-budget allocation; v4
+    #     also runs the family's temperature stage);
+    #   ivf_pq_topk -> bloom_store_roundtrip (ivfpq_index_incremental
+    #     stays: runs PQ train/encode, IVF assign, and the
+    #     partition-pruned ADC top-k through the persistent form, plus
+    #     incremental add — the one-shot gate got driver records in
+    #     r7 AND r8);
+    #   dedup_minhash_lsh_capped -> cms_merge_halves (LSH pair
+    #     machinery stays THREE times: lsh_index_incremental,
+    #     split_leakage's pair stream, corpus_curation_v4's LSH stage;
+    #     residual = the max_bucket_size cap branch);
+    #   simhash_near_pairs -> image_dhash (incoming image_dhash_neardup
+    #     runs the same hamming_near_pairs pigeonhole blocking;
+    #     residual = the simhash signature projection, map-only);
+    #   lm_bucket_split -> kmv_merge_halves (lm_score_kneser_ney stays:
+    #     same lm_vocab/lm_bigram_counts build + per-doc scoring join;
+    #     residual = the percentile-bucket window);
+    #   rollup_multicol_roundtrip -> image_dhash_neardup
+    #     (rollup_cascade_roundtrip stays: the same ContinuousRollup
+    #     refresh/commit machinery, fine-from-source + cascaded merge;
+    #     residual = the num_values=m multi-column agg struct).
     "dedup_exact_incremental",
     "dedup_ngram_jaccard_capped",
-    "bm25_topk", "dedup_minhash_lsh_capped", "bpe_train",
-    "simhash_near_pairs", "heavy_hitters_cms",
-    "kmv_source_overlap", "ivf_index_incremental", "ivf_pq_topk",
-    "ivfpq_index_incremental", "lm_bucket_split",
+    "bm25_topk", "bpe_train",
+    "heavy_hitters_cms",
+    "kmv_source_overlap", "ivf_index_incremental",
+    "ivfpq_index_incremental",
     "embedding_quantize_int8", "lm_score_kneser_ney",
-    "quantile_sketch_dd", "quantile_by_key_dd",
     "distinct_sketch_by_group",
+    # sketch merge identities + bloom surface (r8-landed, first record)
+    "dd_merge_grouped", "hll_merge_halves", "cms_merge_halves",
+    "kmv_merge_halves", "bloom_filter_membership",
+    "bloom_store_roundtrip",
     # text / sampling / multimodal pipeline
     "gopher_quality_filter", "c4_line_clean", "text_lang_id",
-    "dedup_substrings", "tfidf_top_terms",
-    "decontaminate_benchmark", "redact_pii", "pack_sequences",
+    "dedup_substrings",
+    "decontaminate_benchmark", "decontaminate_bloom", "redact_pii",
+    "pack_sequences",
     "split_leakage", "corpus_mix_budget", "dsir_select",
-    "corpus_mix_weighted", "multimodal_resize_real",
+    "multimodal_resize_real",
     "multimodal_resample_real",
-    # composite end-to-end (v3 runs every v2 stage plus the SemDeDup
-    # pass; v2 stays verified by the local three-SF sweep)
-    "corpus_curation_v3",
+    # perceptual image dedup (r8-landed, first record)
+    "image_dhash", "image_dhash_neardup",
+    # composite end-to-end (v4 runs every v3 stage — which runs every
+    # v2 stage — plus Bloom decontamination first; v2/v3 stay verified
+    # by the local three-SF sweep)
+    "corpus_curation_v4",
 ]
 # (exactly 50 names once every planned gate exists — decode_stub and the
 # remaining analytics keep definition order after the window)
