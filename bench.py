@@ -7,19 +7,35 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced end-to-end with a noop sink (full computation, no
 driver collect), timed after a session warm-up so JVM/codegen startup is
 not attributed to the first query.
+
+Modes (r9, the session-state measurement class):
+  bench.py                 in-session: one SparkSession, all queries
+  bench.py q1 q2 ...       in-session, only the named queries
+  bench.py --isolate [q..] each query in a FRESH SUBPROCESS (own JVM,
+                           own session) — numbers cannot depend on what
+                           ran before; use to cross-check composites
+                           whose in-session time drifts (r6 flagship,
+                           r7 lm, r8 corpus_curation_v4 were all this
+                           one class). ~20 s JVM startup per query is
+                           excluded from the timing but not from wall
+                           clock, so --isolate is for spot-checks, not
+                           the committed full-registry artifact.
+  bench.py --one NAME      internal: child process for --isolate.
+
+SPARK_GRAFT_BENCH_DEBUG=1 appends per-query storage telemetry (live
+persistent-RDD blocks + storage memory) to stderr — the attribution
+instrument for in-session drift.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from sonnerie_spark.benchqueries import REGISTRY
-from sonnerie_spark.session import get_spark
 
 
 def sf_of(sf_dir: str) -> float:
@@ -30,80 +46,193 @@ def sf_of(sf_dir: str) -> float:
         return -1.0
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def _timed_run(spark, d, sf_dir: str) -> float:
+    """One untimed warm-up execution, then the timed best-of run.
+    First execution of a plan pays one-time JVM costs (codegen + JIT
+    compilation, Python worker spin-up) that are 10-100x steady state
+    on this tiny data and amortize to nothing at production scale."""
+    jvm_gc = spark.sparkContext._jvm.System.gc
+    t0 = time.time()
+    d.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    warm = time.time() - t0
+    # min of 2 timed runs guards JIT flukes on fast queries; for heavy
+    # ones (iterative CC, composite pipelines) the warm-up execution
+    # already absorbed JIT and a second repeat only inflates wall time.
+    reps = 1 if warm > 2.0 else 2
+    best = float("inf")
+    for _ in range(reps):
+        jvm_gc()
+        t0 = time.time()
+        d.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def _release_session_state(spark) -> None:
+    """Between-query hygiene — the defense against the one measurement
+    class that has recurred three rounds (r6 flagship, r7 lm drift, r8
+    corpus_curation_v4): numbers that depend on what ran before.
+
+    clearCache() evicts SQL-cached relations but NOT localCheckpoint
+    blocks: every `_materialize_release` gate eagerly checkpoints its
+    result, and those RDD blocks are reclaimed only when the JVM
+    collects the last reference and the ASYNC ContextCleaner drains
+    its queue — under allocation pressure from the next queries the
+    drain lags, storage memory fills with dead checkpoint blocks, and
+    execution memory for joins/aggs shrinks (borrowed storage is
+    evicted page-by-page instead of being free upfront). Explicitly
+    unpersisting every live persistent RDD makes the release
+    deterministic instead of GC-timing-dependent. Between top-level
+    queries this is always safe: gates are self-contained and
+    persistent on-disk indexes re-read parquet, not blocks."""
+    spark.catalog.clearCache()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for rdd in list(jmap.values()):
+        rdd.unpersist(False)
+    spark.sparkContext._jvm.System.gc()
+
+
+def _debug_storage(spark, name: str) -> None:
+    if os.environ.get("SPARK_GRAFT_BENCH_DEBUG") != "1":
+        return
+    try:
+        sc = spark.sparkContext
+        n_rdds = sc._jsc.getPersistentRDDs().size()
+        mem = sc._jsc.sc().env().memoryManager()
+        used = mem.storageMemoryUsed()
+        print(
+            f"bench-debug: after {name}: persistent_rdds={n_rdds} "
+            f"storage_mem={used / (1 << 20):.1f}MiB",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001 - telemetry must never fail a run
+        print(f"bench-debug: telemetry failed: {e}", file=sys.stderr)
+
+
+def _registry(only: set[str] | None):
+    from sonnerie_spark.benchqueries import REGISTRY
+
+    defs = [d for d in REGISTRY if not d.gate_only]
+    if only:
+        unknown = only - {d.name for d in defs}
+        if unknown:
+            raise SystemExit(f"unknown/gate-only queries: {sorted(unknown)}")
+        defs = [d for d in defs if d.name in only]
+    return defs
+
+
+def run_in_session(sf_dir: str, only: set[str] | None) -> dict:
+    from sonnerie_spark.session import get_spark
+
     spark = get_spark("bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm up JVM
-
-    # One untimed warm-up execution per query, then the timed run.
-    # First execution of a plan pays one-time JVM costs (codegen + JIT
-    # compilation of the generated methods, Python worker spin-up) that
-    # are 10-100x the steady-state cost on this tiny data and amortize
-    # to nothing at production scale; warm timings are the meaningful
-    # per-operator number.
-    # Force a JVM GC between queries: Spark's ContextCleaner reclaims
-    # shuffle/broadcast state only when the JVM collects the references,
-    # and on a 35-query session the accumulated state otherwise degrades
-    # join-heavy queries by 10-30x (measured). On a real cluster the
-    # per-job executors don't share one long-lived driver heap like
-    # local mode does.
-    jvm_gc = spark.sparkContext._jvm.System.gc
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for d in REGISTRY:
-        if d.gate_only:
-            # write-path roundtrips: correctness-gate only; ingest
-            # throughput is measured by tools/scale_smoke.py (SCALE.md)
-            continue
+    for d in _registry(only):
         # Per-query isolation: one failing query must never zero the
         # whole bench file (BENCH_r03 lesson) — record the error, move on.
         try:
-            t0 = time.time()
-            d.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            warm = time.time() - t0
-            # min of 2 timed runs guards JIT flukes on fast queries; for
-            # heavy ones (iterative CC, composite pipelines) the warm-up
-            # execution above already absorbed JIT, and a second timed
-            # repeat only inflates wall time — one timed run suffices.
-            reps = 1 if warm > 2.0 else 2
-            best = float("inf")
-            for _ in range(reps):
-                jvm_gc()
-                t0 = time.time()
-                d.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
-            timings[d.name] = round(best, 3)
+            timings[d.name] = round(_timed_run(spark, d, sf_dir), 3)
         except Exception as e:  # noqa: BLE001 - isolation is the point
             errors[d.name] = f"{type(e).__name__}: {e}"[:500]
             print(f"bench: {d.name} FAILED: {errors[d.name]}", file=sys.stderr)
-        # Evict persisted frames between queries: operators that persist
-        # intermediates (simhash signatures, LSH bands) would otherwise
-        # accumulate cache across the ~80-query session and inflate
-        # later queries' timings (the r4 outlier investigation traced
-        # the 2-3x late-session drift to exactly this).
-        spark.catalog.clearCache()
-        jvm_gc()
-
-    total = round(sum(timings.values()), 3)
+        _release_session_state(spark)
+        _debug_storage(spark, d.name)
     out = {
         "metric": "registry_total",
-        "value": total,
+        "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_of(sf_dir),
     }
     if errors:
         out["errors"] = errors
+    return out
+
+
+def run_isolated(sf_dir: str, only: set[str] | None) -> dict:
+    """Each query in a fresh subprocess: fresh JVM, fresh session, no
+    shared heap — the ground truth the in-session numbers are checked
+    against once per round."""
+    names = [d.name for d in _registry(only)]
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    me = os.path.abspath(__file__)
+    for name in names:
+        r = subprocess.run(
+            [sys.executable, me, "--one", name],
+            capture_output=True,
+            text=True,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+        )
+        line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+        try:
+            rec = json.loads(line)
+            if "sec" in rec:
+                timings[name] = rec["sec"]
+            else:
+                errors[name] = rec.get("error", "no timing")
+        except (json.JSONDecodeError, IndexError):
+            errors[name] = (r.stderr or "no output")[-500:]
+            print(f"bench --isolate: {name} FAILED", file=sys.stderr)
+    out = {
+        "metric": "registry_total_isolated",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_of(sf_dir),
+        "mode": "isolate",
+    }
+    if errors:
+        out["errors"] = errors
+    return out
+
+
+def run_one(sf_dir: str, name: str) -> None:
+    """Child for --isolate: time exactly one query in this process."""
+    from sonnerie_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    d = next(d for d in _registry({name}))
+    try:
+        sec = round(_timed_run(spark, d, sf_dir), 3)
+        print(json.dumps({"query": name, "sec": sec}))
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"query": name, "error": f"{type(e).__name__}: {e}"[:500]}))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    args = sys.argv[1:]
+    if args[:1] == ["--one"]:
+        run_one(sf_dir, args[1])
+        return
+    isolate = "--isolate" in args
+    names = {a for a in args if not a.startswith("--")}
+    out = (run_isolated if isolate else run_in_session)(sf_dir, names or None)
     line = json.dumps(out)
     print(line)
     # One authoritative artifact per run: write the same JSON atomically
     # next to the repo so docs (COVERAGE.md) cite a committed file, not
-    # a number remembered from a different run.
-    dest = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
-    tmp = dest + f".tmp-{os.getpid()}"
-    with open(tmp, "w") as f:
-        f.write(line + "\n")
-    os.replace(tmp, dest)
+    # a number remembered from a different run. Subset/isolate runs
+    # must NOT overwrite the full-registry artifact.
+    if not names and not isolate:
+        dest = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        )
+        tmp = dest + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(line + "\n")
+        os.replace(tmp, dest)
+    elif isolate:
+        dest = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_ISOLATE.json"
+        )
+        tmp = dest + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(line + "\n")
+        os.replace(tmp, dest)
 
 
 if __name__ == "__main__":

@@ -1162,8 +1162,9 @@ class BloomStore:
     :func:`bloom_might_contain` probes against a reopened store refuse
     mismatched parameters instead of silently returning false
     negatives. Deletion is structurally impossible (Bloom bits only
-    set) — a shrinking blocklist needs a rebuild, which is the standard
-    Bloom trade.
+    set) — a shrinking blocklist needs :meth:`rebuild`, which
+    re-sketches the current source of truth into a fresh generation
+    under the same lock (the standard Bloom trade, made operational).
     """
 
     def __init__(
@@ -1307,6 +1308,31 @@ class BloomStore:
             num_bits=self.num_bits,
             num_hashes=self.num_hashes,
         )
+
+    def rebuild(self, df: DataFrame, value: Column | str) -> None:
+        """REPLACE the stored filter with a fresh sketch of ``df`` —
+        the operational answer to Bloom's structural no-delete (bits
+        only ever set): when the blocklist legitimately SHRINKS (URLs
+        un-banned, an eval set retired), re-sketch the current source
+        of truth and swap it in as a new generation under the same
+        flock + atomic-rename protocol add() uses. Parameters are
+        kept (probes in flight against the old generation stay valid;
+        a parameter change is a new store, not a rebuild). Unlike
+        add(), rebuild is NOT replay-idempotent against concurrent
+        add()s — adds that land between the source snapshot and the
+        swap are lost by design (the caller declared ``df`` the
+        complete membership); run it from the single owner the flock
+        already implies for writers."""
+        import os
+        import time
+
+        fresh = bloom_sketch(
+            df, value, num_bits=self.num_bits, num_hashes=self.num_hashes
+        )
+        with self._locked():
+            tmp = self._data + f".tmp-{os.getpid()}-{time.time_ns():x}"
+            fresh.coalesce(1).write.parquet(tmp)
+            _swap_data_dir(self._data, tmp)
 
     def _locked(self):
         return _store_lock(self.path)

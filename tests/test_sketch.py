@@ -779,3 +779,48 @@ def test_bloom_probe_tolerates_duplicate_word_rows(spark):
         ).collect()
     }
     assert rows == ref
+
+
+def test_bloom_store_rebuild_shrinks_blocklist(spark, tmp_path):
+    """rebuild() replaces the accumulated filter with a fresh sketch of
+    the new source of truth: members removed from the source stop
+    probing True (modulo FP rate), parameters persist unchanged, and a
+    subsequent add() keeps OR-merging onto the rebuilt generation."""
+    from pyspark.sql import functions as F
+
+    from sonnerie_spark.operators.sketch import BloomStore, bloom_sketch
+
+    df = spark.createDataFrame(
+        [(i, f"url{i}") for i in range(300)], ["id", "v"]
+    )
+    path = str(tmp_path / "bloom_rb")
+    st = BloomStore(spark, path, num_bits=4096, num_hashes=4)
+    st.add(df, F.col("v"))  # everything blocked
+    assert all(
+        r["might_contain"]
+        for r in st.might_contain(df, F.col("v")).collect()
+    )
+
+    # the blocklist shrinks: only ids < 100 remain banned
+    st.rebuild(df.filter("id < 100"), F.col("v"))
+    rows = {r["id"]: r["might_contain"]
+            for r in st.might_contain(df, F.col("v")).collect()}
+    assert all(rows[i] for i in range(100)), "false negative after rebuild"
+    fp = sum(1 for i in range(100, 300) if rows[i])
+    assert fp <= 6, f"rebuild did not shrink the filter (fp={fp})"
+    # bitwise: the store now equals the one-shot sketch of the source
+    want = sorted(
+        map(tuple, bloom_sketch(
+            df.filter("id < 100"), "v", num_bits=4096
+        ).collect())
+    )
+    assert sorted(map(tuple, st.sketch().collect())) == want
+
+    # reopen adopts persisted params; add keeps working post-rebuild
+    st2 = BloomStore(spark, path)
+    assert st2.num_bits == 4096 and st2.num_hashes == 4
+    st2.add(df.filter("id >= 250"), F.col("v"))
+    rows2 = {r["id"]: r["might_contain"]
+             for r in st2.might_contain(df, F.col("v")).collect()}
+    assert all(rows2[i] for i in range(100))
+    assert all(rows2[i] for i in range(250, 300))
