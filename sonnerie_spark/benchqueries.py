@@ -1201,6 +1201,58 @@ def q_simhash_near_pairs(spark, sf_dir):
 
 
 @q(
+    "simhash120_near_pairs",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+      FROM documents
+    ),
+    th AS (SELECT doc_id, {phash_salted_sql("tok", 0)} AS h0,
+                  {phash_salted_sql("tok", 1)} AS h1
+           FROM tok),
+    bitsum AS (
+      SELECT doc_id, b,
+             cast(sum(case when (h0 >> b) & 1 = 1 then 1 else -1 end) as bigint) AS s0,
+             cast(sum(case when (h1 >> b) & 1 = 1 then 1 else -1 end) as bigint) AS s1
+      FROM th CROSS JOIN (SELECT unnest(range(60)) AS b)
+      GROUP BY doc_id, b
+    ),
+    sig AS (
+      SELECT doc_id,
+             cast(sum(case when s0 > 0 then 1::bigint << b else 0 end) as bigint) AS w0,
+             cast(sum(case when s1 > 0 then 1::bigint << b else 0 end) as bigint) AS w1
+      FROM bitsum GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           cast(bit_count(xor(a.w0, b.w0))
+                + bit_count(xor(a.w1, b.w1)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) <= 12
+    """,
+    "data",
+)
+def q_simhash120_near_pairs(spark, sf_dir):
+    """SimHash near-dup pairs at 120-bit width (r9): the text-side
+    application of the multi-word blocker — dedup.simhash_words emits
+    two independent 60-bit salted-family words per document (the
+    standard more-bit-planes construction: unrelated docs land ~60
+    bits apart at this width, so max_hamming=12 admits far fewer
+    false candidates than 60-bit/9 does), then
+    dedup.hamming_near_pairs_words blocks with 13 per-word chunks and
+    verifies the SUMMED bit_count(xor). The oracle mirrors both
+    salted hash families and brute-forces the pair join, so the gate
+    proves word independence AND that the blocked plan misses
+    nothing."""
+    docs = load_par(spark, sf_dir, "documents")
+    sigs = dedup.simhash_words(
+        docs, "doc_id", "text", words=2, bits_per_word=60
+    ).localCheckpoint(eager=True)  # both join sides consume the fold
+    return dedup.hamming_near_pairs_words(
+        sigs, "id", "simhash", words=2, bits_per_word=60, max_hamming=12
+    )
+
+
+@q(
     "embedding_neardup_pairs",
     f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
@@ -6555,9 +6607,10 @@ _DRIVER_WINDOW = [
     #     byte-length plumbing is run by multimodal_resize_real's
     #     construction/output; its md5 digest by
     #     dedup_exact_incremental's content hashing — both staying).
-    # Never-driver-seen after the r9 rotation (31 = the pre-r9 39
-    # minus the ten rotated in above, plus the two r9-landed 128-bit
-    # gates): image_dhash128, image_dhash128_neardup (r9-landed),
+    # Never-driver-seen after the r9 rotation (32 = the pre-r9 39
+    # minus the ten rotated in above, plus the three r9-landed wide-
+    # hash gates): image_dhash128, image_dhash128_neardup,
+    # simhash120_near_pairs (r9-landed),
     # fold_series, stratified_sample_lang, neardup_keep_longest,
     # corpus_curation, repetition_filter, time_weighted_avg, ohlc_1h,
     # gap_fill_locf, series_anomaly_zscore, quality_filter_stratified,

@@ -25,7 +25,7 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from sonnerie_spark.functions.portable_hash import phash
+from sonnerie_spark.functions.portable_hash import phash, phash_salted
 
 # MinHash mixing family: h_i(s) = (A_i * (phash(s) % 2^31) + B_i) % MOD.
 # One md5 per shingle; the per-function variation is cheap 64-bit affine
@@ -317,19 +317,22 @@ def minhash_bands(
     ).select("id", "bb.band", "bb.bucket")
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 60) -> DataFrame:
-    """SimHash per document over whitespace tokens.
-
-    sig bit i = 1 iff sum over distinct tokens of (2*bit_i(h(token))-1)
-    > 0. Single pass: each token is hashed once; one ``aggregate`` folds
-    the token hashes into the 60-slot bit-balance vector (``zip_with``
-    against a literal power-of-two array — ``h & 2^i`` replaces shifts,
-    which the pyspark API only takes as int literals), then a second
-    fold packs the signs into one long.
-    """
+def _simhash_sig(text_col: str, bits: int, salt: int | None) -> Column:
+    """One SimHash word as a Column: sig bit i = 1 iff the bit-balance
+    over distinct whitespace tokens of (2*bit_i(h(token))-1) > 0, with
+    ``h`` = the portable hash (salted when ``salt`` is given — each
+    salt is an independent hash family, which is how multi-word
+    signatures extend the width). Single pass: each token hashed once;
+    one ``aggregate`` folds into the bit-balance vector (``zip_with``
+    against a literal power-of-two array — ``h & 2^i`` replaces
+    shifts, which the pyspark API only takes as int literals), then a
+    second fold packs the signs into one long."""
     pow2 = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
     toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
-    hashes = F.transform(toks, lambda t: phash(t))
+    if salt is None:
+        hashes = F.transform(toks, lambda t: phash(t))
+    else:
+        hashes = F.transform(toks, lambda t: phash_salted(t, salt))
     counts = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0).cast("long"), bits),
@@ -339,14 +342,57 @@ def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 60) -> Dat
             lambda a, p: a + F.when(h.bitwiseAND(p) > 0, F.lit(1)).otherwise(F.lit(-1)),
         ),
     )
-    sig = F.aggregate(
+    return F.aggregate(
         F.zip_with(
             counts, pow2, lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long"))
         ),
         F.lit(0).cast("long"),
         lambda a, v: a + v,
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, *, bits: int = 60) -> DataFrame:
+    """SimHash per document over whitespace tokens (see
+    :func:`_simhash_sig` for the fold)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        _simhash_sig(text_col, bits, None).alias("simhash"),
+    )
+
+
+def simhash_words(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    words: int = 2,
+    bits_per_word: int = 60,
+) -> DataFrame:
+    """Multi-word SimHash — the standard 128-bit-class signature for
+    corpus-scale near-dup detection, as ``array<bigint>`` of
+    ``words`` x ``bits_per_word``-bit words. Word j uses the
+    salt-``j`` portable hash family, so the words are independent
+    bit-planes of one signature (the classic construction: more
+    planes, finer cosine-angle resolution — at 120 bits two unrelated
+    documents land ~60 bits apart, so a max_hamming<=8 near-dup
+    filter has a far lower false-candidate rate than at 60 bits).
+    Word 0 equals :func:`simhash`'s single word ONLY for salt
+    conventions matching ``phash``; here every word is salted
+    (0, 1, ...) so the construction is uniform and mirrors
+    ``phash_salted_sql`` in oracles. Pair with
+    :func:`hamming_near_pairs_words`. One pass over tokens per word —
+    width costs compute, never an extra shuffle."""
+    if words < 1:
+        raise ValueError(f"words must be >= 1, got {words}")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.array(
+            *[
+                _simhash_sig(text_col, bits_per_word, j)
+                for j in range(words)
+            ]
+        ).alias("simhash"),
+    )
 
 
 def simhash_near_pairs(

@@ -482,3 +482,30 @@ def test_dhash128_invariance_and_word_independence(spark):
     assert ham <= 2, ham
     # 1-row image IS hashable at 63-bit (no vertical gradient needed)
     assert narrow[3] is not None
+
+
+def test_simhash_words_independence_and_determinism(spark):
+    """simhash_words: identical texts collide exactly on BOTH words;
+    the two words are different functions (independent hash families);
+    a small edit moves each word only a few bits; words<1 raises."""
+    import pytest as _pytest
+
+    from sonnerie_spark.operators.dedup import simhash_words
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = {r["id"]: r["simhash"] for r in
+           simhash_words(df, "doc_id", "text", words=2,
+                         bits_per_word=60).collect()}
+    assert sig[0] == sig[1], "identical texts must collide on both words"
+    assert len(sig[0]) == 2 and all(0 <= w < (1 << 60) for w in sig[0])
+    assert sig[0][0] != sig[0][1], "salted families must differ"
+    ham = sum(bin(a ^ b).count("1") for a, b in zip(sig[0], sig[2]))
+    assert 0 < ham <= 30, ham  # one-token edit: small move, not zero
+
+    with _pytest.raises(ValueError, match="words"):
+        simhash_words(df, "doc_id", "text", words=0)
