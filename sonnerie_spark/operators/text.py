@@ -601,6 +601,74 @@ def strip_boilerplate(
     )
 
 
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide exact paragraph deduplication (the C4/RefinedWeb
+    line-dedup pass — Raffel et al. 2020 §2.2, Penedo et al. 2023):
+    every distinct paragraph keeps only its FIRST occurrence across the
+    whole corpus, ordered by (document id, position); every later copy
+    is removed from its document, and documents are reassembled from
+    their surviving paragraphs in order. Complements
+    :func:`strip_boilerplate` (which removes high-document-frequency
+    lines from EVERY document): here exactly one copy of repeated
+    content survives, so unique text is never lost.
+
+    Paragraphs whose trimmed length is below ``min_chars`` are exempt —
+    always kept, never counted as duplicates ('' and '-' separators are
+    the cleaning passes' business, not dedup's).
+
+    Plan shape at corpus scale: one explode, then ONE shuffle of
+    (hash, id, pos, paragraph) for the first-occurrence window —
+    ``row_number`` partitioned by ``md5(paragraph)``, a fixed-width
+    128-bit shuffle key with the same negligible-collision contract as
+    :func:`~sonnerie_spark.operators.dedup.exact_dedup`. Exempt rows
+    get a per-row unique key instead of NULL so they never pile into
+    one window partition (the short-paragraph skew hazard). Reassembly
+    is the per-document aggregation. Emits (id, text, n_paragraphs,
+    n_removed); a document whose every paragraph was a duplicate comes
+    back with empty text, not dropped.
+    """
+    from pyspark.sql import Window
+
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    )
+    eligible = F.length(F.trim(F.col("para"))) >= min_chars
+    h = F.when(eligible, F.md5(F.col("para"))).otherwise(
+        F.concat_ws("#", F.lit("u"), F.col("id"), F.col("pos"))
+    )
+    w = Window.partitionBy("h").orderBy("id", "pos")
+    flagged = (
+        paras.withColumn("h", h)
+        .withColumn("dup", F.row_number().over(w) > 1)
+        .drop("h")
+    )
+    return flagged.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("dup"), F.struct("pos", "para"))
+                    )
+                ),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text"),
+        F.count("*").cast("int").alias("n_paragraphs"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0))
+        .cast("int")
+        .alias("n_removed"),
+    )
+
+
 # Gopher quality-rule stopword set (Rae et al. 2021, appendix A1.1):
 # a document must contain at least two of these to pass the rule.
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")

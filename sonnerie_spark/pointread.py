@@ -490,9 +490,11 @@ def arrow_agg_series(
     over the COMPACTED STEADY STATE — the Spark-free answer to the
     reference's cache-hot per-core Rayon fold (README.md:39-40, the one
     axis SCALE.md historically conceded): a multi-threaded Arrow C++
-    scan + hash group_by at ~8 M rec/s/core, ~76 M rec/s on 32 threads
-    for a 20 M-row run (vs ~40 M rec/s for the warm Spark plan, which
-    keeps a ~0.2 s scheduling floor on top).
+    scan + run-length segmented reduceat fold (r9; generic hash
+    group_by as the fallback) at ~13 M rec/s/core for a 20 M-row run
+    (~29 M rec/s on 32 threads — comparable to the warm Spark plan
+    without its ~0.2 s scheduling floor; tools/fold_scale.py is the
+    citable measurement).
 
     Returns ``None`` (caller falls back to the Spark plan) unless the
     database is in the shape where the fold is provably equal to the
@@ -601,7 +603,23 @@ def arrow_agg_series(
                 cols.append("v_long")
             if lanes["v_double.list.element"] < total_rgs or total_rgs == 0:
                 cols.append("v_double")
-            tbl = dset.to_table(columns=cols, filter=filt)
+            if filt is None:
+                # Unfiltered whole-run fold: bypass the Acero scanner
+                # and read the explicit file list directly — the
+                # dataset machinery costs ~20% of the scan at 20 M
+                # rows (fragment plumbing + expression projection the
+                # fold doesn't need). Filtered folds keep the dataset
+                # path: row-group pruning there dwarfs the overhead.
+                import pyarrow.parquet as pq
+
+                tbl = pq.read_table(
+                    sorted(dset.files),
+                    columns=cols,
+                    read_dictionary=["key"],
+                    pre_buffer=True,
+                )
+            else:
+                tbl = dset.to_table(columns=cols, filter=filt)
         except (OSError, pa.ArrowInvalid):
             continue  # run swapped mid-read: retry on a fresh listing
         if db.run_names() != fingerprint:
@@ -658,10 +676,13 @@ def arrow_agg_series(
         else:
             lf = pc.cast(l, pa.float64())
             v = lf if d.null_count == len(d) else pc.coalesce(d, lf)
+        out = _segmented_fold(tbl.column("key"), v)
+        if out is not None:
+            return out
+        # Fallback (non-dictionary key chunks or genuine NaN payloads,
+        # whose min/max semantics the hash agg defines): the generic
+        # pyarrow hash aggregation over unified dictionary codes.
         keyed = tbl.select(["key"]).append_column("v", v)
-        # per-row-group dictionaries must be unified before the hash agg
-        # (cheap: one file's groups share one dictionary); group_by on
-        # unified dictionary keys aggregates over integer codes
         keyed = keyed.unify_dictionaries()
         g = keyed.group_by("key").aggregate(
             [("v", "count"), ("v", "sum"), ("v", "min"), ("v", "max")]
@@ -685,3 +706,96 @@ def arrow_agg_series(
         ]
         return out
     raise RuntimeError("agg_series kept racing compaction swaps")
+
+
+def _segmented_fold(kcol, v) -> list[dict] | None:
+    """count/sum/min/max per key via run-length segments + reduceat.
+
+    A compacted run is written ``repartitionByRange(key)`` +
+    ``sortWithinPartitions(key, ts)``, so the dictionary-encoded key
+    column arrives as long constant runs; three ``np.*.reduceat``
+    passes over segment starts replace the generic hash aggregation
+    (r9: agg tail 0.80 -> 0.25 s at 20 M rows x 1000 keys, 1 thread).
+    Correct for ANY row order — unsorted input merely yields more
+    segments, merged in the per-key accumulator (the pytest metamorphic
+    check shuffles rows) — so sortedness is a performance assumption,
+    never a correctness precondition. Returns ``None`` (caller falls
+    back to the pyarrow hash agg) when a key chunk is not
+    dictionary-encoded or a genuine NaN payload appears: NaN is
+    indistinguishable from null after ``to_numpy``, and NaN ordering
+    under min/max is the hash kernel's contract to define, not ours.
+
+    ``v`` is the row-aligned float64 value lane (nulls where the record
+    has no numeric value at the index). Per-key results: ``n`` = valid
+    count; ``sum``/``min``/``max`` over valid values, None when n == 0
+    — exactly pyarrow's skip-null aggregate semantics.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    chunks = kcol.chunks if isinstance(kcol, pa.ChunkedArray) else [kcol]
+    if any(
+        not pa.types.is_dictionary(ch.type) or ch.null_count for ch in chunks
+    ):
+        return None
+    if not isinstance(v, pa.ChunkedArray):
+        v = pa.chunked_array([v])
+    slots: dict = {}
+    cnt: list = []
+    sm: list = []
+    mn_: list = []
+    mx_: list = []
+    off = 0
+    for ch in chunks:
+        n = len(ch)
+        if n == 0:
+            continue
+        vv = v.slice(off, n)  # zero-copy when chunk boundaries align
+        off += n
+        npv = vv.to_numpy(zero_copy_only=False)  # float64, NaN at null
+        nan_mask = np.isnan(npv)
+        n_nan = int(nan_mask.sum())
+        if n_nan != vv.null_count:
+            return None  # genuine NaN payloads: defer to the hash agg
+        codes = ch.indices.to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.diff(codes)) + 1
+        starts = np.concatenate(([0], starts))
+        if n_nan == 0:
+            c = np.concatenate((starts[1:], [n])) - starts
+            s = np.add.reduceat(npv, starts)
+            mnv = np.minimum.reduceat(npv, starts)
+            mxv = np.maximum.reduceat(npv, starts)
+        else:
+            valid = ~nan_mask
+            c = np.add.reduceat(valid.astype(np.int64), starts)
+            s = np.add.reduceat(np.where(valid, npv, 0.0), starts)
+            mnv = np.minimum.reduceat(np.where(valid, npv, np.inf), starts)
+            mxv = np.maximum.reduceat(np.where(valid, npv, -np.inf), starts)
+        seg_codes = codes[starts]
+        dstr = ch.dictionary.to_pylist()
+        # python loop over SEGMENTS, not rows: ~#keys per chunk
+        for j in range(len(starts)):
+            k = dstr[seg_codes[j]]
+            sl = slots.get(k)
+            if sl is None:
+                sl = slots[k] = len(cnt)
+                cnt.append(0)
+                sm.append(0.0)
+                mn_.append(np.inf)
+                mx_.append(-np.inf)
+            cnt[sl] += int(c[j])
+            sm[sl] += float(s[j])
+            if mnv[j] < mn_[sl]:
+                mn_[sl] = float(mnv[j])
+            if mxv[j] > mx_[sl]:
+                mx_[sl] = float(mxv[j])
+    return [
+        {
+            "key": k,
+            "n": cnt[sl],
+            "sum": sm[sl] if cnt[sl] else None,
+            "min": mn_[sl] if cnt[sl] else None,
+            "max": mx_[sl] if cnt[sl] else None,
+        }
+        for k, sl in sorted(slots.items())
+    ]

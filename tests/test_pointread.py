@@ -402,3 +402,89 @@ def test_agg_series_lane_elision_matches_spark(spark, tmp_path):
     db.compact(major=True)
     assert arrow_agg_series(db) is not None
     assert db.agg_series() == _spark_fold(db)
+
+
+def test_segmented_fold_matches_hash_agg():
+    """_segmented_fold (the r9 reduceat fold) is a drop-in for the
+    pyarrow hash aggregation: metamorphic over row order (sortedness
+    is a performance assumption, never a correctness precondition),
+    per-chunk dictionaries, null values, and the n=0 all-null group;
+    declines (None) on non-dictionary keys and genuine NaN payloads."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sonnerie_spark.pointread import _segmented_fold
+
+    rng = np.random.default_rng(7)
+
+    def reference(keys, vals):
+        agg = {}
+        for k, v in zip(keys, vals):
+            e = agg.setdefault(k, [0, 0.0, np.inf, -np.inf])
+            if v is not None:
+                e[0] += 1
+                e[1] += v
+                e[2] = min(e[2], v)
+                e[3] = max(e[3], v)
+        return [
+            {
+                "key": k,
+                "n": e[0],
+                "sum": e[1] if e[0] else None,
+                "min": e[2] if e[0] else None,
+                "max": e[3] if e[0] else None,
+            }
+            for k, e in sorted(agg.items())
+        ]
+
+    keys, vals, kchunks, vchunks = [], [], [], []
+    # three chunks with DIFFERENT dictionaries, unsorted codes, nulls,
+    # and a key ("z-null") whose every value is null
+    for ci, (dict_vals, n) in enumerate(
+        [(["b", "a", "z-null"], 37), (["c", "a"], 23), (["z-null", "b"], 11)]
+    ):
+        codes = rng.integers(0, len(dict_vals), n)
+        cv = []
+        for j, c in enumerate(codes):
+            k = dict_vals[c]
+            v = None if (k == "z-null" or (ci == 0 and j % 5 == 0)) else float(
+                rng.integers(-50, 50)
+            )
+            keys.append(k)
+            vals.append(v)
+            cv.append(v)
+        kchunks.append(
+            pa.DictionaryArray.from_arrays(
+                pa.array(codes, pa.int32()), pa.array(dict_vals)
+            )
+        )
+        vchunks.append(pa.array(cv, pa.float64()))
+    kcol = pa.chunked_array(kchunks)
+    v = pa.chunked_array(vchunks)
+
+    got = _segmented_fold(kcol, v)
+    assert got == reference(keys, vals)
+
+    # misaligned value chunking (one flat chunk) must not change results
+    flat_v = pa.chunked_array([pa.array(vals, pa.float64())])
+    assert _segmented_fold(kcol, flat_v) == got
+
+    # single empty chunk -> empty result
+    assert (
+        _segmented_fold(
+            pa.chunked_array([kchunks[0].slice(0, 0)]),
+            pa.chunked_array([pa.array([], pa.float64())]),
+        )
+        == []
+    )
+
+    # non-dictionary key chunk: decline
+    assert _segmented_fold(pa.chunked_array([pa.array(["a", "b"])]),
+                           pa.chunked_array([pa.array([1.0, 2.0])])) is None
+
+    # genuine NaN payload (distinguished from nulls): decline
+    nan_v = pa.chunked_array(
+        [pa.array([float("nan")] + [1.0] * (len(kchunks[0]) - 1), pa.float64())]
+        + vchunks[1:]
+    )
+    assert _segmented_fold(kcol, nan_v) is None
