@@ -6220,6 +6220,88 @@ def q_c4_line_clean(spark, sf_dir):
 
 
 @q(
+    "dedup_paragraphs",
+    r"""
+    WITH page AS (
+      SELECT doc_id,
+             'Subscribe to our newsletter!' || chr(10)
+             || substr(text, 1, 60) || chr(10)
+             || chr(10)
+             || 'Footer variant ' || (doc_id % 7) || chr(10)
+             || substr(text, 61, 50)
+             || CASE WHEN doc_id % 5 = 0
+                     THEN chr(10) || substr(text, 1, 60) ELSE '' END AS t
+      FROM documents
+    ),
+    l AS (SELECT doc_id, string_split(t, chr(10)) AS ln FROM page),
+    p AS (
+      SELECT doc_id, generate_subscripts(ln, 1) - 1 AS pos,
+             unnest(ln) AS para
+      FROM l
+    ),
+    d AS (
+      SELECT doc_id, pos, para,
+             CASE WHEN length(trim(para)) >= 1 THEN md5(para)
+                  ELSE 'u#' || doc_id || '#' || pos END AS h
+      FROM p
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, pos)
+                  AS rn
+      FROM d
+    )
+    SELECT doc_id AS id,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10)
+                               ORDER BY pos), '') AS text,
+           cast(count(*) AS INTEGER) AS n_paragraphs,
+           cast(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS INTEGER)
+             AS n_removed
+    FROM r GROUP BY doc_id
+    """,
+    "data",
+)
+def q_dedup_paragraphs(spark, sf_dir):
+    """Corpus-wide exact paragraph dedup (C4/RefinedWeb line dedup,
+    Raffel et al. 2020 §2.2): every paragraph keeps only its first
+    occurrence by (doc_id, position); later copies are removed and
+    documents reassembled in order. The gate builds a 5-paragraph page
+    per document in BOTH engines with known duplicate structure — a
+    header shared by ALL docs (only doc 0 keeps it), 7 footer variants
+    (7 survivors corpus-wide), an empty line (exempt below min_chars,
+    kept everywhere), two per-doc text slices, and a within-doc repeat
+    of the first slice on every 5th doc — and value-hashes the full
+    reassembled text plus the removal counts. Plan: one explode + ONE
+    corpus shuffle keyed on md5(paragraph) for the first-occurrence
+    window (fixed-width key; exempt rows get per-row unique keys so
+    short lines can't skew one partition) + the per-doc reassembly agg.
+    No reference analogue; training-data-pipeline extension surface."""
+    from sonnerie_spark.operators.text import dedup_paragraphs
+
+    docs = load_par(spark, sf_dir, "documents")
+    page = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("Subscribe to our newsletter!"),
+            F.substring("text", 1, 60),
+            F.lit(""),
+            F.concat(
+                F.lit("Footer variant "),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+            F.concat(
+                F.substring("text", 61, 50),
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.concat(F.lit("\n"), F.substring("text", 1, 60)),
+                ).otherwise(F.lit("")),
+            ),
+        ).alias("t"),
+    )
+    return dedup_paragraphs(page, "doc_id", "t")
+
+
+@q(
     "dedup_substrings",
     f"""
     WITH base AS (
@@ -6607,10 +6689,10 @@ _DRIVER_WINDOW = [
     #     byte-length plumbing is run by multimodal_resize_real's
     #     construction/output; its md5 digest by
     #     dedup_exact_incremental's content hashing — both staying).
-    # Never-driver-seen after the r9 rotation (32 = the pre-r9 39
-    # minus the ten rotated in above, plus the three r9-landed wide-
-    # hash gates): image_dhash128, image_dhash128_neardup,
-    # simhash120_near_pairs (r9-landed),
+    # Never-driver-seen after the r9 rotation (33 = the pre-r9 39
+    # minus the ten rotated in above, plus the four r9-landed gates):
+    # image_dhash128, image_dhash128_neardup, simhash120_near_pairs,
+    # dedup_paragraphs (r9-landed),
     # fold_series, stratified_sample_lang, neardup_keep_longest,
     # corpus_curation, repetition_filter, time_weighted_avg, ohlc_1h,
     # gap_fill_locf, series_anomaly_zscore, quality_filter_stratified,

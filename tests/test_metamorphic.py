@@ -440,6 +440,43 @@ def test_strip_boilerplate_exact_and_broadcast(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
 
 
+def test_dedup_paragraphs_first_occurrence_and_exemption(spark):
+    """dedup_paragraphs: corpus-wide keep-first by (id, pos) — the
+    shared paragraph survives only in the lowest-id doc, within-doc
+    repeats lose their later copies, sub-min_chars paragraphs are
+    exempt everywhere, and an all-duplicates doc comes back with empty
+    text, not dropped. Model: a python dict replay of the keep-first
+    rule."""
+    from sonnerie_spark.operators.text import dedup_paragraphs
+
+    shared = "Subscribe now"
+    rows = [
+        (1, f"{shared}\nalpha\n\nalpha"),   # within-doc repeat + empty
+        (2, f"{shared}\nbeta\n"),           # trailing empty paragraph
+        (3, f"{shared}\nalpha"),            # cross-doc dup of doc 1's
+        (4, shared),                        # all duplicates
+        (5, "  \ngamma"),                   # whitespace-only exempt
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = dedup_paragraphs(df, "doc_id", "text")
+    got = {
+        r["id"]: (r["text"], r["n_paragraphs"], r["n_removed"])
+        for r in out.collect()
+    }
+    assert got[1] == (f"{shared}\nalpha\n", 4, 1)
+    assert got[2] == ("beta\n", 3, 1)
+    assert got[3] == ("", 2, 2)
+    assert got[4] == ("", 1, 1)
+    assert got[5] == ("  \ngamma", 2, 0)
+
+    # min_chars exemption boundary: at min_chars=6, "alpha" (5 chars)
+    # is exempt so BOTH docs keep it; "Subscribe now" still dedups
+    out6 = dedup_paragraphs(df, "doc_id", "text", min_chars=6)
+    got6 = {r["id"]: r["text"] for r in out6.collect()}
+    assert got6[1] == f"{shared}\nalpha\n\nalpha"
+    assert got6[3] == "alpha"
+
+
 def test_gopher_quality_rules_per_branch(spark):
     """gopher_quality: each published rule is exercised by a document
     constructed to fail exactly that rule, and the good document
