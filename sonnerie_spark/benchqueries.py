@@ -6219,6 +6219,34 @@ def q_c4_line_clean(spark, sf_dir):
     return c4_clean(docs, "doc_id", "text")
 
 
+def _para_page(docs):
+    """The duplicate-rich 5-paragraph page both paragraph-dedup gates
+    build (mirrored in their oracles' `page` CTE): a header shared by
+    ALL docs, 7 footer variants, an exempt empty line, two per-doc
+    text slices, and a within-doc repeat of the first slice on every
+    5th doc."""
+    return docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("Subscribe to our newsletter!"),
+            F.substring("text", 1, 60),
+            F.lit(""),
+            F.concat(
+                F.lit("Footer variant "),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+            F.concat(
+                F.substring("text", 61, 50),
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.concat(F.lit("\n"), F.substring("text", 1, 60)),
+                ).otherwise(F.lit("")),
+            ),
+        ).alias("t"),
+    )
+
+
 @q(
     "dedup_paragraphs",
     r"""
@@ -6278,27 +6306,78 @@ def q_dedup_paragraphs(spark, sf_dir):
     from sonnerie_spark.operators.text import dedup_paragraphs
 
     docs = load_par(spark, sf_dir, "documents")
-    page = docs.select(
-        "doc_id",
-        F.concat_ws(
-            "\n",
-            F.lit("Subscribe to our newsletter!"),
-            F.substring("text", 1, 60),
-            F.lit(""),
-            F.concat(
-                F.lit("Footer variant "),
-                (F.col("doc_id") % 7).cast("string"),
-            ),
-            F.concat(
-                F.substring("text", 61, 50),
-                F.when(
-                    F.col("doc_id") % 5 == 0,
-                    F.concat(F.lit("\n"), F.substring("text", 1, 60)),
-                ).otherwise(F.lit("")),
-            ),
-        ).alias("t"),
+    return dedup_paragraphs(_para_page(docs), "doc_id", "t")
+
+
+@q(
+    "dedup_paragraphs_incremental",
+    # gate_only like the other stateful-lifecycle gates: each execution
+    # creates and mutates a fresh on-disk index.
+    r"""
+    WITH page AS (
+      SELECT doc_id,
+             'Subscribe to our newsletter!' || chr(10)
+             || substr(text, 1, 60) || chr(10)
+             || chr(10)
+             || 'Footer variant ' || (doc_id % 7) || chr(10)
+             || substr(text, 61, 50)
+             || CASE WHEN doc_id % 5 = 0
+                     THEN chr(10) || substr(text, 1, 60) ELSE '' END AS t
+      FROM documents
+    ),
+    l AS (SELECT doc_id, string_split(t, chr(10)) AS ln FROM page),
+    p AS (
+      SELECT doc_id, generate_subscripts(ln, 1) - 1 AS pos,
+             unnest(ln) AS para
+      FROM l
+    ),
+    d AS (
+      SELECT doc_id, pos, para, doc_id % 2 AS b,
+             CASE WHEN length(trim(para)) >= 1 THEN md5(para)
+                  ELSE 'u#' || doc_id || '#' || pos END AS h
+      FROM p
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY h
+                                   ORDER BY b, doc_id, pos) AS rn
+      FROM d
     )
-    return dedup_paragraphs(page, "doc_id", "t")
+    SELECT doc_id AS id,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10)
+                               ORDER BY pos), '') AS text,
+           cast(count(*) AS INTEGER) AS n_paragraphs,
+           cast(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS INTEGER)
+             AS n_removed
+    FROM r GROUP BY doc_id
+    """,
+    "data",
+    gate_only=True,
+)
+def q_dedup_paragraphs_incremental(spark, sf_dir):
+    """Rolling-ingestion paragraph dedup through the persistent
+    ExactIndex: the same duplicate-rich pages arrive as two batches
+    (even doc_ids, then odd); each batch loses every paragraph the
+    index already holds plus its own internal repeats, WITHOUT
+    rescanning batch 1 (partition-pruned hash probe). The union of the
+    two outputs must equal a one-shot keep-first pass ordered by
+    (batch, doc_id, pos) — which the oracle computes set-wise, and
+    which provably DIFFERS from the one-shot `dedup_paragraphs` gate
+    (footer keepers become the lowest EVEN ids), so batch precedence
+    is actually exercised. No reference analogue;
+    training-data-pipeline extension surface."""
+    from sonnerie_spark.operators.dedup import ExactIndex
+    from sonnerie_spark.operators.text import dedup_paragraphs_incremental
+
+    docs = load_par(spark, sf_dir, "documents")
+    page = _para_page(docs)
+    idx = ExactIndex(spark, _gate_tmp("paridx_gate_"))
+    b0 = dedup_paragraphs_incremental(
+        idx, page.filter(F.col("doc_id") % 2 == 0), "doc_id", "t"
+    )
+    b1 = dedup_paragraphs_incremental(
+        idx, page.filter(F.col("doc_id") % 2 == 1), "doc_id", "t"
+    )
+    return b0.unionByName(b1)
 
 
 @q(
@@ -6689,10 +6768,10 @@ _DRIVER_WINDOW = [
     #     byte-length plumbing is run by multimodal_resize_real's
     #     construction/output; its md5 digest by
     #     dedup_exact_incremental's content hashing — both staying).
-    # Never-driver-seen after the r9 rotation (33 = the pre-r9 39
-    # minus the ten rotated in above, plus the four r9-landed gates):
+    # Never-driver-seen after the r9 rotation (34 = the pre-r9 39
+    # minus the ten rotated in above, plus the five r9-landed gates):
     # image_dhash128, image_dhash128_neardup, simhash120_near_pairs,
-    # dedup_paragraphs (r9-landed),
+    # dedup_paragraphs, dedup_paragraphs_incremental (r9-landed),
     # fold_series, stratified_sample_lang, neardup_keep_longest,
     # corpus_curation, repetition_filter, time_weighted_avg, ohlc_1h,
     # gap_fill_locf, series_anomaly_zscore, quality_filter_stratified,

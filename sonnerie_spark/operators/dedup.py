@@ -779,20 +779,49 @@ class ExactIndex:
             # that now contains this very batch (and a plain persist()
             # would be dropped by the batch.unpersist() cascade below).
             fresh = fresh.localCheckpoint(eager=True)
-            # Size the append by row count, not shuffle parallelism: a
-            # partitionBy write from every shuffle partition emits
-            # tasks x 256 tiny files (measured 20 s for a 20k-row batch
-            # at 32 tasks); hashing pfx into ceil(rows/250k) tasks
-            # bounds the add at ~256 files total while big ingests
-            # still fan out.
-            n_tasks = min(256, max(1, fresh.count() // 250_000 + 1))
-            with self._locked():
-                fresh.select("h", "pfx").repartition(
-                    n_tasks, "pfx"
-                ).write.mode("append").partitionBy("pfx").parquet(self._data)
+            self.append_hashes(fresh)
             return fresh.select("id", "h")
         finally:
             batch.unpersist()
+
+    def seen(self, hashes: DataFrame) -> DataFrame:
+        """Subset of ``hashes`` (column ``h``) already present in the
+        index, reading ONLY the prefix partitions the probe's own
+        hashes land in — the partition-pruned probe `add()` uses,
+        exposed so paragraph-granularity dedup
+        (:func:`~sonnerie_spark.operators.text.dedup_paragraphs_incremental`)
+        can compose the index without re-implementing its layout."""
+        hp = (
+            hashes.select("h")
+            .distinct()
+            .withColumn("pfx", F.substring("h", 1, 2))
+        )
+        prefixes = [r["pfx"] for r in hp.select("pfx").distinct().collect()]
+        old = self._existing()
+        if old is None or not prefixes:
+            return hp.select("h").limit(0)
+        return hp.join(
+            old.where(F.col("pfx").isin(prefixes)).select("h"),
+            "h",
+            "left_semi",
+        ).select("h")
+
+    def append_hashes(self, hashes: DataFrame) -> None:
+        """Append hashes (column ``h``; caller guarantees they are not
+        already indexed and has truncated lineage if the frame derives
+        from a read of this index) under the index flock.
+
+        Sized by row count, not shuffle parallelism: a partitionBy
+        write from every shuffle partition emits tasks x 256 tiny
+        files (measured 20 s for a 20k-row batch at 32 tasks); hashing
+        pfx into ceil(rows/250k) tasks bounds the append at ~256 files
+        total while big ingests still fan out."""
+        fresh = hashes.select("h").withColumn("pfx", F.substring("h", 1, 2))
+        n_tasks = min(256, max(1, fresh.count() // 250_000 + 1))
+        with self._locked():
+            fresh.select("h", "pfx").repartition(
+                n_tasks, "pfx"
+            ).write.mode("append").partitionBy("pfx").parquet(self._data)
 
     def compact(self) -> None:
         """Coalesce the per-batch file accumulation into one sorted file

@@ -669,6 +669,88 @@ def dedup_paragraphs(
     )
 
 
+def dedup_paragraphs_incremental(
+    index,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    sep: str = "\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Incremental :func:`dedup_paragraphs`: dedup a batch's paragraphs
+    against everything already ingested — via a persistent
+    :class:`~sonnerie_spark.operators.dedup.ExactIndex` of paragraph
+    hashes — AND within the batch, WITHOUT rescanning the corpus; then
+    record the batch's new paragraph hashes in the index. The union of
+    the per-batch outputs equals the one-shot pass over the
+    concatenated corpus ordered by (batch, id, pos) — oracle-gated.
+
+    This is the rolling-ingestion form of paragraph dedup: day N's
+    shard arrives, loses every paragraph day 1..N-1 already published
+    (plus its own internal repeats), and costs O(batch + matching
+    index partitions) — the ExactIndex partition-pruning story, at
+    paragraph granularity.
+
+    A paragraph is a duplicate iff its hash is already indexed OR an
+    earlier (id, pos) in THIS batch carries it; exempt (< ``min_chars``
+    after trim) paragraphs are never deduped and never indexed. Same
+    output schema as :func:`dedup_paragraphs`.
+    """
+    from pyspark.sql import Window
+
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    )
+    eligible = F.length(F.trim(F.col("para"))) >= min_chars
+    flagged = paras.withColumn("h", F.when(eligible, F.md5(F.col("para"))))
+    # batch-internal first occurrence; exempt rows get per-row unique
+    # window keys (same skew guard as the one-shot pass)
+    hw = F.coalesce(
+        F.col("h"), F.concat_ws("#", F.lit("u"), F.col("id"), F.col("pos"))
+    )
+    w = Window.partitionBy(hw).orderBy("id", "pos")
+    flagged = flagged.withColumn("rn", F.row_number().over(w)).persist()
+    try:
+        seen = index.seen(flagged.filter(F.col("h").isNotNull()).select("h"))
+        # NULL h (exempt) never matches the join key -> never dup
+        marked = flagged.join(
+            seen.withColumn("_old", F.lit(True)), "h", "left"
+        ).withColumn("dup", (F.col("rn") > 1) | F.col("_old").isNotNull())
+        out = marked.groupBy("id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~F.col("dup"), F.struct("pos", "para"))
+                        )
+                    ),
+                    lambda s: s["para"],
+                ),
+                sep,
+            ).alias("text"),
+            F.count("*").cast("int").alias("n_paragraphs"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0))
+            .cast("int")
+            .alias("n_removed"),
+        )
+        # materialize BOTH the result and the to-be-indexed hashes
+        # BEFORE the append: a lazy recompute after the index mutates
+        # would probe the batch's own hashes and flag everything dup
+        out = out.localCheckpoint(eager=True)
+        fresh = (
+            flagged.filter((F.col("rn") == 1) & F.col("h").isNotNull())
+            .select("h")
+            .join(seen, "h", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        index.append_hashes(fresh)
+        return out
+    finally:
+        flagged.unpersist()
+
+
 # Gopher quality-rule stopword set (Rae et al. 2021, appendix A1.1):
 # a document must contain at least two of these to pass the rule.
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")

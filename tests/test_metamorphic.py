@@ -477,6 +477,47 @@ def test_dedup_paragraphs_first_occurrence_and_exemption(spark):
     assert got6[3] == "alpha"
 
 
+def test_dedup_paragraphs_incremental_equals_oneshot(spark, tmp_path):
+    """dedup_paragraphs_incremental: batch-by-batch through a
+    persistent ExactIndex of paragraph hashes == the one-shot pass
+    over the concatenated corpus with batch-precedence ids, and the
+    exempt/empty-doc semantics carry over. Three batches so the index
+    is probed both empty and populated."""
+    from sonnerie_spark.operators.dedup import ExactIndex
+    from sonnerie_spark.operators.text import (
+        dedup_paragraphs,
+        dedup_paragraphs_incremental,
+    )
+
+    batches = [
+        [(10, "shared A\nuniq one\n"), (11, "shared A\nshared B")],
+        [(20, "shared B\nuniq two\nuniq two"), (21, "shared A")],
+        [(30, "uniq one\nuniq three\n\nshared B")],
+    ]
+    idx = ExactIndex(spark, str(tmp_path / "paridx"))
+    got = {}
+    for rows in batches:
+        df = spark.createDataFrame(rows, "doc_id: long, text: string")
+        for r in dedup_paragraphs_incremental(
+            idx, df, "doc_id", "text"
+        ).collect():
+            got[r["id"]] = (r["text"], r["n_paragraphs"], r["n_removed"])
+
+    # one-shot over everything: ids already encode batch order
+    all_df = spark.createDataFrame(
+        [r for b in batches for r in b], "doc_id: long, text: string"
+    )
+    exp = {
+        r["id"]: (r["text"], r["n_paragraphs"], r["n_removed"])
+        for r in dedup_paragraphs(all_df, "doc_id", "text").collect()
+    }
+    assert got == exp
+    # spot-pin the cross-batch suppressions the equality relies on
+    assert got[20] == ("uniq two", 3, 2)        # shared B dup; self-repeat
+    assert got[21] == ("", 1, 1)                # all-duplicate doc survives
+    assert got[30] == ("uniq three\n", 4, 2)    # empty para exempt, kept
+
+
 def test_gopher_quality_rules_per_branch(spark):
     """gopher_quality: each published rule is exercised by a document
     constructed to fail exactly that rule, and the good document
