@@ -6381,6 +6381,52 @@ def q_dedup_paragraphs_incremental(spark, sf_dir):
 
 
 @q(
+    "classifier_score",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM documents
+    ),
+    wt AS (
+      SELECT doc_id,
+             ({phash_salted_sql("tok", 97)} % 2001) - 1000 AS w
+      FROM tok
+    ),
+    s AS (
+      SELECT doc_id, sum(w) AS ssum, count(*) AS n
+      FROM wt GROUP BY doc_id
+    )
+    SELECT doc_id AS id,
+           cast(n AS INTEGER) AS n_tokens,
+           cast(ssum AS BIGINT) AS score_sum,
+           cast(floor(ssum * 1000.0 / greatest(n, 1)) AS BIGINT)
+             AS score_milli,
+           (n > 0 AND floor(ssum * 1000.0 / greatest(n, 1)) >= 0) AS keep
+    FROM s
+    """,
+    "data",
+)
+def q_classifier_score(spark, sf_dir):
+    """Model-based quality filtering (the DCLM / FineWeb-Edu step: a
+    cheap linear classifier scores every document; keep above a
+    threshold). The gate runs the hashed-weight form — each token
+    weighs phash(97#tok) % 2001 - 1000, the deterministic stand-in the
+    oracle replays exactly — whose plan is entirely MAP-ONLY: the sum
+    folds over the token array in place (no explode, no shuffle), the
+    shape a hashed-feature classifier keeps at any corpus size.
+    score_milli = floor(1000 * sum / n) is a floor of an exact-IEEE
+    quotient of exact integers, so both engines agree bit-for-bit.
+    The trained-weights form (broadcast vocabulary join) is pinned by
+    pytest to equal this one when fed the same weights. No reference
+    analogue; training-data-pipeline extension surface."""
+    from sonnerie_spark.operators.text import classifier_score
+
+    docs = load_par(spark, sf_dir, "documents")
+    return classifier_score(docs, "doc_id", "text")
+
+
+@q(
     "dedup_substrings",
     f"""
     WITH base AS (
@@ -6768,10 +6814,11 @@ _DRIVER_WINDOW = [
     #     byte-length plumbing is run by multimodal_resize_real's
     #     construction/output; its md5 digest by
     #     dedup_exact_incremental's content hashing — both staying).
-    # Never-driver-seen after the r9 rotation (34 = the pre-r9 39
-    # minus the ten rotated in above, plus the five r9-landed gates):
+    # Never-driver-seen after the r9 rotation (35 = the pre-r9 39
+    # minus the ten rotated in above, plus the six r9-landed gates):
     # image_dhash128, image_dhash128_neardup, simhash120_near_pairs,
-    # dedup_paragraphs, dedup_paragraphs_incremental (r9-landed),
+    # dedup_paragraphs, dedup_paragraphs_incremental,
+    # classifier_score (r9-landed),
     # fold_series, stratified_sample_lang, neardup_keep_longest,
     # corpus_curation, repetition_filter, time_weighted_avg, ohlc_1h,
     # gap_fill_locf, series_anomaly_zscore, quality_filter_stratified,

@@ -669,6 +669,92 @@ def dedup_paragraphs(
     )
 
 
+def classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    weights: DataFrame | None = None,
+    salt: int = 97,
+    scale: int = 1000,
+    threshold_milli: int = 0,
+) -> DataFrame:
+    """Linear bag-of-words classifier scoring — the model-based quality
+    filter step (the DCLM / FineWeb-Edu pattern: score every document
+    with a cheap linear classifier, keep above a threshold). Two
+    weight sources:
+
+    - ``weights`` (a (term, weight:long) DataFrame, e.g. exported from
+      a trained fasttext/logistic model): explode + BROADCAST join —
+      the model is vocabulary-sized, never corpus-sized — then a
+      per-doc sum. Out-of-vocabulary tokens weigh 0.
+    - hashed (default, ``weights=None``): each token's weight derives
+      from the salted portable hash, ``phash(salt#tok) % (2*scale+1) -
+      scale`` — an integer in [-scale, scale]. This is the
+      deterministic, engine-portable stand-in the oracle can replay;
+      it is also entirely MAP-ONLY (the sum folds over the token array
+      in-place, no explode, no shuffle — the shape a real
+      hashed-feature classifier keeps at 100 TB).
+
+    Output per document: ``n_tokens``, integer ``score_sum``,
+    ``score_milli`` = floor(1000 * score_sum / n_tokens) (mean weight
+    in milli-units; floor of an exact-IEEE quotient of exact integers,
+    so engines agree bit-for-bit), and ``keep`` =
+    score_milli >= ``threshold_milli``. An empty text carries the
+    single empty token (the engine-wide whitespace-token convention,
+    shared with :func:`token_stats` and every oracle's
+    ``regexp_split_to_array``), so it scores that token's weight.
+    """
+    from sonnerie_spark.functions.portable_hash import phash_salted
+
+    toks = tokens(F.col(text_col))
+    if weights is None:
+
+        def w(tok):
+            return (phash_salted(tok, salt) % F.lit(2 * scale + 1)) - F.lit(
+                scale
+            )
+
+        def add(acc, x):
+            return acc + x
+
+        scored = df.select(
+            F.col(id_col).alias("id"),
+            F.size(toks).alias("n_tokens"),
+            F.aggregate(
+                F.transform(toks, w), F.lit(0).cast("long"), add
+            ).alias("score_sum"),
+        )
+    else:
+        ex = df.select(
+            F.col(id_col).alias("id"), F.explode(toks).alias("term")
+        )
+        scored = (
+            ex.join(F.broadcast(weights), "term", "left")
+            .groupBy("id")
+            .agg(
+                F.count("*").cast("int").alias("n_tokens"),
+                F.sum(F.coalesce(F.col("weight"), F.lit(0)))
+                .cast("long")
+                .alias("score_sum"),
+            )
+        )
+    milli = F.floor(
+        F.col("score_sum") * F.lit(1000.0)
+        / F.greatest(F.col("n_tokens"), F.lit(1))
+    )
+    return scored.select(
+        "id",
+        "n_tokens",
+        "score_sum",
+        milli.alias("score_milli"),
+        (
+            (F.col("n_tokens") > 0)
+            & (milli >= F.lit(threshold_milli))
+        ).alias("keep"),
+    )
+
+
 def dedup_paragraphs_incremental(
     index,
     df: DataFrame,

@@ -518,6 +518,61 @@ def test_dedup_paragraphs_incremental_equals_oneshot(spark, tmp_path):
     assert got[30] == ("uniq three\n", 4, 2)    # empty para exempt, kept
 
 
+def test_classifier_score_weights_equals_hashed(spark):
+    """classifier_score: the trained-weights path (broadcast vocabulary
+    join) equals the hashed path when fed exactly the hashed weights;
+    OOV terms weigh 0; an empty doc carries the conventional single
+    empty token; the hashed plan is map-only (no Exchange) and the
+    weights plan broadcasts."""
+    from sonnerie_spark.functions.portable_hash import phash_salted
+    from sonnerie_spark.operators.text import classifier_score, tokens
+
+    rows = [
+        (1, "alpha beta gamma alpha"),
+        (2, "delta epsilon"),
+        (3, ""),
+        (4, "zeta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    hashed = classifier_score(df, "doc_id", "text")
+    plan = hashed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    vocab = df.select(F.explode(tokens(F.col("text"))).alias("term")).distinct()
+    weights = vocab.select(
+        "term",
+        ((phash_salted(F.col("term"), 97) % F.lit(2001)) - F.lit(1000))
+        .cast("long")
+        .alias("weight"),
+    )
+    trained = classifier_score(df, "doc_id", "text", weights=weights)
+    tplan = trained._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in tplan, tplan
+
+    key = lambda r: (r["id"], r["n_tokens"], r["score_sum"],
+                     r["score_milli"], r["keep"])
+    h = sorted(map(key, hashed.collect()))
+    t = sorted(map(key, trained.collect()))
+    # identical everywhere — including doc 3, whose empty text carries
+    # the single empty token in BOTH paths (vocab includes "")
+    assert t == h
+    assert [x for x in h if x[0] == 3][0][1] == 1  # n_tokens convention
+
+    # OOV terms weigh 0: score with only "alpha" in vocabulary
+    w1 = weights.filter(F.col("term") == "alpha")
+    one = {r["id"]: r["score_sum"]
+           for r in classifier_score(df, "doc_id", "text", weights=w1).collect()}
+    alpha_w = weights.filter(F.col("term") == "alpha").collect()[0]["weight"]
+    assert one[1] == 2 * alpha_w and one[2] == 0 and one[4] == 0
+
+    # threshold: raising it past the maximum possible score_milli
+    # (scale * 1000 — mean weight in [-scale, scale], milli-scaled)
+    # keeps nothing
+    hi = classifier_score(df, "doc_id", "text", threshold_milli=1_000_001)
+    assert all(not r["keep"] for r in hi.collect())
+
+
 def test_gopher_quality_rules_per_branch(spark):
     """gopher_quality: each published rule is exercised by a document
     constructed to fail exactly that rule, and the good document
