@@ -3572,6 +3572,69 @@ def q_corpus_curation_v4(spark, sf_dir):
     return _curation_v3_pipeline(spark, sf_dir, clean)
 
 
+def _curation_v5_oracle() -> str:
+    """v4 with the model-based quality filter between decontamination
+    and the v3 chain (the DCLM order: the classifier IS the quality
+    gate's front line): insert the hashed-classifier CTEs after
+    docs_clean and point the v3 body's two corpus reads at docs_cls.
+    Spliced from the v4 oracle exactly as v4 splices v3, with the same
+    drift guards — a future v4 edit that changes how many reads the v3
+    body makes of docs_clean must fail HERE."""
+    raw = _curation_v4_oracle()
+    # the v3 body's two repointed reads; docs_clean's own definition
+    # reads `FROM documents d`, so it is untouched by this count
+    assert raw.count("FROM docs_clean") == 2, raw.count("FROM docs_clean")
+    v4 = raw.replace("FROM docs_clean", "FROM docs_cls")
+    anchor = """docs_clean AS MATERIALIZED (
+      SELECT d.* FROM documents d
+      WHERE NOT EXISTS (SELECT 1 FROM dec_flag f WHERE f.id = d.doc_id)
+    ),
+    """
+    assert anchor in v4
+    cls = f"""cls_tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+      FROM docs_clean
+    ),
+    cls_s AS MATERIALIZED (
+      SELECT doc_id,
+             sum(({phash_salted_sql("tok", 97)} % 2001) - 1000) AS ssum,
+             count(*) AS n
+      FROM cls_tok GROUP BY doc_id
+    ),
+    docs_cls AS MATERIALIZED (
+      SELECT d.* FROM docs_clean d
+      JOIN cls_s s ON s.doc_id = d.doc_id
+      WHERE floor(s.ssum * 1000.0 / greatest(s.n, 1)) >= 0
+    ),
+    """
+    return v4.replace(anchor, anchor + cls, 1)
+
+
+@q("corpus_curation_v5", _curation_v5_oracle(), "data")
+def q_corpus_curation_v5(spark, sf_dir):
+    """The r9 flagship composite: bloom decontamination, then the
+    MODEL-BASED quality filter (the DCLM order — the linear classifier
+    is the quality gate's front line), then the full v3 chain. The
+    classifier stage is `classifier_milli` applied as a bare predicate
+    on the clean corpus — a map-only token-array fold, NO new join, NO
+    new shuffle (pinned equal to the oracle-gated classifier_score by
+    pytest); at threshold 0 it removes a deterministic ~17% of docs,
+    so v5's survivor set strictly differs from v4's and the gate
+    proves the composition. Everything downstream is the audited v4
+    machinery verbatim."""
+    docs = load_par(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    flagged = textops.decontaminate_bloom(
+        docs, bench, k=8, num_bits=1 << 16, num_hashes=4
+    ).select("id").localCheckpoint(eager=True)
+    clean = docs.join(
+        flagged, docs["doc_id"] == flagged["id"], "left_anti"
+    )
+    kept = clean.filter(textops.classifier_milli(F.col("text")) >= 0)
+    return _curation_v3_pipeline(spark, sf_dir, kept)
+
+
 @q("corpus_curation_v2", _curation_v2_oracle(), "data")
 def q_corpus_curation_v2(spark, sf_dir):
     """The round-4 flagship composite: the full training-data curation
@@ -6814,11 +6877,11 @@ _DRIVER_WINDOW = [
     #     byte-length plumbing is run by multimodal_resize_real's
     #     construction/output; its md5 digest by
     #     dedup_exact_incremental's content hashing — both staying).
-    # Never-driver-seen after the r9 rotation (35 = the pre-r9 39
-    # minus the ten rotated in above, plus the six r9-landed gates):
+    # Never-driver-seen after the r9 rotation (36 = the pre-r9 39
+    # minus the ten rotated in above, plus the seven r9-landed gates):
     # image_dhash128, image_dhash128_neardup, simhash120_near_pairs,
     # dedup_paragraphs, dedup_paragraphs_incremental,
-    # classifier_score (r9-landed),
+    # classifier_score, corpus_curation_v5 (r9-landed),
     # fold_series, stratified_sample_lang, neardup_keep_longest,
     # corpus_curation, repetition_filter, time_weighted_avg, ohlc_1h,
     # gap_fill_locf, series_anomaly_zscore, quality_filter_stratified,

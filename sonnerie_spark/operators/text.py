@@ -669,6 +669,39 @@ def dedup_paragraphs(
     )
 
 
+def _hashed_score_sum(toks: Column, salt: int, scale: int) -> Column:
+    """Sum of per-token hashed weights, folded over the token array in
+    place — the single source of the hashed classifier arithmetic
+    (shared by :func:`classifier_score` and :func:`classifier_milli`
+    so the two can never drift)."""
+    from sonnerie_spark.functions.portable_hash import phash_salted
+
+    def w(tok):
+        return (phash_salted(tok, salt) % F.lit(2 * scale + 1)) - F.lit(scale)
+
+    def add(acc, x):
+        return acc + x
+
+    return F.aggregate(F.transform(toks, w), F.lit(0).cast("long"), add)
+
+
+def classifier_milli(
+    text: Column, *, salt: int = 97, scale: int = 1000
+) -> Column:
+    """The hashed classifier's ``score_milli`` as a bare Column —
+    floor(1000 * sum(weights) / n_tokens) — for filtering a corpus IN
+    PLACE (``df.filter(classifier_milli(F.col("text")) >= t)``): a
+    map-only predicate, no join against a scored frame, the shape a
+    composed pipeline wants. Pinned equal to
+    :func:`classifier_score`'s column by pytest."""
+    toks = tokens(text)
+    return F.floor(
+        _hashed_score_sum(toks, salt, scale)
+        * F.lit(1000.0)
+        / F.greatest(F.size(toks), F.lit(1))
+    )
+
+
 def classifier_score(
     df: DataFrame,
     id_col: str,
@@ -705,25 +738,12 @@ def classifier_score(
     shared with :func:`token_stats` and every oracle's
     ``regexp_split_to_array``), so it scores that token's weight.
     """
-    from sonnerie_spark.functions.portable_hash import phash_salted
-
     toks = tokens(F.col(text_col))
     if weights is None:
-
-        def w(tok):
-            return (phash_salted(tok, salt) % F.lit(2 * scale + 1)) - F.lit(
-                scale
-            )
-
-        def add(acc, x):
-            return acc + x
-
         scored = df.select(
             F.col(id_col).alias("id"),
             F.size(toks).alias("n_tokens"),
-            F.aggregate(
-                F.transform(toks, w), F.lit(0).cast("long"), add
-            ).alias("score_sum"),
+            _hashed_score_sum(toks, salt, scale).alias("score_sum"),
         )
     else:
         ex = df.select(

@@ -572,6 +572,18 @@ def test_classifier_score_weights_equals_hashed(spark):
     hi = classifier_score(df, "doc_id", "text", threshold_milli=1_000_001)
     assert all(not r["keep"] for r in hi.collect())
 
+    # classifier_milli (the in-place filtering Column, used by the
+    # curation v5 flagship) must never drift from classifier_score
+    from sonnerie_spark.operators.text import classifier_milli
+
+    milli = {
+        r["doc_id"]: r["m"]
+        for r in df.select(
+            "doc_id", classifier_milli(F.col("text")).alias("m")
+        ).collect()
+    }
+    assert milli == {x[0]: x[3] for x in h}
+
 
 def test_gopher_quality_rules_per_branch(spark):
     """gopher_quality: each published rule is exercised by a document
