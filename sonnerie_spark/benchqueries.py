@@ -6899,6 +6899,15 @@ _DRIVER_WINDOW = [
     # series_anomaly_zscore, cohort_retention, funnel_conversion) are
     # window/agg plans over the parity series view — rotate them
     # through the analytics slots whose operators hold two records.
+    # The r9-landed text gates pair naturally too:
+    # corpus_curation_v4 -> corpus_curation_v5 (STRICT: v5 runs v4's
+    # decontaminate + the full v3 chain, plus the classifier stage);
+    # dedup_exact_incremental -> dedup_paragraphs_incremental (the
+    # incoming gate runs ExactIndex seen/append through the same
+    # prefix-pruned layout at paragraph granularity; residual = add()'s
+    # own batch-dedup agg, pinned by pytest + the exact gate's r8
+    # record); simhash120_near_pairs, dedup_paragraphs, and
+    # classifier_score take fresh slots from two-record analytics.
     # Earlier rotations retired (r6: ivf_assign,
     # embedding_neardup_pairs, dedup_ngram_jaccard, dedup_minhash_lsh,
     # dedup_simhash, text_token_stats, doc_fingerprint,
