@@ -217,22 +217,18 @@ def main() -> None:
     # next to the repo so docs (COVERAGE.md) cite a committed file, not
     # a number remembered from a different run. Subset/isolate runs
     # must NOT overwrite the full-registry artifact.
-    if not names and not isolate:
-        dest = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
-        )
-        tmp = dest + f".tmp-{os.getpid()}"
-        with open(tmp, "w") as f:
-            f.write(line + "\n")
-        os.replace(tmp, dest)
-    elif isolate:
-        dest = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_ISOLATE.json"
-        )
-        tmp = dest + f".tmp-{os.getpid()}"
-        with open(tmp, "w") as f:
-            f.write(line + "\n")
-        os.replace(tmp, dest)
+    if isolate:
+        _write_artifact("BENCH_ISOLATE.json", line)
+    elif not names:
+        _write_artifact("BENCH_LOCAL.json", line)
+
+
+def _write_artifact(basename: str, line: str) -> None:
+    dest = os.path.join(os.path.dirname(os.path.abspath(__file__)), basename)
+    tmp = dest + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(line + "\n")
+    os.replace(tmp, dest)
 
 
 if __name__ == "__main__":

@@ -6091,8 +6091,9 @@ def q_image_dhash128_neardup(spark, sf_dir):
     """Image near-dup pairs at 128-bit hash width (r9, the r8-verdict
     ask): dedup.hamming_near_pairs_words blocks the 126-bit two-word
     hashes with the same pigeonhole guarantee — 3 chunks, each inside
-    one word, every chunk covering >= 42 real bits, so a pair within
-    max_hamming=2 shares >= 1 chunk value and the equi-join finds it;
+    one word (divmod(3, 2) gives word 0 chunks of 32 and 31 bits and
+    word 1 its full 63 bits), so a pair within max_hamming=2 shares
+    >= 1 chunk value and the equi-join finds it;
     the verify sums bit_count(xor) across words. The oracle is the
     brute-force self-join over both mirrored words, so the gate proves
     the second word's arithmetic AND that the multi-word blocked plan

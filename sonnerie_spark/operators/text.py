@@ -636,10 +636,7 @@ def dedup_paragraphs(
     """
     from pyspark.sql import Window
 
-    paras = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
-    )
+    paras = _explode_paragraphs(df, id_col, text_col, sep)
     eligible = F.length(F.trim(F.col("para"))) >= min_chars
     h = F.when(eligible, F.md5(F.col("para"))).otherwise(
         F.concat_ws("#", F.lit("u"), F.col("id"), F.col("pos"))
@@ -650,6 +647,28 @@ def dedup_paragraphs(
         .withColumn("dup", F.row_number().over(w) > 1)
         .drop("h")
     )
+    return _reassemble_paragraphs(flagged, sep)
+
+
+def _explode_paragraphs(df, id_col: str, text_col: str, sep: str):
+    """(id, pos, para) stream for the paragraph-dedup family. ``sep``
+    is a LITERAL separator (re-escaped before it reaches F.split's
+    regex parameter — a caller passing '.' or '||' must split on the
+    characters, exactly as array_join will rejoin with them)."""
+    import re
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias(
+            "pos", "para"
+        ),
+    )
+
+
+def _reassemble_paragraphs(flagged, sep: str):
+    """Per-document reassembly over a (id, pos, para, dup) stream —
+    the single copy both the one-shot and incremental paragraph dedups
+    aggregate through, so their outputs can never drift."""
     return flagged.groupBy("id").agg(
         F.array_join(
             F.transform(
@@ -693,8 +712,9 @@ def classifier_milli(
     PLACE (``df.filter(classifier_milli(F.col("text")) >= t)``): a
     map-only predicate, no join against a scored frame, the shape a
     composed pipeline wants. Pinned equal to
-    :func:`classifier_score`'s column by pytest."""
-    toks = tokens(text)
+    :func:`classifier_score`'s column by pytest (including the
+    NULL-text-as-'' convention)."""
+    toks = tokens(F.coalesce(text, F.lit("")))
     return F.floor(
         _hashed_score_sum(toks, salt, scale)
         * F.lit(1000.0)
@@ -737,8 +757,11 @@ def classifier_score(
     single empty token (the engine-wide whitespace-token convention,
     shared with :func:`token_stats` and every oracle's
     ``regexp_split_to_array``), so it scores that token's weight.
+    NULL text is coalesced to '' first — BOTH modes must emit exactly
+    one row per input document (a bare explode would silently drop
+    null-text docs from the weights mode).
     """
-    toks = tokens(F.col(text_col))
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     if weights is None:
         scored = df.select(
             F.col(id_col).alias("id"),
@@ -805,10 +828,7 @@ def dedup_paragraphs_incremental(
     """
     from pyspark.sql import Window
 
-    paras = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
-    )
+    paras = _explode_paragraphs(df, id_col, text_col, sep)
     eligible = F.length(F.trim(F.col("para"))) >= min_chars
     flagged = paras.withColumn("h", F.when(eligible, F.md5(F.col("para"))))
     # batch-internal first occurrence; exempt rows get per-row unique
@@ -824,23 +844,7 @@ def dedup_paragraphs_incremental(
         marked = flagged.join(
             seen.withColumn("_old", F.lit(True)), "h", "left"
         ).withColumn("dup", (F.col("rn") > 1) | F.col("_old").isNotNull())
-        out = marked.groupBy("id").agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(~F.col("dup"), F.struct("pos", "para"))
-                        )
-                    ),
-                    lambda s: s["para"],
-                ),
-                sep,
-            ).alias("text"),
-            F.count("*").cast("int").alias("n_paragraphs"),
-            F.sum(F.when(F.col("dup"), 1).otherwise(0))
-            .cast("int")
-            .alias("n_removed"),
-        )
+        out = _reassemble_paragraphs(marked, sep)
         # materialize BOTH the result and the to-be-indexed hashes
         # BEFORE the append: a lazy recompute after the index mutates
         # would probe the batch's own hashes and flag everything dup

@@ -476,6 +476,17 @@ def test_dedup_paragraphs_first_occurrence_and_exemption(spark):
     assert got6[1] == f"{shared}\nalpha\n\nalpha"
     assert got6[3] == "alpha"
 
+    # sep is a LITERAL separator, not a regex: '.' must split on dots
+    # only (an unescaped '.' regex would split on every character)
+    dotted = spark.createDataFrame(
+        [(1, "aa.bb"), (2, "bb.cc")], "doc_id: long, text: string"
+    )
+    gd = {
+        r["id"]: (r["text"], r["n_removed"])
+        for r in dedup_paragraphs(dotted, "doc_id", "text", sep=".").collect()
+    }
+    assert gd == {1: ("aa.bb", 0), 2: ("cc", 1)}
+
 
 def test_dedup_paragraphs_incremental_equals_oneshot(spark, tmp_path):
     """dedup_paragraphs_incremental: batch-by-batch through a
@@ -532,6 +543,7 @@ def test_classifier_score_weights_equals_hashed(spark):
         (2, "delta epsilon"),
         (3, ""),
         (4, "zeta"),
+        (5, None),  # NULL text == '' (both modes must emit its row)
     ]
     df = spark.createDataFrame(rows, "doc_id: long, text: string")
 
@@ -554,10 +566,13 @@ def test_classifier_score_weights_equals_hashed(spark):
                      r["score_milli"], r["keep"])
     h = sorted(map(key, hashed.collect()))
     t = sorted(map(key, trained.collect()))
-    # identical everywhere — including doc 3, whose empty text carries
-    # the single empty token in BOTH paths (vocab includes "")
+    # identical everywhere — including doc 3 (empty text) and doc 5
+    # (NULL text), which both carry the single empty token in BOTH
+    # paths (vocab includes ""): no mode may drop a document
     assert t == h
+    assert len(h) == len(rows)
     assert [x for x in h if x[0] == 3][0][1] == 1  # n_tokens convention
+    assert [x for x in h if x[0] == 5][0][1] == 1  # NULL == ''
 
     # OOV terms weigh 0: score with only "alpha" in vocabulary
     w1 = weights.filter(F.col("term") == "alpha")
