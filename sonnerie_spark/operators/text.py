@@ -825,6 +825,16 @@ def dedup_paragraphs_incremental(
     earlier (id, pos) in THIS batch carries it; exempt (< ``min_chars``
     after trim) paragraphs are never deduped and never indexed. Same
     output schema as :func:`dedup_paragraphs`.
+
+    Replay is NOT idempotent (the ExactIndex family's contract): a
+    re-run of an already-appended batch sees its own hashes in the
+    index and returns every eligible paragraph as a duplicate.
+    Exactly-once batch delivery — or an idempotence ledger keyed on a
+    batch id — is the caller's job; contrast
+    :class:`~sonnerie_spark.operators.sketch.DdStore` (ledger inside
+    the generation swap) and
+    :class:`~sonnerie_spark.operators.sketch.BloomStore` (OR-merge,
+    replay-idempotent by algebra).
     """
     from pyspark.sql import Window
 

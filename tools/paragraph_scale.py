@@ -3,7 +3,7 @@
 dedup_paragraphs_incremental).
 
 Builds a synthetic corpus of multi-paragraph documents with planted
-duplication (30% of paragraphs drawn from a small shared pool, the
+duplication (~33% of paragraphs drawn from a small shared pool, the
 rest unique), runs the one-shot pass, and checks the survivor counts
 against the ANALYTICALLY expected values (every unique paragraph
 survives; each pool paragraph survives exactly once corpus-wide).
