@@ -491,8 +491,8 @@ def arrow_agg_series(
     reference's cache-hot per-core Rayon fold (README.md:39-40, the one
     axis SCALE.md historically conceded): a multi-threaded Arrow C++
     scan + run-length segmented reduceat fold (r9; generic hash
-    group_by as the fallback) at ~13 M rec/s/core for a 20 M-row run
-    (~29 M rec/s on 32 threads — comparable to the warm Spark plan
+    group_by as the fallback) at ~16 M rec/s/core for a 20 M-row run
+    (~37 M rec/s on 32 threads — FASTER than the warm Spark plan and
     without its ~0.2 s scheduling floor; tools/fold_scale.py is the
     citable measurement).
 
@@ -625,6 +625,23 @@ def arrow_agg_series(
         if db.run_names() != fingerprint:
             continue
 
+        if len(cols) == 2 and value_index == 0:
+            # Single surviving value lane at index 0 — the compacted
+            # homogeneous-format steady state (the shape every
+            # SCALE.md fold number is quoted for): fold each chunk
+            # directly off the parquet list column (flatten + astype
+            # per chunk) instead of building the whole-column
+            # row-aligned lane first. The whole-column pc.cast + slice
+            # machinery this skips was 0.45 s of the 1.61 s r9 fold at
+            # 20 M rows (1 thread); with this path the tail is 0.18 s.
+            # Any chunk outside the clean shape (nulls, ragged lists,
+            # NaN) bails to the general path below.
+            out = _segmented_fold_single_lane(
+                tbl.column("key"), tbl.column(cols[1])
+            )
+            if out is not None:
+                return out
+
         def elem(col, i, typ):
             # Row-aligned element-at. The generic expression
             # (list_slice to fixed_size_list<1> + null-pad) costs ~4x
@@ -740,11 +757,7 @@ def _segmented_fold(kcol, v) -> list[dict] | None:
         return None
     if not isinstance(v, pa.ChunkedArray):
         v = pa.chunked_array([v])
-    slots: dict = {}
-    cnt: list = []
-    sm: list = []
-    mn_: list = []
-    mx_: list = []
+    acc = _SegAccumulator()
     off = 0
     for ch in chunks:
         n = len(ch)
@@ -757,10 +770,30 @@ def _segmented_fold(kcol, v) -> list[dict] | None:
         n_nan = int(nan_mask.sum())
         if n_nan != vv.null_count:
             return None  # genuine NaN payloads: defer to the hash agg
-        codes = ch.indices.to_numpy(zero_copy_only=False)
+        acc.add_chunk(ch, npv, nan_mask if n_nan else None)
+    return acc.finish()
+
+
+class _SegAccumulator:
+    """Per-key (count, sum, min, max) accumulator over run-length
+    segments — the shared core of `_segmented_fold` (row-aligned lane)
+    and `_segmented_fold_single_lane` (direct parquet list chunks)."""
+
+    def __init__(self):
+        self.slots: dict = {}
+        self.cnt: list = []
+        self.sm: list = []
+        self.mn: list = []
+        self.mx: list = []
+
+    def add_chunk(self, kch, npv, nan_mask=None) -> None:
+        import numpy as np
+
+        n = len(kch)
+        codes = kch.indices.to_numpy(zero_copy_only=False)
         starts = np.flatnonzero(np.diff(codes)) + 1
         starts = np.concatenate(([0], starts))
-        if n_nan == 0:
+        if nan_mask is None:
             c = np.concatenate((starts[1:], [n])) - starts
             s = np.add.reduceat(npv, starts)
             mnv = np.minimum.reduceat(npv, starts)
@@ -772,7 +805,11 @@ def _segmented_fold(kcol, v) -> list[dict] | None:
             mnv = np.minimum.reduceat(np.where(valid, npv, np.inf), starts)
             mxv = np.maximum.reduceat(np.where(valid, npv, -np.inf), starts)
         seg_codes = codes[starts]
-        dstr = ch.dictionary.to_pylist()
+        dstr = kch.dictionary.to_pylist()
+        slots, cnt, sm, mn_, mx_ = (
+            self.slots, self.cnt, self.sm, self.mn, self.mx,
+        )
+        inf = float("inf")
         # python loop over SEGMENTS, not rows: ~#keys per chunk
         for j in range(len(starts)):
             k = dstr[seg_codes[j]]
@@ -781,21 +818,75 @@ def _segmented_fold(kcol, v) -> list[dict] | None:
                 sl = slots[k] = len(cnt)
                 cnt.append(0)
                 sm.append(0.0)
-                mn_.append(np.inf)
-                mx_.append(-np.inf)
+                mn_.append(inf)
+                mx_.append(-inf)
             cnt[sl] += int(c[j])
             sm[sl] += float(s[j])
             if mnv[j] < mn_[sl]:
                 mn_[sl] = float(mnv[j])
             if mxv[j] > mx_[sl]:
                 mx_[sl] = float(mxv[j])
-    return [
-        {
-            "key": k,
-            "n": cnt[sl],
-            "sum": sm[sl] if cnt[sl] else None,
-            "min": mn_[sl] if cnt[sl] else None,
-            "max": mx_[sl] if cnt[sl] else None,
-        }
-        for k, sl in sorted(slots.items())
-    ]
+
+    def finish(self) -> list[dict]:
+        return [
+            {
+                "key": k,
+                "n": self.cnt[sl],
+                "sum": self.sm[sl] if self.cnt[sl] else None,
+                "min": self.mn[sl] if self.cnt[sl] else None,
+                "max": self.mx[sl] if self.cnt[sl] else None,
+            }
+            for k, sl in sorted(self.slots.items())
+        ]
+
+
+def _segmented_fold_single_lane(kcol, list_col) -> list[dict] | None:
+    """The fold's fastest shape: one surviving numeric lane, folded
+    chunk-by-chunk straight off the parquet list column. A chunk
+    qualifies when the key chunk is dictionary-encoded and non-null
+    and every list in the value chunk is non-null with length exactly
+    1 (the homogeneous steady state writes exactly this); the value
+    stream is then `list_flatten` of the chunk — already row-aligned —
+    and int64 converts via one per-chunk `astype` (NO whole-column
+    cast, NO slice machinery: 0.63 -> 0.18 s tail at 20 M rows x 1000
+    keys, 1 thread). Returns None on the first chunk outside the shape
+    (ragged/empty lists, nulls, non-dictionary keys, NaN payloads) —
+    the caller rebuilds the general row-aligned lane instead; the
+    retried work is one partial pass over cheap kernels.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    kchunks = kcol.chunks if isinstance(kcol, pa.ChunkedArray) else [kcol]
+    if any(
+        not pa.types.is_dictionary(ch.type) or ch.null_count
+        for ch in kchunks
+    ):
+        return None
+    # shape checks run WHOLE-COLUMN (3 kernel calls), not per chunk:
+    # ~10k per-chunk kernel invocations cost ~0.2 s of pure call
+    # overhead at 2679 chunks
+    if list_col.null_count:
+        return None
+    mm = pc.min_max(pc.list_value_length(list_col))
+    if mm["min"].as_py() != 1 or mm["max"].as_py() != 1:
+        return None
+    flat = pc.list_flatten(list_col)
+    if flat.null_count:
+        return None  # null ELEMENTS inside length-1 lists: general
+    fchunks = flat.chunks if isinstance(flat, pa.ChunkedArray) else [flat]
+    if [len(c) for c in fchunks] != [len(c) for c in kchunks]:
+        return None  # flatten did not preserve chunking: general path
+    is_float = pa.types.is_floating(list_col.type.value_type)
+    acc = _SegAccumulator()
+    for kch, fch in zip(kchunks, fchunks):
+        if len(kch) == 0:
+            continue
+        npv = fch.to_numpy(zero_copy_only=False)
+        if is_float:
+            if np.isnan(npv).any():
+                return None  # NaN payloads: hash-agg semantics apply
+        else:
+            npv = npv.astype(np.float64)
+        acc.add_chunk(kch, npv)
+    return acc.finish()
