@@ -771,8 +771,6 @@ class Database:
         pyarrow like :meth:`get`, bounded by row-group count — returns
         ``None`` when the match is too large, signalling the caller to
         use the distributed :meth:`read` plan instead."""
-        from sonnerie_spark.plans.keyfilter import prefix_upper_bound
-
         if self._point_reader is None:
             from sonnerie_spark.pointread import PointReader
 
@@ -1185,14 +1183,40 @@ class Database:
     STALE_TMP_SECONDS = 3600.0
 
     def _purge_stale_tmp(self) -> None:
-        """Janitor for crashed commits; called under the compaction lock."""
+        """Janitor for crashed commits; called under the compaction lock.
+
+        A ``.tmp-*`` dir is purged only when BOTH hold: the owner pid
+        embedded in its name (``.tmp-<pid>-*`` / ``.tmp-put-<pid>-*``)
+        is not alive on this host, and the NEWEST mtime among the dir
+        and its direct children is older than STALE_TMP_SECONDS. Both
+        guards exist for the same failure: a >1h streaming Transaction
+        spill (this class explicitly advertises billion-record add
+        streams) stops updating its DIRECTORY mtime once every bucket
+        writer file exists — appends touch file mtimes, not the parent
+        dir — so the old dir-mtime-only rule could rmtree a LIVE
+        transaction out from under its writer. Names without a pid
+        token (``.tmp-compact-*``, ``.tmp-old-*``) rely on the mtime
+        rule alone; a live compaction is already excluded because the
+        janitor runs under the compaction lock it holds."""
         now = time.time()
         for name in os.listdir(self.path):
             if not name.startswith(".tmp-"):
                 continue
+            pid = _tmp_owner_pid(name)
+            if pid is not None and _pid_alive(pid):
+                continue
             p = os.path.join(self.path, name)
             try:
-                if now - os.stat(p).st_mtime > self.STALE_TMP_SECONDS:
+                newest = os.stat(p).st_mtime
+                for child in os.listdir(p):
+                    try:
+                        newest = max(
+                            newest,
+                            os.stat(os.path.join(p, child)).st_mtime,
+                        )
+                    except OSError:
+                        pass
+                if now - newest > self.STALE_TMP_SECONDS:
                     shutil.rmtree(p, ignore_errors=True)
             except OSError:
                 pass
@@ -1272,8 +1296,10 @@ class Database:
         # expensive rmtrees happen after the new run is live. A reader
         # that resolved its file list before the swap may still hit a
         # removed path (Spark re-opens by path; the reference's POSIX
-        # mmap keeps unlinked files readable) — such readers re-plan,
-        # which the serve layer's TTL listing cache does automatically.
+        # mmap keeps unlinked files readable) — such readers retry on a
+        # fresh run listing (every driver-side read brackets itself
+        # with the run-set fingerprint; Spark plans are rebuilt per
+        # request by the serve layer).
         final = os.path.join(self.path, target_name)
         if major and os.path.exists(final) and final not in purge:
             purge.append(final)
@@ -1320,6 +1346,33 @@ class _SubsetView:
             finally:
                 db2.delete_markers = saved  # type: ignore[assignment]
         return df.drop("_txname")
+
+
+def _tmp_owner_pid(name: str) -> int | None:
+    """Owner pid embedded in a ``.tmp-*`` dir name, or None. Accepts
+    both writer forms — ``.tmp-<pid>-<ns>`` (Transaction spill /
+    commit) and ``.tmp-put-<pid>-<ns>`` (serve spool); compaction's
+    ``.tmp-compact-*`` / ``.tmp-old-*`` carry no pid on purpose (their
+    liveness is the compaction lock the janitor already holds)."""
+    parts = name.split("-")
+    for tok in parts[1:3]:
+        if tok.isdigit():
+            return int(tok)
+    return None
+
+
+def _pid_alive(pid: int) -> bool:
+    """Is ``pid`` a live process on THIS host? (The engine's writers
+    are same-host by design — serve workers and CLI share the node.)"""
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    except OSError:
+        return False
+    return True
 
 
 def _lww_dedup(df: DataFrame) -> DataFrame:
@@ -1400,7 +1453,6 @@ class Transaction:
         self._last_key: str | None = None
         self._last_ts: int | None = None  # strict mode: current key only
         self._last_ts_per_key: dict[str, int] = {}
-        self._seen_keys: set[str] = set()
         self._spill_dir: str | None = None
         self._spill_writers: dict[int, object] = {}
         self._spilled = 0
@@ -1428,7 +1480,6 @@ class Transaction:
                     f"time ordering violation for key {key!r}: {ts} after {last_ts}"
                 )
             self._last_ts_per_key[key] = ts
-            self._seen_keys.add(key)
         self._last_key = key
         v_long, v_double, v_str, v_bin = rowformat.values_to_columns(fmt, values)
         self.rows.append(

@@ -1338,6 +1338,28 @@ class BloomStore:
         return _store_lock(self.path)
 
 
+def _ledger_parse(raw) -> tuple[int, set[int]]:
+    """Applied-id ledger as (upto, extras): applied == {0..upto} U
+    extras. The persisted form compresses the contiguous prefix to ONE
+    integer, so a months-long monotonic stream (Spark epoch ids) keeps
+    an O(gaps) ledger instead of an ever-growing full id list — the
+    per-add rewrite and per-read parse stay O(1) in stream age with
+    EXACT replay semantics (no watermark window, no information loss).
+    Reads both forms: the legacy full list and {"upto", "extras"}."""
+    if isinstance(raw, dict):
+        upto, extras = int(raw["upto"]), set(int(i) for i in raw["extras"])
+    else:  # legacy: the full applied-id list
+        upto, extras = -1, set(int(i) for i in raw)
+    while upto + 1 in extras:
+        upto += 1
+        extras.discard(upto)
+    return upto, extras
+
+
+def _ledger_dump(upto: int, extras: set[int]) -> dict:
+    return {"upto": upto, "extras": sorted(extras)}
+
+
 class DdStore:
     """Persistent per-group DDSketch under streaming ingest — the
     quantile sibling of :class:`HllStore` ("p99 per key maintained
@@ -1447,7 +1469,10 @@ class DdStore:
         if not self._recovered():
             return set()
         with open(os.path.join(self._data, "applied.json")) as f:
-            return set(json.load(f))
+            upto, extras = _ledger_parse(json.load(f))
+        # materializes the full id set -- a test/debug surface; the
+        # persisted form stays O(gaps) however long the stream runs
+        return set(range(upto + 1)) | extras
 
     def _data_unlocked(self) -> DataFrame:
         import os
@@ -1460,7 +1485,7 @@ class DdStore:
         # Arrow -> DataFrame directly (no driver pandas round-trip)
         return self.spark.createDataFrame(tbl, schema=self._SCHEMA)
 
-    def _state_unlocked(self) -> tuple[set[int], DataFrame]:
+    def _state_unlocked(self) -> tuple[tuple[int, set[int]], DataFrame]:
         """Ledger AND bucket table from ONE validated generation — the
         writer's read path: two separate recovery passes could observe
         different generations if the second validation rolls back,
@@ -1472,12 +1497,12 @@ class DdStore:
         import pyarrow.parquet as pq
 
         if not self._recovered():
-            return set(), self.spark.createDataFrame([], self._SCHEMA)
+            return (-1, set()), self.spark.createDataFrame([], self._SCHEMA)
         with open(os.path.join(self._data, "applied.json")) as f:
-            ids = set(json.load(f))
+            led = _ledger_parse(json.load(f))
         tbl = pq.read_table(os.path.join(self._data, "data"))
         # Arrow -> DataFrame directly (no driver pandas round-trip)
-        return ids, self.spark.createDataFrame(tbl, schema=self._SCHEMA)
+        return led, self.spark.createDataFrame(tbl, schema=self._SCHEMA)
 
     # -- writes ---------------------------------------------------------
 
@@ -1494,6 +1519,12 @@ class DdStore:
         import os
         import time
 
+        if int(batch_id) < 0:
+            raise ValueError(
+                f"batch_id must be >= 0 (got {batch_id}): the compressed "
+                "ledger treats ids at or below its contiguous watermark "
+                "as applied, and Spark epoch ids are never negative"
+            )
         batch = dd_sketch_grouped(
             df,
             (F.col(group) if isinstance(group, str) else group).cast(
@@ -1504,8 +1535,9 @@ class DdStore:
             min_value=self.min_value,
         )
         with self._locked():
-            ids, current = self._state_unlocked()
-            if int(batch_id) in ids:
+            (upto, extras), current = self._state_unlocked()
+            bid = int(batch_id)
+            if bid <= upto or bid in extras:
                 return False
             merged = (
                 current.unionByName(batch)
@@ -1520,8 +1552,12 @@ class DdStore:
             # — the standard rename-durability recipe; a crash that
             # still tears the rename is detected by _recovered and
             # rolled back to the backup
+            extras.add(bid)
+            while upto + 1 in extras:
+                upto += 1
+                extras.discard(upto)
             with open(os.path.join(tmp, "applied.json"), "w") as f:
-                json.dump(sorted(ids | {int(batch_id)}), f)
+                json.dump(_ledger_dump(upto, extras), f)
             _swap_data_dir(self._data, tmp)
             return True
 

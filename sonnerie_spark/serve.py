@@ -10,9 +10,12 @@
   commit (README.md:31-35).
 
 The reference keeps a 10-s-TTL cached ``DatabaseReader`` to amortize
-readdir+mmap (sonnerie-serve.rs:239-265). Our per-request cost is a
-directory listing + Catalyst planning (no mmap), so the analogous cache
-is the run listing; it is refreshed on TTL expiry or any local PUT.
+readdir+mmap (sonnerie-serve.rs:239-265). No analogous cache exists
+here ON PURPOSE: a GET's run listing happens inside ``Database.read``/
+``get`` (one readdir of immutable run dirs + cached parquet footers in
+``PointReader``), so a serve-layer listing cache would add a staleness
+window without removing any work — the reference's cache pays for mmap
+setup this engine does not do per request.
 
 Threading: http.server's ThreadingHTTPServer drives Spark jobs from
 handler threads — Spark sessions are thread-safe for concurrent actions
@@ -21,36 +24,11 @@ handler threads — Spark sessions are thread-safe for concurrent actions
 
 from __future__ import annotations
 
-import threading
-import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import unquote, urlparse
 
 from sonnerie_spark.db import Database
 from sonnerie_spark.rowformat import parse_line
-
-
-class _RunCache:
-    """TTL cache of the run listing (the serve reader-cache analogue)."""
-
-    def __init__(self, db: Database, ttl_s: float = 10.0):
-        self.db = db
-        self.ttl_s = ttl_s
-        self._lock = threading.Lock()
-        self._stamp = 0.0
-        self._runs = None
-
-    def runs(self):
-        with self._lock:
-            now = time.time()
-            if self._runs is None or now - self._stamp > self.ttl_s:
-                self._runs = self.db.runs()
-                self._stamp = now
-            return self._runs
-
-    def invalidate(self):
-        with self._lock:
-            self._runs = None
 
 
 # PUT bodies above this many bytes are spooled to disk and committed
@@ -70,8 +48,6 @@ def make_server(
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; ``server_address[1]`` is the
     bound port (use port=0 for an ephemeral one in tests)."""
-    cache = _RunCache(db)
-
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
             pass
@@ -82,7 +58,6 @@ def make_server(
             url = urlparse(self.path)
             pattern = unquote(url.path.lstrip("/")) or "%"
             human = "human" in (url.query or "")
-            cache.runs()  # refresh TTL listing (parity bookkeeping)
             headers_sent = False
             ts_style = "%F %T" if human else "nanos"
             try:
@@ -139,7 +114,11 @@ def make_server(
 
             from sonnerie_spark.streaming.ingest import parse_lines
 
-            spool = os.path.join(db.path, f".tmp-put-{_time.time_ns():x}")
+            # pid in the name: the database janitor never purges a tmp
+            # dir whose owner process is still alive (db._purge_stale_tmp)
+            spool = os.path.join(
+                db.path, f".tmp-put-{os.getpid()}-{_time.time_ns():x}"
+            )
             os.makedirs(spool)
             try:
                 remaining = length
@@ -157,7 +136,26 @@ def make_server(
                 shutil.rmtree(spool, ignore_errors=True)
 
         def do_PUT(self):
-            length = int(self.headers.get("Content-Length", 0))
+            # Framing first: a body we will not read corrupts keep-alive
+            # (its bytes parse as the next request line), and a silent
+            # zero-length read would 201 a client whose records were
+            # never durable. Chunked bodies are refused, absent lengths
+            # are 411, and both answers drop the connection.
+            te = (self.headers.get("Transfer-Encoding") or "").lower()
+            cl = self.headers.get("Content-Length")
+            if "chunked" in te:
+                self.send_response(501)
+                self.end_headers()
+                self.wfile.write(b"chunked transfer encoding not supported")
+                self.close_connection = True
+                return
+            if cl is None:
+                self.send_response(411)
+                self.end_headers()
+                self.wfile.write(b"Content-Length required")
+                self.close_connection = True
+                return
+            length = int(cl)
             try:
                 if length > put_spool_threshold:
                     self._commit_spooled(length)
@@ -170,7 +168,6 @@ def make_server(
                     ]
                     if rows:
                         db.commit_rows(rows)
-                cache.invalidate()
                 # 201 + "ok", like the reference (sonnerie-serve.rs:193-203)
                 self.send_response(201)
                 self.send_header("Content-Type", "text/plain")

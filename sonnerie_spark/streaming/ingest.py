@@ -176,6 +176,17 @@ def stateful_running_stats(
     )
 
 
+def _ts_utc(col_name: str) -> "F.Column":
+    """ns -> µs timestamp via INTEGER division. `(ts / 1000)
+    .cast('long')` routes through double: above 2^53 ns (~1984) the
+    rounding error reaches ±128 ns, enough to flip a record across a
+    window/session boundary. `div` stays integer-exact at any epoch;
+    negative (pre-1970) sub-µs remainders truncate toward zero, the
+    same direction the old double path truncated.
+    """
+    return F.timestamp_micros(F.expr(f"{col_name} div 1000"))
+
+
 def session_windows(
     records: DataFrame,
     *,
@@ -194,9 +205,7 @@ def session_windows(
     two expressions of the same semantics, streaming-safe vs
     batch-optimal).
     """
-    with_time = records.withColumn(
-        "ts_utc", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    with_time = records.withColumn("ts_utc", _ts_utc("ts"))
     return (
         with_time.withWatermark("ts_utc", watermark)
         .groupBy(F.session_window("ts_utc", gap).alias("win"), F.col("key"))
@@ -223,9 +232,7 @@ def windowed_counts(
     the north-star replacement for 'late data is just a new transaction'
     (SURVEY §2.2 Streaming).
     """
-    with_time = records.withColumn(
-        "ts_utc", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    with_time = records.withColumn("ts_utc", _ts_utc("ts"))
     return (
         with_time.withWatermark("ts_utc", watermark)
         .groupBy(F.window("ts_utc", window).alias("win"), F.col("key"))

@@ -42,7 +42,7 @@ import os
 
 from pyspark.sql import DataFrame, functions as F
 
-from sonnerie_spark.db import Database
+from sonnerie_spark.db import RECORD_SCHEMA, Database
 
 CURSOR_FILE = "rollup.cursor.json"
 
@@ -58,11 +58,14 @@ def _value_at(j: int):
     Exact for sources whose numeric columns live in ONE typed array
     (all-float or all-int formats — the realistic rollup input). For a
     MIXED per-record format like "iF" the per-array position does not
-    recover declaration order; roll such sources up with num_values=1
-    (first numeric value, which coalesce does resolve correctly) or
-    normalize formats upstream. ENFORCED: _aggregate raises on any
-    mixed-format record when num_values > 1 (see the assert_true guard)
-    rather than aggregating a plausible-but-wrong column."""
+    recover declaration order — INCLUDING at num_values=1, where the
+    coalesce yields the first DOUBLE value, not the first declared
+    value (the engine-wide `_value_at` convention, shared with
+    Database.agg_series: value LANES, not declaration order).
+    Normalize mixed formats upstream if declaration order matters.
+    ENFORCED: _aggregate raises on any mixed-format record when
+    num_values > 1 (see the assert_true guard) rather than aggregating
+    a plausible-but-wrong column."""
     return F.coalesce(
         F.try_element_at("v_double", F.lit(j + 1)),
         F.try_element_at("v_long", F.lit(j + 1)).cast("double"),
@@ -270,10 +273,17 @@ class ContinuousRollup:
         tx_names = [r.name for r in new if r.name.startswith("tx.")]
         last_tx = max(tx_names) if tx_names else (cursor or {}).get("last_tx", "")
 
-        # 1. dirty set: only the NEW runs are scanned
-        new_rows = self.src.spark.read.option(
-            "pathGlobFilter", "part-*.parquet"
-        ).parquet(*[r.path for r in new])
+        # 1. dirty set: only the NEW runs are scanned. Explicit
+        # schema, like Database.changes(): a committed-but-empty run
+        # (empty commit_dataframe, all-filtering gegnum) holds zero
+        # part files, and schema INFERENCE over zero files raises —
+        # killing a stream()'s query — where the intended path is the
+        # bounds['lo'] is None empty-refresh no-op below.
+        new_rows = (
+            self.src.spark.read.schema(RECORD_SCHEMA)
+            .option("pathGlobFilter", "part-*.parquet")
+            .parquet(*[r.path for r in new])
+        )
         dirty = (
             new_rows.select("key", self._bucket(F.col("ts")).alias("ts"))
             .distinct()

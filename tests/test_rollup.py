@@ -363,3 +363,28 @@ def test_multicol_rollup_rejects_mixed_format(src, tmp_path):
         src, str(tmp_path / "m1"), interval_ns=HOUR, num_values=1
     )
     assert roll1.refresh() is not None
+
+
+def test_refresh_survives_empty_run(spark, src, tmp_path):
+    """A committed-but-EMPTY run (empty commit_dataframe / an
+    all-filtering gegnum) holds zero part files; the dirty-set scan
+    must read it under the explicit RECORD_SCHEMA and no-op instead of
+    crashing schema inference — in stream() that exception would kill
+    the rollup query permanently."""
+    from sonnerie_spark.db import RECORD_SCHEMA
+
+    tx = src.create_tx()
+    tx.add_record("k", T0, "u", [1])
+    tx.commit()
+    roll = _rollup(src, tmp_path)
+    roll.refresh()
+
+    src.commit_dataframe(
+        spark.createDataFrame([], RECORD_SCHEMA), check_duplicates=False
+    )
+    roll.refresh()  # empty new run: must be a clean no-op
+    out = {
+        (r["key"], r["ts"]): r["v_long"][0]
+        for r in roll.dst.read().collect()
+    }
+    assert out == {("k", T0 - T0 % HOUR): 1}

@@ -824,3 +824,31 @@ def test_bloom_store_rebuild_shrinks_blocklist(spark, tmp_path):
              for r in st2.might_contain(df, F.col("v")).collect()}
     assert all(rows2[i] for i in range(100))
     assert all(rows2[i] for i in range(250, 300))
+
+
+def test_dd_ledger_compression_and_legacy():
+    """The DdStore applied-id ledger compresses the contiguous prefix
+    to one integer (O(gaps) persisted size for a monotonic epoch
+    stream), reads the legacy full-list form, and loses NO information
+    for sparse multi-writer id spaces."""
+    from sonnerie_spark.operators.sketch import _ledger_dump, _ledger_parse
+
+    # legacy list with a contiguous prefix and a gap
+    upto, extras = _ledger_parse([0, 1, 2, 5, 7])
+    assert (upto, extras) == (2, {5, 7})
+    # filling the gap advances the watermark through the extras
+    extras.add(3)
+    extras.add(4)
+    assert _ledger_parse(_ledger_dump(upto, extras)) == (5, {7})
+    # a monotonic stream stays O(1): one integer, no extras
+    u, e = -1, set()
+    for bid in range(10_000):
+        e.add(bid)
+        while u + 1 in e:
+            u += 1
+            e.discard(u)
+    assert (u, e) == (9_999, set())
+    # disjoint multi-writer spaces (the store_soak shape) stay exact
+    assert _ledger_parse([1000, 1001, 2000]) == (-1, {1000, 1001, 2000})
+    # round-trip of the new form
+    assert _ledger_parse(_ledger_dump(9, {20})) == (9, {20})

@@ -230,3 +230,65 @@ def test_stream_dedup_exact_across_batches(spark, tmp_path):
         assert sorted(t for _, t in out) == ["alpha", "beta", "gamma"]
     finally:
         q.stop()
+
+
+def test_serve_put_framing_guards(server, db):
+    """A PUT whose body length the server cannot know is REFUSED, not
+    silently committed as zero rows with a 201: chunked
+    transfer-encoding gets 501, a missing Content-Length gets 411, and
+    both drop the connection (an unread body would parse as the next
+    request line on keep-alive)."""
+    import http.client
+    from urllib.parse import urlparse
+
+    host = urlparse(server).netloc
+    # chunked TE -> 501
+    c = http.client.HTTPConnection(host, timeout=10)
+    c.putrequest("PUT", "/")
+    c.putheader("Transfer-Encoding", "chunked")
+    c.endheaders()
+    c.send(b"5\r\nk 1 u\r\n0\r\n\r\n")
+    r = c.getresponse()
+    assert r.status == 501
+    c.close()
+    # no Content-Length at all -> 411
+    c = http.client.HTTPConnection(host, timeout=10)
+    c.putrequest("PUT", "/", skip_accept_encoding=True)
+    c.endheaders()
+    r = c.getresponse()
+    assert r.status == 411
+    c.close()
+    assert db.read().count() == 0  # nothing was committed either way
+
+
+def test_purge_stale_tmp_spares_live_writers(db):
+    """The crash-debris janitor must never rmtree a LIVE transaction
+    spill: a .tmp dir whose owner pid is alive survives ANY age; a
+    dead-owner dir with a fresh child file survives the dir-mtime
+    trap (appends touch file mtimes, not the parent dir); only a
+    dead-owner dir whose newest mtime is stale is purged."""
+    import os
+    import time
+
+    old = time.time() - 7200
+    live = os.path.join(db.path, f".tmp-{os.getpid()}-deadbeef")
+    os.makedirs(live)
+    os.utime(live, (old, old))
+
+    fresh_child = os.path.join(db.path, ".tmp-999999999-cafe")
+    os.makedirs(fresh_child)
+    with open(os.path.join(fresh_child, "spill.parquet"), "w") as f:
+        f.write("x")
+    os.utime(fresh_child, (old, old))  # dir looks stale, child is fresh
+
+    debris = os.path.join(db.path, ".tmp-999999999-f00d")
+    os.makedirs(debris)
+    with open(os.path.join(debris, "spill.parquet"), "w") as f:
+        f.write("x")
+    os.utime(debris, (old, old))
+    os.utime(os.path.join(debris, "spill.parquet"), (old, old))
+
+    db._purge_stale_tmp()
+    assert os.path.isdir(live), "live-owner tmp dir was purged"
+    assert os.path.isdir(fresh_child), "fresh-child tmp dir was purged"
+    assert not os.path.exists(debris), "stale debris survived"
