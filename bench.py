@@ -74,8 +74,8 @@ def _release_session_state(spark) -> None:
     corpus_curation_v4): numbers that depend on what ran before.
 
     clearCache() evicts SQL-cached relations but NOT localCheckpoint
-    blocks: every `_materialize_release` gate eagerly checkpoints its
-    result, and those RDD blocks are reclaimed only when the JVM
+    blocks: every composite gate eagerly checkpoints its result
+    (`_finish_composite`), and those RDD blocks are reclaimed only when the JVM
     collects the last reference and the ASYNC ContextCleaner drains
     its queue — under allocation pressure from the next queries the
     drain lags, storage memory fills with dead checkpoint blocks, and

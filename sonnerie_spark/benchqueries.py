@@ -20,6 +20,10 @@ Cross-engine determinism rules used throughout (see docstrings):
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -106,22 +110,56 @@ def _dec(c):
     return F.col(c).cast(DEC) if isinstance(c, str) else c.cast(DEC)
 
 
-def _materialize_release(out: DataFrame, *cached: DataFrame) -> DataFrame:
-    """Blockify a gate result (one eager localCheckpoint job) and
-    release the gate's stage-boundary caches before returning.
+def _spill_boundary(df: DataFrame, spills: list, tag: str) -> DataFrame:
+    """Materialize a curation-stage boundary to local parquet and
+    re-read it — the GC-immune replacement for persist()/
+    localCheckpoint() inside composite gates (r9 verdict #1).
 
-    Gates that persist() intermediates must not leak them past the
-    gate: a harness that doesn't clearCache() between queries (the
-    driver's bench) would carry the blocks into every subsequent
-    query's storage memory (r6 verdict: the flagship re-ran at 1.76x
-    its committed time under the driver). The localCheckpoint cuts the
-    result's lineage to the caches so unpersist is safe immediately;
-    the checkpoint blocks themselves are released by the ContextCleaner
-    when the caller drops the result."""
+    Cached and locally-checkpointed blocks live in executor STORAGE
+    memory until the ASYNC ContextCleaner drains behind a JVM GC, so a
+    composite's own stage state could shrink execution memory WHILE the
+    gate ran — the in-session inflation class the between-query release
+    in bench.py cannot reach (v4 measured 1.86x its isolated time in
+    the driver's r9 session despite that release). A parquet spill
+    holds the boundary on local disk: zero heap, zero storage memory,
+    released deterministically by deleting the directory at the end of
+    the composite. It is also exactly what a 100 TB pipeline does
+    between curation stages — each stage's output lands in columnar
+    storage and the next stage scans it."""
+    path = tempfile.mkdtemp(prefix=f"sg-spill-{tag}-")
+    spills.append(path)
+    _LIVE_SPILLS.add(path)
+    target = os.path.join(path, "data")
+    df.write.parquet(target)
+    return df.sparkSession.read.parquet(target)
+
+
+def _finish_composite(out: DataFrame, spills: list) -> DataFrame:
+    """Blockify the composite result (one eager localCheckpoint job —
+    the result itself must survive its spills), then delete the stage
+    spill directories: the checkpoint cut the result's lineage, so the
+    spilled parquet is dead the moment it returns. The single
+    remaining block set (the result) is released by the harness
+    between queries (bench.py _release_session_state)."""
     out = out.localCheckpoint(eager=True)
-    for df in cached:
-        df.unpersist()
+    for p in spills:
+        shutil.rmtree(p, ignore_errors=True)
+        _LIVE_SPILLS.discard(p)
+    spills.clear()
     return out
+
+
+# Safety net for gates that raise mid-pipeline (their _finish_composite
+# never runs): reap any still-live spill directory at interpreter exit
+# so a failing gate cannot leak tmp dirs across a long harness run.
+_LIVE_SPILLS: set = set()
+
+
+@atexit.register
+def _reap_live_spills() -> None:
+    for p in list(_LIVE_SPILLS):
+        shutil.rmtree(p, ignore_errors=True)
+    _LIVE_SPILLS.clear()
 
 
 def load_par(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -3394,10 +3432,13 @@ def _curation_v3_oracle() -> str:
     )
 
 
-def _curation_v3_pipeline(spark, sf_dir, docs):
+def _curation_v3_pipeline(spark, sf_dir, docs, spills=None):
     """The v3 stage chain over an arbitrary document frame — shared by
-    corpus_curation_v3 (raw corpus) and corpus_curation_v4 (the
-    bloom-decontaminated corpus)."""
+    corpus_curation_v3 (raw corpus), corpus_curation_v4 (the
+    bloom-decontaminated corpus) and corpus_curation_v5 (decontaminated
+    + classifier-filtered). `spills` lets the caller's own stage
+    boundaries (the flagged-id list) share this pipeline's cleanup."""
+    spills = [] if spills is None else spills
     scored = textops.quality_score(docs, "doc_id", "text").select(
         "id", "quality_score"
     )
@@ -3406,12 +3447,17 @@ def _curation_v3_pipeline(spark, sf_dir, docs):
     ).join(scored, "id")
     wp = Window.partitionBy("lang")
     w = wp.orderBy(F.col("quality_score").desc(), F.col("id"))
-    keepq = (
+    # Three downstream consumers (pair stream, canonical keep, survivor
+    # anti-join) would each recompute quality + the rank window —
+    # spill the kept corpus once (see _spill_boundary for why this is
+    # a parquet write, not persist()).
+    keepq = _spill_boundary(
         base.withColumn("rk", F.row_number().over(w))
         .withColumn("n_lang", F.count("*").over(wp))
         .filter(F.col("rk") * 4 <= F.col("n_lang") * 3)
-        .select("id", "lang", "n_chars", "text")
-        .persist()
+        .select("id", "lang", "n_chars", "text"),
+        spills,
+        "keepq",
     )
     pairs = dedup.minhash_lsh_pairs(
         keepq, "id", "text", k=3, num_hashes=16, band_size=4
@@ -3426,11 +3472,14 @@ def _curation_v3_pipeline(spark, sf_dir, docs):
         .select("id")
     )
     # SemDeDup references the survivor set from BOTH sides of its pair
-    # probe plus the final keep join — persist the stage boundary once
-    # (same materialization rationale as keepq above) or each branch
-    # re-runs quality + LSH + CC
-    survivors = (
-        keepq.select("id", "lang").join(removed, "id", "left_anti").persist()
+    # probe plus the final keep join — spill the stage boundary once
+    # (same rationale as keepq above) or each branch re-runs quality +
+    # LSH + CC. This spill write is also keepq's LAST consumer, so
+    # after it the gate holds no corpus-sized state anywhere.
+    survivors = _spill_boundary(
+        keepq.select("id", "lang").join(removed, "id", "left_anti"),
+        spills,
+        "survivors",
     )
     emb = load_par(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"),
@@ -3467,7 +3516,7 @@ def _curation_v3_pipeline(spark, sf_dir, docs):
         .otherwise("test")
         .alias("split"),
     )
-    return _materialize_release(out, keepq, survivors)
+    return _finish_composite(out, spills)
 
 
 @q("corpus_curation_v3", _curation_v3_oracle(), "data")
@@ -3560,16 +3609,21 @@ def q_corpus_curation_v4(spark, sf_dir):
     # the flagged-id list is tiny but its lineage (corpus shingle
     # explode + k word-table probes) is the expensive part, and `clean`
     # feeds BOTH head branches of the v3 chain (quality scoring and the
-    # base join) before keepq's persist boundary — checkpoint the ids
-    # so the probe runs once, and the recomputed part of `clean` is
-    # just scan + broadcast anti-join (v3's own recompute class)
-    flagged = textops.decontaminate_bloom(
-        docs, bench, k=8, num_bits=1 << 16, num_hashes=4
-    ).select("id").localCheckpoint(eager=True)
+    # base join) before keepq's spill boundary — spill the ids so the
+    # probe runs once, and the recomputed part of `clean` is just
+    # scan + broadcast anti-join (v3's own recompute class)
+    spills: list = []
+    flagged = _spill_boundary(
+        textops.decontaminate_bloom(
+            docs, bench, k=8, num_bits=1 << 16, num_hashes=4
+        ).select("id"),
+        spills,
+        "flagged",
+    )
     clean = docs.join(
         flagged, docs["doc_id"] == flagged["id"], "left_anti"
     )
-    return _curation_v3_pipeline(spark, sf_dir, clean)
+    return _curation_v3_pipeline(spark, sf_dir, clean, spills)
 
 
 def _curation_v5_oracle() -> str:
@@ -3625,14 +3679,19 @@ def q_corpus_curation_v5(spark, sf_dir):
     machinery verbatim."""
     docs = load_par(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
-    flagged = textops.decontaminate_bloom(
-        docs, bench, k=8, num_bits=1 << 16, num_hashes=4
-    ).select("id").localCheckpoint(eager=True)
+    spills: list = []
+    flagged = _spill_boundary(
+        textops.decontaminate_bloom(
+            docs, bench, k=8, num_bits=1 << 16, num_hashes=4
+        ).select("id"),
+        spills,
+        "flagged",
+    )
     clean = docs.join(
         flagged, docs["doc_id"] == flagged["id"], "left_anti"
     )
     kept = clean.filter(textops.classifier_milli(F.col("text")) >= 0)
-    return _curation_v3_pipeline(spark, sf_dir, kept)
+    return _curation_v3_pipeline(spark, sf_dir, kept, spills)
 
 
 @q("corpus_curation_v2", _curation_v2_oracle(), "data")
@@ -3655,18 +3714,19 @@ def q_corpus_curation_v2(spark, sf_dir):
     ).join(scored, "id")
     wp = Window.partitionBy("lang")
     w = wp.orderBy(F.col("quality_score").desc(), F.col("id"))
-    keepq = (
+    # Three downstream consumers (pair stream, canonical keep,
+    # survivor anti-join) would each recompute the quality scoring +
+    # rank window; spill the kept corpus once — the standard
+    # stage-boundary materialization a 100 TB pipeline writes to
+    # columnar storage between curation stages (see _spill_boundary).
+    spills: list = []
+    keepq = _spill_boundary(
         base.withColumn("rk", F.row_number().over(w))
         .withColumn("n_lang", F.count("*").over(wp))
         .filter(F.col("rk") * 4 <= F.col("n_lang") * 3)
-        .select("id", "lang", "n_chars", "text")
-        # Three downstream consumers (pair stream, canonical keep,
-        # survivor anti-join) would each recompute the quality scoring
-        # + rank window; persist the kept corpus once — the standard
-        # stage-boundary materialization a 100 TB pipeline would write
-        # to storage between curation stages (released at gate exit by
-        # _materialize_release).
-        .persist()
+        .select("id", "lang", "n_chars", "text"),
+        spills,
+        "keepq",
     )
     pairs = dedup.minhash_lsh_pairs(keepq, "id", "text", k=3, num_hashes=16, band_size=4)
     comps = graph.connected_components(pairs, "id_a", "id_b")
@@ -3692,7 +3752,7 @@ def q_corpus_curation_v2(spark, sf_dir):
         .otherwise("test")
         .alias("split"),
     )
-    return _materialize_release(out, keepq)
+    return _finish_composite(out, spills)
 
 
 @q(
@@ -6878,37 +6938,73 @@ _DRIVER_WINDOW = [
     #     byte-length plumbing is run by multimodal_resize_real's
     #     construction/output; its md5 digest by
     #     dedup_exact_incremental's content hashing — both staying).
-    # Never-driver-seen after the r9 rotation (36 = the pre-r9 39
-    # minus the ten rotated in above, plus the seven r9-landed gates):
-    # image_dhash128, image_dhash128_neardup, simhash120_near_pairs,
-    # dedup_paragraphs, dedup_paragraphs_incremental,
-    # classifier_score, corpus_curation_v5 (r9-landed),
-    # fold_series, stratified_sample_lang, neardup_keep_longest,
-    # corpus_curation, repetition_filter, time_weighted_avg, ohlc_1h,
-    # gap_fill_locf, series_anomaly_zscore, quality_filter_stratified,
+    # r10 rotation (VERDICT r9 #2: the seven r9-landed gates plus the
+    # three riskiest never-driver-validated codec gates get their first
+    # driver record). Departures and their covers — strong subsumption
+    # where available, otherwise the departing gate holds r8+r9 driver
+    # records and its NARROW residual (named) is pinned by pytest + the
+    # three-SF local sweep:
+    #   corpus_curation_v4 -> corpus_curation_v5 (STRICT: v5 runs v4's
+    #     decontaminate stage verbatim, then the classifier predicate,
+    #     then the same full v3 chain — v4 minus nothing);
+    #   image_dhash -> image_dhash128 and
+    #   image_dhash_neardup -> image_dhash128_neardup (the 128-bit
+    #     gates run the same decode + the horizontal word PLUS the
+    #     vertical word, and the same words-blocked hamming pair plan);
+    #   dedup_exact_incremental -> dedup_paragraphs_incremental (the
+    #     incoming gate runs ExactIndex seen/append through the same
+    #     prefix-pruned persistent layout at paragraph granularity;
+    #     residual = add()'s own batch-dedup agg, pinned by pytest +
+    #     the exact gate's r8+r9 records);
+    #   kmv_source_overlap -> dedup_paragraphs (kmv_merge_halves stays:
+    #     the same KMV bottom-k build twice plus the merge identity;
+    #     residual = the overlap/Jaccard arithmetic on two sketches —
+    #     three driver records r7/r8/r9);
+    #   heavy_hitters_cms -> simhash120_near_pairs (cms_merge_halves
+    #     stays: the same CMS build twice plus the merge; residual =
+    #     the top-k heavy-hitter extraction window — three driver
+    #     records r7/r8/r9);
+    #   ivf_index_incremental -> classifier_score
+    #     (ivfpq_index_incremental stays: the same integer-exact IVF
+    #     assign/build through the persistent index plus the PQ ADC
+    #     scan and incremental add);
+    #   multimodal_resize_real -> multimodal_decode_png (resize holds
+    #     r8+r9 records; residual = the box-filter transform — its P6
+    #     parse spine is the decode family's, and the incoming gate is
+    #     the riskiest never-driver-validated class: a from-scratch
+    #     inflate/defilter PNG codec);
+    #   multimodal_resample_real -> multimodal_decode_mp3 (resample
+    #     holds r8+r9 records; residual = the linear resampler — its
+    #     WAV parse spine stays pinned by pytest; incoming gate runs
+    #     the MP3 frame-header walk);
+    #   distinct_sketch_by_group -> multimodal_decode_jpeg
+    #     (hll_merge_halves stays: the same HLL register build plus
+    #     the merge; residual = the per-group keying — r8+r9 records;
+    #     incoming gate runs the from-scratch baseline JPEG decoder).
+    # Never-driver-seen after the r10 rotation (26): fold_series,
+    # stratified_sample_lang, neardup_keep_longest, corpus_curation,
+    # repetition_filter, time_weighted_avg, ohlc_1h, gap_fill_locf,
+    # series_anomaly_zscore, quality_filter_stratified,
     # bpe_pair_counts, cohort_retention, funnel_conversion,
     # repeated_spans, dedup_ngram_containment, chunk_documents,
     # cap_per_group, deterministic_shuffle, normalize_text,
-    # strip_boilerplate, the per-format multimodal decode gates (png/
-    # gif/jpeg/avi/mp3), distinct_sketch_hll, multimodal_decode_stub.
-    # r10 rotation candidates with clear stayers: image_dhash ->
-    # image_dhash128 and image_dhash_neardup -> image_dhash128_neardup
-    # (the 128-bit gates run the same decode + horizontal word + the
-    # vertical word, and the words-blocked pair plan); corpus_curation
-    # subsumed by corpus_curation_v4 (which stays); the timeseries
-    # tail (ohlc_1h, gap_fill_locf, time_weighted_avg,
-    # series_anomaly_zscore, cohort_retention, funnel_conversion) are
-    # window/agg plans over the parity series view — rotate them
-    # through the analytics slots whose operators hold two records.
-    # The r9-landed text gates pair naturally too:
-    # corpus_curation_v4 -> corpus_curation_v5 (STRICT: v5 runs v4's
-    # decontaminate + the full v3 chain, plus the classifier stage);
-    # dedup_exact_incremental -> dedup_paragraphs_incremental (the
-    # incoming gate runs ExactIndex seen/append through the same
-    # prefix-pruned layout at paragraph granularity; residual = add()'s
-    # own batch-dedup agg, pinned by pytest + the exact gate's r8
-    # record); simhash120_near_pairs, dedup_paragraphs, and
-    # classifier_score take fresh slots from two-record analytics.
+    # strip_boilerplate, multimodal_resize_png, multimodal_decode_gif,
+    # multimodal_decode_avi, multimodal_frame_sample,
+    # distinct_sketch_hll, multimodal_decode_stub.
+    # Pinned rotation schedule to finish the program (VERDICT r9 #4):
+    #   r11 (10): strip_boilerplate, normalize_text,
+    #     multimodal_decode_gif, multimodal_decode_avi,
+    #     multimodal_frame_sample, multimodal_resize_png, fold_series,
+    #     ohlc_1h, gap_fill_locf, time_weighted_avg;
+    #   r12 (10): series_anomaly_zscore, cohort_retention,
+    #     funnel_conversion, repetition_filter, repeated_spans,
+    #     dedup_ngram_containment, chunk_documents, cap_per_group,
+    #     deterministic_shuffle, stratified_sample_lang;
+    #   r13 (6): quality_filter_stratified, bpe_pair_counts,
+    #     neardup_keep_longest, corpus_curation, distinct_sketch_hll,
+    #     multimodal_decode_stub.
+    # Per-swap covers get written when each rotation lands, under the
+    # same subsumption rule.
     # Earlier rotations retired (r6: ivf_assign,
     # embedding_neardup_pairs, dedup_ngram_jaccard, dedup_minhash_lsh,
     # dedup_simhash, text_token_stats, doc_fingerprint,
@@ -6958,14 +7054,14 @@ _DRIVER_WINDOW = [
     #     (rollup_cascade_roundtrip stays: the same ContinuousRollup
     #     refresh/commit machinery, fine-from-source + cascaded merge;
     #     residual = the num_values=m multi-column agg struct).
-    "dedup_exact_incremental",
+    "dedup_paragraphs_incremental",
     "dedup_ngram_jaccard_capped",
     "bm25_topk", "bpe_train",
-    "heavy_hitters_cms",
-    "kmv_source_overlap", "ivf_index_incremental",
+    "simhash120_near_pairs",
+    "dedup_paragraphs", "classifier_score",
     "ivfpq_index_incremental",
     "embedding_quantize_int8", "lm_score_kneser_ney",
-    "distinct_sketch_by_group",
+    "multimodal_decode_jpeg",
     # sketch merge identities + bloom surface (r8-landed, first record)
     "dd_merge_grouped", "hll_merge_halves", "cms_merge_halves",
     "kmv_merge_halves", "bloom_filter_membership",
@@ -6976,14 +7072,14 @@ _DRIVER_WINDOW = [
     "decontaminate_benchmark", "decontaminate_bloom", "redact_pii",
     "pack_sequences",
     "split_leakage", "corpus_mix_budget", "dsir_select",
-    "multimodal_resize_real",
-    "multimodal_resample_real",
-    # perceptual image dedup (r8-landed, first record)
-    "image_dhash", "image_dhash_neardup",
-    # composite end-to-end (v4 runs every v3 stage — which runs every
-    # v2 stage — plus Bloom decontamination first; v2/v3 stay verified
-    # by the local three-SF sweep)
-    "corpus_curation_v4",
+    "multimodal_decode_png",
+    "multimodal_decode_mp3",
+    # perceptual image dedup (r9-landed wide variants, first record)
+    "image_dhash128", "image_dhash128_neardup",
+    # composite end-to-end (v5 runs every v4 stage — decontaminate,
+    # then classifier, then the full v3 chain which runs every v2
+    # stage; v2/v3/v4 stay verified by the local three-SF sweep)
+    "corpus_curation_v5",
 ]
 # (exactly 50 names once every planned gate exists — decode_stub and the
 # remaining analytics keep definition order after the window)

@@ -419,11 +419,15 @@ def test_driver_window_unknown_name_is_hard_error():
 
 
 def test_gates_release_their_caches():
-    """Any gate that persist()s a stage boundary must route its result
-    through _materialize_release so the cache is dropped at gate exit:
-    a harness that doesn't clearCache() between queries (the driver's
-    bench) otherwise carries the blocks into every later query
-    (r6 verdict: flagship re-ran 1.76x its committed time)."""
+    """No gate may persist() a stage boundary: cached blocks live in
+    storage memory until the async ContextCleaner drains behind a JVM
+    GC, which made composite wall-time depend on session history twice
+    (r6 verdict: flagship re-ran 1.76x; r9 verdict: v4 at 1.86x in the
+    driver session DESPITE the between-query release). Stage
+    boundaries spill to parquet (_spill_boundary — off-heap,
+    deterministic release) and composites return through
+    _finish_composite, which deletes the spills after blockifying the
+    result."""
     import inspect
 
     from sonnerie_spark import benchqueries as bq
@@ -436,10 +440,14 @@ def test_gates_release_their_caches():
                       "simhash_near_pairs")
     for d in bq.REGISTRY:
         src = inspect.getsource(d.spark)
-        if ".persist()" in src:
-            assert "_materialize_release(" in src, (
-                f"gate {d.name!r} persists without releasing - return "
-                "via _materialize_release(out, <cached frames...>)"
+        assert ".persist()" not in src, (
+            f"gate {d.name!r} persists a stage boundary - spill it "
+            "via _spill_boundary and return via _finish_composite"
+        )
+        if "_spill_boundary(" in src:
+            assert "_finish_composite(" in src or "_pipeline(" in src, (
+                f"gate {d.name!r} spills without routing its result "
+                "through _finish_composite (spill dirs would leak)"
             )
         for op in persisting_ops:
             for m in re.finditer(rf"\b{op}\(", src):
