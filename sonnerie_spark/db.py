@@ -1355,9 +1355,21 @@ def _tmp_owner_pid(name: str) -> int | None:
     ``.tmp-compact-*`` / ``.tmp-old-*`` carry no pid on purpose (their
     liveness is the compaction lock the janitor already holds)."""
     parts = name.split("-")
-    for tok in parts[1:3]:
-        if tok.isdigit():
-            return int(tok)
+    # Positional parse ONLY: the pid is parts[1] for the plain form and
+    # parts[2] for the serve form. Scanning parts[1:3] for "any all-digit
+    # token" mis-parsed pid-less names (.tmp-compact-<hex ns>, .tmp-old-*)
+    # whose hex time_ns token happened to be all decimal digits (~0.1% of
+    # timestamps) as a huge bogus pid.
+    tok = parts[2] if len(parts) > 2 and parts[1] == "put" else (
+        parts[1] if len(parts) > 1 else ""
+    )
+    if tok.isdigit():
+        pid = int(tok)
+        # a real pid fits the kernel's pid space; a hex-timestamp that
+        # parsed as decimal does not — treat it as "no pid" so the
+        # janitor falls back to the mtime rule
+        if 0 < pid < (1 << 31):
+            return pid
     return None
 
 
@@ -1370,7 +1382,11 @@ def _pid_alive(pid: int) -> bool:
         return False
     except PermissionError:
         return True
-    except OSError:
+    except (OSError, OverflowError, ValueError):
+        # OverflowError/ValueError: an out-of-range or negative value
+        # reached os.kill — not a live process; fall back to the mtime
+        # rule rather than failing every compact() until the debris dir
+        # is removed by hand.
         return False
     return True
 

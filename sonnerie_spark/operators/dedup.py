@@ -22,6 +22,9 @@ Everything is JVM-side Catalyst expressions — no Python UDFs.
 from __future__ import annotations
 
 import hashlib
+import os
+import re
+import shutil
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -806,7 +809,7 @@ class ExactIndex:
             "left_semi",
         ).select("h")
 
-    def append_hashes(self, hashes: DataFrame) -> None:
+    def append_hashes(self, hashes: DataFrame, batch_id: str | None = None) -> None:
         """Append hashes (column ``h``; caller guarantees they are not
         already indexed and has truncated lineage if the frame derives
         from a read of this index) under the index flock.
@@ -815,13 +818,59 @@ class ExactIndex:
         write from every shuffle partition emits tasks x 256 tiny
         files (measured 20 s for a 20k-row batch at 32 tasks); hashing
         pfx into ceil(rows/250k) tasks bounds the append at ~256 files
-        total while big ingests still fan out."""
+        total while big ingests still fan out.
+
+        With ``batch_id``, the append is an idempotence-ledger entry
+        (the DdStore pattern at this store's granularity): an id whose
+        ledger entry exists is a NO-OP under the same flock, and a new
+        id records the appended hash set at ``applied/<id>`` so a
+        replayed probe can reconstruct the pre-batch index view
+        (:func:`~sonnerie_spark.operators.text.dedup_paragraphs_incremental`).
+        Ordering is index-append THEN ledger rename: a crash between
+        the two replays the batch as if never applied (the documented
+        at-least-once window — duplicate hash rows in the index are
+        tolerated by every probe, which joins semi/anti on ``h``)."""
         fresh = hashes.select("h").withColumn("pfx", F.substring("h", 1, 2))
         n_tasks = min(256, max(1, fresh.count() // 250_000 + 1))
         with self._locked():
+            bdir = None
+            if batch_id is not None:
+                bdir = self._batch_dir(batch_id)
+                if os.path.isdir(bdir):
+                    return  # replayed batch: ledger says already applied
+                tmp = bdir + f".tmp-{os.getpid()}"
+                shutil.rmtree(tmp, ignore_errors=True)
+                fresh.select("h").repartition(1).write.mode(
+                    "overwrite"
+                ).parquet(tmp)
             fresh.select("h", "pfx").repartition(
                 n_tasks, "pfx"
             ).write.mode("append").partitionBy("pfx").parquet(self._data)
+            if bdir is not None:
+                os.makedirs(os.path.dirname(bdir), exist_ok=True)
+                os.rename(tmp, bdir)  # atomic applied marker, written LAST
+
+    def _batch_dir(self, batch_id: str) -> str:
+        """Ledger path for a batch id. Sanitized to a flat safe name —
+        ids are labels like '2026-08-16' or 'shard-00012', not paths."""
+        safe = re.sub(r"[^A-Za-z0-9._-]", "_", str(batch_id))
+        if not safe or safe in (".", ".."):
+            raise ValueError(f"unusable batch_id: {batch_id!r}")
+        return os.path.join(self.path, "applied", safe)
+
+    def batch_applied(self, batch_id: str) -> bool:
+        """Has ``batch_id`` been recorded by a completed
+        :meth:`append_hashes`? (The replay guard.)"""
+        return os.path.isdir(self._batch_dir(batch_id))
+
+    def batch_hashes(self, batch_id: str) -> DataFrame:
+        """The hash set a completed batch appended — what a replayed
+        probe subtracts from ``seen()`` to reconstruct the pre-batch
+        index view. Explicit schema: an all-duplicate batch appended
+        nothing and its ledger dir holds zero data files."""
+        return self.spark.read.schema("h string").parquet(
+            self._batch_dir(batch_id)
+        )
 
     def compact(self) -> None:
         """Coalesce the per-batch file accumulation into one sorted file

@@ -806,6 +806,7 @@ def dedup_paragraphs_incremental(
     *,
     sep: str = "\n",
     min_chars: int = 1,
+    batch_id: str | None = None,
 ) -> DataFrame:
     """Incremental :func:`dedup_paragraphs`: dedup a batch's paragraphs
     against everything already ingested — via a persistent
@@ -826,15 +827,24 @@ def dedup_paragraphs_incremental(
     after trim) paragraphs are never deduped and never indexed. Same
     output schema as :func:`dedup_paragraphs`.
 
-    Replay is NOT idempotent (the ExactIndex family's contract): a
-    re-run of an already-appended batch sees its own hashes in the
-    index and returns every eligible paragraph as a duplicate.
-    Exactly-once batch delivery — or an idempotence ledger keyed on a
-    batch id — is the caller's job; contrast
-    :class:`~sonnerie_spark.operators.sketch.DdStore` (ledger inside
-    the generation swap) and
-    :class:`~sonnerie_spark.operators.sketch.BloomStore` (OR-merge,
-    replay-idempotent by algebra).
+    Replay: with ``batch_id=None`` a re-run of an already-appended
+    batch sees its own hashes in the index and returns every eligible
+    paragraph as a duplicate — exactly-once delivery is the caller's
+    job. Passing a ``batch_id`` makes replay IDEMPOTENT via the
+    index's applied-batch ledger (the DdStore pattern): a replayed id
+    skips the append under the index flock, and its probe subtracts
+    the hash set the first run recorded, reconstructing the pre-batch
+    index view exactly — any index hash in this batch is either
+    pre-batch or in that recorded set, because later batches never
+    re-append a hash this batch already published. So replay output ==
+    first-run output, and union-over-batches == one-shot under any
+    number of re-deliveries.
+
+    Concurrency contract (ExactIndex.add's own): batches are applied
+    by a SINGLE writer, sequentially. The probe (``seen``) and the
+    append run as separate steps with the flock held only during the
+    append, so two concurrent ingests could both probe before either
+    appends and each keep a copy of the same paragraph.
     """
     from pyspark.sql import Window
 
@@ -849,7 +859,12 @@ def dedup_paragraphs_incremental(
     w = Window.partitionBy(hw).orderBy("id", "pos")
     flagged = flagged.withColumn("rn", F.row_number().over(w)).persist()
     try:
+        replay = batch_id is not None and index.batch_applied(batch_id)
         seen = index.seen(flagged.filter(F.col("h").isNotNull()).select("h"))
+        if replay:
+            # reconstruct the pre-batch index view: subtract exactly
+            # the hashes the first run of THIS batch appended
+            seen = seen.join(index.batch_hashes(batch_id), "h", "left_anti")
         # NULL h (exempt) never matches the join key -> never dup
         marked = flagged.join(
             seen.withColumn("_old", F.lit(True)), "h", "left"
@@ -859,13 +874,14 @@ def dedup_paragraphs_incremental(
         # BEFORE the append: a lazy recompute after the index mutates
         # would probe the batch's own hashes and flag everything dup
         out = out.localCheckpoint(eager=True)
-        fresh = (
-            flagged.filter((F.col("rn") == 1) & F.col("h").isNotNull())
-            .select("h")
-            .join(seen, "h", "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        index.append_hashes(fresh)
+        if not replay:
+            fresh = (
+                flagged.filter((F.col("rn") == 1) & F.col("h").isNotNull())
+                .select("h")
+                .join(seen, "h", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            index.append_hashes(fresh, batch_id=batch_id)
         return out
     finally:
         flagged.unpersist()

@@ -101,13 +101,15 @@ def make_server(
                     self.end_headers()
                     self.wfile.write(str(e).encode())
 
-        def _commit_spooled(self, length: int) -> None:
-            """Large-PUT path: body -> disk spool -> distributed parse ->
-            one shuffle-sorted transaction. Driver memory stays bounded
-            by the copy buffer; the sort that the reference does with an
-            external-sort library is Spark's own range-partition + sort
-            inside ``commit_dataframe``. Duplicate (key, ts) within the
-            request is still an error (write.rs:181-197 rule)."""
+        def _commit_spooled(self, write_body) -> None:
+            """Spooled-PUT path: body -> disk spool -> distributed parse
+            -> one shuffle-sorted transaction. Driver memory stays
+            bounded by the copy buffer; the sort that the reference does
+            with an external-sort library is Spark's own range-partition
+            + sort inside ``commit_dataframe``. Duplicate (key, ts)
+            within the request is still an error (write.rs:181-197
+            rule). ``write_body(f)`` copies the request body into the
+            spool file — identity or de-chunked framing."""
             import os
             import shutil
             import time as _time
@@ -121,44 +123,94 @@ def make_server(
             )
             os.makedirs(spool)
             try:
-                remaining = length
                 with open(os.path.join(spool, "body.txt"), "wb") as f:
-                    while remaining > 0:
-                        chunk = self.rfile.read(min(1 << 20, remaining))
-                        if not chunk:
-                            raise OSError("short PUT body")
-                        f.write(chunk)
-                        remaining -= len(chunk)
+                    write_body(f)
                 rows = parse_lines(db.spark.read.text(spool))
                 if rows.take(1):
                     db.commit_dataframe(rows)
             finally:
                 shutil.rmtree(spool, ignore_errors=True)
 
+        def _copy_identity(self, f, length: int) -> None:
+            remaining = length
+            while remaining > 0:
+                chunk = self.rfile.read(min(1 << 20, remaining))
+                if not chunk:
+                    raise OSError("short PUT body")
+                f.write(chunk)
+                remaining -= len(chunk)
+
+        def _copy_dechunked(self, f) -> None:
+            """RFC 9112 §7.1 chunked framing -> plain bytes. The
+            reference's hyper server de-chunks transparently
+            (sonnerie-serve.rs PUT body stream), so streaming clients
+            that cannot know their length up front must work here too.
+            Strict CRLF framing: anything malformed raises (-> 400 +
+            connection close; resynchronizing a broken chunk stream is
+            not possible)."""
+            while True:
+                szline = self.rfile.readline(64 + 2)
+                if not szline:
+                    raise OSError("truncated chunked body")
+                try:
+                    size = int(szline.split(b";", 1)[0].strip(), 16)
+                except ValueError:
+                    raise ValueError("malformed chunk size") from None
+                if size == 0:
+                    # consume trailer section up to the blank line
+                    while True:
+                        t = self.rfile.readline(1 << 16)
+                        if t in (b"\r\n", b"\n", b""):
+                            return
+                    # not reached
+                remaining = size
+                while remaining > 0:
+                    chunk = self.rfile.read(min(1 << 20, remaining))
+                    if not chunk:
+                        raise OSError("truncated chunk")
+                    f.write(chunk)
+                    remaining -= len(chunk)
+                if self.rfile.read(2) != b"\r\n":
+                    raise ValueError("bad chunk terminator")
+
         def do_PUT(self):
             # Framing first: a body we will not read corrupts keep-alive
             # (its bytes parse as the next request line), and a silent
             # zero-length read would 201 a client whose records were
-            # never durable. Chunked bodies are refused, absent lengths
-            # are 411, and both answers drop the connection.
+            # never durable. Chunked bodies are DE-CHUNKED to the spool
+            # (reference parity: hyper does this transparently,
+            # sonnerie-serve.rs:164-203); otherwise a missing length is
+            # 411 and a malformed one is 400, both dropping the
+            # connection.
             te = (self.headers.get("Transfer-Encoding") or "").lower()
             cl = self.headers.get("Content-Length")
-            if "chunked" in te:
-                self.send_response(501)
-                self.end_headers()
-                self.wfile.write(b"chunked transfer encoding not supported")
-                self.close_connection = True
-                return
-            if cl is None:
-                self.send_response(411)
-                self.end_headers()
-                self.wfile.write(b"Content-Length required")
-                self.close_connection = True
-                return
-            length = int(cl)
+            chunked = "chunked" in te
+            length = 0
+            if not chunked:
+                if cl is None:
+                    self.send_response(411)
+                    self.end_headers()
+                    self.wfile.write(b"Content-Length required")
+                    self.close_connection = True
+                    return
+                try:
+                    length = int(cl)
+                    if length < 0:
+                        raise ValueError(cl)
+                except ValueError:
+                    self.send_response(400)
+                    self.end_headers()
+                    self.wfile.write(b"malformed Content-Length")
+                    self.close_connection = True
+                    return
             try:
-                if length > put_spool_threshold:
-                    self._commit_spooled(length)
+                if chunked:
+                    # length unknown up front -> always via the spool
+                    self._commit_spooled(self._copy_dechunked)
+                elif length > put_spool_threshold:
+                    self._commit_spooled(
+                        lambda f: self._copy_identity(f, length)
+                    )
                 else:
                     body = self.rfile.read(length).decode()
                     rows = [
@@ -177,6 +229,10 @@ def make_server(
                 self.send_response(400)
                 self.end_headers()
                 self.wfile.write(str(e).encode())
+                # a failed PUT can leave body bytes unread (framing
+                # errors, short bodies) — the next keep-alive request
+                # would parse them as its request line
+                self.close_connection = True
 
         def _bad_method(self):
             # any non-GET/PUT is a 400, as in sonnerie-serve.rs:91-96

@@ -529,6 +529,76 @@ def test_dedup_paragraphs_incremental_equals_oneshot(spark, tmp_path):
     assert got[30] == ("uniq three\n", 4, 2)    # empty para exempt, kept
 
 
+def test_dedup_paragraphs_incremental_replay_idempotent(spark, tmp_path):
+    """With batch_id, replaying an already-applied batch is a no-op on
+    the index (the applied-batch ledger skips the append under the
+    flock) and returns EXACTLY the first run's output — the probe
+    subtracts the hash set the first run recorded, reconstructing the
+    pre-batch index view even after LATER batches landed. Union over
+    batches == one-shot under any re-delivery pattern."""
+    from sonnerie_spark.operators.dedup import ExactIndex
+    from sonnerie_spark.operators.text import (
+        dedup_paragraphs,
+        dedup_paragraphs_incremental,
+    )
+
+    batches = {
+        "day1": [(10, "shared A\nuniq one\n"), (11, "shared A\nshared B")],
+        "day2": [(20, "shared B\nuniq two\nuniq two"), (21, "shared A")],
+    }
+
+    def run(bid):
+        df = spark.createDataFrame(
+            batches[bid], "doc_id: long, text: string"
+        )
+        return {
+            r["id"]: (r["text"], r["n_paragraphs"], r["n_removed"])
+            for r in dedup_paragraphs_incremental(
+                idx, df, "doc_id", "text", batch_id=bid
+            ).collect()
+        }
+
+    def index_rows():
+        return sorted(r["h"] for r in idx._existing().select("h").collect())
+
+    idx = ExactIndex(spark, str(tmp_path / "paridx"))
+    first1 = run("day1")
+    rows_after_1 = index_rows()
+    assert idx.batch_applied("day1") and not idx.batch_applied("day2")
+
+    # immediate replay: same output, index untouched
+    assert run("day1") == first1
+    assert index_rows() == rows_after_1
+
+    first2 = run("day2")
+    rows_after_2 = index_rows()
+
+    # LATE replay of day1, after day2 landed: still the first run's
+    # output (the ledger reconstructs the pre-day1 view), index untouched
+    assert run("day1") == first1
+    assert run("day2") == first2
+    assert index_rows() == rows_after_2
+
+    # the union still equals the one-shot pass despite the replays
+    all_df = spark.createDataFrame(
+        batches["day1"] + batches["day2"], "doc_id: long, text: string"
+    )
+    exp = {
+        r["id"]: (r["text"], r["n_paragraphs"], r["n_removed"])
+        for r in dedup_paragraphs(all_df, "doc_id", "text").collect()
+    }
+    assert {**first1, **first2} == exp
+
+    # an all-duplicate batch records an EMPTY ledger entry and is still
+    # replay-stable (the empty-hash-set read path)
+    batches["day3"] = [(30, "shared A\nshared B")]
+    first3 = run("day3")
+    assert first3 == {30: ("", 2, 2)}
+    assert index_rows() == rows_after_2  # nothing new appended
+    assert idx.batch_applied("day3")
+    assert run("day3") == first3
+
+
 def test_classifier_score_weights_equals_hashed(spark):
     """classifier_score: the trained-weights path (broadcast vocabulary
     join) equals the hashed path when fed exactly the hashed weights;

@@ -233,24 +233,15 @@ def test_stream_dedup_exact_across_batches(spark, tmp_path):
 
 
 def test_serve_put_framing_guards(server, db):
-    """A PUT whose body length the server cannot know is REFUSED, not
-    silently committed as zero rows with a 201: chunked
-    transfer-encoding gets 501, a missing Content-Length gets 411, and
-    both drop the connection (an unread body would parse as the next
-    request line on keep-alive)."""
+    """A PUT whose body length the server cannot know is refused with
+    the precise status, never silently committed as zero rows with a
+    201: a missing Content-Length gets 411, a malformed one gets 400,
+    and both drop the connection (an unread body would parse as the
+    next request line on keep-alive)."""
     import http.client
     from urllib.parse import urlparse
 
     host = urlparse(server).netloc
-    # chunked TE -> 501
-    c = http.client.HTTPConnection(host, timeout=10)
-    c.putrequest("PUT", "/")
-    c.putheader("Transfer-Encoding", "chunked")
-    c.endheaders()
-    c.send(b"5\r\nk 1 u\r\n0\r\n\r\n")
-    r = c.getresponse()
-    assert r.status == 501
-    c.close()
     # no Content-Length at all -> 411
     c = http.client.HTTPConnection(host, timeout=10)
     c.putrequest("PUT", "/", skip_accept_encoding=True)
@@ -258,7 +249,66 @@ def test_serve_put_framing_guards(server, db):
     r = c.getresponse()
     assert r.status == 411
     c.close()
+    # malformed Content-Length values -> 400, not an aborted connection
+    for bad in ("banana", "-5", "1e3"):
+        c = http.client.HTTPConnection(host, timeout=10)
+        c.putrequest("PUT", "/", skip_accept_encoding=True)
+        c.putheader("Content-Length", bad)
+        c.endheaders()
+        r = c.getresponse()
+        assert r.status == 400, bad
+        c.close()
     assert db.read().count() == 0  # nothing was committed either way
+
+
+def test_serve_put_chunked_dechunks(server, db):
+    """Chunked transfer-encoding is DE-CHUNKED to the spool and
+    committed — reference parity: sonnerie-serve is hyper-based and
+    accepts chunked PUT bodies transparently, so streaming clients
+    that cannot know their length up front must ingest here too. The
+    chunk boundary deliberately splits a record line."""
+    import http.client
+    from urllib.parse import urlparse
+
+    host = urlparse(server).netloc
+    body = b"k 1000 u 7\nk 2000 u 8\n"
+    cut = 13  # mid-line of the second record
+    c = http.client.HTTPConnection(host, timeout=30)
+    c.putrequest("PUT", "/")
+    c.putheader("Transfer-Encoding", "chunked")
+    c.endheaders()
+    c.send(b"%x\r\n" % cut + body[:cut] + b"\r\n")
+    c.send(b"%x\r\n" % (len(body) - cut) + body[cut:] + b"\r\n")
+    c.send(b"0\r\n\r\n")
+    r = c.getresponse()
+    assert r.status == 201, r.read()
+    c.close()
+    rows = {(x.key, x.ts): x.v_long[0] for x in db.read().collect()}
+    assert rows == {("k", 1000): 7, ("k", 2000): 8}
+
+
+def test_serve_put_chunked_malformed_is_400(server, db):
+    """The chunked decoder fails LOUDLY on broken framing: a garbage
+    chunk-size token and a missing CRLF chunk terminator each get a
+    400 and a dropped connection (a broken chunk stream cannot be
+    resynchronized), and nothing is committed."""
+    import http.client
+    from urllib.parse import urlparse
+
+    host = urlparse(server).netloc
+    for raw in (
+        b"zz\r\nhello\r\n0\r\n\r\n",  # non-hex size
+        b"5\r\nk 1 uXX0\r\n\r\n",  # chunk data not CRLF-terminated
+    ):
+        c = http.client.HTTPConnection(host, timeout=10)
+        c.putrequest("PUT", "/")
+        c.putheader("Transfer-Encoding", "chunked")
+        c.endheaders()
+        c.send(raw)
+        r = c.getresponse()
+        assert r.status == 400, raw
+        c.close()
+    assert db.read().count() == 0
 
 
 def test_purge_stale_tmp_spares_live_writers(db):
@@ -292,3 +342,33 @@ def test_purge_stale_tmp_spares_live_writers(db):
     assert os.path.isdir(live), "live-owner tmp dir was purged"
     assert os.path.isdir(fresh_child), "fresh-child tmp dir was purged"
     assert not os.path.exists(debris), "stale debris survived"
+
+
+def test_purge_stale_tmp_pidless_decimal_token(db):
+    """A pid-less tmp name (.tmp-compact-<hex ns>, .tmp-old-*) whose
+    hex timestamp token is coincidentally all decimal digits (~0.1% of
+    timestamps) must parse as NO pid — positional parse + pid-space
+    bound — and fall back to the mtime rule. Before the fix it parsed
+    as a huge bogus pid, os.kill raised an uncaught OverflowError, and
+    every compact() failed until the debris dir was removed by hand."""
+    import os
+    import time
+
+    from sonnerie_spark.db import _pid_alive, _tmp_owner_pid
+
+    assert _tmp_owner_pid(".tmp-compact-1890576123456789") is None
+    assert _tmp_owner_pid(".tmp-old-1890576123456789") is None
+    assert _tmp_owner_pid(f".tmp-{os.getpid()}-deadbeef") == os.getpid()
+    assert _tmp_owner_pid(f".tmp-put-{os.getpid()}-deadbeef") == os.getpid()
+    assert _pid_alive(1890576123456789) is False  # must not raise
+    assert _pid_alive(-1 << 40) is False
+
+    old = time.time() - 7200
+    stale = os.path.join(db.path, ".tmp-compact-1890576123456789")
+    os.makedirs(stale)
+    os.utime(stale, (old, old))
+    fresh = os.path.join(db.path, ".tmp-compact-1890576999999999")
+    os.makedirs(fresh)
+    db._purge_stale_tmp()  # would raise OverflowError before the fix
+    assert not os.path.exists(stale), "stale pid-less debris survived"
+    assert os.path.isdir(fresh), "fresh pid-less tmp dir was purged"
