@@ -122,9 +122,29 @@ MAX_INLINE_DELETES = 64
 # (write.rs:9 SEGMENT_SIZE_GOAL); we size for the same purpose — point
 # reads prune to a small slice of a file via row-group stats. The
 # writer's buffered-size estimate runs well under the on-disk
-# uncompressed size for dictionary/RLE-friendly data, so 256 KiB
-# buffered lands near the reference's 1 MiB payload granularity.
-ROW_GROUP_BYTES = 256 * 1024
+# uncompressed size for dictionary/RLE-friendly data. Measured on a
+# 20 M-row one-lane u64 run (tools/fold_scale.py shape): 256 KiB
+# buffered cuts ~7.5k-row groups whose per-group decode overhead
+# (page headers, dict pages, group setup) capped two-column whole-run
+# scans at ~22 M rec/s single-thread; 512 KiB cuts ~15k-row groups
+# that scan 1.5x faster (32 M rec/s) while a FULL-WIDTH single-group
+# decode — the point lookup's unit of work — costs the same 3.8 ms a
+# 7.5k-row group did (zstd page setup dominates, not row count), so
+# lookup latency is flat. Larger targets are a cliff, not a dial: the
+# writer's row-count check interval makes 1 MiB flush ~330k-row
+# groups, which doubled the 2000-record warm lookup. Keep this knob
+# paired with those two measurements.
+ROW_GROUP_BYTES = 512 * 1024
+
+# Run-file compression. The reference compresses record blocks with
+# lz4 (write.rs); we use parquet zstd for every run writer — measured
+# against snappy (Spark's default) on a 20 M-row compacted-run shape,
+# zstd decodes 1.3-3.6x FASTER *and* writes smaller files (snappy
+# barely compresses dictionary index pages and is slow to decode
+# them), which feeds straight into the driver-side fold and every
+# Spark scan. A storage knob only: every reader decodes any parquet
+# codec transparently.
+RUN_COMPRESSION = "zstd"
 
 MIN_TS = 0
 MAX_TS = 2**63 - 1
@@ -928,6 +948,7 @@ class Database:
                 .sortBy("key", "ts")
                 .option("path", path)
                 .option("parquet.block.size", ROW_GROUP_BYTES)
+                .option("compression", RUN_COMPRESSION)
                 .mode("overwrite")
                 .saveAsTable(tbl)
             )
@@ -1009,7 +1030,11 @@ class Database:
             nonce = f"{time.time_ns():016x}"
             for b, brows in by_bucket.items():
                 tbl = pa.Table.from_pylist(brows, schema=arrow_schema)
-                pq.write_table(tbl, os.path.join(p, bucket_file_name(b, nonce)))
+                pq.write_table(
+                    tbl,
+                    os.path.join(p, bucket_file_name(b, nonce)),
+                    compression=RUN_COMPRESSION,
+                )
             write_run_buckets(p, self.buckets)
             write_run_unique(p)  # dup scan above raised on any conflict
 
@@ -1039,7 +1064,11 @@ class Database:
         def write(p):
             os.makedirs(p, exist_ok=True)
             tbl = pa.Table.from_pylist(rows)
-            pq.write_table(tbl, os.path.join(p, "deletes.parquet"))
+            pq.write_table(
+                tbl,
+                os.path.join(p, "deletes.parquet"),
+                compression=RUN_COMPRESSION,
+            )
             open(os.path.join(p, DELETE_SENTINEL), "w").close()
 
         return self._atomic_commit(write)
@@ -1548,6 +1577,7 @@ class Transaction:
                         self._spill_dir, bucket_file_name(b, self._spill_nonce)
                     ),
                     schema,
+                    compression=RUN_COMPRESSION,
                 )
                 self._spill_writers[b] = w
             w.write_table(pa.Table.from_pylist(by_bucket[b], schema=schema))
