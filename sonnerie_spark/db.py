@@ -1404,7 +1404,14 @@ def _tmp_owner_pid(name: str) -> int | None:
 
 def _pid_alive(pid: int) -> bool:
     """Is ``pid`` a live process on THIS host? (The engine's writers
-    are same-host by design — serve workers and CLI share the node.)"""
+    are same-host by design — serve workers and CLI share the node.)
+
+    Pid-reuse edge, accepted: if the kernel recycles a dead writer's
+    pid onto an unrelated process, that writer's stale spill survives
+    one extra janitor pass per recycle — debris lives longer, never
+    the reverse (a LIVE writer can only be spared, since its own pid
+    is by definition alive). Bounded, self-healing, not worth a
+    boot-time registry."""
     try:
         os.kill(pid, 0)
     except ProcessLookupError:
