@@ -152,6 +152,14 @@ def make_server(
                 szline = self.rfile.readline(64 + 2)
                 if not szline:
                     raise OSError("truncated chunked body")
+                if not szline.endswith(b"\n"):
+                    # readline hit the 66-byte cap mid-line: a longer
+                    # chunk-extension line would leave its tail in the
+                    # stream and misframe everything after — refuse
+                    # rather than guess (extensions this long do not
+                    # occur in practice; RFC 9112 lets a server fail
+                    # them)
+                    raise ValueError("oversized chunk-size line")
                 try:
                     size = int(szline.split(b";", 1)[0].strip(), 16)
                 except ValueError:

@@ -299,6 +299,9 @@ def test_serve_put_chunked_malformed_is_400(server, db):
     for raw in (
         b"zz\r\nhello\r\n0\r\n\r\n",  # non-hex size
         b"5\r\nk 1 uXX0\r\n\r\n",  # chunk data not CRLF-terminated
+        # chunk-size line longer than the 66-byte reader cap: must be
+        # refused, not silently truncated into a misframed stream
+        b"5;" + b"x" * 100 + b"\r\nk 1 u\r\n0\r\n\r\n",
     ):
         c = http.client.HTTPConnection(host, timeout=10)
         c.putrequest("PUT", "/")
