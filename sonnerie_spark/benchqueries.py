@@ -3089,18 +3089,31 @@ def q_repeated_spans(spark, sf_dir):
 )
 def q_lsh_index_incremental(spark, sf_dir):
     """The persistent LshIndex under the correctness gate: documents
-    arrive as two batches (even ids, then odd ids); the union of each
-    batch's add() pair output must equal the one-shot LSH pair set over
-    the whole corpus — the oracle IS the one-shot SQL. Proves the
+    arrive as two batches (even ids, then odd ids) through the
+    applied-batch ledger (``batch_id=``), and the FIRST batch is then
+    RE-DELIVERED (the at-least-once foreachBatch retry, arriving LATE —
+    after the second batch landed); the union of every add() output,
+    replay included, must equal the one-shot LSH pair set over the
+    whole corpus — the oracle IS the one-shot SQL. Proves the
     incremental index neither misses cross-batch collisions nor
-    re-emits stale ones."""
+    re-emits stale ones, and that a replayed batch skips the append
+    (its extra late-replay pairs are re-emissions already in the
+    one-shot set, never fabrications)."""
 
     docs = load_par(spark, sf_dir, "documents")
     idx = dedup.LshIndex(spark, _gate_tmp("lsh_gate_"))
-    p1 = idx.add(docs.filter(F.col("doc_id") % 2 == 0), "doc_id", "text")
-    p2 = idx.add(docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text")
-    return p1.unionByName(p2).select(
-        F.col("id_a").cast("long"), F.col("id_b").cast("long")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    p1 = idx.add(even, "doc_id", "text", batch_id="even")
+    p2 = idx.add(
+        docs.filter(F.col("doc_id") % 2 == 1), "doc_id", "text",
+        batch_id="odd",
+    )
+    p1_replay = idx.add(even, "doc_id", "text", batch_id="even")
+    return (
+        p1.unionByName(p2)
+        .unionByName(p1_replay)
+        .distinct()
+        .select(F.col("id_a").cast("long"), F.col("id_b").cast("long"))
     )
 
 
@@ -6981,21 +6994,59 @@ _DRIVER_WINDOW = [
     #     (hll_merge_halves stays: the same HLL register build plus
     #     the merge; residual = the per-group keying — r8+r9 records;
     #     incoming gate runs the from-scratch baseline JPEG decoder).
-    # Never-driver-seen after the r10 rotation (26): fold_series,
+    # r11 rotation (VERDICT r10 #2: the pinned r11 ten — the analytics
+    # window family, the codec tail, and fold_series, the gate whose
+    # read path r10's row-group work touched most). Departures and
+    # their covers — strong subsumption where available, otherwise the
+    # departing gate holds >=2 driver records and its NARROW residual
+    # (named) is pinned by pytest + the three-SF local sweep:
+    #   decontaminate_bloom -> strip_boilerplate (STRICT cover:
+    #     corpus_curation_v5 stays and runs v4's decontaminate-bloom
+    #     stage verbatim — explode, broadcast word-table joins,
+    #     broadcast anti-join; departing gate also holds r9+r10
+    #     records);
+    #   dd_merge_grouped -> ohlc_1h (dd_store_roundtrip stays: add()
+    #     runs the same DD bucket-index build and merge() the same
+    #     register combine through the persistent store; residual =
+    #     the per-group merge keying — r9+r10 records);
+    #   bloom_filter_membership -> gap_fill_locf (bloom_store_roundtrip
+    #     stays: the roundtrip builds the same Kirsch-Mitzenmacher
+    #     bit-array AND probes membership through the persistent form;
+    #     departing gate holds r9+r10 records);
+    #   hll_merge_halves -> time_weighted_avg (r9+r10 records; residual
+    #     = the register-max merge identity, pinned by the sketch-merge
+    #     pytest matrix + three-SF sweep; the HLL register build also
+    #     runs inside distinct_sketch_by_group, r8+r9 records);
+    #   cms_merge_halves -> fold_series (r9+r10 records; residual = the
+    #     counter-sum merge identity, same pytest matrix + sweep);
+    #   kmv_merge_halves -> normalize_text (r9+r10 records; residual =
+    #     the bottom-k union merge, same pytest matrix + sweep);
+    #   bpe_train -> multimodal_decode_gif (r8+r9+r10 records; residual
+    #     = the merge-pair counting/argmax loop, pinned by
+    #     test_lm/test_text BPE tests + sweep; bpe encode/apply
+    #     machinery also rides pack_sequences' token path, staying);
+    #   lm_score_kneser_ney -> multimodal_decode_avi (r8+r9+r10
+    #     records; residual = the KN continuation/discount tables over
+    #     the shared lm_vocab/lm_bigram_counts spine, pinned by
+    #     test_lm + sweep);
+    #   embedding_quantize_int8 -> multimodal_frame_sample (r8+r9+r10
+    #     records; residual = the symmetric int8 scale/round map-only
+    #     projection, pinned by test_similarity + sweep;
+    #     ivfpq_index_incremental stays and runs the heavier PQ
+    #     quantization family);
+    #   gopher_quality_filter -> multimodal_resize_png (r7..r10
+    #     records; residual = the rule-column thresholds; the same
+    #     token-stats pipeline runs inside c4_line_clean (staying) and
+    #     the curation composites' quality stage — corpus_curation_v5
+    #     staying).
+    # Never-driver-seen after the r11 rotation (16):
     # stratified_sample_lang, neardup_keep_longest, corpus_curation,
-    # repetition_filter, time_weighted_avg, ohlc_1h, gap_fill_locf,
-    # series_anomaly_zscore, quality_filter_stratified,
-    # bpe_pair_counts, cohort_retention, funnel_conversion,
-    # repeated_spans, dedup_ngram_containment, chunk_documents,
-    # cap_per_group, deterministic_shuffle, normalize_text,
-    # strip_boilerplate, multimodal_resize_png, multimodal_decode_gif,
-    # multimodal_decode_avi, multimodal_frame_sample,
+    # repetition_filter, series_anomaly_zscore,
+    # quality_filter_stratified, bpe_pair_counts, cohort_retention,
+    # funnel_conversion, repeated_spans, dedup_ngram_containment,
+    # chunk_documents, cap_per_group, deterministic_shuffle,
     # distinct_sketch_hll, multimodal_decode_stub.
     # Pinned rotation schedule to finish the program (VERDICT r9 #4):
-    #   r11 (10): strip_boilerplate, normalize_text,
-    #     multimodal_decode_gif, multimodal_decode_avi,
-    #     multimodal_frame_sample, multimodal_resize_png, fold_series,
-    #     ohlc_1h, gap_fill_locf, time_weighted_avg;
     #   r12 (10): series_anomaly_zscore, cohort_retention,
     #     funnel_conversion, repetition_filter, repeated_spans,
     #     dedup_ngram_containment, chunk_documents, cap_per_group,
@@ -7056,26 +7107,31 @@ _DRIVER_WINDOW = [
     #     residual = the num_values=m multi-column agg struct).
     "dedup_paragraphs_incremental",
     "dedup_ngram_jaccard_capped",
-    "bm25_topk", "bpe_train",
+    "bm25_topk",
     "simhash120_near_pairs",
     "dedup_paragraphs", "classifier_score",
     "ivfpq_index_incremental",
-    "embedding_quantize_int8", "lm_score_kneser_ney",
-    "multimodal_decode_jpeg",
-    # sketch merge identities + bloom surface (r8-landed, first record)
-    "dd_merge_grouped", "hll_merge_halves", "cms_merge_halves",
-    "kmv_merge_halves", "bloom_filter_membership",
     "bloom_store_roundtrip",
+    "multimodal_decode_jpeg",
     # text / sampling / multimodal pipeline
-    "gopher_quality_filter", "c4_line_clean", "text_lang_id",
+    "c4_line_clean", "text_lang_id",
     "dedup_substrings",
-    "decontaminate_benchmark", "decontaminate_bloom", "redact_pii",
+    "decontaminate_benchmark", "redact_pii",
     "pack_sequences",
     "split_leakage", "corpus_mix_budget", "dsir_select",
     "multimodal_decode_png",
     "multimodal_decode_mp3",
     # perceptual image dedup (r9-landed wide variants, first record)
     "image_dhash128", "image_dhash128_neardup",
+    # time-series analytics family (r11 rotation, first record —
+    # fold_series exercises the pointread/row-group path r10 changed)
+    "fold_series", "ohlc_1h", "gap_fill_locf", "time_weighted_avg",
+    # text normalization pair (r11 rotation, first record)
+    "strip_boilerplate", "normalize_text",
+    # codec tail (r11 rotation, first record — GIF LZW, AVI-MJPEG,
+    # frame sampling, PNG resize round-trip)
+    "multimodal_decode_gif", "multimodal_decode_avi",
+    "multimodal_frame_sample", "multimodal_resize_png",
     # composite end-to-end (v5 runs every v4 stage — decontaminate,
     # then classifier, then the full v3 chain which runs every v2
     # stage; v2/v3/v4 stay verified by the local three-SF sweep)

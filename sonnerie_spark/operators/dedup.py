@@ -25,6 +25,7 @@ import hashlib
 import os
 import re
 import shutil
+import time
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -486,6 +487,84 @@ def simhash_near_pairs(
     return out
 
 
+def _ledger_dir(root: str, batch_id: str) -> str:
+    """Applied-batch ledger path for ``batch_id`` under ``root``.
+    Sanitized to a flat safe name — ids are labels like '2026-08-16'
+    or 'shard-00012', not paths."""
+    safe = re.sub(r"[^A-Za-z0-9._-]", "_", str(batch_id))
+    if not safe or safe in (".", ".."):
+        raise ValueError(f"unusable batch_id: {batch_id!r}")
+    return os.path.join(root, "applied", safe)
+
+
+def _ledger_tmps(bdir: str) -> list[str]:
+    """In-flight/orphaned recording dirs (`<bdir>.tmp-*`) for a ledger
+    entry. Writers create these only while holding the index flock, so
+    any tmp visible to a flock HOLDER is debris from a dead attempt."""
+    adir, base = os.path.dirname(bdir), os.path.basename(bdir)
+    if not os.path.isdir(adir):
+        return []
+    return sorted(
+        os.path.join(adir, n)
+        for n in os.listdir(adir)
+        if n.startswith(base + ".tmp-")
+    )
+
+
+def _ledger_recover_locked(bdir: str, finish) -> bool:
+    """Crash-window recovery for one applied-batch ledger entry; the
+    caller HOLDS the index flock. Returns True iff the batch is (now)
+    applied.
+
+    A writer's sequence is: record the to-append set at a tmp dir and
+    mark it ``_COMPLETE``, append to the index, rename tmp -> ledger —
+    all under the flock. So for debris found under the flock:
+
+    - tmp WITH ``_COMPLETE``: a dead attempt that recorded its set
+      against the PRE-batch index view and then crashed anywhere up to
+      the final rename — possibly after (part of) the index append.
+      Finish the batch from the RECORDING, never from a recompute
+      against the (possibly polluted) index: ``finish(tmp)`` re-appends
+      the recorded set (duplicate index rows are tolerated by every
+      probe and healed by ``compact()``), then the tmp is promoted to
+      the ledger entry. A crash inside recovery just re-runs it.
+    - tmp WITHOUT ``_COMPLETE``: the recording never finished, so by
+      write ordering the index append never started — reap it and let
+      the caller run as a clean first attempt.
+
+    No pid check is needed: the flock proves orphanhood (a live writer
+    would be holding it)."""
+    if os.path.isdir(bdir):
+        return True
+    for tmp in _ledger_tmps(bdir):
+        if os.path.isdir(bdir):
+            # an earlier iteration already promoted a sibling recording
+            shutil.rmtree(tmp, ignore_errors=True)
+            continue
+        if os.path.exists(os.path.join(tmp, "_COMPLETE")):
+            finish(tmp)
+            os.rename(tmp, bdir)
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return os.path.isdir(bdir)
+
+
+def _sweep_ledger_tmps_locked(root: str, finish) -> None:
+    """Finish-or-reap every orphaned ledger recording under
+    ``root/applied`` (caller HOLDS the index flock): complete
+    recordings are promoted via :func:`_ledger_recover_locked` (their
+    batches count as applied from now on), torn ones are reaped — so
+    crashed-writer debris never accumulates on disk."""
+    adir = os.path.join(root, "applied")
+    if not os.path.isdir(adir):
+        return
+    bases = {
+        n.split(".tmp-", 1)[0] for n in os.listdir(adir) if ".tmp-" in n
+    }
+    for base in sorted(bases):
+        _ledger_recover_locked(os.path.join(adir, base), finish)
+
+
 class LshIndex:
     """Persistent MinHash-LSH index for INCREMENTAL near-dup detection.
 
@@ -503,6 +582,15 @@ class LshIndex:
     output is idempotent downstream of a distinct). The probe join is an
     equi-join on (band, bucket) — hash-shuffled, AQE-skew-split, no
     pairwise work outside buckets, same scale shape as the one-shot path.
+
+    Replay: with ``batch_id=None`` a re-run of an already-added batch
+    re-APPENDS its band rows (duplicate rows downstream) — exactly-once
+    delivery is the caller's job. Passing a ``batch_id`` to ``add``
+    makes at-least-once delivery (e.g. a ``foreachBatch`` retry)
+    idempotent via the same applied-batch ledger
+    :class:`ExactIndex` uses: a replayed id skips the append under the
+    index flock and probes the index MINUS the batch's own band rows,
+    so replay output stays correct and the index is bitwise untouched.
     """
 
     def __init__(
@@ -558,6 +646,7 @@ class LshIndex:
         text_col: str,
         *,
         max_bucket_size: int | None = None,
+        batch_id: str | None = None,
     ) -> DataFrame:
         """Index ``docs`` and return the near-dup candidate pairs they
         form — batch-internal pairs plus (new x already-indexed) pairs,
@@ -575,6 +664,21 @@ class LshIndex:
         capped one-shot output (early batches may emit pairs from a
         bucket before it outgrows the cap) and a subset of the uncapped
         pair set; the uncapped equivalence to one-shot stays exact.
+
+        With ``batch_id``, the add is idempotent under at-least-once
+        re-delivery (the ExactIndex applied-batch-ledger pattern): a
+        new id records the batch's band rows at ``applied/<id>``
+        (recording marked complete BEFORE the index append, ledger
+        renamed atomically AFTER it, all under the flock — a crash in
+        between is healed from the recording on the next touch, never
+        by recomputing against a polluted index); a replayed id skips
+        the append and probes the index MINUS the batch's own band
+        rows — an anti-join on the batch's ids, which are corpus-unique
+        and therefore remove exactly what the first run appended,
+        crash-debris copies included. A LATE replay (after later
+        batches landed) may emit pairs against those later docs too:
+        every such pair was already emitted when its later member
+        arrived, so union-over-batches is unchanged (test-asserted).
         """
         cap = max_bucket_size if max_bucket_size is not None else self.max_bucket_size
         bands = (
@@ -590,7 +694,25 @@ class LshIndex:
             .persist()
         )
         try:
+            replay = False
+            bdir = None
+            if batch_id is not None:
+                bdir = _ledger_dir(self.path, batch_id)
+                if os.path.isdir(bdir):
+                    replay = True
+                elif _ledger_tmps(bdir):
+                    with self._locked():
+                        replay = _ledger_recover_locked(
+                            bdir, self._replay_append
+                        )
             old = self._existing()
+            if replay and old is not None:
+                # pre-batch view reconstruction: drop the batch's OWN
+                # rows; later batches' rows stay visible (their extra
+                # pairs are re-emissions — see the docstring)
+                old = old.join(
+                    bands.select("id").distinct(), "id", "left_anti"
+                )
             pair_bands = bands
             if cap is not None:
                 # One aggregation over the BATCH's buckets (tiny) plus a
@@ -601,12 +723,17 @@ class LshIndex:
                     F.count(F.lit(1)).alias("n_new")
                 )
                 if old is not None:
+                    # countDistinct, not count: crash-recovery may leave
+                    # duplicate band rows in the index (tolerated by the
+                    # distinct'd pair output, healed by compact()); the
+                    # cap must count MEMBERS, not rows, or debris shrinks
+                    # the effective cap. Equal to count on a clean index.
                     old_sz = (
                         old.join(
                             new_sz.select("band", "bucket"), ["band", "bucket"]
                         )
                         .groupBy("band", "bucket")
-                        .agg(F.count(F.lit(1)).alias("n_old"))
+                        .agg(F.countDistinct("id").alias("n_old"))
                     )
                     allowed = (
                         new_sz.join(old_sz, ["band", "bucket"], "left")
@@ -647,11 +774,60 @@ class LshIndex:
             # materialize pairs BEFORE appending: the probe must not see
             # the batch's own rows through the index
             out = pairs.localCheckpoint(eager=True)
+            if replay:
+                return out  # ledger says applied: index stays untouched
             with self._locked():
+                tmp = None
+                if bdir is not None:
+                    if os.path.isdir(bdir):
+                        # applied between our check and this flock (the
+                        # single-writer contract makes this unreachable,
+                        # but an append here would double the rows)
+                        return out
+                    tmp = bdir + f".tmp-{os.getpid()}-{time.time_ns():x}"
+                    bands.select("id", "band", "bucket").repartition(
+                        1
+                    ).write.mode("overwrite").parquet(tmp)
+                    # recording complete — marked before the index append
+                    # so recovery can tell a finished recording from a
+                    # torn one (see _ledger_recover_locked)
+                    open(os.path.join(tmp, "_COMPLETE"), "w").close()
                 bands.write.mode("append").parquet(self._data)
+                if tmp is not None:
+                    os.rename(tmp, bdir)  # atomic applied marker, LAST
             return out
         finally:
             bands.unpersist()
+
+    def _replay_append(self, recording: str) -> None:
+        """Re-append a dead attempt's recorded band rows to the index
+        (crash-window recovery; caller holds the flock). Duplicates
+        with whatever the dead attempt already appended are tolerated
+        by the distinct'd pair output and healed by :meth:`compact`."""
+        self.spark.read.schema("id long, band int, bucket string").parquet(
+            recording
+        ).write.mode("append").parquet(self._data)
+
+    def batch_applied(self, batch_id: str) -> bool:
+        """Has ``batch_id`` been recorded by a completed :meth:`add`?
+        (The replay guard.) Also HEALS the crash window: a complete
+        orphaned recording is finished (re-append + ledger rename) and
+        counts as applied; a torn one is reaped and does not."""
+        bdir = _ledger_dir(self.path, batch_id)
+        if os.path.isdir(bdir):
+            return True
+        if not _ledger_tmps(bdir):
+            return False
+        with self._locked():
+            return _ledger_recover_locked(bdir, self._replay_append)
+
+    def batch_bands(self, batch_id: str) -> DataFrame:
+        """The band rows a completed batch appended — what a replayed
+        :meth:`add` subtracts from the probe view (by id). Explicit
+        schema: an empty batch's ledger dir holds zero data files."""
+        return self.spark.read.schema(
+            "id long, band int, bucket string"
+        ).parquet(_ledger_dir(self.path, batch_id))
 
     def _locked(self):
         """Exclusive flock over the index's mutation window (the same
@@ -700,12 +876,19 @@ class LshIndex:
             for name in os.listdir(self.path):
                 if name.startswith(("bands.old-", "bands.compact-")):
                     shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+            # finish-or-reap orphaned ledger recordings BEFORE reading
+            # the rewrite input (finishing one appends to the index)
+            _sweep_ledger_tmps_locked(self.path, self._replay_append)
             old = self._existing()
             if old is None:
                 return
             tmp = self._data + f".compact-{os.getpid()}-{time.time_ns():x}"
             (
-                old.repartition("band", "bucket")
+                # dropDuplicates heals crash-recovery double-appends:
+                # (id, band) is a natural key, so exact-duplicate rows
+                # are always redundant
+                old.dropDuplicates(["id", "band", "bucket"])
+                .repartition("band", "bucket")
                 .sortWithinPartitions("band", "bucket", "id")
                 .write.mode("overwrite")
                 .parquet(tmp)
@@ -826,42 +1009,68 @@ class ExactIndex:
         id records the appended hash set at ``applied/<id>`` so a
         replayed probe can reconstruct the pre-batch index view
         (:func:`~sonnerie_spark.operators.text.dedup_paragraphs_incremental`).
-        Ordering is index-append THEN ledger rename: a crash between
-        the two replays the batch as if never applied (the documented
-        at-least-once window — duplicate hash rows in the index are
-        tolerated by every probe, which joins semi/anti on ``h``)."""
+        Ordering is recording (marked ``_COMPLETE``) -> index append ->
+        ledger rename: a crash between the last two is HEALED on the
+        next touch of this batch_id — :func:`_ledger_recover_locked`
+        re-appends the completed recording (the fresh set the first
+        run computed against the PRE-batch view; duplicate hash rows
+        in the index are tolerated by every probe, which joins
+        semi/anti on ``h``, and healed by :meth:`compact`) and promotes
+        it to the ledger, so the batch counts as applied with its
+        original fresh set — never recomputed against an index already
+        polluted by the dead attempt."""
         fresh = hashes.select("h").withColumn("pfx", F.substring("h", 1, 2))
         n_tasks = min(256, max(1, fresh.count() // 250_000 + 1))
         with self._locked():
-            bdir = None
+            bdir = tmp = None
             if batch_id is not None:
                 bdir = self._batch_dir(batch_id)
-                if os.path.isdir(bdir):
-                    return  # replayed batch: ledger says already applied
-                tmp = bdir + f".tmp-{os.getpid()}"
-                shutil.rmtree(tmp, ignore_errors=True)
+                if _ledger_recover_locked(bdir, self._replay_append):
+                    return  # applied (possibly just now, from a recording)
+                tmp = bdir + f".tmp-{os.getpid()}-{time.time_ns():x}"
                 fresh.select("h").repartition(1).write.mode(
                     "overwrite"
                 ).parquet(tmp)
+                open(os.path.join(tmp, "_COMPLETE"), "w").close()
             fresh.select("h", "pfx").repartition(
                 n_tasks, "pfx"
             ).write.mode("append").partitionBy("pfx").parquet(self._data)
             if bdir is not None:
-                os.makedirs(os.path.dirname(bdir), exist_ok=True)
                 os.rename(tmp, bdir)  # atomic applied marker, written LAST
 
+    def _replay_append(self, recording: str) -> None:
+        """Re-append a dead attempt's recorded fresh set to the index
+        (crash-window recovery; caller holds the flock). Duplicates
+        with whatever the dead attempt already appended are tolerated
+        by the semi/anti probes and healed by :meth:`compact`."""
+        fresh = (
+            self.spark.read.schema("h string")
+            .parquet(recording)
+            .withColumn("pfx", F.substring("h", 1, 2))
+        )
+        fresh.repartition(1, "pfx").write.mode("append").partitionBy(
+            "pfx"
+        ).parquet(self._data)
+
     def _batch_dir(self, batch_id: str) -> str:
-        """Ledger path for a batch id. Sanitized to a flat safe name —
-        ids are labels like '2026-08-16' or 'shard-00012', not paths."""
-        safe = re.sub(r"[^A-Za-z0-9._-]", "_", str(batch_id))
-        if not safe or safe in (".", ".."):
-            raise ValueError(f"unusable batch_id: {batch_id!r}")
-        return os.path.join(self.path, "applied", safe)
+        """Ledger path for a batch id (see :func:`_ledger_dir`)."""
+        return _ledger_dir(self.path, batch_id)
 
     def batch_applied(self, batch_id: str) -> bool:
         """Has ``batch_id`` been recorded by a completed
-        :meth:`append_hashes`? (The replay guard.)"""
-        return os.path.isdir(self._batch_dir(batch_id))
+        :meth:`append_hashes`? (The replay guard.) Also HEALS the
+        crash window: a complete orphaned recording is finished
+        (re-append + ledger rename) and counts as applied; a torn one
+        is reaped and does not — so a caller that crashed between the
+        index append and the ledger rename gets its first run's fresh
+        set back instead of recomputing against a polluted index."""
+        bdir = self._batch_dir(batch_id)
+        if os.path.isdir(bdir):
+            return True
+        if not _ledger_tmps(bdir):
+            return False
+        with self._locked():
+            return _ledger_recover_locked(bdir, self._replay_append)
 
     def batch_hashes(self, batch_id: str) -> DataFrame:
         """The hash set a completed batch appended — what a replayed
@@ -884,12 +1093,18 @@ class ExactIndex:
             for name in os.listdir(self.path):
                 if name.startswith(("hashes.old-", "hashes.compact-")):
                     shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+            # finish-or-reap orphaned ledger recordings BEFORE reading
+            # the rewrite input (finishing one appends to the index)
+            _sweep_ledger_tmps_locked(self.path, self._replay_append)
             old = self._existing()
             if old is None:
                 return
             tmp = self._data + f".compact-{os.getpid()}-{time.time_ns():x}"
             (
-                old.repartition("pfx")
+                # the index is a hash SET: crash-recovery double-appends
+                # are redundant rows, healed here
+                old.dropDuplicates(["h"])
+                .repartition("pfx")
                 .sortWithinPartitions("h")
                 .write.partitionBy("pfx")
                 .parquet(tmp)

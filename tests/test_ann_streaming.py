@@ -222,8 +222,12 @@ def test_pack_sequences_invariants(spark):
 def test_streaming_lsh_index_dedup(spark, tmp_path):
     """Near-dup detection as a STREAMING pipeline: documents arrive as
     micro-batches (file source, one file per trigger); each batch flows
-    through LshIndex.add in foreachBatch. The accumulated pair set must
-    equal the one-shot LSH enumeration over everything seen."""
+    through LshIndex.add in foreachBatch — delivered AT-LEAST-ONCE
+    (every batch is re-delivered immediately, the foreachBatch retry
+    shape). With batch_id the replay is idempotent: the accumulated
+    pair set must still equal the one-shot LSH enumeration over
+    everything seen, and the index must hold each doc's band rows
+    exactly once (a replayed add appends nothing)."""
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     src = str(tmp_path / "arrivals")
     docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
@@ -236,9 +240,12 @@ def test_streaming_lsh_index_dedup(spark, tmp_path):
     idx = dedup.LshIndex(spark, str(tmp_path / "lsh"))
     seen_pairs = set()
 
-    def on_batch(batch_df, _bid):
-        for r in idx.add(batch_df, "doc_id", "text").collect():
-            seen_pairs.add((r["id_a"], r["id_b"]))
+    def on_batch(batch_df, bid):
+        for attempt in range(2):  # at-least-once: deliver twice
+            for r in idx.add(
+                batch_df, "doc_id", "text", batch_id=f"b{bid}"
+            ).collect():
+                seen_pairs.add((r["id_a"], r["id_b"]))
 
     stream = (
         spark.readStream.schema(docs.schema)
@@ -256,6 +263,141 @@ def test_streaming_lsh_index_dedup(spark, tmp_path):
         for r in dedup.minhash_lsh_pairs(docs, "doc_id", "text").collect()
     }
     assert seen_pairs == one_shot and one_shot
+    # replays appended nothing: one band row per (doc, band)
+    n_bands = idx.num_hashes // idx.band_size
+    assert idx._existing().count() == docs.count() * n_bands
+
+
+def test_lsh_index_replay_idempotent(spark, tmp_path):
+    """LshIndex.add with batch_id: a replayed batch leaves the index
+    bitwise untouched and returns a correct pair set — an IMMEDIATE
+    replay returns exactly the first run's pairs; a LATE replay (after
+    another batch landed) may additionally emit pairs against the later
+    docs, but every extra pair is one the later batch already emitted,
+    so the accumulated union still equals the one-shot enumeration."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    idx = dedup.LshIndex(spark, str(tmp_path / "lsh"))
+
+    def pairs(df):
+        return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+    def index_rows():
+        return sorted(
+            (r["id"], r["band"], r["bucket"])
+            for r in idx._existing().collect()
+        )
+
+    p1 = pairs(idx.add(b1, "doc_id", "text", batch_id="b1"))
+    rows1 = index_rows()
+    assert idx.batch_applied("b1") and not idx.batch_applied("b2")
+    # immediate replay: exact first-run output, index untouched
+    assert pairs(idx.add(b1, "doc_id", "text", batch_id="b1")) == p1
+    assert index_rows() == rows1
+
+    p2 = pairs(idx.add(b2, "doc_id", "text", batch_id="b2"))
+    rows2 = index_rows()
+
+    one_shot = pairs(dedup.minhash_lsh_pairs(docs, "doc_id", "text"))
+    assert p1 | p2 == one_shot and one_shot
+
+    # LATE replay of b1: superset of its first run, subset of one-shot,
+    # union unchanged, index untouched
+    p1_late = pairs(idx.add(b1, "doc_id", "text", batch_id="b1"))
+    assert p1 <= p1_late <= one_shot
+    assert p1_late | p2 == one_shot
+    assert index_rows() == rows2
+    # the ledger records exactly the batch's band rows
+    assert idx.batch_bands("b1").count() == b1.count() * (
+        idx.num_hashes // idx.band_size
+    )
+
+
+def test_lsh_index_crash_window_recovery(spark, tmp_path, monkeypatch):
+    """Crash between the index append and the ledger rename (the
+    at-least-once window): the next touch of the batch_id must heal
+    from the pre-append RECORDING — re-delivery returns the first
+    run's pairs, the ledger seals with the original band rows, later
+    batches are undistorted by the duplicate debris (pair output is
+    distinct'd), and compact() removes the duplicates."""
+    import os as _os
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def pairs(df):
+        return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+    # clean twin: the outputs the crashed index must reproduce
+    twin = dedup.LshIndex(spark, str(tmp_path / "twin"))
+    exp1 = pairs(twin.add(b1, "doc_id", "text"))
+    exp2 = pairs(twin.add(b2, "doc_id", "text"))
+
+    idx = dedup.LshIndex(spark, str(tmp_path / "lsh"))
+    real_rename = _os.rename
+
+    def boom(src, dst, *a, **k):
+        d = str(dst)
+        if _os.path.basename(d) == "b1" and "applied" in d:
+            raise OSError("simulated crash before ledger rename")
+        return real_rename(src, dst, *a, **k)
+
+    monkeypatch.setattr("os.rename", boom)
+    with pytest.raises(OSError, match="simulated crash"):
+        idx.add(b1, "doc_id", "text", batch_id="b1")
+    monkeypatch.undo()
+
+    # state: bands appended, complete recording left, ledger missing
+    assert not _os.path.isdir(_os.path.join(idx.path, "applied", "b1"))
+    n_bands = idx.num_hashes // idx.band_size
+    assert idx._existing().count() == b1.count() * n_bands
+
+    # re-delivery heals: first-run pairs, ledger sealed with the
+    # original recording (recovery re-appends it -> duplicate rows)
+    assert pairs(idx.add(b1, "doc_id", "text", batch_id="b1")) == exp1
+    assert idx.batch_applied("b1")
+    assert idx.batch_bands("b1").count() == b1.count() * n_bands
+
+    # duplicate debris does not distort a later batch's pair output
+    assert pairs(idx.add(b2, "doc_id", "text", batch_id="b2")) == exp2
+
+    # compact heals the double-append down to one row per (doc, band)
+    idx.compact()
+    assert idx._existing().count() == docs.count() * n_bands
+    # and replay still works against the compacted layout
+    assert pairs(idx.add(b1, "doc_id", "text", batch_id="b1")) >= exp1
+
+
+def test_lsh_index_torn_recording_reaped(spark, tmp_path):
+    """A recording WITHOUT the _COMPLETE marker is a crash BEFORE the
+    index append (write ordering): batch_applied reaps it and reports
+    not-applied, and the batch then runs as a clean first attempt."""
+    import os as _os
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    idx = dedup.LshIndex(spark, str(tmp_path / "lsh"))
+    torn = _os.path.join(idx.path, "applied", "b1.tmp-1-dead")
+    _os.makedirs(torn)
+    open(_os.path.join(torn, "part-00000.parquet"), "wb").close()
+
+    assert not idx.batch_applied("b1")
+    assert not _os.path.exists(torn)
+
+    out = idx.add(b1, "doc_id", "text", batch_id="b1")
+    assert idx.batch_applied("b1")
+    twin = dedup.LshIndex(spark, str(tmp_path / "twin"))
+    assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {
+        (r["id_a"], r["id_b"])
+        for r in twin.add(b1, "doc_id", "text").collect()
+    }
+    # compact sweeps foreign torn recordings too
+    foreign = _os.path.join(idx.path, "applied", "zz.tmp-2-dead")
+    _os.makedirs(foreign)
+    idx.compact()
+    assert not _os.path.exists(foreign)
 
 
 def test_exact_index_lifecycle(spark, tmp_path):

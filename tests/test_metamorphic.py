@@ -599,6 +599,95 @@ def test_dedup_paragraphs_incremental_replay_idempotent(spark, tmp_path):
     assert run("day3") == first3
 
 
+def test_dedup_paragraphs_incremental_crash_window_recovery(
+    spark, tmp_path, monkeypatch
+):
+    """Crash between ExactIndex's append and the ledger rename (the
+    ADVICE r10 window): WITHOUT recovery, a re-run would probe the
+    polluted index, flag everything duplicate, and seal an EMPTY
+    ledger — permanently losing the batch's kept paragraphs from every
+    future replay. The heal path must instead finish the batch from
+    the pre-append recording: re-delivery returns the first run's
+    exact output, the ledger holds the ORIGINAL fresh set, and
+    union-over-batches == one-shot."""
+    import os as _os
+
+    from sonnerie_spark.operators.dedup import ExactIndex
+    from sonnerie_spark.operators.text import (
+        dedup_paragraphs,
+        dedup_paragraphs_incremental,
+    )
+
+    batches = {
+        "day1": [(10, "shared A\nuniq one\n"), (11, "shared A\nshared B")],
+        "day2": [(20, "shared B\nuniq two\nuniq two"), (21, "shared A")],
+    }
+
+    def run(index, bid):
+        df = spark.createDataFrame(
+            batches[bid], "doc_id: long, text: string"
+        )
+        return {
+            r["id"]: (r["text"], r["n_paragraphs"], r["n_removed"])
+            for r in dedup_paragraphs_incremental(
+                index, df, "doc_id", "text", batch_id=bid
+            ).collect()
+        }
+
+    # clean twin: the outputs and ledger the crashed index must match
+    twin = ExactIndex(spark, str(tmp_path / "twin"))
+    exp1 = run(twin, "day1")
+    twin_ledger1 = sorted(
+        r["h"] for r in twin.batch_hashes("day1").collect()
+    )
+    assert twin_ledger1  # day1 publishes fresh paragraphs
+
+    idx = ExactIndex(spark, str(tmp_path / "paridx"))
+    real_rename = _os.rename
+
+    def boom(src, dst, *a, **k):
+        d = str(dst)
+        if _os.path.basename(d) == "day1" and "paridx" in d:
+            raise OSError("simulated crash before ledger rename")
+        return real_rename(src, dst, *a, **k)
+
+    monkeypatch.setattr("os.rename", boom)
+    with pytest.raises(OSError, match="simulated crash"):
+        run(idx, "day1")
+    monkeypatch.undo()
+
+    # state: index polluted with day1's hashes, recording left complete,
+    # ledger missing
+    assert not _os.path.isdir(_os.path.join(idx.path, "applied", "day1"))
+    assert idx._existing().count() == len(twin_ledger1)
+
+    # re-delivery heals: the first run's EXACT output (not all-dup) and
+    # the ledger seals with the original fresh set (not empty)
+    assert run(idx, "day1") == exp1
+    assert idx.batch_applied("day1")
+    assert (
+        sorted(r["h"] for r in idx.batch_hashes("day1").collect())
+        == twin_ledger1
+    )
+
+    # a later batch and further replays line up with the one-shot pass
+    got2 = run(idx, "day2")
+    assert run(idx, "day1") == exp1
+    all_df = spark.createDataFrame(
+        batches["day1"] + batches["day2"], "doc_id: long, text: string"
+    )
+    exp = {
+        r["id"]: (r["text"], r["n_paragraphs"], r["n_removed"])
+        for r in dedup_paragraphs(all_df, "doc_id", "text").collect()
+    }
+    assert {**exp1, **got2} == exp
+
+    # compact heals the recovery's double-append back to a hash SET
+    idx.compact()
+    n_distinct = idx._existing().select("h").distinct().count()
+    assert idx._existing().count() == n_distinct
+
+
 def test_classifier_score_weights_equals_hashed(spark):
     """classifier_score: the trained-weights path (broadcast vocabulary
     join) equals the hashed path when fed exactly the hashed weights;
