@@ -24,8 +24,13 @@ handler threads — Spark sessions are thread-safe for concurrent actions
 
 from __future__ import annotations
 
+import re
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import unquote, urlparse
+
+# RFC 9112 chunk-size: hex digits only (int(tok, 16) alone would also
+# accept '+'/'-', whitespace, and Python underscore separators)
+_HEXDIGITS = re.compile(rb"[0-9A-Fa-f]+")
 
 from sonnerie_spark.db import Database
 from sonnerie_spark.rowformat import parse_line
@@ -49,8 +54,30 @@ def make_server(
     """Build (not start) the HTTP server; ``server_address[1]`` is the
     bound port (use port=0 for an ephemeral one in tests)."""
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1 with persistent connections — reference parity: the
+        # hyper front-end keeps connections open by default
+        # (sonnerie-serve.rs:34-96). Every response below therefore
+        # self-frames (Content-Length or chunked); an unframed body
+        # under 1.1 would stall the client, not just waste a socket.
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, *a):  # quiet
             pass
+
+        def _send_plain(self, status: int, body: bytes, *, close=False):
+            """One self-framed plain-text response. ``close=True`` also
+            advertises Connection: close (set close_connection BEFORE
+            the headers go out so the client is not left waiting on a
+            socket we are about to drop)."""
+            if close:
+                self.close_connection = True
+            self.send_response(status)
+            self.send_header("Content-Type", "text/plain; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            if self.close_connection:
+                self.send_header("Connection", "close")
+            self.end_headers()
+            self.wfile.write(body)
 
         def do_GET(self):
             from sonnerie_spark.cli import record_to_line
@@ -83,23 +110,38 @@ def make_server(
                     it = df.toLocalIterator(prefetchPartitions=True)
                 self.send_response(200)
                 self.send_header("Content-Type", "text/plain; charset=utf-8")
+                # Streamed body of unknown length + keep-alive =>
+                # chunked framing (the only HTTP/1.1 way to stream AND
+                # reuse the connection; a mid-stream failure drops the
+                # socket without the terminal chunk, so truncation is
+                # DETECTABLE to the client — strictly better than the
+                # old HTTP/1.0 close-delimited body).
+                self.send_header("Transfer-Encoding", "chunked")
                 self.end_headers()
                 headers_sent = True
+                buf = bytearray()
                 for row in it:
                     line = record_to_line(row, ts_style=ts_style, show_fmt=False)
-                    self.wfile.write(line.encode() + b"\n")
+                    buf += line.encode() + b"\n"
+                    if len(buf) >= 64 * 1024:
+                        self.wfile.write(
+                            b"%x\r\n%s\r\n" % (len(buf), bytes(buf))
+                        )
+                        buf.clear()
+                if buf:
+                    self.wfile.write(b"%x\r\n%s\r\n" % (len(buf), bytes(buf)))
+                self.wfile.write(b"0\r\n\r\n")  # terminal chunk
             except BrokenPipeError:
                 pass
             except Exception as e:
                 if headers_sent:
                     # 200 + headers already on the wire: a second status
-                    # line would corrupt the body — just drop the
-                    # connection so the client sees a truncated stream.
+                    # line would corrupt the body — drop the connection
+                    # WITHOUT the terminal chunk so the client sees a
+                    # hard-truncated chunked stream, not a clean end.
                     self.close_connection = True
                 else:  # surface engine errors as 500 text
-                    self.send_response(500)
-                    self.end_headers()
-                    self.wfile.write(str(e).encode())
+                    self._send_plain(500, str(e).encode())
 
         def _commit_spooled(self, write_body) -> None:
             """Spooled-PUT path: body -> disk spool -> distributed parse
@@ -160,15 +202,25 @@ def make_server(
                     # occur in practice; RFC 9112 lets a server fail
                     # them)
                     raise ValueError("oversized chunk-size line")
-                try:
-                    size = int(szline.split(b";", 1)[0].strip(), 16)
-                except ValueError:
-                    raise ValueError("malformed chunk size") from None
+                tok = szline.split(b";", 1)[0].rstrip(b"\r\n")
+                # int(tok, 16) alone accepts non-RFC forms — '+1f',
+                # '-2', '1_0' (Python underscore = 0x10!), inner
+                # whitespace — and a negative size would skip the data
+                # loop and misframe. RFC 9112 chunk-size is hex digits
+                # ONLY; validate before parsing.
+                if not tok or not _HEXDIGITS.fullmatch(tok):
+                    raise ValueError("malformed chunk size")
+                size = int(tok, 16)
                 if size == 0:
                     # consume trailer section up to the blank line
                     while True:
                         t = self.rfile.readline(1 << 16)
-                        if t in (b"\r\n", b"\n", b""):
+                        if t == b"":
+                            # EOF mid-trailer: the terminator never
+                            # arrived — same truncation as a torn
+                            # chunk, NOT a clean end of body
+                            raise OSError("truncated chunked body")
+                        if t in (b"\r\n", b"\n"):
                             return
                     # not reached
                 remaining = size
@@ -196,20 +248,18 @@ def make_server(
             length = 0
             if not chunked:
                 if cl is None:
-                    self.send_response(411)
-                    self.end_headers()
-                    self.wfile.write(b"Content-Length required")
-                    self.close_connection = True
+                    self._send_plain(
+                        411, b"Content-Length required", close=True
+                    )
                     return
                 try:
                     length = int(cl)
                     if length < 0:
                         raise ValueError(cl)
                 except ValueError:
-                    self.send_response(400)
-                    self.end_headers()
-                    self.wfile.write(b"malformed Content-Length")
-                    self.close_connection = True
+                    self._send_plain(
+                        400, b"malformed Content-Length", close=True
+                    )
                     return
             try:
                 if chunked:
@@ -229,24 +279,18 @@ def make_server(
                     if rows:
                         db.commit_rows(rows)
                 # 201 + "ok", like the reference (sonnerie-serve.rs:193-203)
-                self.send_response(201)
-                self.send_header("Content-Type", "text/plain")
-                self.end_headers()
-                self.wfile.write(b"ok")
+                self._send_plain(201, b"ok")
             except Exception as e:
-                self.send_response(400)
-                self.end_headers()
-                self.wfile.write(str(e).encode())
                 # a failed PUT can leave body bytes unread (framing
                 # errors, short bodies) — the next keep-alive request
-                # would parse them as its request line
-                self.close_connection = True
+                # would parse them as its request line, so drop
+                self._send_plain(400, str(e).encode(), close=True)
 
         def _bad_method(self):
-            # any non-GET/PUT is a 400, as in sonnerie-serve.rs:91-96
-            self.send_response(400)
-            self.end_headers()
-            self.wfile.write(b"bad method")
+            # any non-GET/PUT is a 400, as in sonnerie-serve.rs:91-96.
+            # close: the unsupported method may carry a body we will
+            # not read (same misframe hazard as a failed PUT)
+            self._send_plain(400, b"bad method", close=True)
 
         do_POST = do_DELETE = do_PATCH = do_HEAD = _bad_method
 

@@ -302,6 +302,15 @@ def test_serve_put_chunked_malformed_is_400(server, db):
         # chunk-size line longer than the 66-byte reader cap: must be
         # refused, not silently truncated into a misframed stream
         b"5;" + b"x" * 100 + b"\r\nk 1 u\r\n0\r\n\r\n",
+        # non-RFC forms int(tok, 16) alone would ACCEPT: sign prefixes
+        # (negative skips the data loop entirely), Python underscore
+        # separators ('1_0' parses as 0x10), surrounding whitespace
+        b"+5\r\nk 1 u\r\n0\r\n\r\n",
+        b"-5\r\n0\r\n\r\n",
+        b"1_0\r\n" + b"x" * 16 + b"\r\n0\r\n\r\n",
+        b" 5\r\nk 1 u\r\n0\r\n\r\n",
+        b"5 \r\nk 1 u\r\n0\r\n\r\n",
+        b"\r\nk 1 u\r\n0\r\n\r\n",  # empty size token
     ):
         c = http.client.HTTPConnection(host, timeout=10)
         c.putrequest("PUT", "/")
@@ -312,6 +321,119 @@ def test_serve_put_chunked_malformed_is_400(server, db):
         assert r.status == 400, raw
         c.close()
     assert db.read().count() == 0
+
+
+def test_serve_put_chunked_eof_mid_trailer_is_400(server, db):
+    """A connection that dies between the terminal '0' chunk and the
+    trailer's blank line is a TRUNCATED body, not a clean end: the
+    server must not commit (the first run's framing contract — EOF in
+    the size line and EOF mid-chunk already refuse; the trailer loop
+    must too)."""
+    import socket
+    from urllib.parse import urlparse
+
+    host, port = urlparse(server).netloc.split(":")
+    s = socket.create_connection((host, int(port)), timeout=10)
+    s.sendall(
+        b"PUT / HTTP/1.1\r\nHost: x\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"a\r\nk 1000 u 7\r\n0\r\n"  # terminal chunk, NO trailer blank line
+    )
+    s.shutdown(socket.SHUT_WR)  # EOF mid-trailer
+    resp = s.recv(4096)
+    s.close()
+    assert resp.startswith(b"HTTP/1.1 400"), resp
+    assert db.read().count() == 0  # nothing committed
+
+
+def test_serve_keepalive_reuse_and_failed_put_drop(server, db):
+    """HTTP/1.1 persistent-connection parity (sonnerie-serve's hyper
+    front-end keeps connections open by default): one connection
+    serves PUT -> GET -> chunked PUT -> GET back-to-back, GET bodies
+    arrive chunk-framed so the client knows where each ends, and a
+    FAILED put (parse error) still answers 400 then drops the socket —
+    its half-read body must never be parsed as the next request."""
+    import http.client
+    from urllib.parse import urlparse
+
+    host = urlparse(server).netloc
+    c = http.client.HTTPConnection(host, timeout=30)
+    # request 1: PUT
+    c.request("PUT", "/", body=b"b 2000 u 2\na 1000 u 1\n")
+    r = c.getresponse()
+    assert (r.status, r.read()) == (201, b"ok")
+    # request 2: GET on the SAME socket
+    c.request("GET", "/%25")
+    r = c.getresponse()
+    assert r.status == 200
+    assert r.read().decode().splitlines() == ["a\t1000\t1", "b\t2000\t2"]
+    # request 3: chunked PUT, same socket
+    c.putrequest("PUT", "/")
+    c.putheader("Transfer-Encoding", "chunked")
+    c.endheaders()
+    c.send(b"b\r\nc 3000 u 3\n\r\n0\r\n\r\n")
+    r = c.getresponse()
+    assert (r.status, r.read()) == (201, b"ok")
+    # request 4: GET sees all three transactions, same socket
+    c.request("GET", "/%25")
+    r = c.getresponse()
+    assert len(r.read().splitlines()) == 3
+    c.close()
+    assert len(db.data_runs()) == 2  # two PUTs = two transactions
+
+    # a failed PUT answers 400, advertises Connection: close, and the
+    # server actually closes the socket (raw recv sees EOF) — its
+    # half-read body is never parsed as a next request
+    import socket
+
+    h, p = host.split(":")
+    s = socket.create_connection((h, int(p)), timeout=10)
+    bad = b"not-a-valid-line\n"
+    s.sendall(
+        b"PUT / HTTP/1.1\r\nHost: x\r\nContent-Length: %d\r\n\r\n" % len(bad)
+        + bad
+        + b"GET /%25 HTTP/1.1\r\nHost: x\r\n\r\n"  # pipelined follow-up
+    )
+    buf = b""
+    while True:
+        got = s.recv(65536)
+        if not got:
+            break  # server closed after the 400
+        buf += got
+    s.close()
+    assert buf.startswith(b"HTTP/1.1 400")
+    assert b"Connection: close" in buf
+    assert b"HTTP/1.1 200" not in buf  # the pipelined GET was dropped
+    assert db.read().count() == 3
+
+
+def test_serve_pipelined_requests_and_connection_close(server, db):
+    """Pipelining fuzz on the raw socket: three GETs written in ONE
+    send() must come back as three well-framed 200 responses in order;
+    a request carrying 'Connection: close' is answered then the socket
+    closes (honored, not ignored)."""
+    import socket
+    from urllib.parse import urlparse
+
+    _put(server, "a 1000 u 1\n")
+    host, port = urlparse(server).netloc.split(":")
+    s = socket.create_connection((host, int(port)), timeout=30)
+    s.sendall(
+        b"GET /%25 HTTP/1.1\r\nHost: x\r\n\r\n"
+        b"GET /a HTTP/1.1\r\nHost: x\r\n\r\n"
+        b"GET /%25 HTTP/1.1\r\nHost: x\r\nConnection: close\r\n\r\n"
+    )
+    buf = b""
+    while True:
+        got = s.recv(65536)
+        if not got:
+            break  # server honored Connection: close
+        buf += got
+    s.close()
+    assert buf.count(b"HTTP/1.1 200") == 3
+    # each streamed body is chunk-framed and cleanly terminated
+    assert buf.count(b"\r\n0\r\n\r\n") == 3
+    # the record line is present in each response body
+    assert buf.count(b"a\t1000\t1") == 3
 
 
 def test_purge_stale_tmp_spares_live_writers(db):
