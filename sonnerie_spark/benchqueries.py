@@ -134,6 +134,47 @@ def _spill_boundary(df: DataFrame, spills: list, tag: str) -> DataFrame:
     return df.sparkSession.read.parquet(target)
 
 
+# Breakeven for a size-conditional stage boundary: below this many
+# SOURCE rows a stage's recompute beats the parquet round-trip's fixed
+# costs (extra job + write + N re-read scans). Measured endpoint (r11,
+# same-session best-of-3 A/B at sf0.1 = 5k docs): v2's keepq spill
+# 22.2 s median vs recompute 11.6 s — the spill DOUBLES the smallest
+# composite because its boundary holds ~3.75k rows. The r9 inflation
+# class the spill exists to prevent (persist/localCheckpoint state in
+# executor storage memory) needs corpus-sized state to matter, so tiny
+# stages get neither spill nor cache: plain recompute, which the
+# plan-hygiene test already permits. 1M is an engineering estimate one
+# to two orders above the measured losing endpoint — at 100 TB every
+# real boundary is far past it and always spills.
+_SPILL_MIN_SOURCE_ROWS = 1_000_000
+
+
+def _boundary(
+    df: DataFrame, spills: list, tag: str, sf_dir: str
+) -> DataFrame:
+    """Size-conditional stage boundary: spill to parquet above the
+    breakeven (the 100 TB shape), pass through for recompute below it
+    (the gate-scale shape). The decision reads ONLY parquet footers —
+    no job, no scan."""
+    if _source_rows(sf_dir) >= _SPILL_MIN_SOURCE_ROWS:
+        return _spill_boundary(df, spills, tag)
+    return df
+
+
+def _source_rows(sf_dir: str, table: str = "documents") -> int:
+    """Row count of a source table from parquet footers alone (cheap,
+    metadata-only). Unknown layouts count as huge — the safe direction
+    is to spill."""
+    try:
+        import pyarrow.dataset as pads
+
+        return pads.dataset(
+            os.path.join(sf_dir, f"{table}.parquet")
+        ).count_rows()
+    except Exception:
+        return 1 << 62
+
+
 def _finish_composite(out: DataFrame, spills: list) -> DataFrame:
     """Blockify the composite result (one eager localCheckpoint job —
     the result itself must survive its spills), then delete the stage
@@ -3728,18 +3769,21 @@ def q_corpus_curation_v2(spark, sf_dir):
     wp = Window.partitionBy("lang")
     w = wp.orderBy(F.col("quality_score").desc(), F.col("id"))
     # Three downstream consumers (pair stream, canonical keep,
-    # survivor anti-join) would each recompute the quality scoring +
-    # rank window; spill the kept corpus once — the standard
-    # stage-boundary materialization a 100 TB pipeline writes to
-    # columnar storage between curation stages (see _spill_boundary).
+    # survivor anti-join) re-derive the kept corpus; whether that
+    # boundary is WORTH materializing is size-dependent — the r11 A/B
+    # showed the unconditional spill DOUBLING this (smallest) composite
+    # at gate scale, so it now spills only above the measured breakeven
+    # (see _boundary / _SPILL_MIN_SOURCE_ROWS; at 100 TB it always
+    # spills — the columnar stage-boundary shape).
     spills: list = []
-    keepq = _spill_boundary(
+    keepq = _boundary(
         base.withColumn("rk", F.row_number().over(w))
         .withColumn("n_lang", F.count("*").over(wp))
         .filter(F.col("rk") * 4 <= F.col("n_lang") * 3)
         .select("id", "lang", "n_chars", "text"),
         spills,
         "keepq",
+        sf_dir,
     )
     pairs = dedup.minhash_lsh_pairs(keepq, "id", "text", k=3, num_hashes=16, band_size=4)
     comps = graph.connected_components(pairs, "id_a", "id_b")

@@ -1231,9 +1231,6 @@ class Database:
         for name in os.listdir(self.path):
             if not name.startswith(".tmp-"):
                 continue
-            pid = _tmp_owner_pid(name)
-            if pid is not None and _pid_alive(pid):
-                continue
             p = os.path.join(self.path, name)
             try:
                 newest = os.stat(p).st_mtime
@@ -1245,6 +1242,20 @@ class Database:
                         )
                     except OSError:
                         pass
+            except OSError:
+                continue
+            pid = _tmp_owner_pid(name)
+            if pid is not None and _pid_alive(pid):
+                # Pid-reuse detection: a process that STARTED after the
+                # debris last moved cannot be the writer that produced
+                # it — the kernel recycled a dead writer's pid. Spare
+                # only a pid plausibly alive since the last write
+                # (1 s margin for clock-tick rounding); unknown start
+                # time (non-/proc host) falls back to sparing.
+                started = _pid_start_time(pid)
+                if started is None or started <= newest + 1.0:
+                    continue
+            try:
                 if now - newest > self.STALE_TMP_SECONDS:
                     shutil.rmtree(p, ignore_errors=True)
             except OSError:
@@ -1402,16 +1413,42 @@ def _tmp_owner_pid(name: str) -> int | None:
     return None
 
 
+def _pid_start_time(pid: int) -> float | None:
+    """Start time (epoch seconds) of a live process via /proc, or None
+    when unavailable (non-Linux host, racing exit, unreadable stat).
+    The janitor uses it to detect pid REUSE: a process that started
+    AFTER a tmp dir's last write cannot be the writer that created it,
+    so the recycled pid must not spare the debris."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            stat = f.read()
+        btime = None
+        with open("/proc/stat", "rb") as f:
+            for line in f:
+                if line.startswith(b"btime "):
+                    btime = int(line.split()[1])
+                    break
+        if btime is None:
+            return None
+        # starttime is field 22 (1-indexed); split AFTER the ')' that
+        # ends comm, which may itself contain spaces or parens ->
+        # state is index 0 of the tail, starttime index 19
+        fields = stat.rsplit(b")", 1)[1].split()
+        return btime + int(fields[19]) / os.sysconf("SC_CLK_TCK")
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def _pid_alive(pid: int) -> bool:
     """Is ``pid`` a live process on THIS host? (The engine's writers
     are same-host by design — serve workers and CLI share the node.)
 
-    Pid-reuse edge, accepted: if the kernel recycles a dead writer's
-    pid onto an unrelated process, that writer's stale spill survives
-    one extra janitor pass per recycle — debris lives longer, never
-    the reverse (a LIVE writer can only be spared, since its own pid
-    is by definition alive). Bounded, self-healing, not worth a
-    boot-time registry."""
+    Pid-reuse edge: if the kernel recycles a dead writer's pid onto an
+    unrelated process this alone would spare the debris; the janitor
+    therefore pairs it with ``_pid_start_time`` — a pid born after the
+    debris last moved is treated as dead for sparing purposes. A LIVE
+    writer can still only be spared, never killed: its own start time
+    necessarily precedes every write it made."""
     try:
         os.kill(pid, 0)
     except ProcessLookupError:

@@ -438,17 +438,25 @@ def test_serve_pipelined_requests_and_connection_close(server, db):
 
 def test_purge_stale_tmp_spares_live_writers(db):
     """The crash-debris janitor must never rmtree a LIVE transaction
-    spill: a .tmp dir whose owner pid is alive survives ANY age; a
+    spill: a .tmp dir whose owner pid is alive survives ANY age
+    (provided its writes postdate the owner's start — true for every
+    genuine owner; see the pid-reuse test for the converse); a
     dead-owner dir with a fresh child file survives the dir-mtime
     trap (appends touch file mtimes, not the parent dir); only a
     dead-owner dir whose newest mtime is stale is purged."""
     import os
     import time
 
+    from sonnerie_spark.db import _pid_start_time
+
     old = time.time() - 7200
     live = os.path.join(db.path, f".tmp-{os.getpid()}-deadbeef")
     os.makedirs(live)
-    os.utime(live, (old, old))
+    # as old as possible while honoring the genuine-owner invariant
+    # (a real writer's spool mtimes are never before its own start)
+    start = _pid_start_time(os.getpid())
+    live_old = old if start is None else max(old, start + 2)
+    os.utime(live, (live_old, live_old))
 
     fresh_child = os.path.join(db.path, ".tmp-999999999-cafe")
     os.makedirs(fresh_child)
@@ -497,3 +505,37 @@ def test_purge_stale_tmp_pidless_decimal_token(db):
     db._purge_stale_tmp()  # would raise OverflowError before the fix
     assert not os.path.exists(stale), "stale pid-less debris survived"
     assert os.path.isdir(fresh), "fresh pid-less tmp dir was purged"
+
+
+def test_purge_stale_tmp_detects_pid_reuse(db):
+    """A LIVE pid must not spare debris it cannot own: if the tmp's
+    newest mtime predates the pid's process START, the kernel recycled
+    a dead writer's pid onto an unrelated process — the janitor treats
+    the owner as dead and purges by the mtime rule (previously such
+    debris survived one extra pass per recycle, indefinitely under a
+    long-lived squatter)."""
+    import os
+    import subprocess
+    import time
+
+    from sonnerie_spark.db import _pid_start_time
+
+    now = time.time()
+    start = _pid_start_time(os.getpid())
+    assert start is not None and 0 < start <= now  # /proc path works
+
+    # a process born NOW "owns" debris last written two hours ago
+    squatter = subprocess.Popen(["sleep", "60"])
+    try:
+        old = now - 7200
+        reused = os.path.join(db.path, f".tmp-{squatter.pid}-deadbeef")
+        os.makedirs(reused)
+        with open(os.path.join(reused, "spill.parquet"), "w") as f:
+            f.write("x")
+        os.utime(os.path.join(reused, "spill.parquet"), (old, old))
+        os.utime(reused, (old, old))
+        db._purge_stale_tmp()
+        assert not os.path.exists(reused), "pid-reuse debris survived"
+    finally:
+        squatter.kill()
+        squatter.wait()
