@@ -1232,19 +1232,8 @@ class Database:
             if not name.startswith(".tmp-"):
                 continue
             p = os.path.join(self.path, name)
-            try:
-                newest = os.stat(p).st_mtime
-                for child in os.listdir(p):
-                    try:
-                        newest = max(
-                            newest,
-                            os.stat(os.path.join(p, child)).st_mtime,
-                        )
-                    except OSError:
-                        pass
-            except OSError:
-                continue
             pid = _tmp_owner_pid(name)
+            started = None
             if pid is not None and _pid_alive(pid):
                 # Pid-reuse detection: a process that STARTED after the
                 # debris last moved cannot be the writer that produced
@@ -1253,9 +1242,29 @@ class Database:
                 # (1 s margin for clock-tick rounding); unknown start
                 # time (non-/proc host) falls back to sparing.
                 started = _pid_start_time(pid)
-                if started is None or started <= newest + 1.0:
+                if started is None:
                     continue
             try:
+                newest = os.stat(p).st_mtime
+                # a live owner is proven by ANY write at/after its
+                # start — usually the dir mtime alone, so a live
+                # writer's (possibly huge) spool is spared without
+                # statting every child; dead/reused pids need the full
+                # newest-mtime scan for the staleness rule
+                spared = started is not None and started <= newest + 1.0
+                if not spared:
+                    for child in os.listdir(p):
+                        try:
+                            m = os.stat(os.path.join(p, child)).st_mtime
+                        except OSError:
+                            continue
+                        if m > newest:
+                            newest = m
+                        if started is not None and started <= newest + 1.0:
+                            spared = True
+                            break
+                if spared:
+                    continue
                 if now - newest > self.STALE_TMP_SECONDS:
                     shutil.rmtree(p, ignore_errors=True)
             except OSError:

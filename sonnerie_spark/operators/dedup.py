@@ -498,16 +498,21 @@ def _ledger_dir(root: str, batch_id: str) -> str:
 
 
 def _ledger_tmps(bdir: str) -> list[str]:
-    """In-flight/orphaned recording dirs (`<bdir>.tmp-*`) for a ledger
-    entry. Writers create these only while holding the index flock, so
-    any tmp visible to a flock HOLDER is debris from a dead attempt."""
+    """In-flight/orphaned recording dirs (`<bdir>!tmp-*`) for a
+    ledger entry. Writers create these only while holding the index
+    flock, so any tmp visible to a flock HOLDER is debris from a dead
+    attempt. The separator is '!' — a character `_ledger_dir`'s
+    sanitizer can never emit — so a SEALED ledger whose batch_id
+    happens to contain '.tmp-' (dots and dashes are legal in ids) can
+    never match another batch's debris pattern and be falsely
+    promoted/destroyed by recovery."""
     adir, base = os.path.dirname(bdir), os.path.basename(bdir)
     if not os.path.isdir(adir):
         return []
     return sorted(
         os.path.join(adir, n)
         for n in os.listdir(adir)
-        if n.startswith(base + ".tmp-")
+        if n.startswith(base + "!tmp-")
     )
 
 
@@ -559,7 +564,7 @@ def _sweep_ledger_tmps_locked(root: str, finish) -> None:
     if not os.path.isdir(adir):
         return
     bases = {
-        n.split(".tmp-", 1)[0] for n in os.listdir(adir) if ".tmp-" in n
+        n.split("!tmp-", 1)[0] for n in os.listdir(adir) if "!tmp-" in n
     }
     for base in sorted(bases):
         _ledger_recover_locked(os.path.join(adir, base), finish)
@@ -784,7 +789,7 @@ class LshIndex:
                         # single-writer contract makes this unreachable,
                         # but an append here would double the rows)
                         return out
-                    tmp = bdir + f".tmp-{os.getpid()}-{time.time_ns():x}"
+                    tmp = bdir + f"!tmp-{os.getpid()}-{time.time_ns():x}"
                     bands.select("id", "band", "bucket").repartition(
                         1
                     ).write.mode("overwrite").parquet(tmp)
@@ -1027,7 +1032,7 @@ class ExactIndex:
                 bdir = self._batch_dir(batch_id)
                 if _ledger_recover_locked(bdir, self._replay_append):
                     return  # applied (possibly just now, from a recording)
-                tmp = bdir + f".tmp-{os.getpid()}-{time.time_ns():x}"
+                tmp = bdir + f"!tmp-{os.getpid()}-{time.time_ns():x}"
                 fresh.select("h").repartition(1).write.mode(
                     "overwrite"
                 ).parquet(tmp)

@@ -60,9 +60,35 @@ def make_server(
         # self-frames (Content-Length or chunked); an unframed body
         # under 1.1 would stall the client, not just waste a socket.
         protocol_version = "HTTP/1.1"
+        # Idle keep-alive bound: without it, every abandoned persistent
+        # connection pins a handler thread + fd forever (readline blocks
+        # indefinitely). The stdlib turns the socket timeout into a
+        # closed connection.
+        timeout = 120
 
         def log_message(self, *a):  # quiet
             pass
+
+        def _streaming_ok(self) -> bool:
+            """May this request's 200 stream chunked on a kept-alive
+            connection? False forces close-delimited output + close:
+            (a) a non-1.1 client cannot parse chunked framing
+            (RFC 9112 §6.1); (b) a GET that CARRIES a body we will not
+            read would misframe the next request — same hazard as a
+            failed PUT, so answer it but drop the connection after."""
+            if self.request_version != "HTTP/1.1":
+                self.close_connection = True
+                return False
+            try:
+                has_body = bool(self.headers.get("Transfer-Encoding")) or (
+                    int(self.headers.get("Content-Length") or 0) > 0
+                )
+            except ValueError:
+                has_body = True  # malformed length: assume unread bytes
+            if has_body:
+                self.close_connection = True
+                return False
+            return True
 
         def _send_plain(self, status: int, body: bytes, *, close=False):
             """One self-framed plain-text response. ``close=True`` also
@@ -108,15 +134,21 @@ def make_server(
                 else:
                     df = db.read_sorted(wildcard=pattern)
                     it = df.toLocalIterator(prefetchPartitions=True)
+                chunked_out = self._streaming_ok()
                 self.send_response(200)
                 self.send_header("Content-Type", "text/plain; charset=utf-8")
-                # Streamed body of unknown length + keep-alive =>
-                # chunked framing (the only HTTP/1.1 way to stream AND
-                # reuse the connection; a mid-stream failure drops the
-                # socket without the terminal chunk, so truncation is
-                # DETECTABLE to the client — strictly better than the
-                # old HTTP/1.0 close-delimited body).
-                self.send_header("Transfer-Encoding", "chunked")
+                if chunked_out:
+                    # Streamed body of unknown length + keep-alive =>
+                    # chunked framing (the only HTTP/1.1 way to stream
+                    # AND reuse the connection; a mid-stream failure
+                    # drops the socket without the terminal chunk, so
+                    # truncation is DETECTABLE to the client — strictly
+                    # better than a close-delimited body).
+                    self.send_header("Transfer-Encoding", "chunked")
+                else:
+                    # non-1.1 client or a request carrying a body we
+                    # will not read: close-delimited stream, then drop
+                    self.send_header("Connection", "close")
                 self.end_headers()
                 headers_sent = True
                 buf = bytearray()
@@ -124,15 +156,27 @@ def make_server(
                     line = record_to_line(row, ts_style=ts_style, show_fmt=False)
                     buf += line.encode() + b"\n"
                     if len(buf) >= 64 * 1024:
+                        if chunked_out:
+                            self.wfile.write(
+                                b"%x\r\n%s\r\n" % (len(buf), bytes(buf))
+                            )
+                        else:
+                            self.wfile.write(bytes(buf))
+                        buf.clear()
+                if chunked_out:
+                    if buf:
                         self.wfile.write(
                             b"%x\r\n%s\r\n" % (len(buf), bytes(buf))
                         )
-                        buf.clear()
-                if buf:
-                    self.wfile.write(b"%x\r\n%s\r\n" % (len(buf), bytes(buf)))
-                self.wfile.write(b"0\r\n\r\n")  # terminal chunk
+                    self.wfile.write(b"0\r\n\r\n")  # terminal chunk
+                elif buf:
+                    self.wfile.write(bytes(buf))
             except BrokenPipeError:
-                pass
+                # client died mid-stream: nothing more can be framed on
+                # this socket — leave the keep-alive loop instead of
+                # readline()ing a dead connection (a peer RST there
+                # raises ConnectionResetError outside our handler)
+                self.close_connection = True
             except Exception as e:
                 if headers_sent:
                     # 200 + headers already on the wire: a second status

@@ -379,7 +379,7 @@ def test_lsh_index_torn_recording_reaped(spark, tmp_path):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     b1 = docs.filter(F.col("doc_id") % 2 == 0)
     idx = dedup.LshIndex(spark, str(tmp_path / "lsh"))
-    torn = _os.path.join(idx.path, "applied", "b1.tmp-1-dead")
+    torn = _os.path.join(idx.path, "applied", "b1!tmp-1-dead")
     _os.makedirs(torn)
     open(_os.path.join(torn, "part-00000.parquet"), "wb").close()
 
@@ -394,10 +394,35 @@ def test_lsh_index_torn_recording_reaped(spark, tmp_path):
         for r in twin.add(b1, "doc_id", "text").collect()
     }
     # compact sweeps foreign torn recordings too
-    foreign = _os.path.join(idx.path, "applied", "zz.tmp-2-dead")
+    foreign = _os.path.join(idx.path, "applied", "zz!tmp-2-dead")
     _os.makedirs(foreign)
     idx.compact()
     assert not _os.path.exists(foreign)
+
+
+def test_lsh_index_ledger_id_containing_tmp_token_is_safe(spark, tmp_path):
+    """A batch_id containing '.tmp-' (dots and dashes are legal id
+    characters) must never collide with the debris pattern: its SEALED
+    ledger is not promoted/destroyed by compact()'s sweep, and it does
+    not falsely mark the prefix batch ('v1') as applied. The recording
+    separator is '!' — unreachable by the id sanitizer — so the
+    pattern cannot be forged by any batch_id."""
+    import os as _os
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    idx = dedup.LshIndex(spark, str(tmp_path / "lsh"))
+    idx.add(b1, "doc_id", "text", batch_id="v1.tmp-2-a")
+    assert idx.batch_applied("v1.tmp-2-a")
+    assert not idx.batch_applied("v1")
+    rows_before = idx._existing().count()
+    idx.compact()
+    assert idx.batch_applied("v1.tmp-2-a")  # sealed ledger untouched
+    assert not idx.batch_applied("v1")  # no false promotion
+    assert idx._existing().count() == rows_before  # no false re-append
+    assert _os.path.isdir(
+        _os.path.join(idx.path, "applied", "v1.tmp-2-a")
+    )
 
 
 def test_exact_index_lifecycle(spark, tmp_path):

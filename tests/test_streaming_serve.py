@@ -436,32 +436,95 @@ def test_serve_pipelined_requests_and_connection_close(server, db):
     assert buf.count(b"a\t1000\t1") == 3
 
 
+def test_serve_http10_client_gets_unchunked_body(server, db):
+    """A true HTTP/1.0 client cannot parse chunked framing (RFC 9112
+    §6.1): its GET must receive a close-delimited PLAIN body — no
+    Transfer-Encoding, no hex chunk-size lines interleaved with
+    records — and the server closes when done."""
+    import socket
+    from urllib.parse import urlparse
+
+    _put(server, "a 1000 u 1\nb 2000 u 2\n")
+    host, port = urlparse(server).netloc.split(":")
+    s = socket.create_connection((host, int(port)), timeout=30)
+    s.sendall(b"GET /%25 HTTP/1.0\r\nHost: x\r\n\r\n")
+    buf = b""
+    while True:
+        got = s.recv(65536)
+        if not got:
+            break  # close-delimited: EOF ends the body
+        buf += got
+    s.close()
+    head, _, body = buf.partition(b"\r\n\r\n")
+    assert head.startswith(b"HTTP/1.1 200")
+    assert b"Transfer-Encoding" not in head
+    assert b"Connection: close" in head
+    assert body == b"a\t1000\t1\nb\t2000\t2\n"  # no chunk framing
+
+
+def test_serve_get_with_body_is_answered_then_closed(server, db):
+    """A GET that CARRIES a body (legal, rare) would misframe
+    keep-alive if the body went unread: the server answers it, then
+    closes the connection — the unread body bytes and any pipelined
+    follow-up are never parsed as a next request."""
+    import socket
+    from urllib.parse import urlparse
+
+    _put(server, "a 1000 u 1\n")
+    host, port = urlparse(server).netloc.split(":")
+    s = socket.create_connection((host, int(port)), timeout=30)
+    s.sendall(
+        b"GET /%25 HTTP/1.1\r\nHost: x\r\nContent-Length: 5\r\n\r\nhello"
+        b"GET /%25 HTTP/1.1\r\nHost: x\r\n\r\n"  # pipelined follow-up
+    )
+    buf = b""
+    while True:
+        got = s.recv(65536)
+        if not got:
+            break  # server closed after the first response
+        buf += got
+    s.close()
+    assert buf.count(b"HTTP/1.1 200") == 1  # follow-up was NOT served
+    assert b"Connection: close" in buf
+    assert buf.count(b"a\t1000\t1") == 1
+
+
 def test_purge_stale_tmp_spares_live_writers(db):
     """The crash-debris janitor must never rmtree a LIVE transaction
-    spill: a .tmp dir whose owner pid is alive survives ANY age
-    (provided its writes postdate the owner's start — true for every
-    genuine owner; see the pid-reuse test for the converse); a
-    dead-owner dir with a fresh child file survives the dir-mtime
-    trap (appends touch file mtimes, not the parent dir); only a
-    dead-owner dir whose newest mtime is stale is purged."""
+    spill: a .tmp dir whose owner pid is alive survives past the
+    staleness horizon (provided its writes postdate the owner's start
+    — true for every genuine owner; see the pid-reuse test for the
+    converse); a dead-owner dir with a fresh child file survives the
+    dir-mtime trap (appends touch file mtimes, not the parent dir);
+    only a dead-owner dir whose newest mtime is stale is purged.
+    The staleness horizon is shrunk below the dirs' ages so ONLY the
+    pid-liveness + start-time guard can spare the live dir — without
+    that guard this test fails."""
     import os
     import time
 
     from sonnerie_spark.db import _pid_start_time
 
-    old = time.time() - 7200
+    now = time.time()
+    db.STALE_TMP_SECONDS = 2.0  # instance shadow; function-scoped db
+    old = now - 30
     live = os.path.join(db.path, f".tmp-{os.getpid()}-deadbeef")
     os.makedirs(live)
-    # as old as possible while honoring the genuine-owner invariant
-    # (a real writer's spool mtimes are never before its own start)
+    # stale by the 2 s horizon, while honoring the genuine-owner
+    # invariant (a real writer's spool mtimes never precede its start;
+    # the pytest process is comfortably older than 30 s here)
     start = _pid_start_time(os.getpid())
     live_old = old if start is None else max(old, start + 2)
     os.utime(live, (live_old, live_old))
+    assert now - live_old > db.STALE_TMP_SECONDS, (
+        "precondition: the live dir must be stale by mtime so only "
+        "the pid guard can spare it"
+    )
 
     fresh_child = os.path.join(db.path, ".tmp-999999999-cafe")
     os.makedirs(fresh_child)
     with open(os.path.join(fresh_child, "spill.parquet"), "w") as f:
-        f.write("x")
+        f.write("x")  # child mtime = now -> not stale
     os.utime(fresh_child, (old, old))  # dir looks stale, child is fresh
 
     debris = os.path.join(db.path, ".tmp-999999999-f00d")
