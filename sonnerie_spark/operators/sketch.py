@@ -127,9 +127,16 @@ def hll_sketch(
     m = 1 << bucket_bits
     field_bits = HASH_BITS - bucket_bits
     c = F.col(value) if isinstance(value, str) else value
-    withy = df.select(phash(c).alias("h")).select(
-        F.pmod(F.col("h"), F.lit(m)).cast("int").alias("bucket"),
-        F.expr(f"h div {m}").alias("y"),
+    # NULL values carry no identity: drop them (a null hash would form
+    # a spurious bucket=NULL row that corrupts the estimator's zeros
+    # term — and can push zeros negative, a log() domain error)
+    withy = (
+        df.select(phash(c).alias("h"))
+        .where(F.col("h").isNotNull())
+        .select(
+            F.pmod(F.col("h"), F.lit(m)).cast("int").alias("bucket"),
+            F.expr(f"h div {m}").alias("y"),
+        )
     )
     rho = F.expr(hll_rho_sql("y", field_bits)).alias("rho")
     return _tagged(
@@ -154,6 +161,7 @@ def hll_sketch_sql(
       SELECT cast(h % {m} AS INTEGER) AS bucket,
              {hll_rho_sql(f"(h // {m})", field_bits)} AS rho
       FROM (SELECT {h} AS h FROM {from_clause})
+      WHERE h IS NOT NULL
     ) GROUP BY bucket
     """
 
@@ -171,8 +179,17 @@ def cms_sketch(
     ≤ depth·width partial counters per task reach the shuffle).
     Deterministic: row i uses the salted portable hash h_i."""
     c = F.col(value) if isinstance(value, str) else value
-    ex = df.select(c.alias("v")).select(
-        "v", F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row")
+    # NULL values carry no identity: drop them (phash(null) is null ->
+    # a spurious col=NULL counter row)
+    ex = (
+        df.select(c.alias("v"))
+        .where(F.col("v").isNotNull())
+        .select(
+            "v",
+            F.explode(
+                F.array(*[F.lit(i) for i in range(depth)])
+            ).alias("row"),
+        )
     )
     col = F.pmod(
         phash(F.concat(F.col("row").cast("string"), F.lit("#"), F.col("v"))),
@@ -199,6 +216,7 @@ def cms_sketch_sql(
       SELECT row, cast({h} % {width} AS INTEGER) AS col
       FROM (SELECT {value_expr} AS v FROM {from_clause})
       CROSS JOIN (VALUES {salts}) AS s(row)
+      WHERE v IS NOT NULL
     ) GROUP BY row, col
     """
 
@@ -235,9 +253,15 @@ def bloom_sketch(
     if num_hashes < 1:
         raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
     c = F.col(value) if isinstance(value, str) else value
-    hs = df.select(phash(c).alias("h")).selectExpr(
-        f"h % {num_bits} AS h1",
-        f"1 + (h div {num_bits}) % {num_bits - 1} AS h2",
+    # NULL values carry no identity: drop them (a null hash would OR a
+    # spurious word_idx=NULL row into the filter)
+    hs = (
+        df.select(phash(c).alias("h"))
+        .where(F.col("h").isNotNull())
+        .selectExpr(
+            f"h % {num_bits} AS h1",
+            f"1 + (h div {num_bits}) % {num_bits - 1} AS h2",
+        )
     )
     ex = hs.select(
         "h1",
@@ -275,6 +299,7 @@ def bloom_sketch_sql(
                   % {num_bits} AS BIGINT) AS pos
       FROM (SELECT {h} AS h FROM (SELECT {value_expr} AS v FROM {from_clause}))
       CROSS JOIN (VALUES {salts}) AS s(i)
+      WHERE h IS NOT NULL
     ) GROUP BY 1
     """
 
@@ -413,9 +438,16 @@ def cms_topk(
         phash(F.concat(F.col("row").cast("string"), F.lit("#"), F.col("v"))),
         F.lit(width),
     ).cast("int")
+    # sum-collapse duplicate (row, col) rows first: a raw-unionByName
+    # of two partial sketches (not yet cms_merge'd) would otherwise fan
+    # each candidate onto both rows and min() would UNDERESTIMATE —
+    # breaking CMS's one-sided guarantee. Counters are additive, so the
+    # collapse equals cms_merge; free on a clean sketch (≤ depth·width
+    # rows, same broadcast). bloom_might_contain has the same guard.
+    counters = sketch.groupBy("row", "col").agg(F.sum("c").alias("c"))
     est = (
         ex.select("v", "row", col.alias("col"))
-        .join(F.broadcast(sketch), ["row", "col"], "left")
+        .join(F.broadcast(counters), ["row", "col"], "left")
         .groupBy("v")
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
     )
@@ -429,8 +461,13 @@ def kmv_sketch(
     hash values of the column — ``(h)``, ≤ k rows. Distinct is one hash
     agg; bottom-k is TakeOrderedAndProject (per-partition heaps)."""
     c = F.col(value) if isinstance(value, str) else value
+    # NULL values carry no identity: drop them. Unfiltered, a null hash
+    # sorts FIRST in Spark (ASC NULLS FIRST) but LAST in DuckDB, so the
+    # bit-identical oracle diverges — and the null occupies a bottom-k
+    # slot that semi-joins (kmv_merge/kmv_overlap) can never match.
     return _tagged(
         df.select(phash(c).alias("h"))
+        .where(F.col("h").isNotNull())
         .distinct()
         .orderBy("h")
         .limit(k),
@@ -442,7 +479,8 @@ def kmv_sketch(
 def kmv_sketch_sql(value_expr: str, from_clause: str, *, k: int = 256) -> str:
     h = phash_sql(value_expr)
     return (
-        f"SELECT DISTINCT {h} AS h FROM {from_clause} ORDER BY h LIMIT {k}"
+        f"SELECT DISTINCT h FROM (SELECT {h} AS h FROM {from_clause}) "
+        f"WHERE h IS NOT NULL ORDER BY h LIMIT {k}"
     )
 
 
@@ -858,10 +896,15 @@ def hll_sketch_grouped(
     field_bits = HASH_BITS - bucket_bits
     g = F.col(group) if isinstance(group, str) else group
     c = F.col(value) if isinstance(value, str) else value
-    withy = df.select(g.alias("grp"), phash(c).alias("h")).select(
-        "grp",
-        F.pmod(F.col("h"), F.lit(m)).cast("int").alias("bucket"),
-        F.expr(f"h div {m}").alias("y"),
+    # NULL values carry no identity (same rule as hll_sketch)
+    withy = (
+        df.select(g.alias("grp"), phash(c).alias("h"))
+        .where(F.col("h").isNotNull())
+        .select(
+            "grp",
+            F.pmod(F.col("h"), F.lit(m)).cast("int").alias("bucket"),
+            F.expr(f"h div {m}").alias("y"),
+        )
     )
     rho = F.expr(hll_rho_sql("y", field_bits)).alias("rho")
     return _tagged(
@@ -904,6 +947,41 @@ def hll_estimates_grouped(
         .otherwise(raw)
         .alias("est"),
     )
+
+
+def _init_store_params(
+    meta_path: str, asked: dict, defaults: dict, store: str
+) -> dict:
+    """Read-or-create a store's ``params.json`` (caller HOLDS the store
+    lock) — BloomStore's pattern, shared so HllStore and DdStore get
+    the same guarantee: reopening adopts the persisted parameter set
+    and REFUSES an explicit mismatch instead of silently merging
+    sketches built in incompatible bucket spaces (a bucket_bits or
+    relative_accuracy change between opens corrupts every estimate
+    with no error anywhere downstream). ``asked`` values of None mean
+    "adopt persisted, else the default"."""
+    import json
+    import os
+
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        _require_params_match(
+            store,
+            {k: v for k, v in asked.items() if v is not None},
+            meta,
+        )
+        return meta
+    final = {
+        k: (v if v is not None else defaults[k]) for k, v in asked.items()
+    }
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(final, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, meta_path)
+    return final
 
 
 def _store_lock(root: str):
@@ -1041,14 +1119,26 @@ class HllStore:
     store design, not this class.
     """
 
-    def __init__(self, spark, path: str, *, bucket_bits: int = 8):
+    def __init__(self, spark, path: str, *, bucket_bits: int | None = None):
         import os
 
         self.spark = spark
         self.path = os.path.abspath(path)
-        self.bucket_bits = bucket_bits
         os.makedirs(self.path, exist_ok=True)
         self._data = os.path.join(self.path, "sketches")
+        # persisted at creation, validated on reopen (BloomStore's
+        # params.json rule): a store reopened with different
+        # bucket_bits would max-merge sketches from incompatible
+        # bucket spaces with no error anywhere — None adopts the
+        # persisted value (default 8 on a fresh store)
+        with self._locked():
+            meta = _init_store_params(
+                os.path.join(self.path, "params.json"),
+                {"bucket_bits": bucket_bits},
+                {"bucket_bits": 8},
+                "HllStore",
+            )
+        self.bucket_bits = int(meta["bucket_bits"])
 
     def sketches(self) -> DataFrame:
         """The current merged sketch table ``(grp, bucket, max_rho)``
@@ -1390,17 +1480,37 @@ class DdStore:
         spark,
         path: str,
         *,
-        relative_accuracy: float = 0.01,
-        min_value: float = 1e-9,
+        relative_accuracy: float | None = None,
+        min_value: float | None = None,
     ):
         import os
 
         self.spark = spark
         self.path = os.path.abspath(path)
-        self.relative_accuracy = float(relative_accuracy)
-        self.min_value = float(min_value)
         os.makedirs(self.path, exist_ok=True)
         self._data = os.path.join(self.path, "gen")
+        # persisted at creation, validated on reopen (BloomStore's
+        # params.json rule): buckets computed under a different gamma
+        # would sum-merge into silently wrong quantiles — None adopts
+        # the persisted values (0.01 / 1e-9 on a fresh store)
+        with self._locked():
+            meta = _init_store_params(
+                os.path.join(self.path, "params.json"),
+                {
+                    "relative_accuracy": (
+                        None
+                        if relative_accuracy is None
+                        else float(relative_accuracy)
+                    ),
+                    "min_value": (
+                        None if min_value is None else float(min_value)
+                    ),
+                },
+                {"relative_accuracy": 0.01, "min_value": 1e-9},
+                "DdStore",
+            )
+        self.relative_accuracy = float(meta["relative_accuracy"])
+        self.min_value = float(meta["min_value"])
 
     # -- reads (materialized under the lock, like HllStore) ------------
 
@@ -1585,7 +1695,17 @@ def hll_estimate(sketch: DataFrame, *, bucket_bits: int = 8) -> float:
     import math
 
     m = 1 << bucket_bits
-    rows = {r["bucket"]: r["max_rho"] for r in sketch.collect()}
+    # max-collapse, not dict last-wins: a raw-unioned pair of partial
+    # sketches (not yet hll_merge'd) has duplicate bucket rows, and the
+    # HLL register combine is max; null buckets (a foreign sketch built
+    # without the null filter) carry no identity and are skipped
+    rows: dict = {}
+    for r in sketch.collect():
+        b, rho = r["bucket"], r["max_rho"]
+        if b is None:
+            continue
+        if b not in rows or rho > rows[b]:
+            rows[b] = rho
     alpha = 0.7213 / (1 + 1.079 / m)
     z = sum(2.0 ** -rows.get(j, 0) for j in range(m))
     est = alpha * m * m / z

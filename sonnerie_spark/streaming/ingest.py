@@ -83,9 +83,17 @@ def stream_text_ingest(
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         # batch_df is a static DataFrame: reuse the batch parse + the
         # transactional commit path (sorted run, atomic rename).
-        rows = parse_lines(batch_df, default_fmt=default_fmt)
-        if rows.take(1):
-            db.commit_dataframe(rows, check_duplicates=False)
+        # Emptiness is probed on the RAW lines, not the parsed frame —
+        # probing rows would execute the Arrow parse once for the probe
+        # and again inside the commit's shuffle-sort, doubling the
+        # parse-bound cost of every micro-batch. A batch of only blank
+        # lines now commits an empty run, a supported case everywhere
+        # (rollup refresh, schema-explicit readers).
+        if not batch_df.isEmpty():
+            db.commit_dataframe(
+                parse_lines(batch_df, default_fmt=default_fmt),
+                check_duplicates=False,
+            )
 
     return (
         lines.writeStream.foreachBatch(commit_batch)
@@ -167,6 +175,13 @@ def stateful_running_stats(
         state.update((n, total))
         yield pd.DataFrame({"key": [key[0]], "n": [n], "total": [total]})
 
+    # key CAST TO STRING before grouping (HllStore's grp rule): the
+    # output schema below declares `key string`, and a bigint key
+    # column would otherwise crash every micro-batch at the Arrow
+    # serializer instead of anywhere visible at plan time (the cast is
+    # a projection, not a groupBy expression — applyInPandasWithState
+    # rejects derived grouping expressions)
+    records = records.withColumn(key_col, F.col(key_col).cast("string"))
     return records.groupBy(key_col).applyInPandasWithState(
         update,
         outputStructType="key string, n long, total double",

@@ -260,7 +260,34 @@ class ContinuousRollup:
         by source transactions committed after the cursor; commit them
         as one rollup transaction (LWW upsert). Returns the rollup tx
         name, or None if there was nothing new. First call on an empty
-        cursor is a full build."""
+        cursor is a full build.
+
+        Retries on a vanished run: a concurrent minor compaction can
+        rename the listed tx dirs away between the listing and the
+        scan jobs (the same race ``tail_records`` survives via
+        ignoreMissingFiles) — here silently ignoring the files would
+        LOSE their dirty buckets once the cursor advances, so the
+        correct move is a fresh listing and a full re-run. Safe
+        because the cursor commits LAST: a retried refresh re-lists
+        the post-compaction runs (the merged run carries every folded
+        record under the newest merged name, so nothing already
+        processed is re-counted wrong — recompute is LWW-idempotent —
+        and nothing unprocessed is skipped)."""
+        for _ in range(5):
+            try:
+                return self._refresh_once()
+            except Exception as e:  # noqa: BLE001 - filtered below
+                msg = str(e)
+                if (
+                    "FileNotFoundException" in msg
+                    or "PATH_NOT_FOUND" in msg
+                    or "does not exist" in msg
+                ):
+                    continue  # compaction swapped runs mid-refresh
+                raise
+        raise RuntimeError("refresh kept racing compaction swaps")
+
+    def _refresh_once(self) -> str | None:
         cursor = self._load_cursor()
         runs = self.src.data_runs()
         if cursor is None:
@@ -290,42 +317,43 @@ class ContinuousRollup:
             .persist()  # reused by bounds, key-pushdown, and the semi-join
         )
 
-        # 2. recompute those buckets from the merged truth, pruned THREE
-        # ways: the dirty time window (ts predicate -> parquet stats),
-        # the dirty key set when it is small (isin -> parquet stats +
-        # bucket pruning; a typical steady-state tx touches few keys,
-        # and without this the scan covers the whole DB whenever the
-        # dirty buckets span the full time range), and finally the
-        # bucket-exact semi-join.
-        bounds = dirty.agg(
-            F.min("ts").alias("lo"), F.max("ts").alias("hi")
-        ).first()
-        if bounds["lo"] is None:  # new runs exist but carry no rows
-            self._store_cursor(last_tx)
-            return None
-        cap = 4096
-        keys = [
-            r["key"] for r in dirty.select("key").distinct().limit(cap + 1).collect()
-        ]
-        small_keys = len(keys) <= cap
-        # The broadcast decision must gate on the dirty ROW count, not
-        # the key count: one key backfilled across millions of intervals
-        # is few keys but an unbounded (key, bucket) set — broadcasting
-        # it would blow the driver/executors. (The count is needed below
-        # for the commit-path decision anyway.)
-        n_dirty = dirty.count()
-        truth = self.src.read(
-            keys=keys if small_keys else None,  # inside read() -> bucket pruning
-            after_ns=int(bounds["lo"]),
-            before_ns=int(bounds["hi"]) + self.interval_ns,
-        )
-        rolled = self._aggregate(truth).join(
-            F.broadcast(dirty) if n_dirty <= 65536 else dirty,
-            ["key", "ts"],
-            "left_semi",
-        )
-
         try:
+            # 2. recompute those buckets from the merged truth, pruned
+            # THREE ways: the dirty time window (ts predicate -> parquet
+            # stats), the dirty key set when it is small (isin ->
+            # parquet stats + bucket pruning; a typical steady-state tx
+            # touches few keys, and without this the scan covers the
+            # whole DB whenever the dirty buckets span the full time
+            # range), and finally the bucket-exact semi-join.
+            bounds = dirty.agg(
+                F.min("ts").alias("lo"), F.max("ts").alias("hi")
+            ).first()
+            if bounds["lo"] is None:  # new runs exist but carry no rows
+                self._store_cursor(last_tx)
+                return None
+            cap = 4096
+            keys = [
+                r["key"]
+                for r in dirty.select("key").distinct().limit(cap + 1).collect()
+            ]
+            small_keys = len(keys) <= cap
+            # The broadcast decision must gate on the dirty ROW count,
+            # not the key count: one key backfilled across millions of
+            # intervals is few keys but an unbounded (key, bucket) set —
+            # broadcasting it would blow the driver/executors. (The
+            # count is needed below for the commit-path decision anyway.)
+            n_dirty = dirty.count()
+            truth = self.src.read(
+                keys=keys if small_keys else None,  # -> bucket pruning
+                after_ns=int(bounds["lo"]),
+                before_ns=int(bounds["hi"]) + self.interval_ns,
+            )
+            rolled = self._aggregate(truth).join(
+                F.broadcast(dirty) if n_dirty <= 65536 else dirty,
+                ["key", "ts"],
+                "left_semi",
+            )
+
             # Small steady-state refreshes skip the Spark write job: the
             # result is dirty-set-bounded, and the driver-side pyarrow
             # commit (same bucketed layout, same atomic rename) avoids a
@@ -335,7 +363,9 @@ class ContinuousRollup:
                 rows = [r.asDict() for r in rolled.collect()]
                 txname = self.dst.commit_rows(rows) if rows else None
             else:
-                txname = self.dst.commit_dataframe(rolled, check_duplicates=False)
+                txname = self.dst.commit_dataframe(
+                    rolled, check_duplicates=False
+                )
         finally:
             dirty.unpersist()
         self._store_cursor(last_tx)

@@ -79,8 +79,20 @@ def tail_records(
 
         from pyspark.sql import functions as F
 
-        existing = [run.path for run in db.data_runs()]
+        # Match on RUN NAMES, not full paths: input_file_name() returns
+        # the percent-ENCODED URI, so a db.path with a space or
+        # non-ASCII char would never match its raw re.escape'd form and
+        # the filter would silently exclude nothing (replaying all of
+        # history). Run names use only [A-Za-z0-9._-] — identical in
+        # raw and URI form — and the `/<name>/part-*.parquet$` anchor
+        # pins the match to the run-directory component, so a db.path
+        # component that happens to equal a run name cannot match.
+        existing = [run.name for run in db.data_runs()]
         if existing:
-            pattern = "^file:.*(" + "|".join(re.escape(p) for p in existing) + ")/"
+            pattern = (
+                "/("
+                + "|".join(re.escape(n) for n in existing)
+                + r")/part-[^/]*\.parquet$"
+            )
             df = df.filter(~F.input_file_name().rlike(pattern))
     return df

@@ -137,6 +137,43 @@ def test_stateful_running_stats_across_batches(spark, tmp_path):
         q.stop()
 
 
+def test_stateful_running_stats_bigint_key(spark, tmp_path):
+    """A non-string key column (e.g. bigint sensor ids) must work: the
+    output schema declares `key string`, so the operator casts the key
+    before grouping — without it every micro-batch died at the Arrow
+    serializer (int64 -> string rejection)."""
+    inp = tmp_path / "in"
+    inp.mkdir()
+    (inp / "b1.txt").write_text("7 1\n7 2\n9 3\n")
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "1")
+        .load(str(inp))
+    )
+    parts = F.split(F.col("value"), " ")
+    records = lines.select(
+        parts.getItem(0).cast("bigint").alias("key"),
+        parts.getItem(1).cast("double").alias("value"),
+    )
+    out = stateful_running_stats(records)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_stats_bigint")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("select * from running_stats_bigint").collect()
+        assert {(r.key, r.n, r.total) for r in rows} == {
+            ("7", 2, 3.0),
+            ("9", 1, 3.0),
+        }
+    finally:
+        q.stop()
+
+
 def test_ivf_partial_probe_recall(spark, emb):
     """Measured recall of the scale path: nprobe=2 of 4 IVF lists must
     recover most of the true top-3 neighbors (quality evidence, not just

@@ -852,3 +852,100 @@ def test_dd_ledger_compression_and_legacy():
     assert _ledger_parse([1000, 1001, 2000]) == (-1, {1000, 1001, 2000})
     # round-trip of the new form
     assert _ledger_parse(_ledger_dump(9, {20})) == (9, {20})
+
+
+def test_sketch_builders_drop_null_values(spark):
+    """NULL values carry no identity: every builder must drop them.
+    Unfiltered, a null hash forms spurious bucket=NULL / col=NULL /
+    word_idx=NULL rows — in HLL it corrupts the estimator's zeros term
+    (and can push zeros NEGATIVE, a log() domain error), and in KMV
+    the null sorts FIRST in Spark but LAST in DuckDB, so the
+    bit-identical oracle diverges while the null displaces a real hash
+    from the bottom-k."""
+    vals = spark.createDataFrame(
+        [(f"v{i}",) for i in range(40)] + [(None,)] * 3, "v string"
+    )
+    clean = vals.filter(F.col("v").isNotNull())
+
+    for build, kw in (
+        (sketch.hll_sketch, dict(bucket_bits=4)),
+        (sketch.cms_sketch, dict(depth=2, width=64)),
+        (sketch.bloom_sketch, dict(num_bits=512, num_hashes=2)),
+        (sketch.kmv_sketch, dict(k=8)),
+    ):
+        with_nulls = sorted(
+            map(tuple, build(vals, "v", **kw).collect())
+        )
+        without = sorted(map(tuple, build(clean, "v", **kw).collect()))
+        assert with_nulls == without, build.__name__
+        assert all(None not in t for t in with_nulls), build.__name__
+
+    # the crash case: 40 distinct values over m=16 buckets + nulls used
+    # to make zeros negative inside hll_estimate
+    est = sketch.hll_estimate(
+        sketch.hll_sketch(vals, "v", bucket_bits=4), bucket_bits=4
+    )
+    assert est > 0
+
+    # grouped variant drops nulls too
+    g = spark.createDataFrame(
+        [("a", "x"), ("a", None), ("b", None)], "grp string, v string"
+    )
+    rows = sketch.hll_sketch_grouped(g, "grp", "v", bucket_bits=4).collect()
+    assert {r["grp"] for r in rows} == {"a"}  # b had only nulls
+
+
+def test_cms_topk_tolerates_raw_unioned_sketch(spark):
+    """cms_topk must sum-collapse duplicate (row, col) rows first: a
+    raw unionByName of two partial sketches (not yet cms_merge'd) is
+    additive per counter, and an uncollapsed min() would UNDERESTIMATE
+    — breaking CMS's one-sided error guarantee."""
+    data = [("hot",)] * 50 + [(f"cold{i}",) for i in range(10)]
+    df = spark.createDataFrame(data, "v string")
+    # split by rows, not values: both halves see 'hot'
+    a = spark.createDataFrame(data[:30], "v string")
+    b = spark.createDataFrame(data[30:], "v string")
+    sa = sketch.cms_sketch(a, "v", depth=2, width=64)
+    sb = sketch.cms_sketch(b, "v", depth=2, width=64)
+    merged = sketch.cms_merge(sa, sb)
+    raw_union = sa.unionByName(sb)
+    cands = df.select("v").distinct()
+    top_merged = sorted(
+        map(tuple, sketch.cms_topk(
+            cands, merged, k=3, depth=2, width=64
+        ).collect())
+    )
+    top_raw = sorted(
+        map(tuple, sketch.cms_topk(
+            cands, raw_union, k=3, depth=2, width=64
+        ).collect())
+    )
+    assert top_raw == top_merged
+    hot_est = dict((v, e) for v, e in top_raw)["hot"]
+    assert hot_est >= 50  # never-underestimate held across the union
+
+
+def test_stores_persist_and_validate_params(spark, tmp_path):
+    """HllStore and DdStore persist their parameters at creation
+    (BloomStore's params.json rule) and REFUSE a mismatched reopen —
+    silently merging sketches built under different bucket_bits /
+    relative_accuracy corrupts every downstream estimate with no
+    error. None adopts the persisted values."""
+    from sonnerie_spark.operators.sketch import DdStore
+
+    h = sketch.HllStore(spark, str(tmp_path / "h"), bucket_bits=6)
+    assert sketch.HllStore(spark, str(tmp_path / "h")).bucket_bits == 6
+    assert (
+        sketch.HllStore(spark, str(tmp_path / "h"), bucket_bits=6)
+        .bucket_bits == 6
+    )
+    with pytest.raises(ValueError, match="bucket_bits"):
+        sketch.HllStore(spark, str(tmp_path / "h"), bucket_bits=8)
+
+    d = DdStore(spark, str(tmp_path / "d"), relative_accuracy=0.02)
+    re_d = DdStore(spark, str(tmp_path / "d"))
+    assert re_d.relative_accuracy == 0.02 and re_d.min_value == 1e-9
+    with pytest.raises(ValueError, match="relative_accuracy"):
+        DdStore(spark, str(tmp_path / "d"), relative_accuracy=0.01)
+    with pytest.raises(ValueError, match="min_value"):
+        DdStore(spark, str(tmp_path / "d"), min_value=1e-6)

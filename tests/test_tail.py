@@ -71,6 +71,38 @@ def test_tail_skip_existing(db, spark, tmp_path):
         q.stop()
 
 
+def test_tail_skip_existing_under_uri_escaped_path(spark, tmp_path):
+    """include_existing=False must hold when the database path needs
+    URI escaping: input_file_name() returns the percent-ENCODED URI
+    (file:///data/my%20db/...), so an exclusion built from the raw
+    path would match NOTHING and silently replay all of history. The
+    filter matches run-directory NAMES (URI-safe charset) instead."""
+    spaced = tmp_path / "my db"  # space -> %20 in the file URI
+    spaced.mkdir()
+    db2 = Database(spark, str(spaced / "store"))
+    _commit(db2, "old", 4)
+    time.sleep(1.1)
+    stream = tail_records(db2, include_existing=False)
+    _commit(db2, "new", 2, base=50)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("tail_uri_sink")
+        .option("checkpointLocation", str(tmp_path / "ck_uri"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        keys = {
+            r[0]
+            for r in spark.sql(
+                "select distinct key from tail_uri_sink"
+            ).collect()
+        }
+        assert keys == {"new"}, keys  # history NOT replayed
+    finally:
+        q.stop()
+
+
 def test_tail_replication_converges(db, spark, tmp_path):
     """Replication via the change feed: tail db A and commit each
     micro-batch into db B. After the stream drains, B's merged read
