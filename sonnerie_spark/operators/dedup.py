@@ -490,10 +490,19 @@ def simhash_near_pairs(
 def _ledger_dir(root: str, batch_id: str) -> str:
     """Applied-batch ledger path for ``batch_id`` under ``root``.
     Sanitized to a flat safe name — ids are labels like '2026-08-16'
-    or 'shard-00012', not paths."""
-    safe = re.sub(r"[^A-Za-z0-9._-]", "_", str(batch_id))
+    or 'shard-00012', not paths. When sanitization CHANGES the id, a
+    short hash of the raw id is appended: otherwise distinct ids like
+    'a b' and 'a_b' would collide on one ledger dir and the second
+    batch would silently be treated as an already-applied replay —
+    its index append skipped with no error. Ids that were already
+    safe keep their exact name (ledgers written before this rule are
+    unaffected for them)."""
+    raw = str(batch_id)
+    safe = re.sub(r"[^A-Za-z0-9._-]", "_", raw)
     if not safe or safe in (".", ".."):
         raise ValueError(f"unusable batch_id: {batch_id!r}")
+    if safe != raw:
+        safe = safe + "-" + hashlib.sha1(raw.encode("utf-8")).hexdigest()[:8]
     return os.path.join(root, "applied", safe)
 
 

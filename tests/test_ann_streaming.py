@@ -462,6 +462,46 @@ def test_lsh_index_ledger_id_containing_tmp_token_is_safe(spark, tmp_path):
     )
 
 
+def test_ledger_dir_sanitization_cannot_collide(tmp_path):
+    """Distinct batch_ids that sanitize to the same flat name ('a b'
+    vs 'a_b') must map to distinct ledger dirs — a collision would
+    silently treat the second batch as an already-applied replay and
+    skip its index append with no error. Already-safe ids keep their
+    exact name (pre-fix ledgers for them stay valid)."""
+    from sonnerie_spark.operators.dedup import _ledger_dir
+
+    root = str(tmp_path)
+    assert _ledger_dir(root, "a b") != _ledger_dir(root, "a_b")
+    assert _ledger_dir(root, "a/b") != _ledger_dir(root, "a_b")
+    assert _ledger_dir(root, "a b") != _ledger_dir(root, "a/b")
+    # unchanged ids are untouched — no hash suffix
+    assert _ledger_dir(root, "a_b").endswith("/applied/a_b")
+    assert _ledger_dir(root, "2026-08-16.v1").endswith("/applied/2026-08-16.v1")
+    # deterministic across calls (replay of the SAME raw id still hits
+    # the same ledger)
+    assert _ledger_dir(root, "a b") == _ledger_dir(root, "a b")
+
+
+def test_lsh_index_sanitization_collision_batches_both_apply(spark, tmp_path):
+    """End-to-end: two batches whose ids sanitize identically ('a b'
+    then 'a_b') must BOTH append — before the fix the second was
+    skipped as a replay, permanently dropping its band rows."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    b1 = docs.filter(F.col("doc_id") % 3 == 0)
+    b2 = docs.filter(F.col("doc_id") % 3 == 1)
+    idx = dedup.LshIndex(spark, str(tmp_path / "lsh"))
+    idx.add(b1, "doc_id", "text", batch_id="a b")
+    n1 = idx._existing().count()
+    idx.add(b2, "doc_id", "text", batch_id="a_b")
+    n2 = idx._existing().count()
+    assert n2 > n1  # second batch actually appended
+    assert idx.batch_applied("a b")
+    assert idx.batch_applied("a_b")
+    # replaying either id is still a no-op
+    idx.add(b1, "doc_id", "text", batch_id="a b")
+    assert idx._existing().count() == n2
+
+
 def test_exact_index_lifecycle(spark, tmp_path):
     """ExactIndex: within-batch dedup keeps min id, cross-batch dedup
     drops already-indexed content, compact() preserves the answer, and
