@@ -55,6 +55,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from sonnerie_spark import rowformat
+from sonnerie_spark.fsutil import fsync_dir, fsync_tree
 from sonnerie_spark.bucketing import (
     BUCKETS_FILE,
     bucket_file_name,
@@ -168,8 +169,22 @@ class RunInfo:
 class Database:
     """Open a database directory; build declarative read plans over it."""
 
-    def __init__(self, spark: SparkSession, path: str, *, buckets: int | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        *,
+        buckets: int | None = None,
+        durable: bool = True,
+    ):
+        # durable=True (default) fsyncs run files before the publishing
+        # rename and the db dir after it — the reference's power-loss
+        # contract (create_tx.rs:210-264), measured ~9% on the 2M-row
+        # bulk-insert anchor (best-of-3 medians 1.11 s -> 1.21 s).
+        # durable=False keeps only process-kill atomicity, for ingests
+        # that can be re-run from source.
         self.spark = spark
+        self.durable = bool(durable)
         self.path = os.path.abspath(path)
         self._point_reader = None  # lazy PointReader (exact-key fast path)
         self._view_tables: dict[str, str] = {}  # run-set sig -> table name
@@ -1074,11 +1089,15 @@ class Database:
         return self._atomic_commit(write)
 
     def _atomic_commit(self, write_fn) -> str:
-        """Write under .tmp-*, then atomically rename to tx.<016x-nanos>.
+        """Write under .tmp-*, then fsync, then atomically rename to
+        tx.<016x-nanos>.
 
         Mirrors the reference's tempfile + fsync + atomic-rename with
-        collision backoff (create_tx.rs:180-264). On a shared filesystem
-        this is the same commit protocol a minimal table format uses.
+        collision backoff (create_tx.rs:180-264; its commit() flushes +
+        sync_all()s before publishing, create_tx.rs:210-264) — the
+        fsync lives in :meth:`_atomic_rename` so the streaming ingest
+        path gets the same durability. On a shared filesystem this is
+        the same commit protocol a minimal table format uses.
         """
         tmp = os.path.join(self.path, f".tmp-{os.getpid()}-{time.time_ns():x}")
         try:
@@ -1099,7 +1118,19 @@ class Database:
         would skip that transaction forever. The name floor is the max
         existing tx name, so NTP clock steps backwards can't regress
         the order either. The critical section is a listing plus one
-        rename — microseconds; run-writing jobs stay fully parallel."""
+        rename — microseconds; run-writing jobs stay fully parallel.
+
+        Durability: the run's files are fsynced BEFORE the publishing
+        rename and the database directory fsynced AFTER it (fsutil
+        module docstring; the reference's create_tx.rs:210-264
+        contract), so a power loss can never leave a published ``tx.*``
+        whose data blocks were not durable. The tree fsync runs outside
+        the flock (the tmp is complete and private), the dir fsync
+        after release (fsyncing a directory that has since gained
+        entries is harmless) — the serialized window stays tiny.
+        ``durable=False`` skips both fsyncs (constructor docstring)."""
+        if self.durable:
+            fsync_tree(tmp)  # data durable before the rename publishes it
         lock_fd = os.open(os.path.join(self.path, ".commitlock"), os.O_CREAT | os.O_RDWR)
         try:
             import fcntl
@@ -1115,13 +1146,16 @@ class Database:
                 final = os.path.join(self.path, txname)
                 try:
                     os.rename(tmp, final)
-                    return txname
+                    break
                 except OSError:
                     if not os.path.exists(final):
                         raise
                     floor = nanos  # collision: bump past it
         finally:
             os.close(lock_fd)
+        if self.durable:
+            fsync_dir(self.path)  # the rename itself durable
+        return txname
 
     # -- compaction --------------------------------------------------------
 

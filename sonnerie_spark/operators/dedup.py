@@ -29,6 +29,13 @@ import time
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from sonnerie_spark.fsutil import (
+    fsync_dir,
+    fsync_file,
+    fsync_new_files,
+    fsync_tree,
+    snapshot_files,
+)
 from sonnerie_spark.functions.portable_hash import phash, phash_salted
 
 # MinHash mixing family: h_i(s) = (A_i * (phash(s) % 2^31) + B_i) % MOD.
@@ -556,8 +563,9 @@ def _ledger_recover_locked(bdir: str, finish) -> bool:
             shutil.rmtree(tmp, ignore_errors=True)
             continue
         if os.path.exists(os.path.join(tmp, "_COMPLETE")):
-            finish(tmp)
+            finish(tmp)  # re-append (each _replay_append fsyncs its rows)
             os.rename(tmp, bdir)
+            fsync_dir(os.path.dirname(bdir))  # the promotion, durable
         else:
             shutil.rmtree(tmp, ignore_errors=True)
     return os.path.isdir(bdir)
@@ -802,13 +810,23 @@ class LshIndex:
                     bands.select("id", "band", "bucket").repartition(
                         1
                     ).write.mode("overwrite").parquet(tmp)
-                    # recording complete — marked before the index append
-                    # so recovery can tell a finished recording from a
-                    # torn one (see _ledger_recover_locked)
+                    # recording durable, THEN marked complete, THEN the
+                    # marker made durable — recovery's write-ordering
+                    # argument (_ledger_recover_locked) must hold on
+                    # disk under power loss, not just in page cache
+                    fsync_tree(tmp)
                     open(os.path.join(tmp, "_COMPLETE"), "w").close()
+                    fsync_file(os.path.join(tmp, "_COMPLETE"))
+                    fsync_dir(tmp)
+                    before = snapshot_files(self._data)
                 bands.write.mode("append").parquet(self._data)
                 if tmp is not None:
+                    # appended rows durable BEFORE the seal: a durable
+                    # ledger entry over a lost append would drop the
+                    # batch's bands forever (replay skips the append)
+                    fsync_new_files(self._data, before)
                     os.rename(tmp, bdir)  # atomic applied marker, LAST
+                    fsync_dir(os.path.dirname(bdir))
             return out
         finally:
             bands.unpersist()
@@ -818,9 +836,11 @@ class LshIndex:
         (crash-window recovery; caller holds the flock). Duplicates
         with whatever the dead attempt already appended are tolerated
         by the distinct'd pair output and healed by :meth:`compact`."""
+        before = snapshot_files(self._data)
         self.spark.read.schema("id long, band int, bucket string").parquet(
             recording
         ).write.mode("append").parquet(self._data)
+        fsync_new_files(self._data, before)  # durable before the promotion
 
     def batch_applied(self, batch_id: str) -> bool:
         """Has ``batch_id`` been recorded by a completed :meth:`add`?
@@ -1045,12 +1065,21 @@ class ExactIndex:
                 fresh.select("h").repartition(1).write.mode(
                     "overwrite"
                 ).parquet(tmp)
+                # recording durable, then marker, then marker durable —
+                # the recovery ordering must hold under power loss (see
+                # the LshIndex.add ledger block; same barriers)
+                fsync_tree(tmp)
                 open(os.path.join(tmp, "_COMPLETE"), "w").close()
+                fsync_file(os.path.join(tmp, "_COMPLETE"))
+                fsync_dir(tmp)
+                before = snapshot_files(self._data)
             fresh.select("h", "pfx").repartition(
                 n_tasks, "pfx"
             ).write.mode("append").partitionBy("pfx").parquet(self._data)
             if bdir is not None:
+                fsync_new_files(self._data, before)  # rows before seal
                 os.rename(tmp, bdir)  # atomic applied marker, written LAST
+                fsync_dir(os.path.dirname(bdir))
 
     def _replay_append(self, recording: str) -> None:
         """Re-append a dead attempt's recorded fresh set to the index
@@ -1062,9 +1091,11 @@ class ExactIndex:
             .parquet(recording)
             .withColumn("pfx", F.substring("h", 1, 2))
         )
+        before = snapshot_files(self._data)
         fresh.repartition(1, "pfx").write.mode("append").partitionBy(
             "pfx"
         ).parquet(self._data)
+        fsync_new_files(self._data, before)  # durable before the promotion
 
     def _batch_dir(self, batch_id: str) -> str:
         """Ledger path for a batch id (see :func:`_ledger_dir`)."""

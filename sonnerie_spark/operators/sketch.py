@@ -1049,21 +1049,12 @@ def _fsync_tree(path: str) -> None:
     """fsync every file and directory under ``path`` (bounded store
     generations: a handful of files) — the other half of rename-based
     durability; fsyncing only one file inside the tree leaves the rest
-    (and the rename itself) at the filesystem's mercy."""
-    import os
+    (and the rename itself) at the filesystem's mercy. Shared
+    implementation: :func:`sonnerie_spark.fsutil.fsync_tree` (the same
+    contract now guards the run-commit path and the dedup ledgers)."""
+    from sonnerie_spark.fsutil import fsync_tree
 
-    for root, _dirs, files in os.walk(path, topdown=False):
-        for f in files:
-            fd = os.open(os.path.join(root, f), os.O_RDONLY)
-            try:
-                os.fsync(fd)
-            finally:
-                os.close(fd)
-        fd = os.open(root, os.O_RDONLY)
-        try:
-            os.fsync(fd)
-        finally:
-            os.close(fd)
+    fsync_tree(path)
 
 
 def _swap_data_dir(data: str, tmp: str) -> None:

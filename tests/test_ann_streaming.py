@@ -705,3 +705,56 @@ def test_streaming_curation_composite(spark, tmp_path):
         first.setdefault(r["h"], r["doc_id"])
     assert kept == set(first.values())
     assert kept, "empty kept set would make the test vacuous"
+
+
+def test_ledger_fsync_barrier_ordering(spark, tmp_path, monkeypatch):
+    """The crash-heal proof's write ordering must hold ON DISK: the
+    recording is fsynced before _COMPLETE, the marker before the index
+    append's rows, the appended rows before the sealing rename, and the
+    seal's directory entry last (power-loss contract; a durable seal
+    over a lost append would drop the batch's hashes forever)."""
+    import os as _os
+
+    from sonnerie_spark.operators import dedup as dmod
+    from pyspark.sql import functions as F
+
+    events = []
+
+    def wrap(name, real):
+        def inner(*a, **k):
+            events.append((name, a[0] if a else None))
+            return real(*a, **k)
+        return inner
+
+    real_rename = _os.rename
+    for fn in ("fsync_tree", "fsync_file", "fsync_new_files", "fsync_dir"):
+        monkeypatch.setattr(dmod, fn, wrap(fn, getattr(dmod, fn)))
+    monkeypatch.setattr(
+        _os, "rename",
+        lambda s, d: (events.append(("rename", d)), real_rename(s, d))[1],
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ex = dedup.ExactIndex(spark, str(tmp_path / "ex"))
+    h = (
+        docs.limit(20).select(F.md5("text").alias("h"))
+        .distinct().localCheckpoint(eager=True)
+    )
+    ex.append_hashes(h, batch_id="b1")
+
+    bdir = ex._batch_dir("b1")
+    idx = {
+        "tree": next(i for i, e in enumerate(events)
+                     if e[0] == "fsync_tree" and "!tmp-" in str(e[1])),
+        "marker": next(i for i, e in enumerate(events)
+                       if e[0] == "fsync_file"
+                       and str(e[1]).endswith("_COMPLETE")),
+        "rows": next(i for i, e in enumerate(events)
+                     if e[0] == "fsync_new_files"),
+        "seal": next(i for i, e in enumerate(events)
+                     if e[0] == "rename" and e[1] == bdir),
+    }
+    dir_after = next(i for i, e in enumerate(events)
+                     if e[0] == "fsync_dir" and i > idx["seal"]
+                     and str(e[1]).endswith("applied"))
+    assert idx["tree"] < idx["marker"] < idx["rows"] < idx["seal"] < dir_after

@@ -583,3 +583,72 @@ def test_time_travel_random_model(db):
             (r.key, r.ts): r.v_long[0] for r in db.read(as_of=txname).collect()
         }
         assert got == frozen, txname
+
+
+def test_commit_fsyncs_before_publishing_rename(spark, tmp_path, monkeypatch):
+    """Durability contract (create_tx.rs:210-264): the run's files are
+    fsynced BEFORE the rename that publishes tx.*, and the database
+    directory is fsynced AFTER it — a power loss can never surface a
+    published transaction whose data blocks were not durable."""
+    import os as _os
+
+    from sonnerie_spark import fsutil
+
+    db = Database(spark, str(tmp_path / "db"))
+    events = []
+    real_tree, real_dir, real_rename = (
+        fsutil.fsync_tree, fsutil.fsync_dir, _os.rename,
+    )
+    monkeypatch.setattr(
+        "sonnerie_spark.db.fsync_tree",
+        lambda p: (events.append(("tree", p)), real_tree(p))[1],
+        raising=False,
+    )
+    monkeypatch.setattr(
+        "sonnerie_spark.db.fsync_dir",
+        lambda p: (events.append(("dir", p)), real_dir(p))[1],
+        raising=False,
+    )
+    monkeypatch.setattr(
+        _os,
+        "rename",
+        lambda s, d: (events.append(("rename", s, d)), real_rename(s, d))[1],
+    )
+    txname = db.commit_rows(
+        [
+            {"key": "k", "ts": 1, "fmt": "u", "v_long": [7],
+             "v_double": [], "v_str": [], "v_bin": []}
+        ]
+    )
+    kinds = [e[0] for e in events]
+    assert "tree" in kinds and "rename" in kinds and "dir" in kinds
+    i_tree = kinds.index("tree")
+    i_ren = next(
+        i for i, e in enumerate(events)
+        if e[0] == "rename" and e[2].endswith(txname)
+    )
+    i_dir = kinds.index("dir", i_ren)
+    assert i_tree < i_ren < i_dir  # data -> publish -> dir entry
+    assert events[i_tree][1] == events[i_ren][1]  # the tmp tree itself
+    assert events[i_dir][1] == db.path
+
+
+def test_commit_durable_false_skips_fsync(spark, tmp_path, monkeypatch):
+    """durable=False opts out of the power-loss contract (re-runnable
+    ingests): no tree/dir fsync on the commit path, rename still atomic."""
+    db = Database(spark, str(tmp_path / "db"), durable=False)
+    calls = []
+    monkeypatch.setattr(
+        "sonnerie_spark.db.fsync_tree", lambda p: calls.append(p), raising=False
+    )
+    monkeypatch.setattr(
+        "sonnerie_spark.db.fsync_dir", lambda p: calls.append(p), raising=False
+    )
+    db.commit_rows(
+        [
+            {"key": "k", "ts": 1, "fmt": "u", "v_long": [7],
+             "v_double": [], "v_str": [], "v_bin": []}
+        ]
+    )
+    assert calls == []
+    assert len(db.data_runs()) == 1
