@@ -63,11 +63,29 @@ def make_server(
         # Idle keep-alive bound: without it, every abandoned persistent
         # connection pins a handler thread + fd forever (readline blocks
         # indefinitely). The stdlib turns the socket timeout into a
-        # closed connection.
+        # closed connection. INTENDED SEMANTICS: a socket timeout bounds
+        # each blocking recv/send individually, not the whole transfer —
+        # so this drops a peer that makes ZERO progress for 120 s
+        # (idle between requests, or stalled mid-GET/mid-PUT with a full
+        # TCP window), while an arbitrarily slow-but-moving client is
+        # never cut: every write unblocks as soon as the peer drains
+        # some bytes.
         timeout = 120
 
         def log_message(self, *a):  # quiet
             pass
+
+        def _request_has_unread_body(self) -> bool:
+            """Does this request carry a body we will not read? Unread
+            bytes left on a kept-alive socket misframe the NEXT request
+            — so every response to such a request (200 or error alike)
+            must close the connection after answering."""
+            try:
+                return bool(self.headers.get("Transfer-Encoding")) or (
+                    int(self.headers.get("Content-Length") or 0) > 0
+                )
+            except ValueError:
+                return True  # malformed length: assume unread bytes
 
         def _streaming_ok(self) -> bool:
             """May this request's 200 stream chunked on a kept-alive
@@ -79,13 +97,7 @@ def make_server(
             if self.request_version != "HTTP/1.1":
                 self.close_connection = True
                 return False
-            try:
-                has_body = bool(self.headers.get("Transfer-Encoding")) or (
-                    int(self.headers.get("Content-Length") or 0) > 0
-                )
-            except ValueError:
-                has_body = True  # malformed length: assume unread bytes
-            if has_body:
+            if self._request_has_unread_body():
                 self.close_connection = True
                 return False
             return True
@@ -184,8 +196,16 @@ def make_server(
                     # WITHOUT the terminal chunk so the client sees a
                     # hard-truncated chunked stream, not a clean end.
                     self.close_connection = True
-                else:  # surface engine errors as 500 text
-                    self._send_plain(500, str(e).encode())
+                else:  # surface engine errors as 500 text — but a GET
+                    # carrying a body we never read must still close
+                    # (the success path gets this via _streaming_ok;
+                    # without it here, the 500 left the body bytes on a
+                    # kept-alive socket, misframing the next request)
+                    self._send_plain(
+                        500,
+                        str(e).encode(),
+                        close=self._request_has_unread_body(),
+                    )
 
         def _commit_spooled(self, write_body) -> None:
             """Spooled-PUT path: body -> disk spool -> distributed parse

@@ -273,19 +273,34 @@ class ContinuousRollup:
         record under the newest merged name, so nothing already
         processed is re-counted wrong — recompute is LWW-idempotent —
         and nothing unprocessed is skipped)."""
+        last_exc: Exception | None = None
         for _ in range(5):
             try:
                 return self._refresh_once()
             except Exception as e:  # noqa: BLE001 - filtered below
                 msg = str(e)
+                from urllib.parse import quote
+
                 if (
                     "FileNotFoundException" in msg
                     or "PATH_NOT_FOUND" in msg
                     or "does not exist" in msg
+                ) and (
+                    self.src.path in msg
+                    # Spark may render the path as a percent-encoded URI
+                    # (the tail-exclusion lesson): match that form too
+                    or quote(self.src.path) in msg
                 ):
+                    # only a path under the SOURCE db can be a
+                    # compaction race; a missing/misconfigured path
+                    # anywhere else is a real error — surface it now
+                    last_exc = e
                     continue  # compaction swapped runs mid-refresh
                 raise
-        raise RuntimeError("refresh kept racing compaction swaps")
+        # chained: the real cause (which file kept vanishing) survives
+        raise RuntimeError(
+            "refresh kept racing compaction swaps"
+        ) from last_exc
 
     def _refresh_once(self) -> str | None:
         cursor = self._load_cursor()

@@ -47,6 +47,46 @@ def test_stream_ingest_commits_transactions(spark, db, tmp_path):
         q.stop()
 
 
+def test_stream_ingest_blank_lines_batch_commits_empty_run(spark, db, tmp_path):
+    """A micro-batch of only blank lines commits an EMPTY run (the
+    emptiness probe reads raw lines, not the parsed frame — a parsed
+    probe would double the parse cost of every batch). This pins the
+    'supported everywhere' claim: reads, changes(), tail, and rollup
+    refresh must all work across the empty run, and compaction sweeps
+    it."""
+    from sonnerie_spark.streaming.rollup import ContinuousRollup
+
+    inp = tmp_path / "incoming"
+    inp.mkdir()
+    (inp / "b1.txt").write_text("a 1000 u 1\n")
+    q = stream_text_ingest(
+        spark, db, str(inp),
+        checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    try:
+        q.processAllAvailable()
+        (inp / "b2.txt").write_text("\n\n\n")  # blank-only batch
+        q.processAllAvailable()
+        (inp / "b3.txt").write_text("b 2000 u 2\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(db.data_runs()) == 3  # the empty run IS committed
+    rows = {r.key: r.v_long[0] for r in db.read().collect()}
+    assert rows == {"a": 1, "b": 2}
+    # changes() across the empty run
+    empty_tx = db.data_runs()[1].name
+    assert db.changes(since=empty_tx).count() == 1
+    # rollup refresh across the empty run
+    ru = ContinuousRollup(db, str(tmp_path / "ru"), interval_ns=3600 * 10**9)
+    ru.refresh()
+    assert ru.read().count() >= 1
+    # compaction sweeps it away
+    db.compact(major=True)
+    assert len(db.data_runs()) == 1
+    assert {r.key: r.v_long[0] for r in db.read().collect()} == rows
+
+
 def test_windowed_counts_batch_semantics(spark, db):
     tx = db.create_tx()
     h = 3600 * 10**9
@@ -487,6 +527,37 @@ def test_serve_get_with_body_is_answered_then_closed(server, db):
     assert buf.count(b"HTTP/1.1 200") == 1  # follow-up was NOT served
     assert b"Connection: close" in buf
     assert buf.count(b"a\t1000\t1") == 1
+
+
+def test_serve_get_with_body_that_500s_still_closes(server, db, monkeypatch):
+    """A GET carrying a body that errors BEFORE headers must 500 AND
+    close: the success path closes via _streaming_ok, but a pre-header
+    engine error used to reply 500 keep-alive with the body bytes
+    unread — misframing the pipelined follow-up as starting at
+    'hello'."""
+    import socket
+    from urllib.parse import urlparse
+
+    _put(server, "a 1000 u 1\n")
+    monkeypatch.setattr(
+        db, "get", lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom"))
+    )
+    host, port = urlparse(server).netloc.split(":")
+    s = socket.create_connection((host, int(port)), timeout=30)
+    s.sendall(
+        b"GET /a HTTP/1.1\r\nHost: x\r\nContent-Length: 5\r\n\r\nhello"
+        b"GET /a HTTP/1.1\r\nHost: x\r\n\r\n"  # pipelined follow-up
+    )
+    buf = b""
+    while True:
+        got = s.recv(65536)
+        if not got:
+            break  # server closed after the 500
+        buf += got
+    s.close()
+    assert buf.startswith(b"HTTP/1.1 500")
+    assert b"Connection: close" in buf
+    assert buf.count(b"HTTP/1.1") == 1  # follow-up was NOT served
 
 
 def test_purge_stale_tmp_spares_live_writers(db):
