@@ -113,34 +113,57 @@ def hll_rho_sql(y_expr: str, field_bits: int) -> str:
     )
 
 
+def _hll_index(
+    df: DataFrame,
+    value: Column | str,
+    *,
+    bucket_bits: int,
+    group: Column | str | None = None,
+) -> DataFrame:
+    """The ORACLE-CRITICAL HLL register stage, shared by
+    :func:`hll_sketch` and :func:`hll_sketch_grouped` so the arithmetic
+    can never diverge between them (each NULL/bucket/rho fix used to
+    need the same edit twice): per surviving row, ``bucket`` = low
+    ``bucket_bits`` bits of the 60-bit portable hash and ``rho`` = the
+    leading-zero rank of the remaining field, with an optional leading
+    ``grp`` column. NULL values carry no identity: dropped (a null hash
+    would form a spurious bucket=NULL row that corrupts the estimator's
+    zeros term — and can push zeros negative, a log() domain error)."""
+    m = 1 << bucket_bits
+    field_bits = HASH_BITS - bucket_bits
+    c = F.col(value) if isinstance(value, str) else value
+    grp: list = []
+    if group is not None:
+        g = F.col(group) if isinstance(group, str) else group
+        grp = [g.alias("grp")]
+    withy = (
+        df.select(*grp, phash(c).alias("h"))
+        .where(F.col("h").isNotNull())
+        .select(
+            *(["grp"] if group is not None else []),
+            F.pmod(F.col("h"), F.lit(m)).cast("int").alias("bucket"),
+            F.expr(f"h div {m}").alias("y"),
+        )
+    )
+    rho = F.expr(hll_rho_sql("y", field_bits)).alias("rho")
+    return withy.select(
+        *(["grp"] if group is not None else []), "bucket", rho
+    )
+
+
 def hll_sketch(
     df: DataFrame, value: Column | str, *, bucket_bits: int = 8
 ) -> DataFrame:
     """HLL sketch of a string column: ``(bucket, max_rho)``, one row per
     non-empty bucket (≤ 2^bucket_bits rows).
 
-    bucket = low ``bucket_bits`` bits of the 60-bit portable hash; rho
-    = leading-zero rank of the remaining field. One hash aggregate with
-    map-side partial max — the canonical scale plan: input rows never
-    shuffle, only ≤ 2^b partial sketches per task do.
+    Register stage shared with the grouped variant (:func:`_hll_index`).
+    One hash aggregate with map-side partial max — the canonical scale
+    plan: input rows never shuffle, only ≤ 2^b partial sketches per
+    task do.
     """
-    m = 1 << bucket_bits
-    field_bits = HASH_BITS - bucket_bits
-    c = F.col(value) if isinstance(value, str) else value
-    # NULL values carry no identity: drop them (a null hash would form
-    # a spurious bucket=NULL row that corrupts the estimator's zeros
-    # term — and can push zeros negative, a log() domain error)
-    withy = (
-        df.select(phash(c).alias("h"))
-        .where(F.col("h").isNotNull())
-        .select(
-            F.pmod(F.col("h"), F.lit(m)).cast("int").alias("bucket"),
-            F.expr(f"h div {m}").alias("y"),
-        )
-    )
-    rho = F.expr(hll_rho_sql("y", field_bits)).alias("rho")
     return _tagged(
-        withy.select("bucket", rho)
+        _hll_index(df, value, bucket_bits=bucket_bits)
         .groupBy("bucket")
         .agg(F.max("rho").alias("max_rho")),
         "max_rho",
@@ -563,8 +586,38 @@ def dd_sketch(
     rows (~2-3k at a=0.01 over 18 decades) through any exchange, and
     merges across partitions/runs/days by per-bucket sum
     (:func:`dd_merge`) — exact percentiles shuffle every distinct
-    value. Returns ``(sgn, bucket, n)``.
+    value. Returns ``(sgn, bucket, n)``. Index stage shared with the
+    grouped variant (:func:`_dd_index`).
     """
+    a = float(relative_accuracy)
+    return _tagged(
+        _dd_index(df, value, relative_accuracy=a, min_value=min_value)
+        .groupBy("sgn", "bucket")
+        .agg(F.count(F.lit(1)).alias("n")),
+        "n",
+        relative_accuracy=a,
+    )
+
+
+def _dd_index(
+    df: DataFrame,
+    value: Column | str,
+    *,
+    relative_accuracy: float,
+    min_value: float,
+    group: Column | str | None = None,
+) -> DataFrame:
+    """The ORACLE-CRITICAL DDSketch bucket-index stage, shared by
+    :func:`dd_sketch` and :func:`dd_sketch_grouped` so the arithmetic
+    can never diverge between them: per surviving row (NaN/±inf/null
+    dropped), ``sgn`` in {-1,0,1} around the ``min_value`` dead zone
+    and ``bucket = ceil(ln|x| / ln(gamma))`` on the correctly-rounded
+    ln (ln_cr — bit-identical in Spark and DuckDB), with an optional
+    leading ``grp`` column. The per-row ln is computed on a staged
+    column (ln_cr_append) so codegen evaluates the sqrt chain once —
+    inside the CaseWhen branch it cannot be CSE-hoisted and runs ~50x
+    slower; ln_cr(lit(gamma)) constant-folds to the identical bit
+    pattern the oracle's engine folds its own literal chain to."""
     from sonnerie_spark.operators.text import ln_cr, ln_cr_append
 
     a = float(relative_accuracy)
@@ -573,7 +626,11 @@ def dd_sketch(
     gamma = (1.0 + a) / (1.0 - a)
     mn = float(min_value)
     v = (F.col(value) if isinstance(value, str) else value).cast("double")
-    df = df.select(v.alias("v")).filter(
+    grp: list = []
+    if group is not None:
+        g = F.col(group) if isinstance(group, str) else group
+        grp = [g.alias("grp")]
+    df = df.select(*grp, v.alias("v")).filter(
         F.col("v").isNotNull()
         & ~F.isnan("v")
         & (F.abs(F.col("v")) != F.lit(float("inf")))
@@ -584,18 +641,34 @@ def dd_sketch(
         .when(F.col("v") < -mn, F.lit(-1))
         .otherwise(F.lit(0))
     )
-    # ln_cr(lit(gamma)) constant-folds to the identical bit pattern the
-    # oracle's engine folds its own literal chain to
     bucket = F.when(sgn == 0, F.lit(0).cast("long")).otherwise(
         F.ceil(F.col("__ln_abs") / ln_cr(F.lit(gamma)))
     )
-    return _tagged(
-        df.select(sgn.alias("sgn"), bucket.alias("bucket"))
-        .groupBy("sgn", "bucket")
-        .agg(F.count(F.lit(1)).alias("n")),
-        "n",
-        relative_accuracy=a,
+    return df.select(
+        *(["grp"] if group is not None else []),
+        sgn.alias("sgn"),
+        bucket.alias("bucket"),
     )
+
+
+def _dd_index_sql(relative_accuracy: float, min_value: float) -> tuple[str, str]:
+    """The (sgn, bucket) CASE expressions of the DuckDB DDSketch
+    mirror — shared by :func:`dd_sketch_sql` and
+    :func:`dd_sketch_grouped_sql` exactly as :func:`_dd_index` is
+    shared on the Spark side, over an inner column ``v``."""
+    from sonnerie_spark.operators.text import ln_cr_sql
+
+    a = float(relative_accuracy)
+    gamma = (1.0 + a) / (1.0 - a)
+    mn = repr(float(min_value))
+    lx = ln_cr_sql("abs(v)")
+    lg = ln_cr_sql(repr(gamma))
+    sgn = f"""CASE WHEN v > {mn} THEN 1
+                  WHEN v < -{mn} THEN -1 ELSE 0 END"""
+    bucket = f"""CASE WHEN abs(v) > {mn}
+                  THEN CAST(ceil({lx} / {lg}) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END"""
+    return sgn, bucket
 
 
 def dd_sketch_sql(
@@ -607,20 +680,11 @@ def dd_sketch_sql(
 ) -> str:
     """DuckDB mirror of :func:`dd_sketch` — the identical ln_cr op
     sequence, so (sgn, bucket, n) matches bit-for-bit."""
-    from sonnerie_spark.operators.text import ln_cr_sql
-
-    a = float(relative_accuracy)
-    gamma = (1.0 + a) / (1.0 - a)
-    mn = repr(float(min_value))
-    lx = ln_cr_sql("abs(v)")
-    lg = ln_cr_sql(repr(gamma))
+    sgn, bucket = _dd_index_sql(relative_accuracy, min_value)
     return f"""
     SELECT sgn, bucket, count(*) AS n FROM (
-      SELECT CASE WHEN v > {mn} THEN 1
-                  WHEN v < -{mn} THEN -1 ELSE 0 END AS sgn,
-             CASE WHEN abs(v) > {mn}
-                  THEN CAST(ceil({lx} / {lg}) AS BIGINT)
-                  ELSE CAST(0 AS BIGINT) END AS bucket
+      SELECT {sgn} AS sgn,
+             {bucket} AS bucket
       FROM (SELECT CAST({value_expr} AS DOUBLE) AS v FROM {from_clause})
       WHERE v IS NOT NULL AND NOT isnan(v) AND NOT isinf(v)
     ) GROUP BY sgn, bucket
@@ -638,32 +702,13 @@ def dd_sketch_grouped(
     """Per-group DDSketch — the canonical deployment shape ("p99 per
     service/key" at 100 TB): ``(grp, sgn, bucket, n)``, one hash agg
     with map-side partials, ≤ a few-k integer rows per group through
-    any exchange. Same index expression as :func:`dd_sketch`."""
-    from sonnerie_spark.operators.text import ln_cr, ln_cr_append
-
+    any exchange. Index stage SHARED with :func:`dd_sketch`
+    (:func:`_dd_index`) — the arithmetic cannot diverge."""
     a = float(relative_accuracy)
-    if not 0.0 < a < 1.0:
-        raise ValueError(f"relative_accuracy must be in (0,1), got {a}")
-    gamma = (1.0 + a) / (1.0 - a)
-    mn = float(min_value)
-    g = F.col(group) if isinstance(group, str) else group
-    v = (F.col(value) if isinstance(value, str) else value).cast("double")
-    df = df.select(g.alias("grp"), v.alias("v")).filter(
-        F.col("v").isNotNull()
-        & ~F.isnan("v")
-        & (F.abs(F.col("v")) != F.lit(float("inf")))
-    )
-    df = ln_cr_append(df, F.abs(F.col("v")), "__ln_abs")
-    sgn = (
-        F.when(F.col("v") > mn, F.lit(1))
-        .when(F.col("v") < -mn, F.lit(-1))
-        .otherwise(F.lit(0))
-    )
-    bucket = F.when(sgn == 0, F.lit(0).cast("long")).otherwise(
-        F.ceil(F.col("__ln_abs") / ln_cr(F.lit(gamma)))
-    )
     return _tagged(
-        df.select("grp", sgn.alias("sgn"), bucket.alias("bucket"))
+        _dd_index(
+            df, value, relative_accuracy=a, min_value=min_value, group=group
+        )
         .groupBy("grp", "sgn", "bucket")
         .agg(F.count(F.lit(1)).alias("n")),
         "n",
@@ -679,22 +724,14 @@ def dd_sketch_grouped_sql(
     relative_accuracy: float = 0.01,
     min_value: float = 1e-9,
 ) -> str:
-    """DuckDB mirror of :func:`dd_sketch_grouped`."""
-    from sonnerie_spark.operators.text import ln_cr_sql
-
-    a = float(relative_accuracy)
-    gamma = (1.0 + a) / (1.0 - a)
-    mn = repr(float(min_value))
-    lx = ln_cr_sql("abs(v)")
-    lg = ln_cr_sql(repr(gamma))
+    """DuckDB mirror of :func:`dd_sketch_grouped` — index expressions
+    shared with :func:`dd_sketch_sql` via :func:`_dd_index_sql`."""
+    sgn, bucket = _dd_index_sql(relative_accuracy, min_value)
     return f"""
     SELECT grp, sgn, bucket, count(*) AS n FROM (
       SELECT grp,
-             CASE WHEN v > {mn} THEN 1
-                  WHEN v < -{mn} THEN -1 ELSE 0 END AS sgn,
-             CASE WHEN abs(v) > {mn}
-                  THEN CAST(ceil({lx} / {lg}) AS BIGINT)
-                  ELSE CAST(0 AS BIGINT) END AS bucket
+             {sgn} AS sgn,
+             {bucket} AS bucket
       FROM (SELECT {group_expr} AS grp, CAST({value_expr} AS DOUBLE) AS v
             FROM {from_clause})
       WHERE v IS NOT NULL AND NOT isnan(v) AND NOT isinf(v)
@@ -890,25 +927,11 @@ def hll_sketch_grouped(
     bucket_bits: int = 8,
 ) -> DataFrame:
     """Per-group HLL sketches: ``(grp, bucket, max_rho)`` — ≤ 2^b rows
-    per group, one map-side-combined aggregate keyed on (grp,
-    bucket)."""
-    m = 1 << bucket_bits
-    field_bits = HASH_BITS - bucket_bits
-    g = F.col(group) if isinstance(group, str) else group
-    c = F.col(value) if isinstance(value, str) else value
-    # NULL values carry no identity (same rule as hll_sketch)
-    withy = (
-        df.select(g.alias("grp"), phash(c).alias("h"))
-        .where(F.col("h").isNotNull())
-        .select(
-            "grp",
-            F.pmod(F.col("h"), F.lit(m)).cast("int").alias("bucket"),
-            F.expr(f"h div {m}").alias("y"),
-        )
-    )
-    rho = F.expr(hll_rho_sql("y", field_bits)).alias("rho")
+    per group, one map-side-combined aggregate keyed on (grp, bucket).
+    Register stage shared with :func:`hll_sketch` (:func:`_hll_index`),
+    including its NULL rule."""
     return _tagged(
-        withy.select("grp", "bucket", rho)
+        _hll_index(df, value, bucket_bits=bucket_bits, group=group)
         .groupBy("grp", "bucket")
         .agg(F.max("rho").alias("max_rho")),
         "max_rho",
