@@ -7083,18 +7083,59 @@ _DRIVER_WINDOW = [
     #     token-stats pipeline runs inside c4_line_clean (staying) and
     #     the curation composites' quality stage — corpus_curation_v5
     #     staying).
-    # Never-driver-seen after the r11 rotation (16):
-    # stratified_sample_lang, neardup_keep_longest, corpus_curation,
-    # repetition_filter, series_anomaly_zscore,
-    # quality_filter_stratified, bpe_pair_counts, cohort_retention,
-    # funnel_conversion, repeated_spans, dedup_ngram_containment,
-    # chunk_documents, cap_per_group, deterministic_shuffle,
-    # distinct_sketch_hll, multimodal_decode_stub.
+    # r12 rotation (VERDICT r11 #1: the pinned r12 ten — the analytics
+    # window/funnel family, the repetition/chunking text family, and
+    # the sampling trio). Departures hold 4-11 driver records each
+    # (counted from CORRECTNESS_r01..r11); covers/residuals:
+    #   dedup_ngram_jaccard_capped -> dedup_ngram_containment (STRONG
+    #     cover: the incoming gate runs the SAME k=3 shingle
+    #     posting-list plan and max_df skew cap, scoring containment
+    #     instead of Jaccard; departing gate holds 8 records r4-r11;
+    #     residual = the Jaccard union term, pinned by
+    #     test_ann_streaming's jaccard monotonicity tests + sweep);
+    #   text_lang_id -> stratified_sample_lang (departing holds 11
+    #     consecutive records r1-r11 — the longest streak in the
+    #     registry; residual = the n-gram lang heuristic projection,
+    #     pinned by pytest + the three-SF sweep; the incoming gate
+    #     stratifies on the lang column, one shuffle on the group key);
+    #   c4_line_clean -> repetition_filter (departing holds r7-r11;
+    #     the token-stats spine also runs inside corpus_curation_v5's
+    #     quality stage, staying; incoming runs the Gopher-style
+    #     repeated-token-ratio rules over the same tokens() path);
+    #   dedup_substrings -> repeated_spans (departing holds r6-r11;
+    #     incoming runs the sibling within-doc repeated-window
+    #     analysis over the same whitespace-token spine; residual =
+    #     the cross-doc suffix posting join, pinned by substr_scale +
+    #     pytest + sweep);
+    #   decontaminate_benchmark -> cohort_retention (departing holds
+    #     r5-r11; corpus_curation_v5 stays and runs the family's
+    #     decontaminate-bloom stage; residual = the exact benchmark
+    #     13-gram join variant, pinned by pytest + sweep);
+    #   redact_pii -> funnel_conversion (departing holds r5-r11;
+    #     residual = the regex redaction map-only projection, pinned
+    #     by pytest + sweep);
+    #   pack_sequences -> chunk_documents (departing holds r5-r11;
+    #     incoming runs the same tokens -> fixed-window slicing spine
+    #     (chunking IS packing's window stage at doc granularity);
+    #     residual = the greedy bin accumulation, pinned by the
+    #     pack_sequences invariants pytest + sweep);
+    #   split_leakage -> cap_per_group (departing holds r7-r11; its
+    #     LSH pair stream stays THREE ways — lsh_index_incremental in
+    #     the window, corpus_curation_v5's LSH stage, pytest; residual
+    #     = the hash_split composition, pinned by the split tests +
+    #     sweep);
+    #   corpus_mix_budget -> deterministic_shuffle (departing holds
+    #     r6-r11; the integer hash-keep mix rule runs inside
+    #     corpus_curation_v3's mix stage, staying via v5; residual =
+    #     the token-budget allocation, pinned by pytest + sweep);
+    #   dsir_select -> series_anomaly_zscore (departing holds r7-r11;
+    #     residual = the DSIR importance-weight arithmetic, pinned by
+    #     pytest + sweep; incoming is the window-family z-score gate
+    #     over events, first of the analytics batch).
+    # Never-driver-seen after the r12 rotation (6):
+    # neardup_keep_longest, corpus_curation, quality_filter_stratified,
+    # bpe_pair_counts, distinct_sketch_hll, multimodal_decode_stub.
     # Pinned rotation schedule to finish the program (VERDICT r9 #4):
-    #   r12 (10): series_anomaly_zscore, cohort_retention,
-    #     funnel_conversion, repetition_filter, repeated_spans,
-    #     dedup_ngram_containment, chunk_documents, cap_per_group,
-    #     deterministic_shuffle, stratified_sample_lang;
     #   r13 (6): quality_filter_stratified, bpe_pair_counts,
     #     neardup_keep_longest, corpus_curation, distinct_sketch_hll,
     #     multimodal_decode_stub.
@@ -7150,19 +7191,18 @@ _DRIVER_WINDOW = [
     #     refresh/commit machinery, fine-from-source + cascaded merge;
     #     residual = the num_values=m multi-column agg struct).
     "dedup_paragraphs_incremental",
-    "dedup_ngram_jaccard_capped",
+    "dedup_ngram_containment",
     "bm25_topk",
     "simhash120_near_pairs",
     "dedup_paragraphs", "classifier_score",
     "ivfpq_index_incremental",
     "bloom_store_roundtrip",
     "multimodal_decode_jpeg",
-    # text / sampling / multimodal pipeline
-    "c4_line_clean", "text_lang_id",
-    "dedup_substrings",
-    "decontaminate_benchmark", "redact_pii",
-    "pack_sequences",
-    "split_leakage", "corpus_mix_budget", "dsir_select",
+    # text / sampling pipeline (r12 rotation, first record)
+    "repetition_filter", "repeated_spans", "chunk_documents",
+    "stratified_sample_lang", "cap_per_group", "deterministic_shuffle",
+    # events analytics family (r12 rotation, first record)
+    "series_anomaly_zscore", "cohort_retention", "funnel_conversion",
     "multimodal_decode_png",
     "multimodal_decode_mp3",
     # perceptual image dedup (r9-landed wide variants, first record)
