@@ -1386,6 +1386,15 @@ class Database:
         final = os.path.join(self.path, target_name)
         if major and os.path.exists(final) and final not in purge:
             purge.append(final)
+        if self.durable:
+            # The swap below DESTROYS the merged inputs, so the merged
+            # output must be durable first — the reference syncs at
+            # compaction for the same reason. A power loss between the
+            # publishing rename and the rmtrees is safe either way
+            # (hidden .tmp-old-* runs are janitor debris, not data
+            # loss); a loss of the UNSYNCED new run after the purge
+            # would not be.
+            fsync_tree(tmp)
         hidden = []
         for i, p in enumerate(purge):
             if os.path.exists(p):
@@ -1395,6 +1404,8 @@ class Database:
                 os.rename(p, h)
                 hidden.append(h)
         os.rename(tmp, final)
+        if self.durable:
+            fsync_dir(self.path)  # publish + hides durable before purge
         for h in hidden:
             shutil.rmtree(h, ignore_errors=True)
         return target_name

@@ -652,3 +652,60 @@ def test_commit_durable_false_skips_fsync(spark, tmp_path, monkeypatch):
     )
     assert calls == []
     assert len(db.data_runs()) == 1
+
+
+def test_compact_fsyncs_before_purging_inputs(spark, tmp_path, monkeypatch):
+    """Compaction destroys its merged inputs, so the merged output must
+    be durable BEFORE the swap (the reference syncs at compaction): the
+    tree fsync of the new run precedes every hide-rename and the rmtree
+    purge, and the directory fsync lands after the publishing rename."""
+    import os as _os
+    import shutil as _shutil
+
+    from sonnerie_spark import fsutil
+
+    db = Database(spark, str(tmp_path / "db"))
+    for i in range(2):
+        db.commit_rows(
+            [{"key": "k", "ts": 100 + i, "fmt": "u", "v_long": [i],
+              "v_double": [], "v_str": [], "v_bin": []}]
+        )
+    events = []
+    real_tree, real_dir = fsutil.fsync_tree, fsutil.fsync_dir
+    real_rename, real_rmtree = _os.rename, _shutil.rmtree
+    monkeypatch.setattr(
+        "sonnerie_spark.db.fsync_tree",
+        lambda p: (events.append(("tree", p)), real_tree(p))[1],
+        raising=False,
+    )
+    monkeypatch.setattr(
+        "sonnerie_spark.db.fsync_dir",
+        lambda p: (events.append(("dir", p)), real_dir(p))[1],
+        raising=False,
+    )
+    monkeypatch.setattr(
+        _os, "rename",
+        lambda s, d: (events.append(("rename", s, d)), real_rename(s, d))[1],
+    )
+    monkeypatch.setattr(
+        _shutil, "rmtree",
+        lambda p, **k: (events.append(("rmtree", p)), real_rmtree(p, **k))[1],
+    )
+    db.compact(major=True)
+    kinds = [e[0] for e in events]
+    i_tree = next(
+        i for i, e in enumerate(events)
+        if e[0] == "tree" and ".tmp-compact-" in str(e[1])
+    )
+    i_pub = next(
+        i for i, e in enumerate(events)
+        if e[0] == "rename" and str(e[2]).endswith("main")
+    )
+    i_dir = kinds.index("dir", i_pub)
+    i_purge = next(
+        (i for i, e in enumerate(events)
+         if e[0] == "rmtree" and ".tmp-old-" in str(e[1])),
+        len(events),
+    )
+    assert i_tree < i_pub < i_dir <= i_purge
+    assert {r.ts: r.v_long[0] for r in db.read().collect()} == {100: 0, 101: 1}
