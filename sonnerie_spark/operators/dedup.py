@@ -927,9 +927,15 @@ class LshIndex:
                 .write.mode("overwrite")
                 .parquet(tmp)
             )
+            # the swap destroys the old layout, so the compacted one
+            # must be durable FIRST (the index is the corpus's dedup
+            # memory — losing it to a power loss silently un-dedups
+            # every future batch); same contract as the db compactor
+            fsync_tree(tmp)
             back = self._data + f".old-{time.time_ns():x}"
             os.rename(self._data, back)
             os.rename(tmp, self._data)
+            fsync_dir(self.path)  # both renames durable before the purge
             shutil.rmtree(back, ignore_errors=True)
 
 
@@ -1154,9 +1160,13 @@ class ExactIndex:
                 .write.partitionBy("pfx")
                 .parquet(tmp)
             )
+            # compacted layout durable before the old one is destroyed
+            # (same reasoning as LshIndex.compact)
+            fsync_tree(tmp)
             back = self._data + f".old-{time.time_ns():x}"
             os.rename(self._data, back)
             os.rename(tmp, self._data)
+            fsync_dir(self.path)  # both renames durable before the purge
             shutil.rmtree(back, ignore_errors=True)
 
     def _locked(self):
