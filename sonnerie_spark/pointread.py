@@ -173,6 +173,18 @@ class PointReader:
 
     # -- footer cache ------------------------------------------------------
 
+    def _evict_stale_footers(self, all_runs) -> None:
+        """Evict footer-cache entries for runs no longer listed: each
+        entry pins OPEN fds (one pq.ParquetFile per part file), and a
+        compacted-away run's path is never looked up again, so without
+        this a long-lived reader (the serve process) leaks fds — and
+        disk space, since deleted-but-open files survive — for every
+        transaction ever replaced. Found by the serve soak
+        (tools/soak_serve.py)."""
+        live = {r.path for r in all_runs}
+        for stale in [p for p in self._footers if p not in live]:
+            del self._footers[stale]
+
     def _run_footers(self, run) -> _RunFooters | None:
         # The whole stat/list/open sequence can race a compaction swap
         # hiding the run dir; ANY OSError here means "run replaced under
@@ -296,7 +308,9 @@ class PointReader:
         point-read class regardless of the pattern a client sends.
         """
         total = 0
-        for run in self.db.data_runs():
+        data_runs = self.db.data_runs()
+        self._evict_stale_footers(data_runs)
+        for run in data_runs:
             footers = self._run_footers(run)
             if footers is None:
                 continue
@@ -413,6 +427,7 @@ class PointReader:
         makes."""
         fingerprint = self.db.run_names()
         all_runs = self.db.runs()
+        self._evict_stale_footers(all_runs)
         runs = [r for r in all_runs if not r.is_delete]
         tables: list[tuple[str, object]] = []  # (run name, filtered table)
         for run in runs:  # lexical order == commit order

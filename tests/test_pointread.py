@@ -84,6 +84,32 @@ def test_point_read_after_compaction_and_footer_cache(db):
     assert _norm(_point_rows(db, "zeta")) == _norm(_spark_rows(db, "zeta"))
 
 
+def test_footer_cache_evicts_replaced_runs(db):
+    """The footer cache pins open fds (one pq.ParquetFile per part
+    file); entries for compacted-away runs must be EVICTED on the next
+    read — a long-lived serve process would otherwise leak fds and
+    disk (deleted-but-open files) for every replaced transaction."""
+    _seed(db)
+    db.get("beta")  # warm: one footer entry per data run
+    pr = db._point_reader
+    n_runs = len(db.data_runs())
+    assert len(pr._footers) == n_runs > 1
+    old_paths = set(pr._footers)
+    db.compact(major=True)
+    db.get("beta")  # post-compaction read reconciles the cache
+    assert set(pr._footers).isdisjoint(old_paths)
+    assert len(pr._footers) == len(db.data_runs()) == 1
+    # prefix fast path reconciles too
+    db.commit_rows(
+        [{"key": "beta", "ts": 999, "fmt": "u", "v_long": [1],
+          "v_double": [], "v_str": [], "v_bin": []}]
+    )
+    db.get_prefix("bet")
+    db.compact(major=True)
+    db.get_prefix("bet")
+    assert len(pr._footers) == 1
+
+
 def test_point_read_lww_values(db):
     _seed(db)
     vals = {r["ts"]: r["v_long"][0] for r in db.get("beta")}
