@@ -115,6 +115,13 @@ def arrow_record_schema():
 
 _TX_NAME_RE = re.compile(r"^(main|tx\.[0-9a-f]{16})$")
 DELETE_SENTINEL = "DELETE_MARKER"
+
+# Compaction swap plan (crash recovery): the hide -> publish -> purge
+# sequence is multiple renames, so the plan is persisted first and the
+# recovery rule (_recover_compact_plan) rolls an interrupted swap back
+# or forward. The name is NOT under .tmp-* on purpose: the janitor must
+# never reap it.
+COMPACT_PLAN = ".compact-plan.json"
 # Above this many live delete markers, switch from an inlined literal
 # predicate to a broadcast anti-join.
 MAX_INLINE_DELETES = 64
@@ -191,6 +198,30 @@ class Database:
         self._last_view_gc = 0.0  # rate limit for the reuse-path sweep
         os.makedirs(self.path, exist_ok=True)
         self.buckets = self._resolve_buckets(buckets)
+        self._heal_compact_crash()
+
+    def _heal_compact_crash(self) -> None:
+        """Open-time recovery for a compactor that died mid-swap: until
+        the plan is resolved, the database can list ZERO visible runs
+        (the data hidden under .tmp-old-*) — every read would silently
+        see an empty database. Cheap in the common case (one stat);
+        non-blocking on the compaction lock — if it is held, a LIVE
+        compactor owns the plan and will clear it."""
+        if not os.path.exists(os.path.join(self.path, COMPACT_PLAN)):
+            return
+        import fcntl
+
+        lock_fd = os.open(
+            os.path.join(self.path, ".compact"), os.O_CREAT | os.O_RDWR
+        )
+        try:
+            try:
+                fcntl.flock(lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                return  # a live compactor holds the lock and the plan
+            self._recover_compact_plan()
+        finally:
+            os.close(lock_fd)
 
     def _resolve_buckets(self, requested: int | None) -> int:
         """Fixed database-wide bucket count B (bucketing.py rationale).
@@ -1215,6 +1246,10 @@ class Database:
             import fcntl
 
             fcntl.flock(lock_fd, fcntl.LOCK_EX)
+            # resolve a dead compactor's interrupted swap BEFORE the
+            # janitor runs: an unresolved plan's .tmp-old-* dirs are
+            # the live data, not reapable debris
+            self._recover_compact_plan()
             self._purge_stale_tmp()
             max_runs = max(2, int(max_runs))  # a 1-run batch cannot make progress
             last = None
@@ -1389,26 +1424,106 @@ class Database:
         if self.durable:
             # The swap below DESTROYS the merged inputs, so the merged
             # output must be durable first — the reference syncs at
-            # compaction for the same reason. A power loss between the
-            # publishing rename and the rmtrees is safe either way
-            # (hidden .tmp-old-* runs are janitor debris, not data
-            # loss); a loss of the UNSYNCED new run after the purge
-            # would not be.
+            # compaction for the same reason.
             fsync_tree(tmp)
-        hidden = []
+        # The hide -> publish sequence is MULTIPLE renames: a crash
+        # inside it (after some hides, before the publish) would leave
+        # the database with no visible runs and the data stranded under
+        # .tmp-old-* names the janitor eventually reaps — total data
+        # loss. So the swap is journaled: persist the full plan FIRST,
+        # then execute it; _recover_compact_plan rolls an interrupted
+        # swap back (tmp still present: restore the hides) or forward
+        # (tmp gone == publish happened: finish the purge).
+        hides = []
         for i, p in enumerate(purge):
             if os.path.exists(p):
-                h = os.path.join(
-                    self.path, f".tmp-old-{time.time_ns():016x}-{i}"
+                hides.append(
+                    (os.path.basename(p), f".tmp-old-{time.time_ns():016x}-{i}")
                 )
-                os.rename(p, h)
-                hidden.append(h)
+        self._write_compact_plan(
+            {"tmp": os.path.basename(tmp), "final": target_name,
+             "hides": hides}
+        )
+        hidden = []
+        for orig, h in hides:
+            os.rename(
+                os.path.join(self.path, orig), os.path.join(self.path, h)
+            )
+            hidden.append(os.path.join(self.path, h))
         os.rename(tmp, final)
         if self.durable:
             fsync_dir(self.path)  # publish + hides durable before purge
         for h in hidden:
             shutil.rmtree(h, ignore_errors=True)
+        self._clear_compact_plan()
         return target_name
+
+    def _write_compact_plan(self, plan: dict) -> None:
+        """Persist the swap plan before executing it (caller holds the
+        compaction lock). Durable BEFORE the first hide rename when the
+        database is durable — recovery must be able to trust that a
+        hide implies a readable plan."""
+        import json
+
+        p = os.path.join(self.path, COMPACT_PLAN)
+        t = p + f".w-{os.getpid()}"
+        with open(t, "w") as f:
+            json.dump(plan, f)
+            f.flush()
+            if self.durable:
+                os.fsync(f.fileno())
+        os.rename(t, p)
+        if self.durable:
+            fsync_dir(self.path)
+
+    def _clear_compact_plan(self) -> None:
+        try:
+            os.remove(os.path.join(self.path, COMPACT_PLAN))
+        except FileNotFoundError:
+            pass
+
+    def _recover_compact_plan(self) -> None:
+        """Resolve an interrupted compaction swap (caller HOLDS the
+        compaction lock). tmp still present means the publish rename
+        never ran: ROLL BACK — restore every hidden run to its original
+        name and discard the rewrite (compaction is a pure rewrite, so
+        redoing it later loses nothing). tmp gone means the publish
+        happened: ROLL FORWARD — finish the purge of the hidden
+        originals. Either way the database is consistent afterwards and
+        the plan is cleared; a crash inside recovery just re-runs it."""
+        import json
+
+        p = os.path.join(self.path, COMPACT_PLAN)
+        try:
+            with open(p) as f:
+                plan = json.load(f)
+        except FileNotFoundError:
+            return
+        except ValueError:
+            # A plan is published by rename of a fully-written file, so
+            # a torn one cannot exist post-crash; defensively treat it
+            # as pre-hide debris (nothing to restore).
+            os.remove(p)
+            return
+        tmp = os.path.join(self.path, plan["tmp"])
+        final = os.path.join(self.path, plan["final"])
+        if os.path.exists(tmp) or not os.path.exists(final):
+            # not published: restore the hides done so far
+            for orig, h in plan["hides"]:
+                hp = os.path.join(self.path, h)
+                op = os.path.join(self.path, orig)
+                if os.path.isdir(hp) and not os.path.exists(op):
+                    os.rename(hp, op)
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            # published: the hidden originals are now superseded
+            for _orig, h in plan["hides"]:
+                shutil.rmtree(
+                    os.path.join(self.path, h), ignore_errors=True
+                )
+        if self.durable:
+            fsync_dir(self.path)
+        os.remove(p)
 
 
 class _SubsetView:

@@ -59,6 +59,10 @@ def snapshot_files(root: str) -> set[str]:
     the callers keep bounded (compacted index layouts)."""
     if not os.path.isdir(root):
         return set()
+    # normalized exactly like fsync_new_files' walk, so a trailing
+    # slash or relative root can't make the before-set match nothing
+    # (which would re-fsync the whole tree on every append)
+    root = os.path.abspath(root)
     out: set[str] = set()
     for r, _dirs, files in os.walk(root):
         for f in files:

@@ -503,7 +503,18 @@ def _ledger_dir(root: str, batch_id: str) -> str:
     batch would silently be treated as an already-applied replay —
     its index append skipped with no error. Ids that were already
     safe keep their exact name (ledgers written before this rule are
-    unaffected for them)."""
+    unaffected for them).
+
+    MIGRATION for indexes written before this rule whose batch ids
+    NEEDED sanitizing: their old ledgers live at the bare sanitized
+    name and are no longer consulted, so a replay of such a batch
+    re-applies it (duplicate index rows — tolerated by every probe and
+    healed by compact(); the replay's pair/survivor output is the
+    polluted-recompute shape, so prefer migrating). Migrate by renaming
+    ``applied/<sanitized>`` to the path this function now returns for
+    the raw id. This cannot be automated: a bare ``applied/a_b`` is
+    indistinguishable from the legitimate ledger of the DISTINCT id
+    'a_b' — exactly the ambiguity the suffix removes."""
     raw = str(batch_id)
     safe = re.sub(r"[^A-Za-z0-9._-]", "_", raw)
     if not safe or safe in (".", ".."):
@@ -530,6 +541,26 @@ def _ledger_tmps(bdir: str) -> list[str]:
         for n in os.listdir(adir)
         if n.startswith(base + "!tmp-")
     )
+
+
+def _recover_swap_locked(data: str) -> None:
+    """Crash recovery for an index compact's two-rename swap (caller
+    HOLDS the index flock): a crash between ``rename(data -> .old-)``
+    and ``rename(.compact- -> data)`` leaves NO data dir, and every
+    probe would silently see an EMPTY index — un-dedup'ing every
+    future batch with no error. Restore the newest ``.old-*`` backup
+    (the pre-compact layout; compaction is a pure rewrite, so redoing
+    it later loses nothing). Older backups and leftover ``.compact-*``
+    rewrites are debris (a live compactor would hold the lock we
+    hold). Same recovery rule as the sketch stores'
+    ``_recover_data_dir`` (sketch.py)."""
+    import glob
+
+    backs = sorted(glob.glob(data + ".old-*"))
+    if not os.path.isdir(data) and backs:
+        os.rename(backs.pop(), data)
+    for stale in backs + glob.glob(data + ".compact-*"):
+        shutil.rmtree(stale, ignore_errors=True)
 
 
 def _ledger_recover_locked(bdir: str, finish) -> bool:
@@ -651,6 +682,20 @@ class LshIndex:
             with open(meta_path, "w") as f:
                 json.dump(meta, f)
         self._data = os.path.join(self.path, "bands")
+        self._heal_swap()
+
+    def _heal_swap(self) -> None:
+        """Open-time crash recovery: a dead compactor's swap can leave
+        the data dir missing with the live index stranded under an
+        ``.old-*`` backup — without this, every probe of a fresh handle
+        would silently treat the index as EMPTY. Cheap in the common
+        case (one stat); the lock is only taken when there is something
+        to recover."""
+        import glob
+
+        if not os.path.isdir(self._data) and glob.glob(self._data + ".old-*"):
+            with self._locked():
+                _recover_swap_locked(self._data)
 
     def _existing(self) -> DataFrame | None:
         import os
@@ -905,11 +950,11 @@ class LshIndex:
         import time
 
         with self._locked():
-            # reap debris from compactions that died mid-swap (the lock
-            # guarantees no LIVE compaction owns these names)
-            for name in os.listdir(self.path):
-                if name.startswith(("bands.old-", "bands.compact-")):
-                    shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+            # restore-or-reap debris from compactions that died
+            # mid-swap: a backup whose data dir is MISSING is the live
+            # index, not debris (the lock guarantees no live compaction
+            # owns these names)
+            _recover_swap_locked(self._data)
             # finish-or-reap orphaned ledger recordings BEFORE reading
             # the rewrite input (finishing one appends to the index)
             _sweep_ledger_tmps_locked(self.path, self._replay_append)
@@ -965,6 +1010,16 @@ class ExactIndex:
         self.path = os.path.abspath(path)
         os.makedirs(self.path, exist_ok=True)
         self._data = os.path.join(self.path, "hashes")
+        self._heal_swap()
+
+    def _heal_swap(self) -> None:
+        """Open-time crash recovery for a dead compactor's swap — same
+        hazard and rule as LshIndex._heal_swap."""
+        import glob
+
+        if not os.path.isdir(self._data) and glob.glob(self._data + ".old-*"):
+            with self._locked():
+                _recover_swap_locked(self._data)
 
     def _existing(self) -> DataFrame | None:
         import os
@@ -1141,9 +1196,9 @@ class ExactIndex:
         import time
 
         with self._locked():
-            for name in os.listdir(self.path):
-                if name.startswith(("hashes.old-", "hashes.compact-")):
-                    shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+            # restore-or-reap (see LshIndex.compact: a backup with no
+            # data dir is the live index a dead swap stranded)
+            _recover_swap_locked(self._data)
             # finish-or-reap orphaned ledger recordings BEFORE reading
             # the rewrite input (finishing one appends to the index)
             _sweep_ledger_tmps_locked(self.path, self._replay_append)

@@ -1068,18 +1068,6 @@ def _restore_backup(data: str) -> bool:
     return True
 
 
-def _fsync_tree(path: str) -> None:
-    """fsync every file and directory under ``path`` (bounded store
-    generations: a handful of files) — the other half of rename-based
-    durability; fsyncing only one file inside the tree leaves the rest
-    (and the rename itself) at the filesystem's mercy. Shared
-    implementation: :func:`sonnerie_spark.fsutil.fsync_tree` (the same
-    contract now guards the run-commit path and the dedup ledgers)."""
-    from sonnerie_spark.fsutil import fsync_tree
-
-    fsync_tree(path)
-
-
 def _swap_data_dir(data: str, tmp: str) -> None:
     """Atomically-recoverable generation swap (call under the lock):
     the new generation in ``tmp`` — fsynced file-by-file first — is
@@ -1095,7 +1083,9 @@ def _swap_data_dir(data: str, tmp: str) -> None:
     import shutil
     import time
 
-    _fsync_tree(tmp)
+    from sonnerie_spark.fsutil import fsync_tree
+
+    fsync_tree(tmp)
     if os.path.isdir(data):
         back = data + f".old-{time.time_ns():x}"
         os.rename(data, back)

@@ -180,10 +180,16 @@ class PointReader:
         this a long-lived reader (the serve process) leaks fds — and
         disk space, since deleted-but-open files survive — for every
         transaction ever replaced. Found by the serve soak
-        (tools/soak_serve.py)."""
+        (tools/soak_serve.py).
+
+        Thread-shape: serve handlers share one PointReader with no
+        lock, so snapshot the key set in one C-level op (list(dict) —
+        atomic under the GIL) instead of iterating the live dict while
+        another handler inserts, and pop() tolerates a concurrent
+        eviction of the same key."""
         live = {r.path for r in all_runs}
-        for stale in [p for p in self._footers if p not in live]:
-            del self._footers[stale]
+        for stale in [p for p in list(self._footers) if p not in live]:
+            self._footers.pop(stale, None)
 
     def _run_footers(self, run) -> _RunFooters | None:
         # The whole stat/list/open sequence can race a compaction swap

@@ -758,3 +758,48 @@ def test_ledger_fsync_barrier_ordering(spark, tmp_path, monkeypatch):
                      if e[0] == "fsync_dir" and i > idx["seal"]
                      and str(e[1]).endswith("applied"))
     assert idx["tree"] < idx["marker"] < idx["rows"] < idx["seal"] < dir_after
+
+
+def test_index_compact_swap_crash_recovers_on_open(spark, tmp_path):
+    """A compactor dying between its two swap renames leaves no data
+    dir — the live index stranded under an .old-* backup. A fresh
+    handle must RESTORE it (silently probing an empty index would
+    un-dedup every future batch), and compact() must treat a backup
+    with a missing data dir as the live index, not debris."""
+    import os as _os
+    import shutil as _shutil
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+
+    # LshIndex: simulate the crash window
+    idx = dedup.LshIndex(spark, str(tmp_path / "lsh"))
+    idx.add(b1, "doc_id", "text", batch_id="v1")
+    n = idx._existing().count()
+    _os.rename(idx._data, idx._data + ".old-deadbeef")
+    # also strand a half-written rewrite: debris, must be reaped
+    _os.makedirs(idx._data + ".compact-1-2")
+    idx2 = dedup.LshIndex(spark, str(tmp_path / "lsh"))
+    assert idx2._existing() is not None
+    assert idx2._existing().count() == n
+    assert not _os.path.exists(idx2._data + ".compact-1-2")
+    idx2.compact()
+    assert idx2._existing().count() == n
+
+    # ExactIndex: same shape via compact()'s own sweep
+    ex = dedup.ExactIndex(spark, str(tmp_path / "ex"))
+    h = (
+        docs.limit(30).select(F.md5("text").alias("h"))
+        .distinct().localCheckpoint(eager=True)
+    )
+    ex.append_hashes(h, batch_id="b1")
+    k = ex._existing().count()
+    _os.rename(ex._data, ex._data + ".old-deadbeef")
+    ex2 = dedup.ExactIndex(spark, str(tmp_path / "ex"))
+    assert ex2._existing() is not None and ex2._existing().count() == k
+    # when the data dir EXISTS, backups are debris and are swept
+    _os.makedirs(ex2._data + ".old-stale")
+    ex2.compact()
+    assert not _os.path.exists(ex2._data + ".old-stale")
+    assert ex2._existing().count() == k
+    _shutil.rmtree(str(tmp_path / "lsh"), ignore_errors=True)

@@ -709,3 +709,86 @@ def test_compact_fsyncs_before_purging_inputs(spark, tmp_path, monkeypatch):
     )
     assert i_tree < i_pub < i_dir <= i_purge
     assert {r.ts: r.v_long[0] for r in db.read().collect()} == {100: 0, 101: 1}
+
+
+def _rowset(db):
+    return {(r.key, r.ts, r.v_long[0]) for r in db.read().collect()}
+
+
+def test_compact_crash_before_publish_rolls_back(spark, tmp_path, monkeypatch):
+    """A compactor dying between the hide renames and the publish
+    rename used to leave the database with ZERO visible runs — every
+    record stranded under .tmp-old-* names the janitor would reap.
+    The journaled swap plan now rolls it back on the next open."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from sonnerie_spark.db import COMPACT_PLAN
+
+    db = Database(spark, str(tmp_path / "db"))
+    for i in range(2):
+        db.commit_rows(
+            [{"key": f"k{i}", "ts": 100 + i, "fmt": "u", "v_long": [i],
+              "v_double": [], "v_str": [], "v_bin": []}]
+        )
+    before = _rowset(db)
+    real_rename = _os.rename
+
+    def boom(src, dst):
+        if _os.path.basename(dst) == "main":  # the publish rename
+            raise RuntimeError("simulated crash before publish")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", boom)
+    with _pytest.raises(RuntimeError, match="before publish"):
+        db.compact(major=True)
+    monkeypatch.undo()
+    assert _os.path.exists(_os.path.join(db.path, COMPACT_PLAN))
+
+    db2 = Database(spark, str(tmp_path / "db"))
+    assert not _os.path.exists(_os.path.join(db2.path, COMPACT_PLAN))
+    assert _rowset(db2) == before  # every run restored
+    assert len(db2.data_runs()) == 2
+    db2.compact(major=True)  # and compaction still completes cleanly
+    assert _rowset(db2) == before
+    assert [r.name for r in db2.data_runs()] == ["main"]
+
+
+def test_compact_crash_mid_purge_rolls_forward(spark, tmp_path, monkeypatch):
+    """Dying after the publish rename but before the purge leaves the
+    plan + hidden originals; recovery must finish the purge (the merged
+    run is live) rather than resurrect stale runs next to it."""
+    import os as _os
+    import shutil as _shutil
+
+    import pytest as _pytest
+
+    from sonnerie_spark.db import COMPACT_PLAN
+
+    db = Database(spark, str(tmp_path / "db"))
+    for i in range(2):
+        db.commit_rows(
+            [{"key": f"k{i}", "ts": 100 + i, "fmt": "u", "v_long": [i],
+              "v_double": [], "v_str": [], "v_bin": []}]
+        )
+    before = _rowset(db)
+    real_rmtree = _shutil.rmtree
+
+    def boom(path, **kw):
+        if ".tmp-old-" in str(path):
+            raise RuntimeError("simulated crash mid purge")
+        return real_rmtree(path, **kw)
+
+    monkeypatch.setattr(_shutil, "rmtree", boom)
+    with _pytest.raises(RuntimeError, match="mid purge"):
+        db.compact(major=True)
+    monkeypatch.undo()
+
+    db2 = Database(spark, str(tmp_path / "db"))
+    assert not _os.path.exists(_os.path.join(db2.path, COMPACT_PLAN))
+    assert _rowset(db2) == before
+    assert [r.name for r in db2.data_runs()] == ["main"]
+    assert not [
+        n for n in _os.listdir(db2.path) if n.startswith(".tmp-old-")
+    ]

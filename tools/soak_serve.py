@@ -134,6 +134,9 @@ def main() -> None:
         c.start()
     for c in warm:
         c.join(timeout=120)
+    # a straggling warm thread would inflate the baselines and mask a
+    # real single-connection leak in the main assertions
+    assert not any(c.is_alive() for c in warm), "warm-up client hung"
     assert not warm_errors, warm_errors
     time.sleep(3.0)
 
