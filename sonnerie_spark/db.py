@@ -258,8 +258,18 @@ class Database:
         Skips in-flight ``.tmp-*`` dirs and warns-equivalent skips empty
         dirs, like the reference's readdir (database_reader.rs:60-131).
         """
+        listing = sorted(os.listdir(self.path))
+        if COMPACT_PLAN in listing:
+            # a dead compactor's unresolved swap: until healed, this
+            # listing could show ZERO visible runs (data hidden under
+            # .tmp-old-*) — a long-lived handle (serve) must not serve
+            # that view. Non-blocking: if the compaction lock is held,
+            # a LIVE compactor owns the plan and the swap is mid-flight
+            # (microseconds), the normal reader race.
+            self._heal_compact_crash()
+            listing = sorted(os.listdir(self.path))
         out: list[RunInfo] = []
-        for name in sorted(os.listdir(self.path)):
+        for name in listing:
             if not _TX_NAME_RE.match(name):
                 continue
             p = os.path.join(self.path, name)
@@ -285,9 +295,13 @@ class Database:
         Complete run dirs only ever appear/disappear via atomic renames,
         so two equal fingerprints bracket a window with no commit or
         compaction swap — the point reader's consistency probe."""
+        names = os.listdir(self.path)
+        if COMPACT_PLAN in names:
+            self._heal_compact_crash()  # see runs(): never serve the
+            names = os.listdir(self.path)  # mid-swap zero-run view
         return sorted(
             n
-            for n in os.listdir(self.path)
+            for n in names
             if _TX_NAME_RE.match(n) and os.path.isdir(os.path.join(self.path, n))
         )
 
@@ -1167,8 +1181,19 @@ class Database:
             import fcntl
 
             fcntl.flock(lock_fd, fcntl.LOCK_EX)
+            listing = os.listdir(self.path)
+            if COMPACT_PLAN in listing:
+                # resolve a dead compactor's swap BEFORE computing the
+                # name floor: hidden runs are invisible to the listing,
+                # so publishing now could take a name OLDER than a run
+                # the rollback later restores — and a changes(since=)
+                # cursor that advanced past it would skip that run
+                # forever. (No deadlock: compaction never takes the
+                # commit lock; the probe is non-blocking anyway.)
+                self._heal_compact_crash()
+                listing = os.listdir(self.path)
             floor = 0
-            for name in os.listdir(self.path):
+            for name in listing:
                 if name.startswith("tx.") and _TX_NAME_RE.match(name):
                     floor = max(floor, int(name[3:], 16))
             while True:
@@ -1463,9 +1488,18 @@ class Database:
         compaction lock). Durable BEFORE the first hide rename when the
         database is durable — recovery must be able to trust that a
         hide implies a readable plan."""
+        import glob
         import json
 
         p = os.path.join(self.path, COMPACT_PLAN)
+        # reap write-temp debris from plan writers that died before
+        # their rename (we hold the compaction lock: no live writer);
+        # the janitor skips these names (not .tmp-*, and files anyway)
+        for stale in glob.glob(glob.escape(p) + ".w-*"):
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
         t = p + f".w-{os.getpid()}"
         with open(t, "w") as f:
             json.dump(plan, f)

@@ -553,14 +553,31 @@ def _recover_swap_locked(data: str) -> None:
     it later loses nothing). Older backups and leftover ``.compact-*``
     rewrites are debris (a live compactor would hold the lock we
     hold). Same recovery rule as the sketch stores'
-    ``_recover_data_dir`` (sketch.py)."""
+    ``_recover_data_dir`` (sketch.py). Patterns glob-escape the path:
+    a directory like ``corpus[v2]`` would otherwise silently disable
+    the restore (empty glob) — and the empty-index failure returns."""
     import glob
 
-    backs = sorted(glob.glob(data + ".old-*"))
+    backs = sorted(glob.glob(glob.escape(data) + ".old-*"))
     if not os.path.isdir(data) and backs:
         os.rename(backs.pop(), data)
-    for stale in backs + glob.glob(data + ".compact-*"):
+    for stale in backs + glob.glob(glob.escape(data) + ".compact-*"):
         shutil.rmtree(stale, ignore_errors=True)
+
+
+def _heal_index_swap_on_open(data: str, locked) -> None:
+    """Open-time crash recovery shared by both index classes: a dead
+    compactor's swap can leave the data dir missing with the live
+    index stranded under an ``.old-*`` backup — without this, every
+    probe of a fresh handle would silently treat the index as EMPTY.
+    Cheap in the common case (one stat); ``locked`` (the instance's
+    flock context factory) is only entered when there is something to
+    recover."""
+    import glob
+
+    if not os.path.isdir(data) and glob.glob(glob.escape(data) + ".old-*"):
+        with locked():
+            _recover_swap_locked(data)
 
 
 def _ledger_recover_locked(bdir: str, finish) -> bool:
@@ -682,20 +699,7 @@ class LshIndex:
             with open(meta_path, "w") as f:
                 json.dump(meta, f)
         self._data = os.path.join(self.path, "bands")
-        self._heal_swap()
-
-    def _heal_swap(self) -> None:
-        """Open-time crash recovery: a dead compactor's swap can leave
-        the data dir missing with the live index stranded under an
-        ``.old-*`` backup — without this, every probe of a fresh handle
-        would silently treat the index as EMPTY. Cheap in the common
-        case (one stat); the lock is only taken when there is something
-        to recover."""
-        import glob
-
-        if not os.path.isdir(self._data) and glob.glob(self._data + ".old-*"):
-            with self._locked():
-                _recover_swap_locked(self._data)
+        _heal_index_swap_on_open(self._data, self._locked)
 
     def _existing(self) -> DataFrame | None:
         import os
@@ -1010,16 +1014,7 @@ class ExactIndex:
         self.path = os.path.abspath(path)
         os.makedirs(self.path, exist_ok=True)
         self._data = os.path.join(self.path, "hashes")
-        self._heal_swap()
-
-    def _heal_swap(self) -> None:
-        """Open-time crash recovery for a dead compactor's swap — same
-        hazard and rule as LshIndex._heal_swap."""
-        import glob
-
-        if not os.path.isdir(self._data) and glob.glob(self._data + ".old-*"):
-            with self._locked():
-                _recover_swap_locked(self._data)
+        _heal_index_swap_on_open(self._data, self._locked)
 
     def _existing(self) -> DataFrame | None:
         import os

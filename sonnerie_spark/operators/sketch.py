@@ -1038,10 +1038,10 @@ def _recover_data_dir(data: str) -> None:
     import os
     import shutil
 
-    backs = sorted(glob.glob(data + ".old-*"))
+    backs = sorted(glob.glob(glob.escape(data) + ".old-*"))
     if not os.path.isdir(data) and backs:
         os.rename(backs.pop(), data)
-    for stale in (backs[:-1] if backs else []) + glob.glob(data + ".tmp-*"):
+    for stale in (backs[:-1] if backs else []) + glob.glob(glob.escape(data) + ".tmp-*"):
         shutil.rmtree(stale, ignore_errors=True)
 
 
@@ -1057,7 +1057,7 @@ def _restore_backup(data: str) -> bool:
     import os
     import shutil
 
-    backs = sorted(glob.glob(data + ".old-*"))
+    backs = sorted(glob.glob(glob.escape(data) + ".old-*"))
     if not backs:
         return False
     if os.path.isdir(data):
@@ -1090,7 +1090,7 @@ def _swap_data_dir(data: str, tmp: str) -> None:
         back = data + f".old-{time.time_ns():x}"
         os.rename(data, back)
         os.rename(tmp, data)
-        for stale in sorted(glob.glob(data + ".old-*"))[:-1]:
+        for stale in sorted(glob.glob(glob.escape(data) + ".old-*"))[:-1]:
             shutil.rmtree(stale, ignore_errors=True)
     else:
         os.rename(tmp, data)

@@ -803,3 +803,28 @@ def test_index_compact_swap_crash_recovers_on_open(spark, tmp_path):
     assert not _os.path.exists(ex2._data + ".old-stale")
     assert ex2._existing().count() == k
     _shutil.rmtree(str(tmp_path / "lsh"), ignore_errors=True)
+
+
+def test_index_swap_recovery_with_glob_metachar_path(tmp_path):
+    """Recovery globs must escape the index path: at a directory like
+    'corpus[v2]' an unescaped pattern matches nothing and the crash
+    restore silently never fires. (Spark itself rejects such paths —
+    Hadoop treats them as glob patterns — so this drives the recovery
+    helper directly: the driver-side logic must not share Hadoop's
+    quirk.)"""
+    import os as _os
+
+    from sonnerie_spark.operators.dedup import _recover_swap_locked
+
+    root = tmp_path / "corpus[v2]"
+    root.mkdir()
+    data = str(root / "bands")
+    # stranded crash state: no data dir, live layout under .old-*
+    _os.makedirs(data + ".old-dead")
+    (root / "bands.old-dead" / "part-0.parquet").write_bytes(b"x")
+    _os.makedirs(data + ".compact-1-2")  # dead rewrite: debris
+    _recover_swap_locked(data)
+    assert _os.path.isdir(data)
+    assert _os.path.exists(_os.path.join(data, "part-0.parquet"))
+    assert not _os.path.exists(data + ".old-dead")
+    assert not _os.path.exists(data + ".compact-1-2")
