@@ -203,15 +203,28 @@ def run_one(sf_dir: str, name: str) -> None:
 
 
 def _ambient_load() -> dict:
-    """Host-noise stamp: /proc/loadavg + wall time, recorded at run
-    start and end so a judge can adjudicate a noisy-window claim from
-    the artifact alone (this host class spikes 2-8x on random rows
-    when ambient load is high — the r11 afternoon lesson)."""
+    """Host-noise stamp: /proc/loadavg + aggregate CPU jiffies + wall
+    time, recorded at run start and end so a judge can adjudicate a
+    noisy-window claim from the artifact alone (this host class spikes
+    2-8x on random rows when ambient load is high — the r11 afternoon
+    lesson). The /proc/stat counters matter because loadavg is BLIND to
+    hypervisor steal: the r12 evening runs showed 1-4 CPUs stolen for
+    minutes at a time (rows inflate 1.5-5x) while loadavg at run start
+    read 0.03. start->end deltas of user/idle/steal give the run's
+    actual CPU weather: steal_delta near zero == fair window."""
     out: dict = {"unix_time": round(time.time(), 1)}
     try:
         with open("/proc/loadavg") as f:
             out["loadavg"] = f.read().split()[:3]
     except OSError:
+        pass
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        # cpu user nice system idle iowait irq softirq steal
+        names = ("user", "nice", "system", "idle", "iowait", "irq", "softirq", "steal")
+        out["cpu_jiffies"] = dict(zip(names, (int(p) for p in parts[1:9])))
+    except (OSError, ValueError):
         pass
     return out
 
