@@ -55,6 +55,15 @@ def get_spark(app_name: str = "sonnerie_spark", shuffle_partitions: int | None =
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Deployment hook: SPARK_GRAFT_EXTRA_CONF is a JSON object of extra
+    # Spark confs (cluster-side overrides, event-log capture for the
+    # profiling tools). Applied last so it can override any default.
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if extra:
+        import json
+
+        for k, v in json.loads(extra).items():
+            builder = builder.config(k, str(v))
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
