@@ -28,7 +28,12 @@ def main() -> None:
     evdir = tempfile.mkdtemp(prefix="sg-evlog-")
 
     os.environ["SPARK_GRAFT_EXTRA_CONF"] = json.dumps(
-        {"spark.eventLog.enabled": "true", "spark.eventLog.dir": f"file://{evdir}"}
+        {
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": f"file://{evdir}",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
+        }
     )
 
     from sonnerie_spark.benchqueries import REGISTRY
@@ -68,10 +73,24 @@ def _report(evdir: str, marker: str) -> None:
         key=os.path.getmtime,
     )
     path = logs[-1]
+    if os.path.isdir(path):  # rolling event-log layout (eventlog_v2_*)
+        parts = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.startswith("events_") or "appstatus" not in f
+        )
+        lines = []
+        for p in parts:
+            if os.path.isfile(p):
+                with open(p) as f:
+                    lines.extend(f.readlines())
+    else:
+        with open(path) as f:
+            lines = f.readlines()
     jobs = {}
     stages = {}
-    with open(path) as f:
-        for line in f:
+    if True:
+        for line in lines:
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:
