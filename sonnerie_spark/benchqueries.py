@@ -131,7 +131,22 @@ def _spill_boundary(df: DataFrame, spills: list, tag: str) -> DataFrame:
     _LIVE_SPILLS.add(path)
     target = os.path.join(path, "data")
     df.write.parquet(target)
-    return df.sparkSession.read.parquet(target)
+    back = df.sparkSession.read.parquet(target)
+    # Re-read parallelism guard (guide §2.2/§6): the boundary's writer
+    # stage is often AQE-coalesced to very few partitions at gate scale,
+    # so the spill lands as 1-2 single-row-group files and the SCAN of
+    # the boundary — which feeds the pipeline's most expensive per-row
+    # stages (MinHash signatures, pair probes) — cannot split: the whole
+    # downstream composite ran on ONE core (measured 3.5 s vs 1.0 s for
+    # the v3 LSH stage alone). Spread it only when the scan's natural
+    # split count is below the core count — at 100 TB a stage boundary
+    # is thousands of splits and this branch never fires, so no exchange
+    # is added at scale. Metadata-only decision (file-index partition
+    # count; no job).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if back.rdd.getNumPartitions() < par:
+        back = back.repartition(par)
+    return back
 
 
 # Breakeven for a size-conditional stage boundary: below this many
