@@ -110,8 +110,23 @@ def _report(evdir: str, marker: str) -> None:
                     jobs[ev["Job ID"]]["end"] = ev["Completion Time"]
             elif e == "SparkListenerStageCompleted":
                 si = ev["Stage Info"]
+                # Physical-operator attribution: the callsite in "Stage
+                # Name" is an opaque AQE lambda; the RDD scopes carry the
+                # actual plan-node names (Scan parquet, Exchange,
+                # WholeStageCodegen, ArrowEvalPython ...).
+                scopes = []
+                for ri in si.get("RDD Info", []):
+                    sc = ri.get("Scope")
+                    if sc:
+                        try:
+                            nm = json.loads(sc).get("name", "")
+                        except json.JSONDecodeError:
+                            nm = ""
+                        if nm and nm not in scopes:
+                            scopes.append(nm)
                 stages[si["Stage ID"]] = {
-                    "name": si["Stage Name"].split("\n")[0],
+                    "name": ">".join(reversed(scopes))[:90]
+                    or si["Stage Name"].split("\n")[0],
                     "tasks": si["Number of Tasks"],
                     "sub": si.get("Submission Time"),
                     "done": si.get("Completion Time"),
