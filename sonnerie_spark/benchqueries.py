@@ -2219,16 +2219,15 @@ def q_corpus_curation(spark, sf_dir):
     its join-back, both on content-hash/id keys that stay balanced at
     any corpus size."""
     docs = load_par(spark, sf_dir, "documents")
-    quality = textops.quality_score(docs, "doc_id", "text").select(
-        "id", "quality_score"
-    )
+    # single projection instead of attach-by-self-join — see
+    # _curation_v3_pipeline for the rationale (same head shape)
     filt = (
-        docs.join(quality, docs.doc_id == quality.id)
+        textops.quality_score(docs, "doc_id", "text", keep=("lang", "text"))
         .filter(
             (F.col("quality_score") >= 0.5)
             & F.col("lang").isin("en", "de", "fr")
         )
-        .select("doc_id", "lang", "text", "quality_score")
+        .select(F.col("id").alias("doc_id"), "lang", "text", "quality_score")
     )
     keep = filt.groupBy(F.md5("text").alias("digest")).agg(
         F.min("doc_id").alias("doc_id")
@@ -2795,10 +2794,11 @@ def q_quality_filter_stratified(spark, sf_dir):
     is deterministic and engine-portable. One shuffle on lang; both
     windows share it."""
     docs = load_par(spark, sf_dir, "documents")
-    scored = textops.quality_score(docs, "doc_id", "text").select(
-        "id", "quality_score"
-    )
-    j = docs.select(F.col("doc_id").alias("id"), "lang").join(scored, "id")
+    # single projection instead of attach-by-self-join — see
+    # _curation_v3_pipeline for the rationale (same head shape)
+    j = textops.quality_score(
+        docs, "doc_id", "text", keep=("lang",)
+    ).select("id", "lang", "quality_score")
     wp = Window.partitionBy("lang")
     w = wp.orderBy(F.col("quality_score").desc(), F.col("id"))
     return (
@@ -3508,12 +3508,14 @@ def _curation_v3_pipeline(spark, sf_dir, docs, spills=None):
     + classifier-filtered). `spills` lets the caller's own stage
     boundaries (the flagged-id list) share this pipeline's cleanup."""
     spills = [] if spills is None else spills
-    scored = textops.quality_score(docs, "doc_id", "text").select(
-        "id", "quality_score"
-    )
-    base = docs.select(
-        F.col("doc_id").alias("id"), "lang", "n_chars", "text"
-    ).join(scored, "id")
+    # Features ride the same projection as the payload columns instead
+    # of the former attach-by-self-join (docs ⋈ quality_score(docs) on
+    # id): Catalyst evaluated the subtree below that join TWICE (for
+    # v4/v5 that was the bloom anti-join + classifier fold per side)
+    # plus a broadcast build. Same rows, same values, one evaluation.
+    base = textops.quality_score(
+        docs, "doc_id", "text", keep=("lang", "n_chars", "text")
+    ).select("id", "lang", "n_chars", "text", "quality_score")
     wp = Window.partitionBy("lang")
     w = wp.orderBy(F.col("quality_score").desc(), F.col("id"))
     # Three downstream consumers (pair stream, canonical keep, survivor
@@ -3775,12 +3777,11 @@ def q_corpus_curation_v2(spark, sf_dir):
     quality+rank (one lang shuffle), bucketed LSH pair stream, O(log d)
     CC rounds, two tiny broadcast dims, map-only mix+split."""
     docs = load_par(spark, sf_dir, "documents")
-    scored = textops.quality_score(docs, "doc_id", "text").select(
-        "id", "quality_score"
-    )
-    base = docs.select(
-        F.col("doc_id").alias("id"), "lang", "n_chars", "text"
-    ).join(scored, "id")
+    # single projection instead of attach-by-self-join — see
+    # _curation_v3_pipeline for the rationale (same head shape)
+    base = textops.quality_score(
+        docs, "doc_id", "text", keep=("lang", "n_chars", "text")
+    ).select("id", "lang", "n_chars", "text", "quality_score")
     wp = Window.partitionBy("lang")
     w = wp.orderBy(F.col("quality_score").desc(), F.col("id"))
     # Three downstream consumers (pair stream, canonical keep,

@@ -43,12 +43,26 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
     """Heuristic quality features + a composite score.
 
     Features: word count, mean word length, stopword ratio, distinct
     (type/token) ratio, punctuation ratio. The composite is a simple
     bounded sum — deterministic, order-independent.
+
+    ``keep`` passes source columns through the projection so callers
+    that need the text/metadata alongside the score avoid the
+    attach-by-self-join shape (docs ⋈ quality_score(docs) on id):
+    Catalyst does not collapse that self-join, so the whole subtree
+    BELOW it — scan, anti-joins, classifier folds — was evaluated once
+    per join side, plus a broadcast build (guide §2.4: remove shuffles
+    outright). One projection evaluates it once.
     """
     t = F.col(text_col)
     toks = tokens(t)
@@ -70,6 +84,7 @@ def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # why floor(x*1e6 + 0.5)/1e6 and NOT round(x, 6)).
     return df.select(
         F.col(id_col).alias("id"),
+        *[F.col(c) for c in keep],
         n.alias("n_words"),
         _r6(mean_wl).alias("mean_word_len"),
         _r6(stop_ratio).alias("stopword_ratio"),
