@@ -133,7 +133,18 @@ def lm_bigram_counts(
     - v_eff: smoothing vocabulary size = |vocab| + 1 (the ``<unk>``
       type is always reserved), used as the add-k denominator term.
     """
-    vocab = lm_vocab(ref, text_col, vocab_size=vocab_size)
+    # Blockify the vocabulary ONCE (eager localCheckpoint): the vocab
+    # frame is the build side of MANY downstream broadcast joins (the
+    # unigram mapping here, t1/t2 folding in the bigram table, and both
+    # sides of every _doc_gram_counts call), and Catalyst re-evaluates
+    # the unmaterialized subtree — reference-corpus token explode +
+    # type count + top-V — once per build (measured 6+ reference scans
+    # in the lm_score_* plans; guide §2.4). The checkpoint holds
+    # ≤ vocab_size rows by construction; the count() below (the v_eff
+    # the smoothing needs anyway) then reads blocks, not the corpus.
+    vocab = lm_vocab(ref, text_col, vocab_size=vocab_size).localCheckpoint(
+        eager=True
+    )
     v_eff = vocab.count() + 1
 
     toks = lm_tokens(F.col(text_col))

@@ -398,6 +398,18 @@ def bloom_might_contain(
     sketch = sketch.groupBy("word_idx").agg(
         F.bit_or("bits").alias("bits")
     )
+    # Blockify the word table ONCE (eager localCheckpoint) before the k
+    # broadcast joins below: Catalyst does not collapse the k broadcast
+    # builds into one, so an unmaterialized sketch argument (benchmark
+    # shingle explode + hash-agg in decontaminate_bloom) was evaluated
+    # k times — k full scans of the benchmark side per probe (guide
+    # §2.4/§3.3: materialize an intermediate to truncate duplicated
+    # subtrees). After the checkpoint the k builds read the same
+    # ≤ num_bits/63-row block set (fixed-size by construction — a
+    # 2^30-bit filter is ~270 MB, the same bytes the broadcast itself
+    # ships), and ReuseExchange collapses the k BroadcastExchanges
+    # into one + (k-1) ReusedExchange.
+    sketch = sketch.localCheckpoint(eager=True)
     c = F.col(value) if isinstance(value, str) else value
     out = candidates.withColumn("__bloom_h", phash(c)).selectExpr(
         "*",
