@@ -91,6 +91,7 @@ def lsh_sign_buckets(
     vec_col: str = "embedding",
     dim: int = 64,
     num_planes: int = 16,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Random-hyperplane signature: bit j = (v . w_j >= 0), packed into
     one long. Per-row computation only — at scale this is the write-time
@@ -117,8 +118,11 @@ def lsh_sign_buckets(
         F.lit(0.0),
         lambda acc, t: acc + t,
     ).cast("long")
+    # keep: column passthrough — same rationale as ivf_assign(keep=)
     return df.crossJoin(F.broadcast(planes)).select(
-        F.col(id_col).alias("id"), sig.alias("bucket")
+        F.col(id_col).alias("id"),
+        sig.alias("bucket"),
+        *[F.col(c) for c in keep],
     )
 
 
@@ -205,14 +209,14 @@ def ivf_train(
             num_centroids=num_centroids,
             round_digits=round_digits,
             centroids=(cvs, cids),
+            keep=(vec_col,),
         )
         stats = (
-            assigned.join(
-                df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "id"
-            )
-            .select(
+            assigned.select(
                 "centroid_id",
-                F.posexplode(F.col("v").cast("array<double>")).alias("pos", "val"),
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                    "pos", "val"
+                ),
             )
             .groupBy("centroid_id", "pos")
             .agg(
@@ -241,6 +245,7 @@ def ivf_assign(
     num_centroids: int = 8,
     round_digits: int = 6,
     centroids: tuple[list[list[float]], list[int]] | None = None,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """IVF list assignment: each vector -> its nearest centroid (max
     cosine, ties to the lowest centroid id).
@@ -253,6 +258,12 @@ def ivf_assign(
     ``centroids``: explicit ``(vectors, ids)`` — pass
     :func:`ivf_train`'s output to assign against refined centroids;
     default derives the deterministic seed from ``df``.
+
+    ``keep`` passes source columns (e.g. the vector itself) through the
+    projection, so callers that need them alongside the assignment avoid
+    the attach-by-self-join shape (assign ⋈ df on id) — that join
+    shuffled the whole corpus on id twice and re-evaluated the fold, for
+    columns this map-only pass can simply carry (guide §2.4).
     """
     spark = df.sparkSession
     if centroids is not None:
@@ -269,6 +280,7 @@ def ivf_assign(
         F.col(id_col).alias("id"),
         (-best["negid"]).cast("int").alias("centroid_id"),
         best["cos"].alias("centroid_cosine"),
+        *[F.col(c) for c in keep],
     )
 
 
@@ -314,6 +326,8 @@ def ivf_topk(
     broadcast — the corpus is scanned once and only ~nprobe/C of it
     reaches the exact-cosine ranking window.
     """
+    # candidate vectors ride the assignment projection (keep=) — the
+    # former join-back on id shuffled the corpus twice (guide §2.4)
     assigned = ivf_assign(
         corpus,
         id_col=id_col,
@@ -321,10 +335,8 @@ def ivf_topk(
         num_centroids=num_centroids,
         round_digits=round_digits,
         centroids=centroids,
-    ).join(
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("cand_vec")),
-        "id",
-    )
+        keep=(vec_col,),
+    ).withColumnRenamed(vec_col, "cand_vec")
 
     spark = corpus.sparkSession
     if centroids is not None:
@@ -383,9 +395,16 @@ def lsh_ann_pairs(
     The join key is the packed signature — an equi-join, so Spark plans
     a hash join keyed on the bucket; no pairwise cross product exists.
     """
-    b = lsh_sign_buckets(df, id_col=id_col, vec_col=vec_col, dim=dim, num_planes=num_planes)
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    bv = b.join(v, "id")
+    # vectors ride the bucketing projection (keep=) — the former
+    # join-back on id shuffled the corpus twice (guide §2.4)
+    bv = lsh_sign_buckets(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        num_planes=num_planes,
+        keep=(vec_col,),
+    ).withColumnRenamed(vec_col, "vec")
     a = bv.alias("a")
     c = bv.alias("b")
     return (
@@ -471,6 +490,7 @@ def pq_encode(
     m: int = 4,
     ksub: int = 16,
     scale: int = 10**7,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """Product-quantization encode: each vector -> ``m`` codeword indices
     (one per contiguous subspace), the Faiss-style compression that turns
@@ -498,10 +518,18 @@ def pq_encode(
         F.col(vec_col).cast("array<double>"),
         lambda x: F.round(x * scale).cast("long"),
     )
+    # keep: column passthrough — same rationale as ivf_assign(keep=)
     base = df.crossJoin(F.broadcast(cbdf)).select(
-        F.col(id_col).alias("id"), sv.alias("se"), "cb"
+        F.col(id_col).alias("id"),
+        sv.alias("se"),
+        "cb",
+        *[F.col(c) for c in keep],
     )
-    return base.select("id", _pq_codes_expr(dsub, scale).alias("codes"))
+    return base.select(
+        "id",
+        _pq_codes_expr(dsub, scale).alias("codes"),
+        *[F.col(c) for c in keep],
+    )
 
 
 def _pq_codes_expr(dsub: int, scale: int) -> Column:
@@ -568,18 +596,19 @@ def pq_train(
     dsub = len(books[0][0])
     for _ in range(iters):
         enc = pq_encode(
-            df, id_col=id_col, vec_col=vec_col, codebooks=books, scale=scale
+            df,
+            id_col=id_col,
+            vec_col=vec_col,
+            codebooks=books,
+            scale=scale,
+            keep=(vec_col,),
         )
         stats = (
-            enc.join(
-                df.select(
-                    F.col(id_col).alias("id"),
-                    F.col(vec_col).cast("array<double>").alias("v"),
-                ),
-                "id",
-            )
-            .select(
-                "codes", F.posexplode(F.col("v")).alias("pos", "val")
+            enc.select(
+                "codes",
+                F.posexplode(
+                    F.col(vec_col).cast("array<double>")
+                ).alias("pos", "val"),
             )
             .select(
                 (F.col("pos") / dsub).cast("int").alias("sub"),
@@ -854,6 +883,10 @@ def semdedup(
     drop set comes back via one anti-join. Returns the kept rows
     (id, centroid_id, centroid_cosine).
     """
+    # vectors ride the assignment's own projection (keep=) instead of
+    # the former assign ⋈ df join-back on id — that join shuffled the
+    # embedding table twice per pair-probe side for columns the map-only
+    # fold can carry (guide §2.4)
     assign = ivf_assign(
         df,
         id_col=id_col,
@@ -861,14 +894,13 @@ def semdedup(
         num_centroids=num_centroids,
         round_digits=round_digits,
         centroids=centroids,
-    )
+        keep=(vec_col,),
+    ).withColumnRenamed(vec_col, "v")
     # per-row norm computed ONCE on the map side: the pair probe then
     # pays a single dot-product fold per pair instead of cosine()'s
     # three folds — same float expression tree (dot / (sqrt(aa) *
     # sqrt(bb))), so the rounded value stays bit-identical to the oracle
-    base = assign.join(
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "id"
-    ).withColumn("nrm", l2_norm(F.col("v")))
+    base = assign.withColumn("nrm", l2_norm(F.col("v")))
     a = base.select(
         F.col("id").alias("id_a"),
         F.col("centroid_id").alias("cid_a"),
@@ -893,8 +925,8 @@ def semdedup(
         .select(F.col("id_b").alias("id"))
         .distinct()
     )
-    return assign.join(dropped, "id", "left_anti").select(
-        "id", "centroid_id", "centroid_cosine"
+    return assign.select("id", "centroid_id", "centroid_cosine").join(
+        dropped, "id", "left_anti"
     )
 
 
@@ -969,14 +1001,16 @@ class IvfIndex:
         """Assign ``df`` against the stored centroids (map-only) and
         append to the inverted lists. Returns the assignments."""
         cvs, cids = self._centroids()
+        # vectors ride the assignment projection (keep=) — the former
+        # join-back on id shuffled the batch twice (guide §2.4)
         assigned = ivf_assign(
-            df, id_col=id_col, vec_col=vec_col, centroids=(cvs, cids)
-        ).join(
-            df.select(
-                F.col(id_col).cast("long").alias("id"),
-                F.col(vec_col).cast("array<double>").alias("vec"),
-            ),
-            "id",
+            df, id_col=id_col, vec_col=vec_col, centroids=(cvs, cids),
+            keep=(vec_col,),
+        ).select(
+            F.col("id").cast("long").alias("id"),
+            "centroid_id",
+            "centroid_cosine",
+            F.col(vec_col).cast("array<double>").alias("vec"),
         )
         out = assigned.localCheckpoint(eager=True)  # pin before the append
         # One task per populated list bounds the small-file count (same
