@@ -165,13 +165,14 @@ _SPILL_MIN_SOURCE_ROWS = 1_000_000
 
 
 def _boundary(
-    df: DataFrame, spills: list, tag: str, sf_dir: str
+    df: DataFrame, spills: list, tag: str, sf_dir: str, table: str = "documents"
 ) -> DataFrame:
     """Size-conditional stage boundary: spill to parquet above the
     breakeven (the 100 TB shape), pass through for recompute below it
     (the gate-scale shape). The decision reads ONLY parquet footers —
-    no job, no scan."""
-    if _source_rows(sf_dir) >= _SPILL_MIN_SOURCE_ROWS:
+    no job, no scan. ``table`` names the source whose row count drives
+    the decision (the table the stage actually aggregates)."""
+    if _source_rows(sf_dir, table) >= _SPILL_MIN_SOURCE_ROWS:
         return _spill_boundary(df, spills, tag)
     return df
 
@@ -3074,17 +3075,32 @@ def q_funnel_conversion(spark, sf_dir):
     no window over the raw event stream."""
     raw = load(spark, sf_dir, "events")
     ev = raw.select("user_id", "event_type", ts_us(raw).alias("t"))
-    s = (
+    # Each stage is referenced twice (the next stage's join + its own
+    # final count), so the unmaterialized chain re-evaluated s twice
+    # and c twice — a recompute triangle that costs two extra filtered
+    # event scans per query at corpus scale. Size-conditional
+    # boundaries give the stages the composite spill shape above the
+    # breakeven and stay pure recompute at gate scale (guide §2.4).
+    spills: list = []
+    s = _boundary(
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
-        .agg(F.min("t").alias("t1"))
+        .agg(F.min("t").alias("t1")),
+        spills,
+        "funnel_s",
+        sf_dir,
+        table="events",
     )
-    c = (
+    c = _boundary(
         ev.filter(F.col("event_type") == "click")
         .join(s, "user_id")
         .filter(F.col("t") > F.col("t1"))
         .groupBy("user_id")
-        .agg(F.min("t").alias("t2"))
+        .agg(F.min("t").alias("t2")),
+        spills,
+        "funnel_c",
+        sf_dir,
+        table="events",
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
@@ -3093,11 +3109,12 @@ def q_funnel_conversion(spark, sf_dir):
         .groupBy("user_id")
         .agg(F.min("t").alias("t3"))
     )
-    return (
+    out = (
         s.agg(F.count(F.lit(1)).alias("n_signup"))
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after")))
     )
+    return _finish_composite(out, spills) if spills else out
 
 
 @q(

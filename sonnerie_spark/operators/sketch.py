@@ -552,20 +552,34 @@ def kmv_overlap(
         "kmv_overlap", {"k": k},
         sketch_params(a, "h"), sketch_params(b, "h"),
     )
-    au = a.select("h").unionByName(b.select("h")).distinct()
-    union_k = au.orderBy("h").limit(k)
-    inter = (
-        union_k.join(a.select("h"), "h", "left_semi")
-        .join(b.select("h"), "h", "left_semi")
+    # Single-evaluation shape: the former semi-join form referenced a,
+    # b AND the union bottom-k twice each, and Catalyst re-evaluated
+    # each unmaterialized sketch's full corpus lineage (token explode +
+    # distinct + bottom-k) once per reference — 4 corpus scans per side
+    # (guide §2.4). Tagging each hash with its origin lets ONE pass
+    # compute the union bottom-k with membership flags, and one global
+    # aggregate read off k_eff and inter together — every subtree
+    # evaluated exactly once, no materialization barrier. max(ia)=1
+    # iff the hash is in a, so sum(ia*ib) counts hashes present in
+    # BOTH — exactly the old two-semi-join count.
+    tagged = a.select(
+        "h", F.lit(1).alias("ia"), F.lit(0).alias("ib")
+    ).unionByName(b.select("h", F.lit(0).alias("ia"), F.lit(1).alias("ib")))
+    union_k = (
+        tagged.groupBy("h")
+        .agg(F.max("ia").alias("ia"), F.max("ib").alias("ib"))
+        .orderBy("h")
+        .limit(k)
     )
-    return (
-        union_k.agg(F.count("*").alias("k_eff"))
-        .crossJoin(inter.agg(F.count("*").alias("inter")))
-        .select(
-            "k_eff",
-            "inter",
-            F.expr("inter * 1000000L div k_eff").alias("jaccard_q"),
-        )
+    return union_k.agg(
+        F.count("*").alias("k_eff"),
+        F.coalesce(
+            F.sum(F.col("ia") * F.col("ib")), F.lit(0)
+        ).cast("long").alias("inter"),
+    ).select(
+        "k_eff",
+        "inter",
+        F.expr("inter * 1000000L div k_eff").alias("jaccard_q"),
     )
 
 

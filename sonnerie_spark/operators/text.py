@@ -1484,31 +1484,47 @@ def bm25_topk(
     docs = corpus.select(
         F.col(id_col).alias("id"), toks.alias("t"), F.size(toks).alias("dl")
     )
-    postings = (
-        docs.select("id", "dl", F.explode("t").alias("term"))
-        .groupBy("id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    # derive corpus stats from the postings stream (one (id, dl) row
-    # per doc survives the distinct) instead of a second full corpus
-    # scan + tokenization — the postings exchange is shared, so the
-    # corpus is read and tokenized exactly once per action
+    # Corpus stats come from a MAP-ONLY aggregate over the doc stream —
+    # the former derivation from postings.distinct() ("share the
+    # postings exchange") never actually shared it: Catalyst evaluated
+    # the unmaterialized postings subtree (full corpus tokenization +
+    # token-stream shuffle) once per reference — three times per query
+    # (guide §2.4). A doc contributes to postings iff it has >= 1
+    # token, so dl >= 1 reproduces the distinct()'s row set exactly.
     stats = (
-        postings.select("id", "dl")
-        .distinct()
+        docs.select("id", "dl")
+        .where(F.col("dl") >= 1)
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
     )
+    # The query term table is tiny by definition; blockify it once so
+    # its three consumers (qvocab semi-filter, the match broadcast)
+    # don't each re-evaluate its lineage.
     qterms = queries.select(
         F.col(q_id_col).alias("q_id"),
         F.explode(F.array_distinct(tokens(F.col(q_text_col)))).alias("term"),
-    )
-    # restrict postings to the query vocabulary BEFORE the df agg: df
-    # per term is unchanged by the restriction, and it keeps every
-    # broadcast side query-bounded (a full-vocabulary df table would
-    # not be broadcastable at corpus scale)
+    ).localCheckpoint(eager=True)
+    # restrict the token stream to the query vocabulary BEFORE the tf
+    # aggregation, not after it: tf/df per surviving (id, term) are
+    # unchanged by the restriction (filter-then-count == count-then-
+    # filter on the group key), and the posting shuffle now carries
+    # only query-term occurrences instead of the whole corpus token
+    # stream (guide §2.3: shuffle fewer bytes). Every broadcast side
+    # stays query-bounded (a full-vocabulary df table would not be
+    # broadcastable at corpus scale).
     qvocab = qterms.select("term").distinct()
-    p_q = postings.join(F.broadcast(qvocab), "term")
-    dfreq = p_q.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    p_q = (
+        docs.select("id", "dl", F.explode("t").alias("term"))
+        .join(F.broadcast(qvocab), "term")
+        .groupBy("id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # df per term rides a window over the query-bounded postings — the
+    # former separate dfreq aggregate + broadcast join re-evaluated the
+    # whole corpus pass a second time (guide §2.4); the window's term
+    # shuffle moves only query-term postings. Same count, same idf.
+    p_q = p_q.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
     idf = ln_cr(
         F.lit(1.0)
@@ -1518,7 +1534,6 @@ def bm25_topk(
     contrib = idf * (F.col("tf") * (k1 + 1.0)) / denom
     matched = (
         p_q.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(stats))
         .select(
             "q_id",
