@@ -3573,7 +3573,14 @@ def _curation_v3_pipeline(spark, sf_dir, docs, spills=None):
         F.col("vec_id").alias("id"),
         F.col("embedding").cast("array<double>").alias("embedding"),
     )
-    surv_emb = emb.join(survivors.select("id"), "id")
+    # surv_emb feeds FIVE consumers (the seed collect, semdedup's three
+    # references through its pair probe, and the drop anti-join), and
+    # Catalyst re-evaluates the unmaterialized join per reference —
+    # five embedding scans + joins per composite (guide §2.4). Same
+    # boundary rationale as keepq/survivors above.
+    surv_emb = _spill_boundary(
+        emb.join(survivors.select("id"), "id"), spills, "surv_emb"
+    )
     # centroid seeds must come from the SURVIVING set (ids < 8 may all
     # have been dropped upstream): the 8 smallest surviving ids, a
     # bounded dimension-data collect mirrored by the oracle's LIMIT 8
@@ -3590,7 +3597,14 @@ def _curation_v3_pipeline(spark, sf_dir, docs, spills=None):
     # (embeddings cover a subset of documents at some SFs) pass through
     # — an inner join on the kept set would silently discard them
     sem_dropped = surv_emb.select("id").join(kept_sem, "id", "left_anti")
-    final = survivors.join(sem_dropped, "id", "left_anti")
+    # temperature_sample_sqrt references its input THREE times (group
+    # counts, the min-count dim, and the kept stream); unmaterialized,
+    # each reference re-ran the semdedup pair probe — the composite's
+    # single most expensive stage — plus both anti-joins. Spill the
+    # final survivor set once (guide §2.4).
+    final = _spill_boundary(
+        survivors.join(sem_dropped, "id", "left_anti"), spills, "final"
+    )
     mixed = sampling.temperature_sample_sqrt(final, "lang", "id").select(
         "id", F.col("grp").alias("lang")
     )
@@ -3828,7 +3842,16 @@ def q_corpus_curation_v2(spark, sf_dir):
         .filter(F.col("id") != F.col("keep_id"))
         .select("id")
     )
-    survivors = keepq.select("id", "lang").join(removed, "id", "left_anti")
+    # temperature_sample_sqrt references its input three times; above
+    # the breakeven the survivor set gets the same size-conditional
+    # boundary as keepq (below it, recompute of the broadcast anti-join
+    # stays cheaper than the spill round-trip — the r11 v2 lesson).
+    survivors = _boundary(
+        keepq.select("id", "lang").join(removed, "id", "left_anti"),
+        spills,
+        "survivors",
+        sf_dir,
+    )
     mixed = sampling.temperature_sample_sqrt(survivors, "lang", "id").select(
         "id", F.col("grp").alias("lang")
     )
