@@ -1311,9 +1311,14 @@ def hamming_near_pairs(
             "bits, making its value a constant (every row joins "
             "every row on it — an all-pairs cross join)"
         )
+    # Both join sides derive from the hash table; without a persist the
+    # upstream per-row hash pipeline (for image inputs: the full python
+    # decode) runs once per side — the same cache contract as
+    # simhash_near_pairs' signature table. 2 narrow columns per row,
+    # negligible vs the corpus; released by ContextCleaner GC.
     base = df.select(
         F.col(id_col).alias("id"), F.col(hash_col).cast("long").alias("h")
-    ).filter(F.col("h").isNotNull())
+    ).filter(F.col("h").isNotNull()).persist()
     ch = base.select(
         "id",
         "h",
@@ -1413,9 +1418,11 @@ def hamming_near_pairs_words(
         n_i = per_word + (1 if wi < rem else 0)
         elem = f"element_at(h, {wi + 1})"
         cv_exprs.extend(_chunk_value_exprs(elem, bits_per_word, n_i))
+    # same cache contract as the single-word path above: both join
+    # sides share one evaluation of the upstream hash pipeline
     base = df.select(
         F.col(id_col).alias("id"), F.col(hash_col).alias("h")
-    ).filter(F.col("h").isNotNull() & (F.size("h") == words))
+    ).filter(F.col("h").isNotNull() & (F.size("h") == words)).persist()
     ch = base.select(
         "id", "h", F.posexplode(F.array(*cv_exprs)).alias("ci", "cv")
     )
