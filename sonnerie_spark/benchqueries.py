@@ -222,12 +222,17 @@ def _reap_live_spills() -> None:
 def load_par(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load + spread across cores. The driver's testdata parquet files
     are single row groups, so the scan cannot split — without this, a
-    CPU-heavy per-row operator runs on ONE core. At production scale the
-    input has many splits and this repartition is a no-op cost-wise
-    (tiny tables here); results are identical either way."""
-    return load(spark, sf_dir, table).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    CPU-heavy per-row operator runs on ONE core. The repartition fires
+    ONLY when the scan's natural split count is below the core count
+    (the _spill_boundary re-read guard, guide §2.2/§6): at production
+    scale the input has thousands of splits, the branch never fires,
+    and no corpus-wide exchange is added. Metadata-only decision (scan
+    partition count; no job). Results are identical either way."""
+    df = load(spark, sf_dir, table)
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
 
 
 # ===========================================================================

@@ -149,6 +149,13 @@ def ngram_jaccard_pairs(
     (Measured: threading the sizes through the enumeration as struct
     ids fattens the exploding intermediate ~2x and loses far more than
     the second tokenization pass costs.)
+
+    CACHE CONTRACT: the per-doc size table is persisted — BOTH
+    broadcast sides consume it, and without the persist the full
+    corpus re-tokenization (split + k-gram build + distinct) runs once
+    per side. The persisted frame is 2 narrow columns x n_docs,
+    negligible vs the corpus; the lazy return relies on ContextCleaner
+    GC (the simhash_near_pairs / repeated_spans contract).
     """
     sh = df.select(
         F.col(id_col).alias("id"),
@@ -159,7 +166,7 @@ def ngram_jaccard_pairs(
     sizes = df.select(
         F.col(id_col).alias("id"),
         F.size(word_shingles(F.col(text_col), k)).alias("n_shingles"),
-    )
+    ).persist()
     sa = F.broadcast(sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na")))
     sb = F.broadcast(sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("nb")))
     return (
@@ -194,6 +201,9 @@ def ngram_containment_pairs(
     hot path is shared and equally bounded. Output: (id_a, id_b,
     containment) with id_a < id_b, floor-rounded to 6 decimals for
     engine-exact comparison.
+
+    CACHE CONTRACT: the per-doc size table is persisted (both
+    broadcast sides consume it) — see :func:`ngram_jaccard_pairs`.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
@@ -204,7 +214,7 @@ def ngram_containment_pairs(
     sizes = df.select(
         F.col(id_col).alias("id"),
         F.size(word_shingles(F.col(text_col), k)).alias("n_shingles"),
-    )
+    ).persist()
     sa = F.broadcast(
         sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("na"))
     )

@@ -315,10 +315,15 @@ def tfidf_top_terms(
     ranking it induces is the same family of weighting; the docstring
     of the gate query documents the variant.
 
-    Plan: explode to (doc, term) postings, two hash aggs (tf by
-    (doc, term), df by term — both map-side partial), one equi-join on
-    term, one per-doc top-n window. The postings stream is the same
-    volume an inverted-index build shuffles; no all-pairs anything.
+    Plan: explode to (doc, term) postings ONCE, one hash agg (tf by
+    (doc, term), map-side partial), then df per term as a count window
+    over the aggregated stream — tf holds exactly one row per distinct
+    (doc, term), so ``count(*) OVER (PARTITION BY term)`` IS the
+    distinct-document frequency. That replaces the old second corpus
+    tokenization pass (toks.distinct().groupBy(term)) with one exchange
+    of the already-collapsed (doc, term) table; the postings stream is
+    the same volume an inverted-index build shuffles; no all-pairs
+    anything.
     """
     from pyspark.sql import Window
 
@@ -326,7 +331,6 @@ def tfidf_top_terms(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
-    dfreq = toks.distinct().groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.select(F.count("*").alias("n_docs"))
     # Rank by the UNROUNDED score (bit-identical across engines: an
     # integer ratio, and IEEE division is correctly rounded); the
@@ -337,7 +341,9 @@ def tfidf_top_terms(
     # distinct raw scores round equal and swap ranks.
     raw = F.col("tf") * F.col("n_docs") / F.col("df")
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
         .crossJoin(F.broadcast(n_docs))
         .withColumn("_raw", raw)
         .withColumn(
@@ -603,7 +609,15 @@ def strip_boilerplate(
         ).alias("text"),
         F.count("*").alias("n_kept"),
     )
-    totals = lines.groupBy("id").agg(F.count("*").alias("n_lines"))
+    # Per-doc line totals are a map-only projection — size(split()) is
+    # exactly the posexplode row count — instead of a third corpus
+    # explode + shuffle-agg. The NULL-text filter replicates the
+    # explode semantics (posexplode of a NULL array emits no rows, so
+    # such docs never appeared in the aggregated totals).
+    totals = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), "\n")).cast("long").alias("n_lines"),
+    )
     return (
         totals.join(per_doc, "id", "left")
         .select(
