@@ -491,15 +491,25 @@ def dsir_doc_weights(
     9.2e18, i.e. count products to ~9.2e12; beyond that widen the
     numerator to DECIMAL(38,0).
     """
+    from pyspark.sql import Window
+
     ct = dsir_bucket_counts(target, text_col, num_buckets=num_buckets)
-    cr = dsir_bucket_counts(df, text_col, num_buckets=num_buckets)
+    # The raw-corpus token total n_r is the sum of the raw bucket counts
+    # (every token lands in exactly one bucket), so it rides the ≤B-row
+    # bucket table as an unpartitioned window instead of a second full
+    # corpus tokenization pass. It reaches every scored row through the
+    # cr join: ex and cr derive from the same df, so every bucket in ex
+    # exists in cr and the left join never drops it. The target total
+    # keeps its own pass — ct's rows do NOT cover every ex bucket, so a
+    # carried n_t could go missing; the target slice is the small side
+    # by construction.
+    cr = dsir_bucket_counts(df, text_col, num_buckets=num_buckets).withColumn(
+        "n_r", F.sum("c").over(Window.partitionBy())
+    )
     # totals named distinctly from the per-bucket counts: Spark resolves
     # case-insensitively, so `Ct` next to `ct` would be ambiguous
     tot_t = target.select(
         F.sum(F.size(lm_tokens(F.col(text_col)))).alias("n_t")
-    )
-    tot_r = df.select(
-        F.sum(F.size(lm_tokens(F.col(text_col)))).alias("n_r")
     )
 
     ex = df.select(
@@ -510,7 +520,6 @@ def dsir_doc_weights(
         ex.join(F.broadcast(ct.withColumnRenamed("c", "ct")), "b", "left")
         .join(F.broadcast(cr.withColumnRenamed("c", "cr")), "b", "left")
         .crossJoin(F.broadcast(tot_t))
-        .crossJoin(F.broadcast(tot_r))
         .select(
             "id",
             F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),

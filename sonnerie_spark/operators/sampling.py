@@ -180,12 +180,19 @@ def mix_sources_uniform(docs: DataFrame, source_col: str, id_col: str) -> DataFr
 
     keep(doc) iff hash(id) % 1e6 * n_source < n_min * 1e6 — pure integer
     arithmetic, bit-identical in the DuckDB oracle (no float rates).
-    Plan: one tiny groupBy for per-source counts (broadcast back), a
-    scalar min (broadcast), then a map-only filter — no shuffle touches
-    the corpus itself, so the stage streams at scan speed on 100 TB.
+    Plan: one tiny groupBy for per-source counts, the scalar min as an
+    unpartitioned window over that per-source table (it holds one row
+    per SOURCE, so the single-partition window is trivially bounded) —
+    one corpus aggregation total where the old crossJoin(min agg) shape
+    evaluated it twice, once per broadcast build — then a map-only
+    filter: no shuffle touches the corpus itself, so the stage streams
+    at scan speed on 100 TB.
     """
-    counts = docs.groupBy(source_col).agg(F.count("*").alias("n_s"))
-    n_min = counts.agg(F.min("n_s").alias("n_min"))
+    counts = (
+        docs.groupBy(source_col)
+        .agg(F.count("*").alias("n_s"))
+        .withColumn("n_min", F.min("n_s").over(Window.partitionBy()))
+    )
     h = F.pmod(phash(F.col("id").cast("string")), F.lit(1_000_000))
     # decimal-widened like the temperature/weighted variants: h*n_s is
     # h (< 1e6) times a per-source ROW COUNT, which overflows int64 for
@@ -194,7 +201,6 @@ def mix_sources_uniform(docs: DataFrame, source_col: str, id_col: str) -> DataFr
     return (
         docs.select(F.col(id_col).alias("id"), F.col(source_col).alias("source"))
         .join(F.broadcast(counts.withColumnRenamed(source_col, "source")), "source")
-        .crossJoin(F.broadcast(n_min))
         .filter(
             h.cast(dec) * F.col("n_s").cast(dec)
             < F.col("n_min").cast(dec) * F.lit(1_000_000).cast(dec)
@@ -280,17 +286,21 @@ def temperature_sample_sqrt(
     require to be correctly rounded, so cross-engine hash-matching would
     flake at keep boundaries.
 
-    Same plan shape as :func:`mix_sources_uniform`: tiny broadcast
-    count/min dims, map-only filter over the corpus.
+    Same plan shape as :func:`mix_sources_uniform`: one tiny per-group
+    count aggregation (the scalar min rides an unpartitioned window over
+    the group-cardinality table instead of a second evaluation of the
+    corpus agg), map-only filter over the corpus.
     """
-    counts = docs.groupBy(group_col).agg(F.count("*").alias("n_g"))
-    n_min = counts.agg(F.min("n_g").alias("n_min"))
+    counts = (
+        docs.groupBy(group_col)
+        .agg(F.count("*").alias("n_g"))
+        .withColumn("n_min", F.min("n_g").over(Window.partitionBy()))
+    )
     u = F.pmod(phash(F.col("id").cast("string")), F.lit(1_000_000))
     dec = "decimal(38,0)"
     return (
         docs.select(F.col(id_col).alias("id"), F.col(group_col).alias("grp"))
         .join(F.broadcast(counts.withColumnRenamed(group_col, "grp")), "grp")
-        .crossJoin(F.broadcast(n_min))
         .filter(
             (u * u).cast(dec) * F.col("n_g").cast(dec)
             < F.col("n_min").cast(dec) * F.lit(10**12).cast(dec)
@@ -404,7 +414,12 @@ def cap_per_group(
     base = docs.select(
         F.col(id_col).alias("id"), F.col(group_col).alias("grp")
     )
-    counts = base.groupBy("grp").agg(F.count(F.lit(1)).alias("n_g"))
+    # CACHE CONTRACT: the per-group count table (one row per group) is
+    # persisted — BOTH branch joins consume it, and each branch is a
+    # separate evaluation, so without the persist the corpus-wide count
+    # aggregation runs once per branch. Lazy return relies on
+    # ContextCleaner GC (the simhash_near_pairs contract).
+    counts = base.groupBy("grp").agg(F.count(F.lit(1)).alias("n_g")).persist()
     joined = base.join(counts, "grp")
     under = joined.filter(F.col("n_g") <= cap).select("id", "grp")
     over = joined.filter(F.col("n_g") > cap)

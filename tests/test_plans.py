@@ -267,18 +267,29 @@ def test_tfidf_aggs_are_partial(spark, sf_dir):
 
 
 def test_mix_sources_broadcasts_dims(spark, sf_dir):
-    """Corpus mixing: the per-source counts and the scalar min are
-    broadcast; the corpus side joins with no shuffle of its own rows."""
+    """Corpus mixing: ONE broadcast dim carries both the per-source
+    counts and the scalar min (the min rides an unpartitioned window
+    over the per-source table — r12: the old crossJoin(min agg) shape
+    evaluated the corpus count aggregation once per broadcast build);
+    the corpus side joins with no shuffle of its own rows."""
+    from pyspark.sql import functions as F
+
     from sonnerie_spark.benchqueries import load_par
     from sonnerie_spark.operators import sampling
 
-    df = sampling.mix_sources_uniform(
-        load_par(spark, sf_dir, "documents"), "lang", "doc_id"
-    )
+    docs = load_par(spark, sf_dir, "documents")
+    df = sampling.mix_sources_uniform(docs, "lang", "doc_id")
     plan = plan_of(df)
-    assert plan.count("BroadcastExchange") >= 2, plan
+    assert plan.count("BroadcastExchange") == 1, plan
     # the corpus stream itself must not be hash-repartitioned for the join
     assert "Exchange hashpartitioning(id" not in plan, plan
+    # single evaluation of the count aggregation: the corpus appears
+    # exactly twice in the plan (the map-only filtered stream + the one
+    # aggregated dim build), not three times
+    assert plan.count("documents.parquet") == 2, plan
+    # and the window that derives the min must sit on the aggregated
+    # per-source rows (tiny), visible as a Window above HashAggregate
+    assert "Window" in plan, plan
 
 
 def test_dirty_key_set_prunes_buckets(spark, tmp_path):
