@@ -919,9 +919,46 @@ def semdedup(
         (F.col("ccos_a") == F.col("ccos_b")) & (F.col("id_a") < F.col("id_b"))
     )
     pair_cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # Parallelism guard for the quadratic stage (guide §2.5): the pair
+    # probe's equi-join key has only C distinct values, so its shuffle
+    # can never use more than C tasks — and AQE byte-based coalescing
+    # collapses it further (measured: ONE 2.5 s task held the whole
+    # probe at gate scale while 31 cores idled; the stage is
+    # compute-per-row heavy, the opposite of what byte heuristics
+    # assume). Salt the priority side with ceil(cores / C) slices and
+    # replicate the candidate side per slice: every (a, b) cluster pair
+    # still meets exactly once, so the result is identical, while the
+    # join spreads over C x S tasks. S == 1 — bitwise the old plan,
+    # zero replication — whenever C >= cores, which is the production
+    # regime (C is sized so clusters fit executor memory); when cores
+    # exceed C the quadratic probe dominates the (linear) replicated
+    # shuffle by construction, so buying C x S parallelism is the right
+    # trade at every scale.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    n_salt = max(1, -(-par // max(1, num_centroids)))
+    if n_salt == 1:
+        pairs = a.join(b, (F.col("cid_a") == F.col("cid_b")) & higher_priority)
+    else:
+        # The explicit repartition pins the probe's streamed side at the
+        # full core count: AQE's byte-based coalescing merges partitions
+        # below minPartitionSize (1 MB) however compute-heavy they are,
+        # but never touches a user-specified repartition, and the join
+        # reuses this partitioning (same keys, same count) so no second
+        # exchange appears. Only active in the cores > C regime.
+        a = a.withColumn("_salt", F.pmod(F.col("id_a"), F.lit(n_salt))).repartition(
+            par, F.col("cid_a"), F.col("_salt")
+        )
+        b = b.withColumn(
+            "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+        ).repartition(par, F.col("cid_b"), F.col("_salt"))
+        pairs = a.join(
+            b,
+            (F.col("cid_a") == F.col("cid_b"))
+            & (a["_salt"] == b["_salt"])
+            & higher_priority,
+        )
     dropped = (
-        a.join(b, (F.col("cid_a") == F.col("cid_b")) & higher_priority)
-        .filter(F.round(pair_cos, round_digits) >= tau)
+        pairs.filter(F.round(pair_cos, round_digits) >= tau)
         .select(F.col("id_b").alias("id"))
         .distinct()
     )

@@ -347,6 +347,28 @@ def test_semdedup_pair_probe_is_equi_join(emb):
     assert plan.count("BroadcastNestedLoopJoin BuildRight, Cross") <= 3
 
 
+def test_semdedup_probe_salted_when_cores_exceed_clusters(emb):
+    # r12 parallelism guard: with C centroids < cores, the probe join's
+    # key has only C distinct values and AQE's byte-floor coalescing
+    # merged the compute-heavy pair stage to ONE task; the salted form
+    # must pin both sides with user repartitions on (cid, _salt), which
+    # AQE never coalesces. With C >= cores the guard must vanish.
+    from sonnerie_spark.operators.similarity import semdedup
+
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    plan = (
+        semdedup(emb, num_centroids=8, tau=0.2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    if par > 8:
+        assert "_salt" in plan, plan
+        assert plan.count("REPARTITION_BY_NUM") >= 2, plan
+    else:
+        assert "_salt" not in plan, plan
+
+
 def test_adc_plan_has_no_corpus_shuffle_before_rank(emb):
     # corpus side must reach the rank window through map-only stages:
     # the only Exchange below the Window is the per-probe hash partition
