@@ -4574,18 +4574,23 @@ def q_split_leakage(spark, sf_dir):
     """Train/test leakage audit: near-duplicate pairs whose members land
     in DIFFERENT hash-split partitions — the contamination a random
     (non-content-hashed) split silently ships. Composes the gated LSH
-    pair stream with the gated deterministic split; both joins are on
-    doc id against the 2-column split projection (broadcast-eligible),
-    so the audit costs the pair enumeration plus two cheap joins at any
-    corpus size."""
+    pair stream with the gated deterministic split. The split is a pure
+    function of the id (hash_split_expr — the same expressions
+    hash_split projects), so it is attached to the pair stream MAP-ONLY:
+    the former broadcast joins against two copies of the split table
+    re-scanned the corpus twice and, at scale, built a corpus-row-count
+    broadcast per side (guide §2.4 — a join that carries no information
+    the probe row doesn't already hold). Inner-join semantics are
+    preserved by construction: every pair id comes from the corpus, so
+    the joins never dropped a row. The audit now costs exactly the pair
+    enumeration at any corpus size."""
     docs = load_par(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text")
-    splits = sampling.hash_split(docs, "doc_id").select("id", "split")
-    sa = splits.withColumnRenamed("id", "id_a").withColumnRenamed("split", "split_a")
-    sb = splits.withColumnRenamed("id", "id_b").withColumnRenamed("split", "split_b")
+    _, split_a = sampling.hash_split_expr("id_a")
+    _, split_b = sampling.hash_split_expr("id_b")
     return (
-        pairs.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        pairs.withColumn("split_a", split_a)
+        .withColumn("split_b", split_b)
         .filter(F.col("split_a") != F.col("split_b"))
         .select(
             F.col("id_a").cast("long"), F.col("id_b").cast("long"),
@@ -6952,24 +6957,40 @@ def q_corpus_mix_budget(spark, sf_dir):
     SF. Budget is derived from the data (sum of weighted sources'
     tokens // 2) via a 1-row bounded collect, mirrored by the oracle's
     subquery. Plan: one tiny token-total agg broadcast, then a map-only
-    corpus filter — no corpus shuffle."""
+    corpus filter — no corpus shuffle. r12: the full corpus TOKENIZATION
+    ran THREE times per query (the budget collect, budget_mix's
+    strict-guard collect, and the returned plan each re-evaluated the
+    token projection — guide §2.4). Now the gate collects the tiny
+    per-source totals ONCE and hands them to budget_mix via ``totals=``
+    (one aggregation serves both the budget derivation and the strict
+    guard), and the narrow 3-column projection sits behind the
+    size-conditional ``_boundary``: pure recompute at gate scale (2
+    tokenize passes), one tokenize + a narrow proxy-table spill at
+    production row counts (guide §8 — decide on small rows)."""
     from sonnerie_spark.operators.text import tokens
 
     W = {"src0": 5, "src1": 3, "src2": 2, "src3": 1, "src4": 40}
-    docs = load_par(spark, sf_dir, "documents").select(
-        "doc_id",
-        "source",
-        F.size(tokens(F.col("text"))).alias("n_tokens"),
+    spills: list = []
+    docs = _boundary(
+        load_par(spark, sf_dir, "documents").select(
+            "doc_id",
+            "source",
+            F.size(tokens(F.col("text"))).alias("n_tokens"),
+        ),
+        spills,
+        "mixtok",
+        sf_dir,
     )
-    total = (
-        docs.filter(F.col("source").isin(*W))
-        .agg(F.sum("n_tokens"))
-        .collect()[0][0]
+    totals = (
+        docs.groupBy("source").agg(F.sum("n_tokens").alias("t_s")).collect()
     )
-    return sampling.budget_mix(
+    total = sum(int(r["t_s"]) for r in totals if r["source"] in W)
+    out = sampling.budget_mix(
         docs, "source", "doc_id", "n_tokens",
-        budget=int(total) // 2, weights=W,
+        budget=total // 2, weights=W,
+        totals=[(r["source"], int(r["t_s"])) for r in totals],
     )
+    return _finish_composite(out, spills) if spills else out
 
 
 # ---------------------------------------------------------------------------

@@ -14,7 +14,7 @@ the per-group top-n is one shuffle on the group key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from sonnerie_spark.functions.portable_hash import phash
 
@@ -33,15 +33,39 @@ def hash_split(
     existing one (the property random splits lack), and the split is a
     map-only stage — no shuffle at any scale.
     """
-    bucket = F.pmod(phash(F.col(id_col).cast("string")), F.lit(100))
+    bucket, split = hash_split_expr(
+        id_col, train_pct=train_pct, valid_pct=valid_pct
+    )
     return df.select(
         F.col(id_col).alias("id"),
         bucket.alias("bucket"),
+        split.alias("split"),
+    )
+
+
+def hash_split_expr(
+    id_col: str,
+    *,
+    train_pct: int = 80,
+    valid_pct: int = 10,
+) -> tuple[Column, Column]:
+    """The (bucket, split) EXPRESSIONS behind :func:`hash_split`.
+
+    Exposed so consumers that already hold an id column (e.g. a
+    near-dup pair stream) can attach the split assignment map-only
+    instead of joining back against a split table — the split is a pure
+    deterministic function of the id, so the join carries no
+    information, and at scale its build side is a corpus-row-count
+    broadcast. Single source of truth for the oracle-critical bucket
+    arithmetic (hash_split itself composes these).
+    """
+    bucket = F.pmod(phash(F.col(id_col).cast("string")), F.lit(100))
+    split = (
         F.when(bucket < train_pct, "train")
         .when(bucket < train_pct + valid_pct, "valid")
         .otherwise("test")
-        .alias("split"),
     )
+    return bucket, split
 
 
 def hash_split_sql(id_expr: str, *, train_pct: int = 80, valid_pct: int = 10) -> str:
@@ -497,6 +521,7 @@ def budget_mix(
     budget: int,
     weights: dict[str, int],
     strict: bool = True,
+    totals: list[tuple[str, int]] | None = None,
 ) -> DataFrame:
     """Token-budget mixture sampling: draw approximately ``budget``
     tokens from the corpus at the given integer source ``weights`` —
@@ -517,10 +542,16 @@ def budget_mix(
     corpus — that source's budget share would silently never be
     delivered. The guard collects the tiny totals once and reuses them
     as the broadcast side (the corpus aggregation runs exactly once, at
-    call time); strict=False keeps the operator fully lazy. Expected
-    kept tokens per source = min(T_s, budget * w_s / W) under the
-    uniform-hash model; exactness is per-document determinism, not a
-    hard token count (documents are atomic).
+    call time); strict=False keeps the operator fully lazy. Callers
+    that already hold the per-source token totals (e.g. because the
+    ``budget`` itself was derived from them) pass them via ``totals=``
+    — a list of ``(source, total_tokens)`` — and the operator runs NO
+    corpus aggregation of its own: the broadcast side and the strict
+    guard are built from the given rows (r12, guide §2.4 — the old
+    shape re-aggregated the corpus for a number the caller had just
+    computed). Expected kept tokens per source = min(T_s, budget *
+    w_s / W) under the uniform-hash model; exactness is per-document
+    determinism, not a hard token count (documents are atomic).
 
     Plan: one tiny per-source token-total agg joined to the weight
     literal (broadcast), then a map-only corpus filter — no corpus
@@ -539,24 +570,45 @@ def budget_mix(
     wdf = spark.createDataFrame(
         [(s, int(w)) for s, w in sorted(weights.items())], "src string, w long"
     )
-    totals = (
-        docs.groupBy(F.col(source_col).alias("src"))
-        .agg(F.sum(tokens_col).alias("t_s"))
-        .join(wdf, "src")
-    )
-    if strict:
-        # collect the tiny per-source totals ONCE and rebuild the
-        # broadcast side from them — a bare guard collect would run the
-        # full corpus aggregation twice (once here, once at action)
-        rows = totals.collect()
-        missing = sorted(set(weights) - {r["src"] for r in rows})
-        if missing:
+    if totals is not None:
+        # caller-supplied per-source totals: no corpus aggregation at
+        # all — weight join + strict guard run on the local rows
+        given = {str(s): int(t) for s, t in totals}
+        missing = sorted(set(weights) - set(given))
+        if strict and missing:
             raise ValueError(
                 f"budget_mix: weights name sources absent from the "
                 f"corpus: {missing} (their budget share would silently "
                 f"never be delivered; pass strict=False to allow)"
             )
-        totals = spark.createDataFrame(rows, totals.schema)
+        totals = spark.createDataFrame(
+            [
+                (s, given[s], int(w))
+                for s, w in sorted(weights.items())
+                if s in given
+            ],
+            "src string, t_s long, w long",
+        )
+    else:
+        totals = (
+            docs.groupBy(F.col(source_col).alias("src"))
+            .agg(F.sum(tokens_col).alias("t_s"))
+            .join(wdf, "src")
+        )
+        if strict:
+            # collect the tiny per-source totals ONCE and rebuild the
+            # broadcast side from them — a bare guard collect would run
+            # the full corpus aggregation twice (here and at action)
+            rows = totals.collect()
+            missing = sorted(set(weights) - {r["src"] for r in rows})
+            if missing:
+                raise ValueError(
+                    f"budget_mix: weights name sources absent from the "
+                    f"corpus: {missing} (their budget share would "
+                    f"silently never be delivered; pass strict=False "
+                    f"to allow)"
+                )
+            totals = spark.createDataFrame(rows, totals.schema)
     u = F.pmod(phash(F.col("id").cast("string")), F.lit(1_000_000))
     dec = "decimal(38,0)"
     return (

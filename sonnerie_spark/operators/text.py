@@ -143,10 +143,26 @@ def repetition_stats(
     n-gram stream occupied by its single most common n-gram (high ->
     templated/repetitive text; pipelines drop docs above a threshold).
 
-    Shape at scale: explode n-grams -> one hash agg on (doc, gram) with
-    map-side partials -> per-doc max. Both aggregations are integer
-    counts, so the result is engine-exact; only the final fraction is a
-    (rounded) division.
+    Shape at scale: MAP-ONLY. The statistic is strictly per-document, so
+    the former explode -> (doc, gram) hash agg -> per-doc agg shape
+    shipped the whole corpus n-gram stream through TWO shuffles to
+    compute something each row already holds: the top multiplicity of a
+    document's gram array is the longest run of equal elements in its
+    sorted copy (array_sort + one aggregate() fold, O(g log g) per row
+    inside the scan stage — guide §2.3/§2.4, aggregate instead of
+    shuffling). Both statistics stay integer counts, so the result is
+    engine-exact; only the final fraction is a (rounded) division.
+
+    Expression hygiene (measured, r12): the gram build must be
+    evaluated ONCE per row. Filtering on a DERIVED count pushes the
+    predicate below the projection and re-duplicates the build (the
+    guide §4.4 duplication class, which applies to expensive Catalyst
+    expressions too — 3 evaluations measured 4.4x slower than the
+    shuffle shape it replaced), so empty docs are dropped by an
+    equivalent cheap predicate on the raw text (>= n whitespace tokens
+    <=> >= 1 n-gram <=> the explode emitted a row), and both statistics
+    leave the gram projection inside ONE struct so no later projection
+    references the array twice.
     """
     toks = tokens(F.col(text_col))
     n_toks = F.size(toks)
@@ -154,18 +170,43 @@ def repetition_stats(
         F.slice(toks, 1, F.greatest(n_toks - (n - 1), F.lit(0))),
         _gram_builder(toks, n),
     )
-    exploded = df.select(
-        F.col(id_col).alias("id"), F.explode(grams).alias("gram")
+
+    def _extend_run(acc, g):
+        # concat_ws never yields NULL, so prev is NULL only before the
+        # first element; eqNullSafe starts the first run at 1.
+        new_run = (
+            F.when(acc["prev"].eqNullSafe(g), acc["run"] + F.lit(1))
+            .otherwise(F.lit(1))
+            .cast("long")
+        )
+        return F.struct(
+            g.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["best"], new_run).alias("best"),
+        )
+
+    top_n = F.aggregate(
+        F.array_sort(F.col("_grams")),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        _extend_run,
+        lambda acc: acc["best"],
     )
-    per_gram = exploded.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    stats = F.struct(
+        F.size("_grams").cast("long").alias("n"), top_n.alias("t")
+    )
     return (
-        per_gram.groupBy("id")
-        .agg(F.max("c").alias("top_ngram_n"), F.sum("c").alias("n_ngrams"))
+        df.filter(F.size(tokens(F.col(text_col))) >= n)
+        .select(F.col(id_col).alias("id"), grams.alias("_grams"))
+        .select("id", stats.alias("_st"))
         .select(
             "id",
-            "n_ngrams",
-            "top_ngram_n",
-            F.round(F.col("top_ngram_n") / F.col("n_ngrams"), 6).alias(
+            F.col("_st.n").alias("n_ngrams"),
+            F.col("_st.t").alias("top_ngram_n"),
+            F.round(F.col("_st.t") / F.col("_st.n"), 6).alias(
                 "top_ngram_frac"
             ),
         )

@@ -380,6 +380,48 @@ def test_chunk_documents_cover_and_reconstruct(spark):
         assert 1 <= r["n_tokens"] <= 3
 
 
+def test_repetition_stats_matches_python_model(spark):
+    """repetition_stats (r12: map-only array_sort + run-length fold
+    replacing explode + two shuffles): exact match against a brute-force
+    Counter model, including the edge docs the fold must reproduce —
+    empty text, single token (no 2-gram -> NO output row, like the
+    explode it replaced), NULL text, an all-identical-token doc (top
+    run spans the whole array), and ties."""
+    from collections import Counter
+
+    from sonnerie_spark.operators.text import repetition_stats
+
+    rows = [
+        (1, "a b a b a c"),            # "a b" x2, "b a" x2 tie
+        (2, "x x x x x"),              # one gram repeated 4x
+        (3, "one"),                    # no 2-gram -> absent
+        (4, ""),                       # no tokens -> absent
+        (5, None),                     # NULL -> absent
+        (6, "  p  q   p q  r "),       # messy whitespace
+        (7, "u v w"),                  # all grams unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {
+        r["id"]: (r["n_ngrams"], r["top_ngram_n"], r["top_ngram_frac"])
+        for r in repetition_stats(df, "doc_id", "text", n=2).collect()
+    }
+
+    expect = {}
+    for doc_id, text in rows:
+        toks = text.split() if text else []
+        grams = [f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)]
+        if not grams:
+            continue
+        c = Counter(grams)
+        top = max(c.values())
+        expect[doc_id] = (
+            len(grams),
+            top,
+            round(top / len(grams), 6),
+        )
+    assert got == expect, (got, expect)
+
+
 def test_normalize_text_idempotent_and_exact(spark):
     """normalize_text: NFC recomposition, control strip, whitespace
     collapse, trim — pinned outputs on constructed cases, idempotence

@@ -292,6 +292,44 @@ def test_mix_sources_broadcasts_dims(spark, sf_dir):
     assert "Window" in plan, plan
 
 
+def test_repetition_stats_is_map_only(spark, sf_dir):
+    """repetition_stats (r12): the per-doc top-gram statistic must not
+    shuffle the corpus n-gram stream — no explode (Generate) and no
+    hash-partitioned Exchange anywhere in the plan. The only exchange
+    permitted is load_par's round-robin spread of the unsplittable
+    gate-scale input."""
+    from sonnerie_spark.benchqueries import load_par
+    from sonnerie_spark.operators import text as textops
+
+    df = textops.repetition_stats(
+        load_par(spark, sf_dir, "documents"), "doc_id", "text", n=2
+    )
+    plan = plan_of(df)
+    assert "Generate" not in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    # single evaluation of the gram build / sort / fold per row — a
+    # filter on a derived count re-duplicates the build below the
+    # projection (measured 4.4x slower than the shuffle shape)
+    assert plan.count("transform(") == 1, plan
+    assert plan.count("array_sort") == 1, plan
+    assert plan.count("aggregate(") == 1, plan
+
+
+def test_split_leakage_attaches_splits_map_only(spark, sf_dir):
+    """split_leakage (r12): the split assignment is a pure function of
+    the id, so it must ride the pair stream as an expression — the old
+    shape joined two broadcast copies of the split table, re-scanning
+    the corpus twice and building a corpus-row-count broadcast per side
+    (impossible at 100 TB). Corpus scanned exactly once, zero broadcast
+    joins."""
+    from sonnerie_spark.benchqueries import REGISTRY
+
+    d = next(x for x in REGISTRY if x.name == "split_leakage")
+    plan = plan_of(d.spark(spark, sf_dir))
+    assert plan.count("BroadcastExchange") == 0, plan
+    assert plan.count("documents.parquet") == 1, plan
+
+
 def test_dirty_key_set_prunes_buckets(spark, tmp_path):
     """The rollup refresh's dirty-key pushdown depends on this: a key
     SET passed to read(keys=) must select only those keys' buckets
