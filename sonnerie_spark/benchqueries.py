@@ -6981,8 +6981,14 @@ def q_corpus_mix_budget(spark, sf_dir):
         "mixtok",
         sf_dir,
     )
+    # coalesce(sum, 0): a degenerate source whose docs ALL have NULL
+    # text sums to NULL and int(None) would raise (ADVICE r12) — zero
+    # tokens is the honest total for such a source (its docs carry
+    # NULL n_tokens and can never pass the keep filter anyway)
     totals = (
-        docs.groupBy("source").agg(F.sum("n_tokens").alias("t_s")).collect()
+        docs.groupBy("source")
+        .agg(F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t_s"))
+        .collect()
     )
     total = sum(int(r["t_s"]) for r in totals if r["source"] in W)
     out = sampling.budget_mix(
@@ -7214,15 +7220,52 @@ _DRIVER_WINDOW = [
     #     residual = the DSIR importance-weight arithmetic, pinned by
     #     pytest + sweep; incoming is the window-family z-score gate
     #     over events, first of the analytics batch).
-    # Never-driver-seen after the r12 rotation (6):
-    # neardup_keep_longest, corpus_curation, quality_filter_stratified,
-    # bpe_pair_counts, distinct_sketch_hll, multimodal_decode_stub.
-    # Pinned rotation schedule to finish the program (VERDICT r9 #4):
-    #   r13 (6): quality_filter_stratified, bpe_pair_counts,
-    #     neardup_keep_longest, corpus_curation, distinct_sketch_hll,
-    #     multimodal_decode_stub.
-    # Per-swap covers get written when each rotation lands, under the
-    # same subsumption rule.
+    # r13 rotation (VERDICT r12 item 1: the four r12-restructured
+    # gates that were simultaneously rotated out — split_leakage,
+    # corpus_mix_budget, dsir_select, dedup_ngram_jaccard_capped — get
+    # their post-change driver record; plus the six never-driver-seen
+    # gates the pinned r9-#4 schedule assigned to r13
+    # (quality_filter_stratified, bpe_pair_counts, neardup_keep_longest,
+    # corpus_curation, distinct_sketch_hll, multimodal_decode_stub);
+    # plus lm_score_kneser_ney — the strictest gate of the LM family
+    # whose vocabulary materialization r12 changed without a
+    # driver-window record (it runs the full lm_vocab/lm_bigram_counts
+    # spine lm_score_bigram/lm_bucket_split share, plus the KN
+    # continuation/discount tables). Departures (record counts from
+    # CORRECTNESS_r01..r12) and covers:
+    #   classifier_score (3 records r10-r12) -> corpus_curation_v5
+    #     stays (STRICT: v5 runs the classifier predicate stage
+    #     verbatim over the decontaminated corpus);
+    #   dedup_paragraphs (3 records r10-r12) ->
+    #     dedup_paragraphs_incremental stays (the same paragraph-hash
+    #     first-occurrence machinery THROUGH the persistent index;
+    #     residual = the one-shot reassembly join, pinned by pytest +
+    #     sweep);
+    #   bm25_topk (7 records r4-r12, incl. the post-restructure r12
+    #     record) -> residual = the BM25 ranking arithmetic, pinned by
+    #     pytest + sweep; the tokens->tf/df counting spine runs inside
+    #     dedup_ngram_containment (staying);
+    #   fold_series, ohlc_1h, gap_fill_locf, time_weighted_avg (2
+    #     records each, r11+r12; untouched since r11) -> the series
+    #     view + window-agg spine stays via by_key_stats and the
+    #     parity surface; residuals (fold identity, bucket OHLC, LOCF
+    #     fill, time-weight integral) pinned by pytest + type_parity +
+    #     sweep;
+    #   normalize_text (2 records r11+r12) -> map-only regex
+    #     projection; strip_boilerplate (staying) keeps the text-clean
+    #     class; residual pinned by pytest + sweep;
+    #   multimodal_decode_mp3 (3 records r10-r12) -> mp3codec is
+    #     untouched this round; residual = the MP3 frame-header walk,
+    #     pinned by pytest + sweep;
+    #   multimodal_decode_png (3 records r10-r12) ->
+    #     multimodal_resize_png stays (STRICT for the codec: full
+    #     pngcodec decode AND re-encode AND re-decode in one chain);
+    #   multimodal_decode_jpeg (3 records r10-r12) ->
+    #     multimodal_decode_avi stays (runs the same jpegcodec
+    #     baseline decode over every MJPEG first frame; residual = the
+    #     standalone JPEG fixture build, pinned by pytest + sweep).
+    # Never-driver-seen after the r13 rotation: none — every benched
+    # gate now holds at least one driver record.
     # Earlier rotations retired (r6: ivf_assign,
     # embedding_neardup_pairs, dedup_ngram_jaccard, dedup_minhash_lsh,
     # dedup_simhash, text_token_stats, doc_fingerprint,
@@ -7274,30 +7317,31 @@ _DRIVER_WINDOW = [
     #     residual = the num_values=m multi-column agg struct).
     "dedup_paragraphs_incremental",
     "dedup_ngram_containment",
-    "bm25_topk",
     "simhash120_near_pairs",
-    "dedup_paragraphs", "classifier_score",
     "ivfpq_index_incremental",
     "bloom_store_roundtrip",
-    "multimodal_decode_jpeg",
-    # text / sampling pipeline (r12 rotation, first record)
+    # text / sampling pipeline (r12 rotation)
     "repetition_filter", "repeated_spans", "chunk_documents",
     "stratified_sample_lang", "cap_per_group", "deterministic_shuffle",
-    # events analytics family (r12 rotation, first record)
+    # events analytics family (r12 rotation)
     "series_anomaly_zscore", "cohort_retention", "funnel_conversion",
-    "multimodal_decode_png",
-    "multimodal_decode_mp3",
-    # perceptual image dedup (r9-landed wide variants, first record)
+    # perceptual image dedup (r9-landed wide variants)
     "image_dhash128", "image_dhash128_neardup",
-    # time-series analytics family (r11 rotation, first record —
-    # fold_series exercises the pointread/row-group path r10 changed)
-    "fold_series", "ohlc_1h", "gap_fill_locf", "time_weighted_avg",
-    # text normalization pair (r11 rotation, first record)
-    "strip_boilerplate", "normalize_text",
-    # codec tail (r11 rotation, first record — GIF LZW, AVI-MJPEG,
-    # frame sampling, PNG resize round-trip)
+    # text normalization (r11 rotation)
+    "strip_boilerplate",
+    # codec tail (r11 rotation — GIF LZW, AVI-MJPEG, frame sampling,
+    # PNG resize round-trip)
     "multimodal_decode_gif", "multimodal_decode_avi",
     "multimodal_frame_sample", "multimodal_resize_png",
+    # r13 rotation: the four r12-restructured gates (VERDICT r12 #1)
+    "split_leakage", "corpus_mix_budget", "dsir_select",
+    "dedup_ngram_jaccard_capped",
+    # r13 rotation: the last six never-driver-seen gates (r9-#4 plan)
+    "quality_filter_stratified", "bpe_pair_counts",
+    "neardup_keep_longest", "corpus_curation", "distinct_sketch_hll",
+    "multimodal_decode_stub",
+    # r13 rotation: the LM family's strictest gate (r12-modified spine)
+    "lm_score_kneser_ney",
     # composite end-to-end (v5 runs every v4 stage — decontaminate,
     # then classifier, then the full v3 chain which runs every v2
     # stage; v2/v3/v4 stay verified by the local three-SF sweep)

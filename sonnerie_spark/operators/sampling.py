@@ -567,9 +567,6 @@ def budget_mix(
         raise ValueError(f"budget_mix: budget must be positive, got {budget}")
     spark = docs.sparkSession
     wsum = sum(int(w) for w in weights.values())
-    wdf = spark.createDataFrame(
-        [(s, int(w)) for s, w in sorted(weights.items())], "src string, w long"
-    )
     if totals is not None:
         # caller-supplied per-source totals: no corpus aggregation at
         # all — weight join + strict guard run on the local rows
@@ -590,6 +587,13 @@ def budget_mix(
             "src string, t_s long, w long",
         )
     else:
+        # the weight dim is only needed on this self-aggregating path —
+        # the totals= fast path builds (src, t_s, w) rows directly
+        # (ADVICE r12: no dead driver-side createDataFrame work there)
+        wdf = spark.createDataFrame(
+            [(s, int(w)) for s, w in sorted(weights.items())],
+            "src string, w long",
+        )
         totals = (
             docs.groupBy(F.col(source_col).alias("src"))
             .agg(F.sum(tokens_col).alias("t_s"))

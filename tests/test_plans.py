@@ -309,10 +309,14 @@ def test_repetition_stats_is_map_only(spark, sf_dir):
     assert "hashpartitioning" not in plan, plan
     # single evaluation of the gram build / sort / fold per row — a
     # filter on a derived count re-duplicates the build below the
-    # projection (measured 4.4x slower than the shuffle shape)
-    assert plan.count("transform(") == 1, plan
-    assert plan.count("array_sort") == 1, plan
-    assert plan.count("aggregate(") == 1, plan
+    # projection (measured 4.4x slower than the shuffle shape). Upper
+    # bounds, not equality: the duplication regression shows as a count
+    # >= 2, while an engine upgrade that renames the printed expression
+    # (count 0) must not fail the pin (ADVICE r12) — map-only-ness is
+    # already held by the absence asserts above.
+    assert plan.count("transform(") <= 1, plan
+    assert plan.count("array_sort") <= 1, plan
+    assert plan.count("aggregate(") <= 1, plan
 
 
 def test_split_leakage_attaches_splits_map_only(spark, sf_dir):
