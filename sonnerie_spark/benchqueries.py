@@ -131,7 +131,11 @@ def _spill_boundary(df: DataFrame, spills: list, tag: str) -> DataFrame:
     _LIVE_SPILLS.add(path)
     target = os.path.join(path, "data")
     df.write.parquet(target)
-    back = df.sparkSession.read.parquet(target)
+    # the writer just declared the schema — passing it to the re-read
+    # skips parquet footer schema inference, which is a whole extra
+    # driver-blocking job (parallelize>mapPartitions over the footers)
+    # per boundary (guide §1.1 job-count discipline)
+    back = df.sparkSession.read.schema(df.schema).parquet(target)
     # Re-read parallelism guard (guide §2.2/§6): the boundary's writer
     # stage is often AQE-coalesced to very few partitions at gate scale,
     # so the spill lands as 1-2 single-row-group files and the SCAN of
@@ -165,15 +169,36 @@ _SPILL_MIN_SOURCE_ROWS = 1_000_000
 
 
 def _boundary(
-    df: DataFrame, spills: list, tag: str, sf_dir: str, table: str = "documents"
+    df: DataFrame,
+    spills: list,
+    tag: str,
+    sf_dir: str,
+    table: str = "documents",
+    *,
+    spread: bool = False,
 ) -> DataFrame:
     """Size-conditional stage boundary: spill to parquet above the
     breakeven (the 100 TB shape), pass through for recompute below it
     (the gate-scale shape). The decision reads ONLY parquet footers —
     no job, no scan. ``table`` names the source whose row count drives
-    the decision (the table the stage actually aggregates)."""
+    the decision (the table the stage actually aggregates).
+
+    ``spread``: opt in for boundaries feeding per-row-HEAVY consumers
+    (MinHash signatures, pair probes). The below-breakeven producer is
+    typically an AQE-coalesced shuffle (bytes tiny), so such a consumer
+    otherwise runs on ONE task — measured 5.07 s single-task for v2's
+    signature agg vs ~0.2 s spread (the same stall class the spill
+    branch's re-read guard fixes above the breakeven). It must stay
+    opt-in: boundaries with cheap map-only consumers pay the extra
+    exchange per consumer and win nothing back (measured 2x on
+    funnel_conversion / corpus_mix_budget when applied blanket). The
+    exchange moves < breakeven rows and never executes at scale
+    (guide §2.5)."""
     if _source_rows(sf_dir, table) >= _SPILL_MIN_SOURCE_ROWS:
         return _spill_boundary(df, spills, tag)
+    if spread:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        return df.repartition(par)
     return df
 
 
@@ -3565,26 +3590,32 @@ def _curation_v3_pipeline(spark, sf_dir, docs, spills=None):
         .select("id")
     )
     # SemDeDup references the survivor set from BOTH sides of its pair
-    # probe plus the final keep join — spill the stage boundary once
-    # (same rationale as keepq above) or each branch re-runs quality +
-    # LSH + CC. This spill write is also keepq's LAST consumer, so
-    # after it the gate holds no corpus-sized state anywhere.
-    survivors = _spill_boundary(
-        keepq.select("id", "lang").join(removed, "id", "left_anti"),
-        spills,
-        "survivors",
-    )
+    # probe plus the final keep join, and its embedding join feeds FIVE
+    # consumers (the seed collect, semdedup's three references through
+    # its pair probe, and the drop anti-join) — unmaterialized,
+    # Catalyst re-runs quality + LSH + CC + the embedding join per
+    # reference (guide §2.4). ONE spilled frame serves both stage
+    # boundaries (the former separate survivors/surv_emb spills paid an
+    # extra write job + re-read + footer pass for the same bytes): the
+    # embedding rides a LEFT join — docs without an embedding row keep
+    # a NULL vector and still flow to the final keep (embeddings cover
+    # a subset of documents at some SFs; the 1:1 id join makes left +
+    # not-null filter exactly the old inner join). This spill write is
+    # also keepq's LAST consumer, so after it the gate holds no
+    # corpus-sized state anywhere.
     emb = load_par(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"),
         F.col("embedding").cast("array<double>").alias("embedding"),
     )
-    # surv_emb feeds FIVE consumers (the seed collect, semdedup's three
-    # references through its pair probe, and the drop anti-join), and
-    # Catalyst re-evaluates the unmaterialized join per reference —
-    # five embedding scans + joins per composite (guide §2.4). Same
-    # boundary rationale as keepq/survivors above.
-    surv_emb = _spill_boundary(
-        emb.join(survivors.select("id"), "id"), spills, "surv_emb"
+    survivors = _spill_boundary(
+        keepq.select("id", "lang")
+        .join(removed, "id", "left_anti")
+        .join(emb, "id", "left"),
+        spills,
+        "survivors",
+    )
+    surv_emb = survivors.filter(F.col("embedding").isNotNull()).select(
+        "id", "embedding"
     )
     # centroid seeds must come from the SURVIVING set (ids < 8 may all
     # have been dropped upstream): the 8 smallest surviving ids, a
@@ -3608,7 +3639,9 @@ def _curation_v3_pipeline(spark, sf_dir, docs, spills=None):
     # single most expensive stage — plus both anti-joins. Spill the
     # final survivor set once (guide §2.4).
     final = _spill_boundary(
-        survivors.join(sem_dropped, "id", "left_anti"), spills, "final"
+        survivors.select("id", "lang").join(sem_dropped, "id", "left_anti"),
+        spills,
+        "final",
     )
     mixed = sampling.temperature_sample_sqrt(final, "lang", "id").select(
         "id", F.col("grp").alias("lang")
@@ -3836,6 +3869,9 @@ def q_corpus_curation_v2(spark, sf_dir):
         spills,
         "keepq",
         sf_dir,
+        # the MinHash signature fold reads this boundary (see _boundary:
+        # unspread it ran single-task, 5.07 s of the composite)
+        spread=True,
     )
     pairs = dedup.minhash_lsh_pairs(keepq, "id", "text", k=3, num_hashes=16, band_size=4)
     comps = graph.connected_components(pairs, "id_a", "id_b")

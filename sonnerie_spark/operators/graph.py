@@ -48,22 +48,35 @@ def connected_components(
     round reuses it. All shuffles hash-partition on node id, so AQE
     coalesces/splits them uniformly; no window functions, no Python.
     The convergence check rides the round's own materialization via
-    ``observe`` (the change count is collected as a metric of the
-    localCheckpoint job), so a round costs exactly ONE job — the
-    previous separate anti-equality probe job re-scanned both label
-    tables per round, a third of the loop's fixed cost on shallow
-    graphs and a full extra O(V) pass at scale.
+    ``observe`` (collected as a metric of the localCheckpoint job), so
+    a round costs exactly ONE job. The observed quantity is the SUM of
+    all labels, not a per-node comparison: every step is monotone
+    non-increasing per node (propagate takes a min over the own label;
+    the jump lands on labels(comp) <= comp because every label table
+    satisfies label(x) <= x from comp=id init downward), so the sum is
+    strictly smaller iff any node changed — which removes the
+    labels-previous equality join (one shuffle/broadcast build per
+    round) the change-count form needed.
     """
     from pyspark.sql import Observation
+
+    # decimal(38,0) BEFORE the sum: V node ids of up to 2^63 would
+    # overflow a long accumulator far below the claimed corpus scale
+    _label_sum = F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
     e = pairs.select(
         F.col(src).cast("long").alias("s"), F.col(dst).cast("long").alias("d")
     )
     sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
     sym = sym.persist()
-    labels = sym.select(F.col("s").alias("id")).distinct().withColumn(
-        "comp", F.col("id")
+    obs0 = Observation()
+    labels = (
+        sym.select(F.col("s").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .observe(obs0, _label_sum)
     )
     labels = labels.localCheckpoint(eager=True)
+    prev_sum = obs0.get["s"] or 0
     for it in range(max_iter):
         # 1. propagate: min over own label and all neighbour labels
         msgs = sym.join(labels.withColumnRenamed("id", "s"), "s").select(
@@ -85,26 +98,20 @@ def connected_components(
         ptr = labels.withColumnRenamed("comp", "comp2").withColumnRenamed(
             "id", "comp"
         )
-        nxt = nxt.join(ptr, "comp").select("id", F.col("comp2").alias("comp"))
-        # 3. converged iff no node's label changed this round. The
-        # change count is observed on the SAME job that materializes
-        # the round (every node id exists in the previous table, so the
-        # inner join is total); no separate probe job runs.
         obs = Observation()
         nxt = (
-            nxt.join(labels.withColumnRenamed("comp", "prev"), "id")
-            .observe(
-                obs,
-                F.sum(
-                    (F.col("comp") != F.col("prev")).cast("long")
-                ).alias("changed"),
-            )
-            .select("id", "comp")
+            nxt.join(ptr, "comp")
+            .select("id", F.col("comp2").alias("comp"))
+            .observe(obs, _label_sum)
         )
+        # 3. converged iff no label changed, i.e. the monotone label
+        # sum held steady this round (exact integer arithmetic).
         nxt = nxt.localCheckpoint(eager=True)
         labels = nxt
-        if not (obs.get["changed"] or 0):
+        cur_sum = obs.get["s"] or 0
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         # An unconverged label table is silently WRONG for the documented
         # "comp = min id of the component" contract — fail loudly. With
