@@ -1272,24 +1272,37 @@ def bpe_train(
     (:func:`bpe_train_sql` is the chained-CTE DuckDB mirror).
 
     Scale shape — the loop never touches the corpus again after one
-    scan: the corpus collapses to the DISTINCT-WORD frequency table
-    (vocabulary-sized, orders of magnitude below corpus size — the same
-    reduction production BPE trainers apply), and each merge iteration
-    is one map-only pair explode + one hash agg with map-side partials
-    over that table, one TakeOrdered(1) argmax (a bounded 1-row
-    dimension collect, like the IVF centroid seeds), and one map-only
-    literal replace. Words ride as ``\\x01``/``\\x02``-marked symbol
-    strings (the :func:`bpe_encode` convention), so applying a merge is
-    a single non-overlapping left-to-right string replace — identical
-    greedy semantics in the JVM and DuckDB. Merges accumulate as a
-    chained projection (one stage, like bpe_encode's replace chain);
-    every ``checkpoint_every`` iterations the table is
-    localCheckpointed so re-derivation work and codegen expression
-    depth stay bounded at any num_merges.
+    scan: the corpus collapses to the DISTINCT-WORD frequency table by
+    one distributed map-side-combined aggregation (vocabulary-sized,
+    orders of magnitude below corpus size — the same reduction
+    production BPE trainers apply), and the greedy merge loop then runs
+    ON ONE EXECUTOR over that table as a single Arrow-batched grouped
+    map — the single-node-trainer shape production BPE implementations
+    use once the corpus has collapsed to word frequencies. The former
+    per-merge DataFrame round (pair explode + hash agg + TakeOrdered(1)
+    driver collect + replace projection) paid TWO jobs and a driver
+    barrier PER MERGE (guide §2.4): real tokenizers learn 10^4-10^5
+    merges, so the barrier count — not the vocab-sized compute —
+    dominated at every scale. The result collect is num_merges rows (a
+    bounded dimension collect, like the IVF centroid seeds); peak
+    executor memory is one vocab table, bounded by distinct-word count,
+    not corpus size.
+
+    The in-task loop replays the exact published greedy semantics the
+    DataFrame round implemented: per-position pair counts weighted by
+    word frequency, argmax with (count desc, a asc, b asc) tie-break
+    (Python tuple order on code points == Spark's UTF8 binary orderBy
+    == the DuckDB mirror), and a left-to-right non-overlapping merge
+    pass per word — pinned against the independent classic-trainer
+    model and the chained-CTE oracle in the tests.
 
     Tokens containing the marker bytes are excluded from training (they
     cannot be represented; real text never contains \\x01/\\x02).
+    ``checkpoint_every`` is retained for API compatibility; the
+    executor-side loop has no lineage to truncate.
     """
+    import pandas as pd  # noqa: F401  (applyInPandas contract)
+
     op, cl = "\x01", "\x02"
     words = (
         df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
@@ -1300,45 +1313,59 @@ def bpe_train(
         )
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            F.regexp_replace("tok", "(.)", op + "$1" + cl).alias("s"),
-            "cnt",
-        )
-        .localCheckpoint(eager=True)
     )
-    strip = F.regexp_replace("s", "^" + op + "|" + cl + "$", "")
-    learned: list[tuple[str, str, int]] = []
-    cur = words
-    for it in range(num_merges):
-        pairs = (
-            cur.select("cnt", F.split(strip, cl + op).alias("y"))
-            .filter(F.size("y") >= 2)
-            .select(
-                "cnt",
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(y) - 1), "
-                        "i -> struct(y[i - 1] AS a, y[i] AS b))"
-                    )
-                ).alias("p"),
-            )
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("cnt").alias("n"))
+    n_merges = int(num_merges)
+
+    def train(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd  # self-contained for cloudpickle
+        from collections import Counter
+
+        # list(str) iterates code points — the same symbol split as the
+        # former regexp_replace('(.)') (Java regex and RE2 both match
+        # "." per code point)
+        syms = [list(t) for t in pdf["tok"]]
+        cnts = [int(c) for c in pdf["cnt"]]
+        learned = []
+        for _ in range(n_merges):
+            pc: Counter = Counter()
+            for s, c in zip(syms, cnts):
+                for j in range(len(s) - 1):
+                    pc[(s[j], s[j + 1])] += c
+            if not pc:
+                break  # corpus exhausted: every word is one symbol
+            (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            learned.append((a, b, n))
+            ab = a + b
+            for i, s in enumerate(syms):
+                L = len(s)
+                if L < 2:
+                    continue
+                out = None
+                j = 0
+                while j < L:
+                    if j + 1 < L and s[j] == a and s[j + 1] == b:
+                        if out is None:
+                            out = s[:j]
+                        out.append(ab)
+                        j += 2
+                    else:
+                        if out is not None:
+                            out.append(s[j])
+                        j += 1
+                if out is not None:
+                    syms[i] = out
+        return pd.DataFrame(
+            [(i + 1, a, b, n) for i, (a, b, n) in enumerate(learned)],
+            columns=["rk", "a", "b", "n"],
         )
-        best = pairs.orderBy(F.col("n").desc(), "a", "b").limit(1).collect()
-        if not best:
-            break  # corpus exhausted: every word is one symbol
-        a, b, n = best[0]["a"], best[0]["b"], int(best[0]["n"])
-        learned.append((a, b, n))
-        cur = cur.select(
-            F.replace(
-                "s", F.lit(op + a + cl + op + b + cl), F.lit(op + a + b + cl)
-            ).alias("s"),
-            "cnt",
-        )
-        if (it + 1) % checkpoint_every == 0:
-            cur = cur.localCheckpoint(eager=True)
-    return learned
+
+    rows = (
+        words.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(train, "rk int, a string, b string, n long")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["rk"])
+    return [(r["a"], r["b"], int(r["n"])) for r in rows]
 
 
 def bpe_train_sql(table: str, text_col: str, *, num_merges: int = 8) -> str:
