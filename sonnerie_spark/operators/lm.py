@@ -140,12 +140,19 @@ def lm_bigram_counts(
     # the unmaterialized subtree — reference-corpus token explode +
     # type count + top-V — once per build (measured 6+ reference scans
     # in the lm_score_* plans; guide §2.4). The checkpoint holds
-    # ≤ vocab_size rows by construction; the count() below (the v_eff
-    # the smoothing needs anyway) then reads blocks, not the corpus.
-    vocab = lm_vocab(ref, text_col, vocab_size=vocab_size).localCheckpoint(
-        eager=True
+    # ≤ vocab_size rows by construction. v_eff (the |vocab| the
+    # smoothing needs anyway) rides the checkpoint job as an observed
+    # metric — a separate count() was a second blocking job per LM
+    # gate, pure barrier (the blocks were already local).
+    from pyspark.sql import Observation
+
+    _obs = Observation()
+    vocab = (
+        lm_vocab(ref, text_col, vocab_size=vocab_size)
+        .observe(_obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
-    v_eff = vocab.count() + 1
+    v_eff = int(_obs.get["n"]) + 1
 
     toks = lm_tokens(F.col(text_col))
     ex = ref.select(F.explode(toks).alias("tok"))
