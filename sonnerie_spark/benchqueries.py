@@ -3628,6 +3628,10 @@ def _curation_v3_pipeline(spark, sf_dir, docs, spills=None):
         vec_col="embedding",
         tau=0.25,
         centroids=cents,
+        # materialize the centroid-assignment fold once: unbounded, its
+        # three references (both probe sides + the keep anti-join) each
+        # re-ran the fold over the survivors spill (guide §2.4)
+        boundary=lambda d, t: _spill_boundary(d, spills, t),
     ).select("id")
     # drop only PROVEN near-duplicates: docs without an embedding row
     # (embeddings cover a subset of documents at some SFs) pass through
@@ -4323,6 +4327,11 @@ def q_semdedup_keep(spark, sf_dir):
     emb = load_par(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
+    # no boundary= here: the standalone gate's input is one raw scan,
+    # and the A/B read 2.97 s -> 3.85 s with the spill (write + result
+    # checkpoint cost more than re-folding a cheap scan three times).
+    # The composites DO pass one — their input lineage is the whole
+    # survivors pipeline.
     return semdedup(emb, num_centroids=8, tau=0.2)
 
 

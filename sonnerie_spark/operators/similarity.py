@@ -864,6 +864,7 @@ def semdedup(
     tau: float = 0.2,
     round_digits: int = 6,
     centroids: tuple[list[list[float]], list[int]] | None = None,
+    boundary=None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
     arXiv 2303.09540): cluster the embeddings with the coarse quantizer,
@@ -882,6 +883,14 @@ def semdedup(
     is bounded, the same contract as the LSH band buckets), and the
     drop set comes back via one anti-join. Returns the kept rows
     (id, centroid_id, centroid_cosine).
+
+    ``boundary``: optional ``f(df, tag) -> df`` stage materializer
+    (e.g. the caller's parquet spill boundary). The assignment frame is
+    referenced THREE times — both pair-probe sides and the final keep
+    anti-join — and Catalyst re-evaluates the unmaterialized fold per
+    reference: three full corpus scans + centroid folds at any scale
+    (guide §2.4). With a boundary the fold runs once and the three
+    consumers scan the materialized columns.
     """
     # vectors ride the assignment's own projection (keep=) instead of
     # the former assign ⋈ df join-back on id — that join shuffled the
@@ -901,6 +910,11 @@ def semdedup(
     # three folds — same float expression tree (dot / (sqrt(aa) *
     # sqrt(bb))), so the rounded value stays bit-identical to the oracle
     base = assign.withColumn("nrm", l2_norm(F.col("v")))
+    if boundary is not None:
+        base = boundary(
+            base.select("id", "centroid_id", "centroid_cosine", "v", "nrm"),
+            "sem_assign",
+        )
     a = base.select(
         F.col("id").alias("id_a"),
         F.col("centroid_id").alias("cid_a"),
@@ -962,7 +976,10 @@ def semdedup(
         .select(F.col("id_b").alias("id"))
         .distinct()
     )
-    return assign.select("id", "centroid_id", "centroid_cosine").join(
+    # keep set reads `base` (the boundary when one was given) — the
+    # extra v/nrm columns are pruned, so without a boundary this is the
+    # same assign subtree as before
+    return base.select("id", "centroid_id", "centroid_cosine").join(
         dropped, "id", "left_anti"
     )
 
