@@ -43,7 +43,7 @@ Scale design (100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Observation, functions as F
 
 from sonnerie_spark.functions.portable_hash import phash, phash_sql
 
@@ -144,8 +144,6 @@ def lm_bigram_counts(
     # smoothing needs anyway) rides the checkpoint job as an observed
     # metric — a separate count() was a second blocking job per LM
     # gate, pure barrier (the blocks were already local).
-    from pyspark.sql import Observation
-
     _obs = Observation()
     vocab = (
         lm_vocab(ref, text_col, vocab_size=vocab_size)
@@ -288,7 +286,9 @@ def lm_doc_score(
     )
 
 
-def lm_kn_counts(bi: DataFrame) -> tuple[DataFrame, DataFrame, int]:
+def lm_kn_counts(
+    bi: DataFrame, *, n_dd: int | None = None
+) -> tuple[DataFrame, DataFrame, int]:
     """Continuation statistics for Kneser-Ney smoothing, derived from
     the already-trained bigram table — NO new corpus scan:
 
@@ -314,7 +314,10 @@ def lm_kn_counts(bi: DataFrame) -> tuple[DataFrame, DataFrame, int]:
         F.count(F.lit(1)).alias("n1f"), F.sum("c2").alias("ptot")
     )
     n1b = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
-    return pre, n1b, int(bi.count())
+    # n_dd= lets a caller that already knows bi's row count (e.g. as
+    # an observed metric of bi's own materialization job) skip the
+    # count() action — a blocking job over already-local blocks
+    return pre, n1b, int(bi.count()) if n_dd is None else int(n_dd)
 
 
 def lm_kn_doc_score(
@@ -368,8 +371,16 @@ def lm_kn_doc_score(
         raise ValueError(
             f"discount_q4 must be 1..3 (D = q/4 in (0,1)), got {discount_q4}"
         )
-    bi = bi.localCheckpoint(eager=True)
-    pre, n1b, n_dd = lm_kn_counts(bi)
+    # n_dd (distinct bigram types = bi's row count) rides the
+    # checkpoint job as an observed metric — lm_kn_counts' bi.count()
+    # was a second blocking job over already-local blocks (the same
+    # barrier class as lm_bigram_counts' vocab count)
+    _obs = Observation()
+    bi = bi.observe(_obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
+        eager=True
+    )
+    n_dd = int(_obs.get["n"])
+    pre, n1b, _ = lm_kn_counts(bi, n_dd=n_dd)
     if n_dd == 0:
         raise ValueError(
             "lm_kn_doc_score: the trained bigram table is empty (no "

@@ -624,8 +624,17 @@ def strip_boilerplate(
     aggregation. Emits (id, text, n_removed); documents whose every
     line was boilerplate come back with empty text, not dropped.
     """
-    n_docs = df.count()
-    threshold = max(min_docs, int(min_doc_frac * n_docs))
+    # the document count rides the PLAN as a 1-row broadcast dimension
+    # instead of a df.count() driver action — that action was a whole
+    # blocking corpus-scan job before the main query even started
+    # (guide §2.4/§5); greatest(min_docs, floor(frac * n)) reproduces
+    # max(min_docs, int(frac * n)) exactly for the non-negative values
+    # here (int() truncation == floor on positives)
+    n_docs_dim = df.select(F.count(F.lit(1)).alias("n_docs"))
+    threshold = F.greatest(
+        F.lit(int(min_docs)).cast("long"),
+        F.floor(F.lit(float(min_doc_frac)) * F.col("n_docs")),
+    )
     lines = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
@@ -634,6 +643,7 @@ def strip_boilerplate(
         lines.filter(F.trim("line") != "")
         .groupBy(F.trim("line").alias("k"))
         .agg(F.countDistinct("id").alias("df"))
+        .crossJoin(F.broadcast(n_docs_dim))
         .filter(F.col("df") >= threshold)
         .select("k")
     )
